@@ -1,0 +1,5 @@
+"""Operator modules; importing this package registers every query."""
+
+from lisp_batch_processor_spark.operators import (  # noqa: F401
+    relational,
+)
