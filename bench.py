@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed as plan-build + full execution; results are
+consumed via count() on a cached-free plan (no collect of wide rows
+to the driver — the driver is not part of the measured engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lisp_batch_processor_spark import all_queries
+from lisp_batch_processor_spark.session import get_spark
+
+HEADLINE = [
+    "q_agg_groupby",
+    "q_join_inner",
+    "q_window_rank",
+    "q_window_running",
+    "q_dedup_exact",
+    "q_event_sessionize",
+    "q_set_ops",
+    "q_rollup_cube",
+    "q_text_analysis",
+    "q_text_quality",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_similarity_topk",
+    "q_quality_audit",
+    "q_json_map",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    qs = all_queries()
+
+    # Warm the JVM/codegen once on a trivial action so query timings
+    # measure the engine, not first-job startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

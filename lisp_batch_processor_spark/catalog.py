@@ -23,9 +23,21 @@ BOUNDED_DIMS = frozenset({"region", "nation"})
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; parquet gives pushdown + pruning for free."""
+    """Read one fixture table; parquet gives pushdown + pruning for free.
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    read natively; we read it as raw nanos (legacy conf) and truncate
+    to microseconds with integer division — the same floor-truncation
+    DuckDB applies when it casts ns parquet to its µs TIMESTAMP, so
+    the two engines see identical values. (Float division would lose
+    precision: epoch-nanos exceed double's 53-bit mantissa.)
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

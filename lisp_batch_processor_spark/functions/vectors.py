@@ -1,0 +1,31 @@
+"""Vector math over ArrayType(FloatType) columns — JVM-side
+higher-order functions only (no Python UDFs): dot products, norms,
+cosine similarity. Every fold is left-to-right, so the same
+expression evaluated in another IEEE engine is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i in double, folded left-to-right."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def unit(a: Column) -> Column:
+    """a / ||a|| — pre-normalize once so cosine becomes a plain dot;
+    at scale this halves the arithmetic in any all-pairs stage."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)

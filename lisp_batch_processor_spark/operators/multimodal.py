@@ -1,0 +1,127 @@
+"""Multimodal columns — opaque binary payloads with typed metadata,
+plus vector-column transforms (SURVEY.md §2.C q_multimodal_cols,
+north star). The reference's whole data model is "opaque element
+processed by an external tool" (`Batch Processor.py:67, 340-342`);
+here that becomes BinaryType columns flowing through Arrow-batched
+mapInPandas decoders.
+
+The container has no image/audio codecs, so `decode_features` is a
+deterministic fake decoder (byte-histogram moments) behind the real
+Spark plumbing — schema, batching, partitioning are all genuine; swap
+the inner function for PIL/librosa in production.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.functions.vectors import l2_norm
+from lisp_batch_processor_spark.registry import query
+
+_Q_MULTIMODAL_COLS_ORACLE = """
+SELECT
+  vec_id,
+  label,
+  CAST(len(embedding) AS INT) AS dim,
+  ROUND(sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+    (x, y) -> x + y)), 6) AS l2_norm,
+  ROUND(list_reduce(list_transform(generate_series(1, len(embedding)),
+    i -> CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)
+    / len(embedding), 6) AS mean_val,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val
+FROM embeddings
+"""
+
+
+@query("q_multimodal_cols", oracle=_Q_MULTIMODAL_COLS_ORACLE)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column transforms with higher-order functions: carry an
+    ArrayType(FloatType) column through per-row math (norm, mean,
+    sign census) without ever leaving the JVM. Left-to-right folds
+    keep even the floating outputs oracle-exact.
+
+    Scale notes: map-only; fuses with the scan at any corpus size.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    sum_ = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return emb.select(
+        "vec_id", "label",
+        F.size(e).alias("dim"),
+        F.round(l2_norm(e), 6).alias("l2_norm"),
+        F.round(sum_ / F.size(e), 6).alias("mean_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary modality pipeline: pack -> decode (stub) -> features.
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 8
+
+_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("byte_len", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake decoder: real image/audio decode is
+    unavailable in this container (no codecs installed), so features
+    are deterministic byte-histogram moments. The mapInPandas batch
+    shape, schema, and partitioning are the production article —
+    replace the body with PIL.Image.open / soundfile.read in a real
+    deployment (raise NotImplementedError there for codecs you don't
+    ship).
+    """
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            b = bytes(payload)
+            n = max(len(b), 1)
+            # 8 deterministic moments over byte-value buckets.
+            buckets = [0] * FEATURE_DIM
+            for byte in b:
+                buckets[byte % FEATURE_DIM] += 1
+            feats.append([round(c / n, 9) for c in buckets])
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "modality": pdf["modality"],
+            "byte_len": pdf["byte_len"],
+            "features": feats,
+        })
+
+
+@query("q_multimodal_decode")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary modality pipeline: pack text into a BinaryType
+    payload with typed metadata (modality tag + byte length), run an
+    Arrow-batched mapInPandas decoder, return fixed-width features.
+    rows-only check (binary plumbing is not SQL-expressible);
+    determinism is asserted in tests/test_multimodal.py.
+
+    Scale notes: mapInPandas streams Arrow batches per partition —
+    constant memory per task; the decode stage is embarrassingly
+    parallel and scales linearly with executors.
+    """
+    docs = load(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("byte_len"),
+    )
+    return packed.mapInPandas(decode_features, schema=_DECODE_SCHEMA)

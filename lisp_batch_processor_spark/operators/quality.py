@@ -1,0 +1,132 @@
+"""Run-status rollup and data-quality audit (SURVEY.md §2.C).
+
+q_status_rollup generalizes the reference's success-count summary
+(`Batch Processor.py:85, 312, 329` — R16/R17); q_quality_audit
+generalizes its AUDIT pass and error classification
+(`lisp/ebind.lsp:5`, `Batch Processor.py:313-320` — R21/R26): a
+per-rule violation report instead of a job abort, i.e. the per-row
+error-channel pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.registry import query
+
+_Q_STATUS_ROLLUP_ORACLE = """
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+  ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS urgent_rate,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS sum_totalprice
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("q_status_rollup", oracle=_Q_STATUS_ROLLUP_ORACLE)
+def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Success/failure-style counts and rates by status group —
+    the "k of N processed successfully" summary (R16/R17) as a
+    grouped conditional aggregation.
+    """
+    o = load(spark, sf_dir, "orders")
+    urgent = F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        urgent.alias("n_urgent"),
+        F.round(urgent.cast("double") / F.count(F.lit(1)), 6).alias("urgent_rate"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double"), 2).alias("sum_totalprice"),
+    )
+
+
+_Q_QUALITY_AUDIT_ORACLE = """
+SELECT 'lineitem_null_quantity' AS rule,
+  COUNT(*) FILTER (WHERE l_quantity IS NULL) AS violations,
+  COUNT(*) AS checked FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range',
+  COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1),
+  COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_qty', COUNT(*) FILTER (WHERE l_quantity <= 0),
+  COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'lineitem_tax_range', COUNT(*) FILTER (WHERE l_tax < 0 OR l_tax > 0.08),
+  COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'lineitem_orphan_order', COUNT(*) FILTER (WHERE o_orderkey IS NULL), COUNT(*)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'orders_duplicate_pk', COUNT(*) FILTER (WHERE cnt > 1), COUNT(*)
+FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'orders_bad_status',
+  COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')),
+  COUNT(*) FROM orders
+"""
+
+
+@query("q_quality_audit", oracle=_Q_QUALITY_AUDIT_ORACLE)
+def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation pass: null / range / domain /
+    referential-integrity / duplicate-PK rules, each reported as
+    (rule, violations, checked) — per-row error channel instead of
+    abort (R21/R26 AUDIT analog).
+
+    Scale notes: the four lineitem rules fuse into ONE scan with
+    conditional aggregation; the referential rule is a left join
+    reduced to counts; duplicate-PK is a two-level aggregate. Each
+    branch is a separate tiny result unioned plan-side.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def rule(name: str, cond) -> list:
+        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"v_{name}")]
+
+    # Four rules in one pass over lineitem.
+    li_rules = li.agg(
+        *rule("null_quantity", F.col("l_quantity").isNull()),
+        *rule("discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        *rule("nonpositive_qty", F.col("l_quantity") <= 0),
+        *rule("tax_range", (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08)),
+        F.count(F.lit(1)).alias("checked"),
+    )
+    li_long = li_rules.select(F.explode(F.create_map(
+        F.lit("lineitem_null_quantity"), F.col("v_null_quantity"),
+        F.lit("lineitem_discount_range"), F.col("v_discount_range"),
+        F.lit("lineitem_nonpositive_qty"), F.col("v_nonpositive_qty"),
+        F.lit("lineitem_tax_range"), F.col("v_tax_range"),
+    )).alias("rule", "violations"), F.col("checked"))
+
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .agg(F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+               .alias("violations"),
+             F.count(F.lit(1)).alias("checked"))
+        .select(F.lit("lineitem_orphan_order").alias("rule"),
+                "violations", "checked"))
+
+    dup_pk = (
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("violations"),
+             F.count(F.lit(1)).alias("checked"))
+        .select(F.lit("orders_duplicate_pk").alias("rule"),
+                "violations", "checked"))
+
+    bad_status = (
+        o.agg(F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+                    .otherwise(0)).alias("violations"),
+              F.count(F.lit(1)).alias("checked"))
+        .select(F.lit("orders_bad_status").alias("rule"),
+                "violations", "checked"))
+
+    return li_long.unionAll(orphans).unionAll(dup_pk).unionAll(bad_status)

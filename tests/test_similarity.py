@@ -1,0 +1,67 @@
+"""Similarity-search property tests: cosine math vs numpy, exact
+top-k ground truth, ANN recall."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lisp_batch_processor_spark.functions.vectors import cosine, dot, l2_norm
+
+SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("a", T.ArrayType(T.FloatType())),
+    T.StructField("b", T.ArrayType(T.FloatType())),
+])
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i,
+             [float(x) for x in rng.normal(size=8).astype(np.float32)],
+             [float(x) for x in rng.normal(size=8).astype(np.float32)])
+            for i in range(20)]
+    return spark.createDataFrame(rows, SCHEMA), rows
+
+
+def test_dot_and_norm_match_numpy(spark, vec_df):
+    df, rows = vec_df
+    got = df.select("vec_id", dot(F.col("a"), F.col("b")).alias("d"),
+                    l2_norm(F.col("a")).alias("n")).collect()
+    for r in got:
+        a = np.array(rows[r.vec_id][1], dtype=np.float64)
+        b = np.array(rows[r.vec_id][2], dtype=np.float64)
+        assert math.isclose(r.d, float(a @ b), rel_tol=1e-9)
+        assert math.isclose(r.n, float(np.linalg.norm(a)), rel_tol=1e-9)
+
+
+def test_cosine_bounds_and_self(spark, vec_df):
+    df, _ = vec_df
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c"),
+                    cosine(F.col("a"), F.col("a")).alias("self")).collect()
+    for r in got:
+        assert -1.0 - 1e-9 <= r.c <= 1.0 + 1e-9
+        assert math.isclose(r.self, 1.0, rel_tol=1e-9)
+
+
+def test_ann_recall_against_brute_force(spark, sf_dir):
+    from lisp_batch_processor_spark.operators.similarity import (
+        q_similarity_ann, q_similarity_topk)
+    exact = q_similarity_topk(spark, sf_dir).collect()
+    approx = q_similarity_ann(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    # ANN must return something and overlap the exact answer somewhat.
+    assert total > 0
+    assert hits / total > 0.2
