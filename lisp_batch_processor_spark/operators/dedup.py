@@ -239,21 +239,43 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB unblocked corpora use q_dedup_minhash instead.
     """
     docs = load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "source",
-                    F.array_distinct(tokens_col()).alias("tok_set"))
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set"))
-                   ).cast("double")
-    union = (F.size(F.col("a.tok_set")) + F.size(F.col("b.tok_set"))
-             ).cast("double") - inter
-    jac = inter / union
+    t = (docs.select("doc_id", "source",
+                     F.array_distinct(tokens_col()).alias("tok_set"))
+         .withColumn("sz", F.size("tok_set")))
+    # Inverted-index set-similarity join: explode to (doc, token)
+    # postings, equi-join postings on (source, token), count matched
+    # tokens per pair = |A∩B|. This replaces the naive all-pairs
+    # array_intersect plan, which Catalyst pulls into the join
+    # condition (evaluating the O(|A|*|B|) intersect twice per pair,
+    # before the cheap predicates) and which parallelizes only by
+    # block key. Here the join key (source, token) is high-
+    # cardinality -> full shuffle parallelism; the count aggregates
+    # map-side; no array op ever runs per pair.
+    tok = t.select("doc_id", "source", "sz",
+                   F.explode("tok_set").alias("tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    # Size-ratio prune (integer-exact): jaccard >= 0.8 implies
+    # 5*min(|A|,|B|) >= 4*max(|A|,|B|); evaluated per posting match,
+    # it keeps incompatible pairs out of the aggregation entirely.
+    size_ok = (F.least(F.col("a.sz"), F.col("b.sz")) * 5
+               >= F.greatest(F.col("a.sz"), F.col("b.sz")) * 4)
+    inter = F.count(F.lit(1))
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         a.join(b, (F.col("a.source") == F.col("b.source"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+                  & (F.col("a.tok") == F.col("b.tok"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))
+                  & size_ok)
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+        .agg(inter.alias("inter"))
+        # Integer-exact threshold (inter*5 >= union*4); the rounded
+        # double is only the reported value, never the decision.
+        .filter(F.col("inter") * 5 >= union * 4)
+        .select("doc_a", "doc_b",
+                F.round(F.col("inter").cast("double") / union, 6)
+                 .alias("jaccard"))
     )
 
 

@@ -30,7 +30,10 @@ def get_spark(app_name: str = "lisp_batch_processor_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs every task in the driver JVM: size the heap for
+        # N concurrent tasks, not for a thin coordinator (8g with 32
+        # tasks GC-thrashes; timings then vary 4x run to run).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
