@@ -9,4 +9,5 @@ from lisp_batch_processor_spark.operators import (  # noqa: F401
     scalar,
     similarity,
     text,
+    tpch,
 )

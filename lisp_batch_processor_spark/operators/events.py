@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
-from lisp_batch_processor_spark.functions.numeric import dsum
+from lisp_batch_processor_spark.functions.numeric import dsum, sql_dsum
 from lisp_batch_processor_spark.registry import query
 
 SESSION_GAP_SECONDS = 30 * 60
@@ -71,6 +71,115 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
              / F.lit(1_000_000)).cast("bigint").alias("duration_s"),
         )
+    )
+
+
+_Q_JOIN_ASOF_ORACLE = """
+SELECT a.event_id, a.user_id,
+  epoch_us(a.ts) AS conv_ts_us,
+  b.event_id AS touch_event_id,
+  epoch_us(b.ts) AS touch_ts_us,
+  b.event_type AS touch_type
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+ASOF JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) b
+  ON a.user_id = b.user_id AND b.ts < a.ts
+"""
+
+
+@query("q_join_asof", oracle=_Q_JOIN_ASOF_ORACLE)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark's DataFrame API lacks: each
+    'error' event joined to the same user's most recent strictly-
+    earlier 'click'/'view' (attribution's last-touch). Implemented
+    with the union-sort pattern: tag both sides, union, one window
+    per user carrying the last touch forward, keep the error rows.
+
+    Scale notes: this is ONE shuffle on user_id and a streaming
+    window frame — no row explosion, no inequality join (Spark would
+    execute `b.ts < a.ts` as a broadcast nested loop). The same plan
+    shape serves any as-of tolerance by filtering the carried gap.
+    """
+    ev = load(spark, sf_dir, "events")
+    conv = (ev.filter(F.col("event_type") == "error")
+            .select("event_id", "user_id", "ts",
+                    F.lit(None).cast("long").alias("t_id"),
+                    F.lit(None).cast("string").alias("t_type"),
+                    F.lit(0).alias("side")))
+    touch = (ev.filter(F.col("event_type").isin("click", "view"))
+             .select("event_id", "user_id", "ts",
+                     F.col("event_id").alias("t_id"),
+                     F.col("event_type").alias("t_type"),
+                     F.lit(1).alias("side")))
+    # Order (ts, side): at equal ts the error (side 0) sorts before
+    # the touch, so a same-instant touch is not visible — the strict
+    # `b.ts < a.ts` semantics.
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (conv.unionByName(touch)
+               .withColumn("touch_event_id",
+                           F.last("t_id", ignorenulls=True).over(w))
+               .withColumn("touch_ts_us",
+                           F.last(F.when(F.col("side") == 1,
+                                         F.unix_micros("ts")),
+                                  ignorenulls=True).over(w))
+               .withColumn("touch_type",
+                           F.last("t_type", ignorenulls=True).over(w)))
+    return (carried.filter((F.col("side") == 0)
+                           & F.col("touch_event_id").isNotNull())
+            .select("event_id", "user_id",
+                    F.unix_micros("ts").alias("conv_ts_us"),
+                    "touch_event_id", "touch_ts_us", "touch_type"))
+
+
+RANGE_JOIN_WINDOW_S = 600
+
+_Q_JOIN_RANGE_ORACLE = f"""
+SELECT a.event_id, a.user_id,
+  COUNT(*) AS n_touches,
+  {sql_dsum('b.value')} AS sum_touch_value,
+  MAX(epoch_us(b.ts)) AS last_touch_us
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL {RANGE_JOIN_WINDOW_S} SECOND
+ AND b.ts < a.ts
+GROUP BY a.event_id, a.user_id
+"""
+
+
+@query("q_join_range", oracle=_Q_JOIN_RANGE_ORACLE)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per 'error' event, aggregate the same user's
+    'click'/'view' events in the preceding 10 minutes.
+
+    Scale notes: a raw `b.ts BETWEEN a.ts - 10m AND a.ts` predicate
+    gives Spark no equi-key (broadcast nested loop — unusable at
+    100 TB). Instead both sides are bucketed to 10-minute epochs and
+    the probe side expands to its two covering buckets, making an
+    equi-join on (user_id, bucket) with the exact range as residual:
+    candidate volume is bounded by bucket population, shuffles hash-
+    partition evenly, and AQE can still pick broadcast when one side
+    is small.
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket = lambda c: (F.unix_micros(c) / F.lit(RANGE_JOIN_WINDOW_S * 1_000_000)).cast("bigint")  # noqa: E731
+    conv = (ev.filter(F.col("event_type") == "error")
+            .select("event_id", "user_id", F.unix_micros("ts").alias("a_us"),
+                    F.explode(F.array(bucket(F.col("ts")),
+                                      bucket(F.col("ts")) - 1)).alias("bucket")))
+    touch = (ev.filter(F.col("event_type").isin("click", "view"))
+             .select(F.col("user_id").alias("t_user"), "value",
+                     F.unix_micros("ts").alias("b_us"),
+                     bucket(F.col("ts")).alias("bucket")))
+    return (
+        conv.join(touch, (conv.user_id == touch.t_user)
+                  & (conv.bucket == touch.bucket)
+                  & (touch.b_us >= conv.a_us - RANGE_JOIN_WINDOW_S * 1_000_000)
+                  & (touch.b_us < conv.a_us))
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_touches"),
+             dsum("value", 2).alias("sum_touch_value"),
+             F.max("b_us").alias("last_touch_us"))
     )
 
 

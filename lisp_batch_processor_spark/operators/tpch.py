@@ -1,0 +1,235 @@
+"""Classic TPC-H-shaped analytical queries over the fixture star
+schema — the multi-join / subquery / outer-join / pivot surface that
+completes the relational inventory (SURVEY.md §2.C milestone 2).
+
+These generalize the reference's only join-like semantic — xref bind
++ materialize (`lisp/ebind.lsp:4`, SURVEY R26) — to real relational
+plans; each documents its 100 TB shuffle strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.catalog import load, load_broadcast
+from lisp_batch_processor_spark.functions.numeric import dsum, sql_dsum
+from lisp_batch_processor_spark.registry import query
+
+_Q_TPCH_Q3_ORACLE = """
+SELECT l_orderkey,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        AS DOUBLE), 2) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q_tpch_q3", oracle=_Q_TPCH_Q3_ORACLE)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped orders by
+    revenue for one market segment.
+
+    Scale notes: both filters push into the scans (segment into
+    customer, dates into orders/lineitem); customer reduces to its
+    key set before the join; the final top-10 is TakeOrderedAndProject
+    (per-partition heaps + one merge), never a global sort. Ties are
+    broken on l_orderkey in both engines so LIMIT is deterministic.
+    """
+    cust = (load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      < F.lit("1998-01-01").cast("timestamp")))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate")
+                  > F.lit("1998-01-01").cast("timestamp")))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 4).alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q_TPCH_Q5_ORACLE = """
+SELECT n_name AS nation_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@query("q_tpch_q5", oracle=_Q_TPCH_Q5_ORACLE)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where the
+    customer and supplier share a nation, for one region and year.
+
+    Scale notes: the region filter reaches lineitem only through the
+    bounded nation/region dims — both broadcast, so the only shuffles
+    are the three fact-key joins; the c_nationkey = s_nationkey
+    equi-condition rides along as a join residual instead of a
+    post-join filter.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1997-01-01").cast("timestamp"))))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load_broadcast(spark, sf_dir, "nation")
+    region = load_broadcast(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(dsum(revenue, 4).alias("revenue"))
+    )
+
+
+_Q_TPCH_Q17_ORACLE = """
+SELECT p_brand,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS agg_partkey,
+         0.2 * AVG(CAST(l_quantity AS DOUBLE)) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+) ON agg_partkey = l_partkey
+WHERE p_brand IN ('Brand#11', 'Brand#22')
+  AND CAST(l_quantity AS DOUBLE) < qty_threshold
+GROUP BY p_brand
+"""
+
+
+@query("q_tpch_q17", oracle=_Q_TPCH_Q17_ORACLE)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar subquery — each lineitem compared to 0.2x the average
+    quantity of its part — decorrelated into an aggregate + self-join.
+
+    Scale notes: the per-part average pre-aggregates lineitem before
+    the join (the decorrelation Catalyst would apply to the SQL
+    form); both sides then co-partition on partkey, so the self-join
+    adds no extra shuffle beyond the aggregate's. The brand filter
+    prunes via the part dim, which AQE broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = (load(spark, sf_dir, "part")
+            .filter(F.col("p_brand").isin("Brand#11", "Brand#22"))
+            .select("p_partkey", "p_brand"))
+    thresholds = (li.groupBy(F.col("l_partkey").alias("agg_partkey"))
+                  .agg((F.avg(F.col("l_quantity").cast("double")) * 0.2)
+                       .alias("qty_threshold")))
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("agg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_threshold"))
+        .groupBy("p_brand")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q_JOIN_OUTER_ORACLE = f"""
+SELECT c_custkey, c_mktsegment,
+  COUNT(o_orderkey) AS n_orders,
+  {sql_dsum('COALESCE(o_totalprice, 0)')} AS total_spend,
+  CASE WHEN COUNT(o_orderkey) = 0 THEN 'inactive' ELSE 'active' END
+    AS activity
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+@query("q_join_outer", oracle=_Q_JOIN_OUTER_ORACLE)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-aware aggregation: every customer,
+    order count (0 for match-less rows), spend, derived activity
+    flag — the keep-unmatched-rows semantics exact dedup/anti-join
+    can't express.
+
+    Scale notes: outer joins shuffle like inner ones; the aggregation
+    keys on the left PK so the join's partitioning is reused. At
+    100 TB a skewed null/hot key splits via AQE skew handling.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             dsum(F.coalesce("o_totalprice", F.lit(0)), 2)
+               .alias("total_spend"),
+             F.when(F.count("o_orderkey") == 0, "inactive")
+              .otherwise("active").alias("activity"))
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_Q_PIVOT_ORACLE = f"""
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+  {', '.join(
+      f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+      for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+@query("q_pivot", oracle=_Q_PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): daily event counts, one column per event
+    type. The value list is pinned explicitly, which both fixes the
+    output schema and removes the extra distinct-values job Spark
+    otherwise runs before a pivot.
+
+    Scale notes: with pinned values a pivot compiles to the same
+    single-shuffle conditional aggregation the oracle spells out.
+    """
+    ev = load(spark, sf_dir, "events")
+    piv = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                      .alias("day"))
+           .pivot("event_type", list(_EVENT_TYPES))
+           .agg(F.count(F.lit(1))))
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                 for t in _EVENT_TYPES])

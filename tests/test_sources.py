@@ -1,0 +1,89 @@
+"""Sources/sinks: directory scan with glob, path-list ingest,
+dedup-on-insert append, partitioned write + partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.plans import (
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    physical_plan,
+)
+from lisp_batch_processor_spark.sources import (
+    incremental_append,
+    read_path_list,
+    scan_directory,
+    write_partitioned,
+)
+
+
+def test_scan_directory_glob(spark, sf_dir):
+    df = scan_directory(spark, sf_dir, glob="region.parquet")
+    assert df.count() == 5
+    both = scan_directory(spark, sf_dir, glob="{region,nation}.parquet")
+    # region and nation schemas differ; recursive listing still finds
+    # only the globbed files (here: schema comes from one of them).
+    assert "region.parquet" in "".join(
+        r[0] for r in both.select(F.input_file_name()).distinct().collect()) \
+        or both.count() > 0
+
+
+def test_read_path_list(spark, sf_dir):
+    df = read_path_list(
+        spark, [f"{sf_dir}/region.parquet", f"{sf_dir}/region.parquet"])
+    # Same file twice -> rows duplicate (list semantics, no implicit dedup).
+    assert df.count() == 10
+
+
+def test_incremental_append_dedups_on_insert(spark):
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "val"])
+    batch = spark.createDataFrame(
+        [(2, "DUP"), (3, "c"), (3, "c2"), (4, "d")], ["id", "val"])
+    out = incremental_append(existing, batch, "id").collect()
+    ids = sorted(r.id for r in out)
+    assert ids == [1, 2, 3, 4]
+    # The existing row wins over the incoming duplicate.
+    assert {r.val for r in out if r.id == 2} == {"b"}
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    out = os.path.join(str(tmp_path), "orders_by_status")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_partitioned(orders, out, partition_by=["o_orderstatus"])
+    # Hive-style layout on disk.
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan
+    got = back.count()
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert got == want
+
+
+def test_query_plans_are_scale_safe(spark, sf_dir):
+    """Key headline queries: filters pushed, columns pruned, no
+    cartesian/BNLJ anywhere."""
+    from lisp_batch_processor_spark.operators.relational import (
+        q_agg_groupby, q_join_inner)
+    from lisp_batch_processor_spark.operators.tpch import q_tpch_q3
+
+    q1 = q_agg_groupby(spark, sf_dir)
+    assert_pushed_filters(q1, "l_shipdate")
+    assert_no_cartesian(q1)
+    # Q1 touches 7 of lineitem's 11 columns.
+    assert_read_schema_pruned(q1, "lineitem.parquet", 7)
+
+    j = q_join_inner(spark, sf_dir)
+    assert_pushed_filters(j, "o_orderdate")
+    assert_no_cartesian(j)
+    assert_read_schema_pruned(j, "lineitem.parquet", 3)
+
+    q3 = q_tpch_q3(spark, sf_dir)
+    assert_pushed_filters(q3, "c_mktsegment", "l_shipdate")
+    assert_no_cartesian(q3)
+    assert_read_schema_pruned(q3, "customer.parquet", 2)
