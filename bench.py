@@ -23,17 +23,25 @@ from lisp_batch_processor_spark.session import get_spark
 HEADLINE = [
     "q_agg_groupby",
     "q_join_inner",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q17",
+    "q_join_outer",
+    "q_join_asof",
+    "q_join_range",
     "q_window_rank",
     "q_window_running",
     "q_dedup_exact",
     "q_event_sessionize",
     "q_set_ops",
     "q_rollup_cube",
+    "q_pivot",
     "q_text_analysis",
     "q_text_quality",
     "q_dedup_minhash",
     "q_dedup_ngram",
     "q_similarity_topk",
+    "q_similarity_ann",
     "q_quality_audit",
     "q_json_map",
 ]

@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Built-in session_window covers plain gap sessions
+(`streaming/windows.py`); this module implements what it cannot:
+BOUNDED sessions — a session closes on a 30-minute inactivity gap OR
+as soon as it reaches MAX_EVENTS rows, whichever comes first. That
+per-group, order-dependent, split-on-condition logic is exactly the
+"custom stateful operator" case (SURVEY.md §2.C q_event_sessionize
+streaming mode; the reference's nearest analog is its per-item
+stateful walk, `Batch Processor.py:306-310`).
+
+Scale notes: state is one tiny tuple per user (open-session
+aggregate), partitioned by user_id across executors; the watermark
+bounds how long an idle session's state lives (GroupStateTimeout),
+so state size is O(active users), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType,
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+MAX_EVENTS = 20
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_seq", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("closed_by", LongType()),  # 0 gap/timeout, 1 max-events
+])
+
+# state: (session_seq, n_events, sum_value, start_us, last_us)
+STATE_SCHEMA = StructType([
+    StructField("session_seq", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+])
+
+
+def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
+                      state: GroupState):
+    """Fold this micro-batch's rows (event-time order) into the open
+    session; emit every session that closes by gap or by size."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        # Watermark passed last_event + gap: the open session is
+        # definitively closed (no on-time row can extend it).
+        if state.exists:
+            seq, n, sv, start, last = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id, "session_seq": seq, "n_events": n,
+                "sum_value": round(sv, 2), "start_us": start,
+                "end_us": last, "closed_by": 0}])
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"])
+    if state.exists:
+        seq, n, sv, start, last = state.get
+    else:
+        seq, n, sv, start, last = 0, 0, 0.0, None, None
+    out = []
+    for ts_us, value in zip(rows["ts_us"], rows["value"]):
+        if n > 0 and (ts_us - last) > SESSION_GAP_US:
+            out.append((seq, n, sv, start, last, 0))
+            seq, n, sv, start = seq + 1, 0, 0.0, None
+        if n == 0:
+            start = int(ts_us)
+        n += 1
+        sv += float(value)
+        last = int(ts_us)
+        if n >= MAX_EVENTS:
+            out.append((seq, n, sv, start, last, 1))
+            seq, n, sv, start = seq + 1, 0, 0.0, None
+    if n > 0:
+        state.update((seq, n, sv, int(start), int(last)))
+        # Event-time timeout: fire once the watermark passes the gap
+        # horizon — wall-clock-independent and terminating on finite
+        # input (no perpetual empty micro-batches).
+        state.setTimeoutTimestamp((int(last) + SESSION_GAP_US) // 1000)
+    elif state.exists:
+        state.remove()
+    if out:
+        yield pd.DataFrame(
+            [{"user_id": user_id, "session_seq": s, "n_events": c,
+              "sum_value": round(v, 2), "start_us": st, "end_us": en,
+              "closed_by": cb}
+             for (s, c, v, st, en, cb) in out])
+
+
+def bounded_sessionize(events: DataFrame) -> DataFrame:
+    """events (ts, user_id, event_id, value) -> closed bounded
+    sessions. Input may be a stream (update mode) or a batch frame
+    routed through the same function for differential testing."""
+    from pyspark.sql import functions as F
+
+    prepared = (events.withWatermark("ts", "30 minutes")
+                .select("user_id", "event_id", "ts",
+                        F.unix_micros("ts").alias("ts_us"), "value"))
+    return (prepared.groupBy("user_id").applyInPandasWithState(
+        _bounded_sessions,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -34,9 +34,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture: nanos -> timestamp, same
     truncation contract as the batch catalog."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streaming sources take a directory; pathGlobFilter selects the
+    # events fixture out of the shared sf dir.
     raw = (spark.readStream.schema(EVENTS_SCHEMA)
            .option("maxFilesPerTrigger", 1)
-           .parquet(f"{sf_dir}/events.parquet"))
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
