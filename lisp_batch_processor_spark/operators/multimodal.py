@@ -87,16 +87,18 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     deployment (raise NotImplementedError there for codecs you don't
     ship).
     """
+    import numpy as np
+
     for pdf in batches:
         feats = []
         for payload in pdf["payload"]:
-            b = bytes(payload)
-            n = max(len(b), 1)
-            # 8 deterministic moments over byte-value buckets.
-            buckets = [0] * FEATURE_DIM
-            for byte in b:
-                buckets[byte % FEATURE_DIM] += 1
-            feats.append([round(c / n, 9) for c in buckets])
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = max(arr.size, 1)
+            # 8 deterministic moments over byte-value buckets,
+            # vectorized (the whole point of Arrow batches is that
+            # the Python loop runs per ROW GROUP, not per byte).
+            buckets = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+            feats.append([round(float(c) / n, 9) for c in buckets])
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "modality": pdf["modality"],
