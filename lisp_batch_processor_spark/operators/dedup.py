@@ -108,6 +108,70 @@ def assignment(ids: DataFrame, id_col: str,
     )
 
 
+def connected_components(pairs: DataFrame, a: str, b: str,
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in `pairs`, where component
+    is the min node id reachable through any chain of pairs — the
+    transitive closure the one-pass rep assignment approximates.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes. Rounds = graph diameter (dedup graphs are shallow:
+    near-dup clusters are cliques or short chains).
+
+    Scale notes: each round is one equi-join + one groupBy on the
+    edge list — all shuffles on node id, reusable partitioning. The
+    label frame is localCheckpoint'ed each round: without it the
+    lineage doubles per iteration and Catalyst re-analyzes an
+    exponentially growing plan (the classic iterative-algorithm
+    trap). Convergence is detected with a count() per round, which
+    also materializes the checkpoint.
+    """
+    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .unionAll(pairs.select(F.col(b).alias("src"),
+                                    F.col(a).alias("dst")))
+             .dropDuplicates(["src", "dst"]))
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        via_edges = (edges.join(labels, edges.src == labels.node)
+                     .select(F.col("dst").alias("node"), "component"))
+        new_labels = (labels.unionAll(via_edges)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("q_dedup_connected")
+def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive-closure dedup assignment: MinHash-LSH
+    confirmed pairs -> connected components -> one row per document
+    with its component representative (min doc_id reachable through
+    any near-dup chain). rows-only check; closure properties are
+    tested in tests/test_dedup.py.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    confirmed = verify_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.7)
+    comp = connected_components(confirmed, "doc_a", "doc_b")
+    return (docs.select("doc_id")
+            .join(comp, F.col("doc_id") == F.col("node"), "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("rep_id"))
+            .withColumn("is_dup", F.col("doc_id") != F.col("rep_id")))
+
+
 @query("q_dedup_minhash")
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate detection over `documents`:

@@ -69,3 +69,25 @@ def test_minhash_signature_deterministic(spark, dup_docs):
     a = minhash_signatures(dup_docs).orderBy("doc_id").collect()
     b = minhash_signatures(dup_docs).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from lisp_batch_processor_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9),          # chain 1-2-3-9
+         (5, 6), (6, 7), (5, 7)],         # triangle 5-6-7
+        ["doc_a", "doc_b"])
+    got = {r.node: r.component
+           for r in connected_components(pairs, "doc_a", "doc_b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_dedup_connected_closure_idempotent(spark, sf_dir):
+    from lisp_batch_processor_spark.operators.dedup import q_dedup_connected
+    out = q_dedup_connected(spark, sf_dir).collect()
+    rep = {r.doc_id: r.rep_id for r in out}
+    # One row per doc; every rep is its own rep (closure reached).
+    assert len(rep) == len(out)
+    for doc, r in rep.items():
+        assert rep[r] == r, f"rep {r} of {doc} is not a fixpoint"
+        assert r <= doc
