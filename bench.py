@@ -53,18 +53,33 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     qs = all_queries()
 
-    # Warm the JVM/codegen once on a trivial action so query timings
-    # measure the engine, not first-job startup.
+    # Warm the JVM/codegen paths (parquet reader, hash agg, joins)
+    # on the tiny sf so per-query timings measure the engine at the
+    # target sf, not first-job JIT startup.
     spark.range(1).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for wq in ("q_agg_groupby", "q_join_inner"):
+            qs[wq](spark, warm_dir).count()
 
+    # Per-query min over two full passes: the box is a shared VM and
+    # host contention windows stall execution for minutes at a time;
+    # a full-suite pass spaces the two measurements of each query far
+    # apart so one window can't poison both. Min measures the engine,
+    # not the neighbor's workload.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    for pass_no in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"# pass{pass_no} {name}: {dt:.3f}s ({n} rows)",
+                  file=sys.stderr)
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

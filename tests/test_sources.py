@@ -87,3 +87,20 @@ def test_query_plans_are_scale_safe(spark, sf_dir):
     assert_pushed_filters(q3, "c_mktsegment", "l_shipdate")
     assert_no_cartesian(q3)
     assert_read_schema_pruned(q3, "customer.parquet", 2)
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    """The generic fmt parameter covers csv/json sources end-to-end."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    csv_dir = os.path.join(str(tmp_path), "nation_csv")
+    json_dir = os.path.join(str(tmp_path), "nation_json")
+    nation.write.option("header", True).csv(csv_dir)
+    nation.write.json(json_dir)
+
+    csv_back = (spark.read.format("csv")
+                .option("header", True).schema(nation.schema).load(csv_dir))
+    json_back = scan_directory(spark, json_dir, fmt="json",
+                               glob="*.json", schema=nation.schema)
+    want = sorted(map(tuple, nation.collect()))
+    assert sorted(map(tuple, csv_back.collect())) == want
+    assert sorted(map(tuple, json_back.collect())) == want
