@@ -18,9 +18,17 @@ from pyspark.sql import functions as F
 
 
 def dsum(col: Column | str, scale: int = 2, out_scale: int = 2) -> Column:
-    """Exact sum: cast each row to decimal(18, scale), sum, emit double."""
+    """Exact sum: cast each row to decimal(18, scale), sum, round IN
+    DECIMAL (half-up, exact in both engines), then emit double.
+
+    Rounding before the double cast is what makes the output
+    bit-identical across engines: ROUND(double, n) implementations
+    drift by 1 ULP between Spark and DuckDB, but ROUND(decimal, n)
+    is exact in both and decimal->double is the same IEEE
+    round-to-nearest everywhere.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(f"decimal(18,{scale})")).cast("double"), out_scale)
+    return F.round(F.sum(c.cast(f"decimal(18,{scale})")), out_scale).cast("double")
 
 
 def davg(col: Column | str, scale: int = 2, out_scale: int = 6) -> Column:
@@ -32,7 +40,34 @@ def davg(col: Column | str, scale: int = 2, out_scale: int = 6) -> Column:
 
 def sql_dsum(expr: str, scale: int = 2, out_scale: int = 2) -> str:
     """DuckDB twin of :func:`dsum` (same decimal-exact semantics)."""
-    return f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE), {out_scale})"
+    return (f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))),"
+            f" {out_scale}) AS DOUBLE)")
+
+
+def dratio(num: str, den: str, scale: int = 6) -> Column:
+    """Round-half-up(num/den, scale) as a double, computed entirely in
+    integer arithmetic so the result is bit-identical across engines:
+    ppm = (2*10^scale*num + den) div (2*den), emitted as ppm / 10^scale.
+
+    ROUND(num::double/den, scale) is NOT portable — the pre-round
+    double is bit-identical, but the two engines' double-ROUND can
+    land one ULP apart. Integer div is exact in both.
+
+    Preconditions: num >= 0, den > 0, both integral (counts/sums of
+    counts); num/den referenced BY NAME (use after an agg that
+    aliased them). Overflow bound: 2*10^scale*num must fit a bigint —
+    at scale 6 that is num < 4.6e12, far above any group count.
+    """
+    m = 10 ** scale
+    return F.expr(f"({2 * m} * {num} + {den}) div (2 * {den})") / F.lit(m)
+
+
+def sql_dratio(num: str, den: str, scale: int = 6) -> str:
+    """DuckDB twin of :func:`dratio` (// is floor division; operands
+    are non-negative so floor == Spark's truncating div)."""
+    m = 10 ** scale
+    return (f"CAST(({2 * m} * ({num}) + ({den})) // (2 * ({den})) AS BIGINT)"
+            f" / {m}")
 
 
 def sql_davg(expr: str, scale: int = 2, out_scale: int = 6) -> str:

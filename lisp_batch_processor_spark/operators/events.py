@@ -32,9 +32,10 @@ WITH flagged AS (
 )
 SELECT user_id, session_id,
   COUNT(*) AS n_events,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+  {sql_dsum('value')} AS sum_value,
   MIN(epoch_us(ts)) AS session_start_us,
-  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_s
+  CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT)
+    AS duration_s
 FROM sessions
 GROUP BY user_id, session_id
 """
@@ -68,9 +69,13 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", 2).alias("sum_value"),
             F.min(F.unix_micros("ts")).alias("session_start_us"),
-            ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
-             / F.lit(1_000_000)).cast("bigint").alias("duration_s"),
+            F.max(F.unix_micros("ts")).alias("_end_us"),
         )
+        # Integer div (not double /1e6 + cast) matches DuckDB's //
+        # exactly; both sides are non-negative micros.
+        .withColumn("duration_s",
+                    F.expr("(_end_us - session_start_us) div 1000000"))
+        .drop("_end_us")
     )
 
 
@@ -183,13 +188,13 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_WINDOW_TUMBLING_ORACLE = """
+_Q_WINDOW_TUMBLING_ORACLE = f"""
 SELECT
   strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
     AS window_start,
   event_type,
   COUNT(*) AS n_events,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+  {sql_dsum('value')} AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2

@@ -14,19 +14,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.functions.numeric import (
+    dratio, dsum, sql_dratio, sql_dsum,
+)
 from lisp_batch_processor_spark.registry import query
 
-_Q_STATUS_ROLLUP_ORACLE = """
-SELECT
-  o_orderstatus,
-  COUNT(*) AS n_orders,
-  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-  ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-             AS DOUBLE) / COUNT(*), 6) AS urgent_rate,
-  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
-    AS sum_totalprice
-FROM orders
-GROUP BY o_orderstatus
+_Q_STATUS_ROLLUP_ORACLE = f"""
+WITH s AS (
+  SELECT
+    o_orderstatus,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_urgent,
+    {sql_dsum('o_totalprice')} AS sum_totalprice
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_orders, n_urgent,
+  {sql_dratio('n_urgent', 'n_orders')} AS urgent_rate,
+  sum_totalprice
+FROM s
 """
 
 
@@ -34,16 +41,21 @@ GROUP BY o_orderstatus
 def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Success/failure-style counts and rates by status group —
     the "k of N processed successfully" summary (R16/R17) as a
-    grouped conditional aggregation.
+    grouped conditional aggregation. The rate is integer-exact
+    (functions/numeric.dratio) so the driver's full-precision hash
+    matches across engines.
     """
     o = load(spark, sf_dir, "orders")
     urgent = F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
-    return o.groupBy("o_orderstatus").agg(
+    agg = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        urgent.alias("n_urgent"),
-        F.round(urgent.cast("double") / F.count(F.lit(1)), 6).alias("urgent_rate"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .cast("double"), 2).alias("sum_totalprice"),
+        urgent.cast("bigint").alias("n_urgent"),
+        dsum("o_totalprice").alias("sum_totalprice"),
+    )
+    return agg.select(
+        "o_orderstatus", "n_orders", "n_urgent",
+        dratio("n_urgent", "n_orders").alias("urgent_rate"),
+        "sum_totalprice",
     )
 
 

@@ -192,7 +192,7 @@ WITH filtered AS (
 )
 SELECT l_returnflag,
        COUNT(*) AS n_items,
-       ROUND(CAST(SUM(CAST(gross_price AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(ROUND(SUM(CAST(gross_price AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS sum_gross
 FROM cleaned
 GROUP BY l_returnflag
@@ -304,8 +304,8 @@ _Q_JOIN_INNER_ORACLE = """
 SELECT
   r_name AS region_name,
   n_name AS nation_name,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-        AS DOUBLE), 2) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+       2) AS DOUBLE) AS revenue,
   COUNT(DISTINCT o_orderkey) AS n_orders,
   COUNT(*) AS n_items
 FROM lineitem
@@ -443,7 +443,7 @@ SELECT
   COALESCE(r_name, 'ALL') AS region_name,
   COALESCE(n_name, 'ALL') AS nation_name,
   COUNT(*) AS n_customers,
-  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_acctbal
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -517,19 +517,24 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q_WINDOW_RUNNING_ORACLE = """
-SELECT
-  user_id, event_id,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
-    AS running_value,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-    / COUNT(*) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
-FROM events
+WITH t AS (
+  SELECT user_id, event_id,
+    SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS mcents,
+    COUNT(*) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mcnt
+  FROM events
+)
+SELECT user_id, event_id,
+  CAST(ROUND(rsum, 2) AS DOUBLE) AS running_value,
+  CAST((2000000 * mcents + 100 * mcnt) // (200 * mcnt) AS BIGINT) / 1000000
+    AS moving_avg3
+FROM t
 """
 
 
@@ -547,9 +552,18 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = w.rowsBetween(-2, Window.currentRow)
     vdec = F.col("value").cast("decimal(18,2)")
-    return ev.select(
+    # Exact paths (functions/numeric rationale): running total rounds
+    # in decimal; the moving average is an integer round-half-up in
+    # cents — both bit-identical to the DuckDB oracle.
+    t = ev.select(
         "user_id", "event_id",
-        F.round(F.sum(vdec).over(run).cast("double"), 2).alias("running_value"),
-        F.round(F.sum(vdec).over(mov).cast("double")
-                / F.count(F.lit(1)).over(mov), 6).alias("moving_avg3"),
+        F.sum(vdec).over(run).alias("rsum"),
+        (F.sum(vdec).over(mov) * 100).cast("bigint").alias("mcents"),
+        F.count(F.lit(1)).over(mov).alias("mcnt"),
+    )
+    return t.select(
+        "user_id", "event_id",
+        F.round("rsum", 2).cast("double").alias("running_value"),
+        (F.expr("(2000000 * mcents + 100 * mcnt) div (200 * mcnt)")
+         / F.lit(1_000_000)).alias("moving_avg3"),
     )

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.functions.numeric import dratio, sql_dratio
 from lisp_batch_processor_spark.registry import query
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
@@ -133,14 +134,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q_TEXT_TOKENS_ORACLE = f"""
-WITH t AS (SELECT source, len({_SQL_TOKENS}) AS n FROM documents)
-SELECT source,
-  COUNT(*) AS n_docs,
-  SUM(n) AS total_tokens,
-  MIN(n) AS min_tokens,
-  MAX(n) AS max_tokens,
-  ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
-FROM t GROUP BY source
+WITH t AS (SELECT source, len({_SQL_TOKENS}) AS n FROM documents),
+s AS (
+  SELECT source,
+    COUNT(*) AS n_docs,
+    CAST(SUM(n) AS BIGINT) AS total_tokens,
+    CAST(MIN(n) AS BIGINT) AS min_tokens,
+    CAST(MAX(n) AS BIGINT) AS max_tokens
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, total_tokens, min_tokens, max_tokens,
+  {sql_dratio('total_tokens', 'n_docs')} AS avg_tokens
+FROM s
 """
 
 
@@ -152,16 +157,20 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: token counts are computed per-row (no explode) so
     the shuffle carries one row per document, then per-source
     partial aggregation; explode-free counting matters at 100 TB.
+    avg_tokens is integer-exact (functions/numeric.dratio) for
+    cross-engine hash identity.
     """
     docs = load(spark, sf_dir, "documents")
     d = docs.select("source", F.size(tokens_col()).cast("bigint").alias("n"))
-    return d.groupBy("source").agg(
+    agg = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").alias("total_tokens"),
         F.min("n").alias("min_tokens"),
         F.max("n").alias("max_tokens"),
-        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6)
-            .alias("avg_tokens"),
+    )
+    return agg.select(
+        "source", "n_docs", "total_tokens", "min_tokens", "max_tokens",
+        dratio("total_tokens", "n_docs").alias("avg_tokens"),
     )
 
 

@@ -18,8 +18,8 @@ from lisp_batch_processor_spark.registry import query
 
 _Q_TPCH_Q3_ORACLE = """
 SELECT l_orderkey,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-        AS DOUBLE), 2) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+       2) AS DOUBLE) AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
   o_orderpriority
 FROM customer
@@ -70,8 +70,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_TPCH_Q5_ORACLE = """
 SELECT n_name AS nation_name,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-        AS DOUBLE), 2) AS revenue
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+       2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -121,19 +121,24 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_TPCH_Q17_ORACLE = """
+WITH s AS (
+  SELECT p_brand,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN (
+    SELECT l_partkey AS agg_partkey,
+           0.2 * AVG(CAST(l_quantity AS DOUBLE)) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+  ) ON agg_partkey = l_partkey
+  WHERE p_brand IN ('Brand#11', 'Brand#22')
+    AND CAST(l_quantity AS DOUBLE) < qty_threshold
+  GROUP BY p_brand
+)
 SELECT p_brand,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        / 7.0, 2) AS avg_yearly
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-JOIN (
-  SELECT l_partkey AS agg_partkey,
-         0.2 * AVG(CAST(l_quantity AS DOUBLE)) AS qty_threshold
-  FROM lineitem GROUP BY l_partkey
-) ON agg_partkey = l_partkey
-WHERE p_brand IN ('Brand#11', 'Brand#22')
-  AND CAST(l_quantity AS DOUBLE) < qty_threshold
-GROUP BY p_brand
+  CAST((2 * cents + 7) // 14 AS BIGINT) / 100 AS avg_yearly
+FROM s
 """
 
 
@@ -161,9 +166,14 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(thresholds, F.col("agg_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity").cast("double") < F.col("qty_threshold"))
         .groupBy("p_brand")
-        .agg(F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-             .cast("double") / 7.0, 2).alias("avg_yearly"))
+        # Integer-exact /7 rounding: sum is exact in decimal cents;
+        # round_half_up(cents/7) = (2*cents + 7) div 14 (cents >= 0),
+        # so both engines emit the identical double.
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("cents"))
+        .select("p_brand",
+                (F.expr("(2 * cents + 7) div 14") / F.lit(100))
+                .alias("avg_yearly"))
     )
 
 

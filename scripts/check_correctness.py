@@ -24,12 +24,18 @@ from lisp_batch_processor_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
+# --exact: compare doubles at full precision (the driver's hash does),
+# instead of the 10-significant-digit normalization that masks
+# last-ULP rounding drift between engines.
+EXACT = "--exact" in sys.argv
+FLOAT_FMT = ".17g" if EXACT else ".10g"
+
 
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return f"{v:{FLOAT_FMT}}"
     return str(v)
 
 
@@ -39,7 +45,7 @@ def _rowset(cols, rows):
 
 
 def main() -> int:
-    names = sys.argv[1:] or list(all_queries())
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or list(all_queries())
     qs, osql = all_queries(), oracles()
     spark = get_spark("check_correctness", cpus=8)
     con = duckdb.connect()
