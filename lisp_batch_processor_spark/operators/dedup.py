@@ -135,6 +135,7 @@ def connected_components(pairs: DataFrame, a: str, b: str,
               .distinct()
               .withColumn("component", F.col("node")))
     labels = labels.localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iter):
         via_edges = (edges.join(labels, edges.src == labels.node)
                      .select(F.col("dst").alias("node"), "component"))
@@ -149,6 +150,16 @@ def connected_components(pairs: DataFrame, a: str, b: str,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Diameter > max_iter: labels are NOT a fixpoint. Surface it
+        # loudly instead of silently returning partial components.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: {changed} labels still changing "
+            f"after max_iter={max_iter}; result is not converged "
+            f"(graph diameter exceeds the round budget)",
+            RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -259,8 +270,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= HAMMING_MAX))
-    return (assignment(fp.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
-            .join(fp, "doc_id")
+    # Assign over ALL doc ids (not just fingerprinted ones):
+    # zero-token documents produce no tf rows and hence no
+    # fingerprint, but the module's one-row-per-input convention
+    # still owes them a (doc_id, rep_id=self, is_dup=false) row —
+    # with a null simhash, which is honest (nothing was hashed).
+    docs_ids = docs.select("doc_id")
+    return (assignment(docs_ids, "doc_id", pairs, "doc_a", "doc_b")
+            .join(fp, "doc_id", "left")
             .select("doc_id", "simhash", "rep_id", "is_dup"))
 
 

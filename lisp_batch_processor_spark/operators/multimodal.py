@@ -70,12 +70,16 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FEATURE_DIM = 8
 
-_DECODE_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType()),
-    T.StructField("modality", T.StringType()),
-    T.StructField("byte_len", T.IntegerType()),
-    T.StructField("features", T.ArrayType(T.DoubleType())),
-])
+# Features are emitted as FLAT scalar columns f0..f7 (not one
+# ArrayType column): downstream engines and the driver's
+# canonicalizer treat fixed-width features as plain columns; the
+# array packing, when needed, is one F.array(*cols) away.
+_DECODE_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()),
+     T.StructField("modality", T.StringType()),
+     T.StructField("byte_len", T.IntegerType())]
+    + [T.StructField(f"f{i}", T.DoubleType()) for i in range(FEATURE_DIM)]
+)
 
 
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -99,21 +103,25 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # the Python loop runs per ROW GROUP, not per byte).
             buckets = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
             feats.append([round(float(c) / n, 9) for c in buckets])
-        yield pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "modality": pdf["modality"],
             "byte_len": pdf["byte_len"],
-            "features": feats,
         })
+        fmat = np.array(feats, dtype=float).reshape(len(feats), FEATURE_DIM)
+        for i in range(FEATURE_DIM):
+            out[f"f{i}"] = fmat[:, i]
+        yield out
 
 
 @query("q_multimodal_decode")
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary modality pipeline: pack text into a BinaryType
     payload with typed metadata (modality tag + byte length), run an
-    Arrow-batched mapInPandas decoder, return fixed-width features.
-    rows-only check (binary plumbing is not SQL-expressible);
-    determinism is asserted in tests/test_multimodal.py.
+    Arrow-batched mapInPandas decoder, return fixed-width features as
+    flat f0..f7 doubles. rows-only check (byte-level decode is not
+    SQL-expressible); determinism is asserted in
+    tests/test_multimodal.py.
 
     Scale notes: mapInPandas streams Arrow batches per partition —
     constant memory per task; the decode stage is embarrassingly

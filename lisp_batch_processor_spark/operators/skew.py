@@ -34,7 +34,18 @@ def salted_join(left: DataFrame, right: DataFrame,
     Replication multiplies the right side's shuffle volume by
     n_salts: use for dimension-sized right sides or after isolating
     the hot keys.
+
+    Only left-preserving join types are supported: with `how` of
+    'right'/'full', each unmatched RIGHT row appears once per salt
+    replica, emitting n_salts duplicated null-extended rows.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins {sorted(allowed)}, "
+            f"got how={how!r}: right/full would duplicate unmatched right "
+            f"rows once per salt")
     keys = list(keys)
     spreader = F.crc32(F.concat_ws("\x00", *[F.col(k).cast("string")
                                              for k in keys],

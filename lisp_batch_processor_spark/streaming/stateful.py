@@ -49,6 +49,14 @@ STATE_SCHEMA = StructType([
 ])
 
 
+def _set_timeout(state: GroupState, proposed_ms: int) -> None:
+    """Set an event-time timeout, clamped to stay ahead of the current
+    watermark (Spark rejects timestamps at/behind it — reachable when
+    a timeout fires late because the watermark jumped far forward)."""
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(proposed_ms, wm + 1))
+
+
 def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
                       state: GroupState):
     """Fold this micro-batch's rows (event-time order) into the open
@@ -56,14 +64,25 @@ def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
     (user_id,) = key
     if state.hasTimedOut:
         # Watermark passed last_event + gap: the open session is
-        # definitively closed (no on-time row can extend it).
+        # definitively closed (no on-time row can extend it). The
+        # sequence counter must SURVIVE the close — removing state
+        # here would restart the user's next session at seq 0 and
+        # collide (user_id, session_seq) keys across batches — so
+        # keep an empty (n_events=0) state row carrying seq+1, with a
+        # later timeout that garbage-collects it if the user stays
+        # idle (state stays O(recently-active users)).
         if state.exists:
             seq, n, sv, start, last = state.get
-            state.remove()
-            yield pd.DataFrame([{
-                "user_id": user_id, "session_seq": seq, "n_events": n,
-                "sum_value": round(sv, 2), "start_us": start,
-                "end_us": last, "closed_by": 0}])
+            if n > 0:
+                state.update((seq + 1, 0, 0.0, last, last))
+                _set_timeout(state, (int(last) + 2 * SESSION_GAP_US) // 1000)
+                yield pd.DataFrame([{
+                    "user_id": user_id, "session_seq": seq, "n_events": n,
+                    "sum_value": round(sv, 2), "start_us": start,
+                    "end_us": last, "closed_by": 0}])
+            else:
+                # Second timeout on the empty seq-carrier: drop it.
+                state.remove()
         return
 
     rows = pd.concat(list(pdfs), ignore_index=True)
@@ -90,7 +109,13 @@ def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
         # Event-time timeout: fire once the watermark passes the gap
         # horizon — wall-clock-independent and terminating on finite
         # input (no perpetual empty micro-batches).
-        state.setTimeoutTimestamp((int(last) + SESSION_GAP_US) // 1000)
+        _set_timeout(state, (int(last) + SESSION_GAP_US) // 1000)
+    elif last is not None:
+        # Batch ended exactly on a max-events close: persist the seq
+        # carrier (same rationale as the timeout branch) instead of
+        # dropping it and restarting the user at seq 0.
+        state.update((seq, 0, 0.0, int(last), int(last)))
+        _set_timeout(state, (int(last) + 2 * SESSION_GAP_US) // 1000)
     elif state.exists:
         state.remove()
     if out:

@@ -61,7 +61,7 @@ def main() -> int:
         if flags:
             bad += 1
     print(f"\n{bad} queries flagged")
-    return 0
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":

@@ -79,3 +79,48 @@ def test_bounded_sessions_split_on_max_events(spark, tmp_path):
     if len(u1) == 3:
         assert u1[2].closed_by == 0
         assert u1[2].n_events == 50 - 2 * MAX_EVENTS
+
+
+@pytest.mark.slow
+def test_session_seq_survives_timeout_close(spark, tmp_path):
+    """(user_id, session_seq) must stay unique across micro-batches:
+    a session closed by event-time TIMEOUT must not reset the user's
+    sequence counter — the next session continues at seq+1."""
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    t0 = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    src = os.path.join(str(tmp_path), "seqsrc")
+
+    def write_batch(rows, part):
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    # Batch 1: user 1 opens a session; user 9 pushes the watermark far
+    # ahead so user 1's session times out on a later trigger.
+    write_batch([(1, t0, 1, 1.0), (2, t0 + timedelta(seconds=5), 1, 1.0),
+                 (900, t0 + timedelta(days=2), 9, 1.0)], 0)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (bounded_sessionize(stream).writeStream.outputMode("append")
+         .format("memory").queryName("bo_seq").start())
+    try:
+        q.processAllAvailable()
+        # Batch 2: user 1 returns AFTER the timeout close; user 9
+        # advances the watermark again so this second session also
+        # times out before the stream stops.
+        write_batch([(3, t0 + timedelta(days=3), 1, 2.0),
+                     (901, t0 + timedelta(days=5), 9, 1.0)], 1)
+        q.processAllAvailable()
+        # Batch 3: watermark push only, to fire the second timeout.
+        write_batch([(902, t0 + timedelta(days=7), 9, 1.0)], 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    u1 = sorted([r for r in spark.sql("SELECT * FROM bo_seq").collect()
+                 if r.user_id == 1], key=lambda r: r.start_us)
+    assert len(u1) == 2
+    # Distinct, increasing seqs — the pre-fix bug restarted at 0.
+    assert [r.session_seq for r in u1] == [0, 1]
