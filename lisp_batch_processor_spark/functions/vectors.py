@@ -29,3 +29,18 @@ def unit(a: Column) -> Column:
     at scale this halves the arithmetic in any all-pairs stage."""
     n = l2_norm(a)
     return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot`: same left-to-right fold, so the
+    double result is bit-identical (list_reduce starts from the first
+    element; Spark folds 0.0 + p1 + ... — identical in IEEE)."""
+    return (f"list_reduce(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+def sql_cosine(a: str, b: str) -> str:
+    """DuckDB twin of :func:`cosine`."""
+    return (f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) "
+            f"* sqrt({sql_dot(b, b)})))")

@@ -19,13 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
-from lisp_batch_processor_spark.functions.vectors import cosine
+from lisp_batch_processor_spark.functions.vectors import cosine, sql_cosine
 from lisp_batch_processor_spark.operators.text import tokens_col
 from lisp_batch_processor_spark.registry import query
 
 NUM_MINHASHES = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows: catches jaccard >~ 0.7
 SHINGLE_WORDS = 3
+MINHASH_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 
 
 def _shingles() -> F.Column:
@@ -43,30 +44,51 @@ def _shingles() -> F.Column:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): column-wise MinHash over distinct
     shingles. One explode + one groupBy — the shuffle carries
-    (doc_id, shingle) pairs; signatures aggregate map-side."""
+    (doc_id, shingle) pairs; signatures aggregate map-side.
+
+    Hash family: ONE md5 per shingle split into two 60-bit words,
+    mixed as h_s = (b1 + s*b2) mod 2^61-1 — the standard 2-universal
+    construction, exact-integer arithmetic that any engine reproduces
+    bit-for-bit (the DuckDB oracle replays it with HUGEINT math).
+    Production tip: xxhash64(s, shingle) is faster per hash but not
+    portable across engines; swap back if you never need replay.
+    """
     sh = (docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
           .dropDuplicates(["doc_id", "shingle"]))
-    aggs = [F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")
+    hexs = F.md5(F.encode("shingle", "UTF-8"))
+    b1 = F.conv(F.substring(hexs, 1, 15), 16, 10).cast("decimal(38,0)")
+    b2 = F.conv(F.substring(hexs, 16, 15), 16, 10).cast("decimal(38,0)")
+    aggs = [F.min(F.pmod(b1 + F.lit(s) * b2, F.lit(MINHASH_MOD))
+                  .cast("bigint")).alias(f"mh{s}")
             for s in range(NUM_MINHASHES)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature and self-join on (band_idx, band_hash) —
-    candidates only ever meet inside a bucket, never via cross join."""
+    """Band the signature and self-join on (band_idx, band_key) —
+    candidates only ever meet inside a bucket, never via cross join.
+
+    The band key is the exact ':'-joined signature slice (not a hash
+    of it) so the oracle's candidate set is identical by construction;
+    at extreme scale hash the key (xxhash64) to shrink the shuffle —
+    collisions are harmless there because Jaccard verification runs
+    after."""
     rows_per_band = NUM_MINHASHES // MINHASH_BANDS
     bands = F.array(*[
-        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
-                     for r in range(rows_per_band)])
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(":", *[F.col(f"mh{b * rows_per_band + r}")
+                               for r in range(rows_per_band)])
+             .alias("band_key"))
         for b in range(MINHASH_BANDS)
     ])
-    banded = sig.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    banded = (sig.select("doc_id", F.explode(bands).alias("bk"))
+              .select("doc_id", "bk.band_idx", "bk.band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
                   & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
@@ -77,7 +99,9 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 def verify_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (|candidates| is
     LSH-bounded, so carrying both shingle sets through the join is
-    proportional to candidates, not to the corpus)."""
+    proportional to candidates, not to the corpus). Returns integer
+    `inter`/`uni` alongside the rounded ratio so thresholds can be
+    applied integer-exactly (never on the rounded double)."""
     sets_ = docs.select("doc_id",
                         F.array_distinct(_shingles()).alias("sh_set"))
     j = (pairs
@@ -85,10 +109,13 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
                     .withColumnRenamed("sh_set", "sh_a"), "doc_a")
          .join(sets_.withColumnRenamed("doc_id", "doc_b")
                     .withColumnRenamed("sh_set", "sh_b"), "doc_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return j.select("doc_a", "doc_b",
-                    F.round(inter / union, 6).alias("jaccard"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return j.select(
+        "doc_a", "doc_b",
+        inter.alias("inter"), uni.alias("uni"),
+        F.round(inter.cast("double") / uni.cast("double"), 6)
+         .alias("jaccard"))
 
 
 def assignment(ids: DataFrame, id_col: str,
@@ -163,19 +190,55 @@ def connected_components(pairs: DataFrame, a: str, b: str,
     return labels
 
 
-@query("q_dedup_connected")
+_SQL_TOK_LIST = ("list_filter(regexp_split_to_array(lower(text), "
+                 "'[^a-z0-9]+'), x -> x <> '')")
+_SQL_TOK_SET = f"list_distinct({_SQL_TOK_LIST})"
+
+_Q_DEDUP_CONNECTED_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, {_SQL_TOK_SET} AS tok_set FROM documents
+), pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))) * 5
+        >= (len(a.tok_set) + len(b.tok_set)
+            - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))))
+           * 4
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pr
+  UNION
+  SELECT doc_b, doc_a FROM pr
+), reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+), comp AS (
+  SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+)
+SELECT docs.doc_id,
+  COALESCE(comp.component, docs.doc_id) AS rep_id,
+  docs.doc_id <> COALESCE(comp.component, docs.doc_id) AS is_dup
+FROM documents docs LEFT JOIN comp ON docs.doc_id = comp.node
+"""
+
+
+@query("q_dedup_connected", oracle=_Q_DEDUP_CONNECTED_ORACLE)
 def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full transitive-closure dedup assignment: MinHash-LSH
-    confirmed pairs -> connected components -> one row per document
-    with its component representative (min doc_id reachable through
-    any near-dup chain). rows-only check; closure properties are
-    tested in tests/test_dedup.py.
+    """Full transitive-closure dedup assignment: confirmed near-dup
+    pairs -> connected components -> one row per document with its
+    component representative (min doc_id reachable through any
+    near-dup chain).
+
+    The pair source here is the EXACT set-similarity join
+    (ngram_jaccard_pairs), which a DuckDB recursive CTE can replay —
+    so the whole closure is hash-checked. The LSH pair sources
+    (MinHash/SimHash) plug into the same connected_components
+    unchanged for unblocked 100 TB corpora; that composition is
+    covered by tests/test_dedup.py.
     """
     docs = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig)
-    confirmed = verify_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.7)
-    comp = connected_components(confirmed, "doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(docs)
+    comp = connected_components(pairs, "doc_a", "doc_b")
     return (docs.select("doc_id")
             .join(comp, F.col("doc_id") == F.col("node"), "left")
             .select("doc_id",
@@ -183,24 +246,90 @@ def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_dup", F.col("doc_id") != F.col("rep_id")))
 
 
-@query("q_dedup_minhash")
+_SQL_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+    "ELSE [array_to_string(toks, ' ')] END")
+
+
+def _minhash_oracle_sql() -> str:
+    """Replays the whole MinHash+LSH pipeline in DuckDB: same md5-mix
+    hash family (HUGEINT arithmetic), same band keys, same integer-
+    exact Jaccard confirmation — so the assignment hash-matches."""
+    rpb = NUM_MINHASHES // MINHASH_BANDS
+    mh_aggs = ",\n    ".join(
+        f"MIN(CAST((CAST(b1 AS HUGEINT) + {s} * CAST(b2 AS HUGEINT)) "
+        f"% {MINHASH_MOD} AS BIGINT)) AS mh{s}"
+        for s in range(NUM_MINHASHES))
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws(':', "
+        + ", ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        + ") AS band_key FROM sig"
+        for b in range(MINHASH_BANDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOK_LIST} AS toks FROM documents
+), shl AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh_set FROM t
+), sh AS (
+  SELECT doc_id, unnest(sh_set) AS shingle FROM shl
+), hb AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS b1,
+    CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) AS b2
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+    {mh_aggs}
+  FROM hb GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), confirmed AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shl sa ON sa.doc_id = c.doc_a
+  JOIN shl sb ON sb.doc_id = c.doc_b
+  WHERE len(list_filter(sa.sh_set, x -> list_contains(sb.sh_set, x))) * 10
+        >= (len(sa.sh_set) + len(sb.sh_set)
+            - len(list_filter(sa.sh_set, x -> list_contains(sb.sh_set, x))))
+           * 7
+), nbr AS (
+  SELECT doc_b AS doc_id, MIN(doc_a) AS min_nbr FROM confirmed GROUP BY doc_b
+)
+SELECT d.doc_id,
+  LEAST(d.doc_id, COALESCE(nbr.min_nbr, d.doc_id)) AS rep_id,
+  d.doc_id <> LEAST(d.doc_id, COALESCE(nbr.min_nbr, d.doc_id)) AS is_dup
+FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id
+"""
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle_sql())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate detection over `documents`:
     shingle -> 16 minhashes -> 4 LSH bands -> bucket equi-join ->
-    exact-Jaccard verify (>= 0.7) -> per-doc rep assignment.
+    exact-Jaccard verify (integer-exact >= 0.7) -> per-doc rep
+    assignment.
 
-    rows-only check (LSH banding is not SQL-expressible); recall and
-    precision are property-tested on constructed near-dups in
-    tests/test_dedup.py.
+    Hash-checked: the portable md5-mix hash family lets the DuckDB
+    oracle replay signature, banding, candidate generation, and
+    confirmation exactly. Recall/precision on constructed near-dups
+    are additionally property-tested in tests/test_dedup.py.
 
     Scale notes: cost is O(|docs| * shingles) + O(candidates); the
-    band join is an equi-join on a 64-bit bucket hash, uniformly
+    band join is an equi-join on a signature-slice key, uniformly
     distributed -> no skew at 100 TB. No cross join anywhere.
     """
     docs = load(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig)
-    confirmed = verify_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.7)
+    confirmed = verify_jaccard(docs, pairs).filter(
+        F.col("inter") * 10 >= F.col("uni") * 7)
     return assignment(docs.select("doc_id"), "doc_id",
                       confirmed, "doc_a", "doc_b")
 
@@ -209,19 +338,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 4 x 16-bit bands: catches hamming distance <= 3
+SIMHASH_BITS = 60  # 60 = 15 hex chars of md5: portable across engines
+SIMHASH_BANDS = 4  # 4 x 15-bit bands: catches hamming distance <= 3
 HAMMING_MAX = 3
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash over token frequencies.
-    Each bit of xxhash64(token) votes +count/-count; the sign of the
+    """(doc_id, simhash): 60-bit SimHash over token frequencies.
+    Each bit of the token hash votes +count/-count; the sign of the
     per-bit total is the fingerprint bit. Bit-position adds never
-    overlap, so summing shifted bits reassembles the word exactly."""
+    overlap, so summing shifted bits reassembles the word exactly.
+
+    The token hash is the first 15 md5 hex chars as a bigint — the
+    portable choice (same rationale as minhash_signatures) that lets
+    the DuckDB oracle replay fingerprints exactly; swap for xxhash64
+    when replay is never needed."""
     tf = (docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-          .withColumn("h", F.xxhash64("tok")))
+          .withColumn("h", F.conv(
+              F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 15), 16, 10)
+              .cast("bigint")))
     bit_sums = tf.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
                      F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"s{i}")
@@ -235,18 +371,68 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", fp.alias("simhash"))
 
 
-@query("q_dedup_simhash")
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate detection: 64-bit fingerprint -> 4
-    16-bit bands (any pair within hamming distance 3 shares at least
-    one exact band) -> bucket equi-join -> bit_count(xor) verify ->
-    per-doc rep assignment plus the fingerprint itself.
+def _simhash_oracle_sql() -> str:
+    """Replays the SimHash pipeline in DuckDB: same 60-bit md5-prefix
+    token hash, same per-bit vote sums, same banding and hamming
+    verification — so fingerprints and the assignment hash-match."""
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    bit_aggs = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{i}"
+        for i in range(SIMHASH_BITS))
+    fp_terms = " + ".join(
+        f"(CAST(CASE WHEN s{i} > 0 THEN 1 ELSE 0 END AS BIGINT) << {i})"
+        for i in range(SIMHASH_BITS))
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * band_width}) & {mask} AS band_key FROM fp"
+        for b in range(SIMHASH_BANDS))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt,
+    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest({_SQL_TOK_LIST}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id,
+    {bit_aggs}
+  FROM tf GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fp_terms} AS simhash FROM bits
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+), nbr AS (
+  SELECT doc_b AS doc_id, MIN(doc_a) AS min_nbr FROM pairs GROUP BY doc_b
+)
+SELECT d.doc_id, fp.simhash,
+  LEAST(d.doc_id, COALESCE(nbr.min_nbr, d.doc_id)) AS rep_id,
+  d.doc_id <> LEAST(d.doc_id, COALESCE(nbr.min_nbr, d.doc_id)) AS is_dup
+FROM documents d
+LEFT JOIN fp ON fp.doc_id = d.doc_id
+LEFT JOIN nbr ON d.doc_id = nbr.doc_id
+"""
 
-    rows-only check (bit-level hashing is engine-specific); hamming
-    recall is property-tested in tests/test_dedup.py.
+
+@query("q_dedup_simhash", oracle=_simhash_oracle_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate detection: 60-bit fingerprint -> 4
+    15-bit bands (any pair within hamming distance 3 shares at least
+    one exact band) -> bucket equi-join -> bit_count(xor) verify ->
+    per-doc rep assignment plus the fingerprint itself (null for
+    zero-token docs).
+
+    Hash-checked: the md5-prefix token hash is portable, so the
+    DuckDB oracle replays the full pipeline; hamming recall is
+    additionally property-tested in tests/test_dedup.py.
 
     Scale notes: fingerprints aggregate map-side; the band join is
-    an equi-join on 16-bit buckets — at extreme corpus sizes bucket
+    an equi-join on 15-bit buckets — at extreme corpus sizes bucket
     population grows, which is the known SimHash trade-off (use more
     bands/bits), documented here rather than hidden.
     """
@@ -309,17 +495,10 @@ WHERE CAST(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
 """
 
 
-@query("q_dedup_ngram", oracle=_Q_DEDUP_NGRAM_ORACLE)
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard >= 0.8 within source blocks — the
-    brute-force-within-block baseline the LSH variants approximate,
-    and (unlike them) fully SQL-expressible for the oracle.
-
-    Scale notes: blocking on `source` bounds the quadratic term to
-    block size; this is the honest "small blocks only" variant — at
-    100 TB unblocked corpora use q_dedup_minhash instead.
-    """
-    docs = load(spark, sf_dir, "documents")
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for all source-blocked pairs with exact
+    token-set Jaccard >= 0.8, via the inverted-index set-similarity
+    join (see q_dedup_ngram's scale notes)."""
     t = (docs.select("doc_id", "source",
                      F.array_distinct(tokens_col()).alias("tok_set"))
          .withColumn("sz", F.size("tok_set")))
@@ -360,21 +539,50 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_ngram", oracle=_Q_DEDUP_NGRAM_ORACLE)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.8 within source blocks — the
+    brute-force-within-block baseline the LSH variants approximate,
+    and (unlike them) fully SQL-expressible for the oracle.
+
+    Scale notes: blocking on `source` bounds the quadratic term to
+    block size; this is the honest "small blocks only" variant — at
+    100 TB unblocked corpora use q_dedup_minhash instead.
+    """
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup.
 # ---------------------------------------------------------------------------
 
 COSINE_DUP_THRESHOLD = 0.99
 
+_Q_DEDUP_EMBEDDING_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+), nbr AS (
+  SELECT vec_b AS vec_id, MIN(vec_a) AS min_nbr FROM pairs GROUP BY vec_b
+)
+SELECT e.vec_id,
+  LEAST(e.vec_id, COALESCE(nbr.min_nbr, e.vec_id)) AS rep_id,
+  e.vec_id <> LEAST(e.vec_id, COALESCE(nbr.min_nbr, e.vec_id)) AS is_dup
+FROM embeddings e LEFT JOIN nbr ON e.vec_id = nbr.vec_id
+"""
 
-@query("q_dedup_embedding")
+
+@query("q_dedup_embedding", oracle=_Q_DEDUP_EMBEDDING_ORACLE)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection over `embeddings`:
     label-blocked pair generation -> exact cosine >= 0.99 ->
     per-vector rep assignment.
 
-    rows-only check; cosine math is property-tested against numpy in
-    tests/test_similarity.py.
+    Hash-checked against a brute-force DuckDB oracle: both engines
+    fold the dot product left-to-right in double, so even the cosine
+    threshold decision is bit-identical.
 
     Scale notes: blocking on `label` (a cluster/category id) bounds
     the pair count; for unlabeled corpora swap the block key for the
