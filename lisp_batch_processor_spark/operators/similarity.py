@@ -9,11 +9,13 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
-from lisp_batch_processor_spark.functions.vectors import cosine, dot, unit
+from lisp_batch_processor_spark.functions.vectors import cosine, sql_cosine
 from lisp_batch_processor_spark.registry import query
 
 N_QUERY_VECS = 10
@@ -80,8 +82,8 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Banded SRP-LSH approximate nearest neighbors — the scale path.
 # ---------------------------------------------------------------------------
 
-N_BANDS = 8          # independent hash tables (OR-amplification: recall)
-BITS_PER_BAND = 4    # hyperplanes per table (AND-amplification: precision)
+N_BANDS = 16         # independent hash tables (OR-amplification: recall)
+BITS_PER_BAND = 3    # hyperplanes per table (AND-amplification: precision)
 EMBED_DIM = 64
 
 
@@ -99,32 +101,100 @@ def _srp_planes(n_planes: int = N_BANDS * BITS_PER_BAND,
     return planes
 
 
-def srp_bands(vec_col: F.Column) -> F.Column:
-    """array<struct<band:int, key:int>> — one bucket key per band.
+def _srp_keys_udf():
+    """Arrow-batched SRP signatures: ONE vectorized pass computes all
+    N_BANDS*BITS_PER_BAND projections per batch (numpy accumulation
+    over dimensions) instead of 32 interpreted higher-order folds per
+    row — the per-row constant that dominated the interpreted plan.
 
-    Each band packs BITS_PER_BAND sign(plane·v) bits; a candidate
-    pair only needs to collide in ONE band (OR over bands), which is
-    what keeps recall high while each band stays selective.
+    The accumulation loops over DIMENSIONS (acc += v_j * p_j), so
+    every scalar projection folds left-to-right exactly like
+    F.aggregate and DuckDB's list_reduce — the sign bits, and hence
+    the bucket keys, are bit-identical across all three.
     """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_srp_planes(), dtype=np.float64).T  # (dim, planes)
+
+    @pandas_udf("array<int>")
+    def srp_keys(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((mat.shape[0], planes.shape[1]))
+        for j in range(planes.shape[0]):
+            acc += mat[:, j:j + 1] * planes[j:j + 1, :]
+        bits = (acc > 0).astype(np.int32)
+        keys = np.zeros((mat.shape[0], N_BANDS), dtype=np.int32)
+        for b in range(N_BANDS):
+            for j in range(BITS_PER_BAND):
+                keys[:, b] += bits[:, b * BITS_PER_BAND + j] << j
+        return pd.Series(list(keys))
+
+    return srp_keys
+
+
+def _sql_srp_key(band: int) -> str:
+    """DuckDB twin of one band's bucket key, planes inlined as list
+    literals (same md5-derived constants, same fold order)."""
     planes = _srp_planes()
-    bands = []
-    for b in range(N_BANDS):
-        key = F.lit(0)
-        for j in range(BITS_PER_BAND):
-            plane = planes[b * BITS_PER_BAND + j]
-            d = dot(vec_col, F.array(*[F.lit(x) for x in plane]))
-            key = key + F.shiftleft(
-                F.when(d > 0, F.lit(1)).otherwise(F.lit(0)), j)
-        bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    return F.array(*bands)
+    bits = []
+    for j in range(BITS_PER_BAND):
+        plane = planes[band * BITS_PER_BAND + j]
+        lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        d = (f"list_reduce(list_transform(generate_series(1, {EMBED_DIM}), "
+             f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}[i])), "
+             f"(x, y) -> x + y)")
+        bits.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
-@query("q_similarity_ann")
+def _ann_oracle_sql() -> str:
+    key_cols = ",\n    ".join(f"{_sql_srp_key(b)} AS k{b}"
+                              for b in range(N_BANDS))
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM base"
+        for b in range(N_BANDS))
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+    {key_cols}
+  FROM embeddings
+), sig AS (
+  {band_rows}
+), q AS (
+  SELECT vec_id AS query_id, band, key FROM sig WHERE vec_id < {N_QUERY_VECS}
+), cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM q JOIN sig s ON s.band = q.band AND s.key = q.key
+  WHERE s.vec_id <> q.query_id
+), pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+    {sql_cosine('eq.embedding', 'en.embedding')} AS cos
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings en ON en.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("q_similarity_ann", oracle=_ann_oracle_sql())
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: banded SRP-LSH (8 tables x 4 deterministic
     hyperplanes), exact cosine re-rank over the union of colliding
-    candidates. rows-only check; recall vs the brute-force baseline
-    is property-tested in tests/test_similarity.py.
+    candidates.
+
+    Hash-checked: signatures come from a vectorized Arrow pandas_udf
+    whose per-dimension accumulation preserves the left-to-right fold,
+    so the DuckDB oracle (planes inlined as literals) reproduces every
+    bucket key and the exact re-ranked answer. Recall vs brute force
+    is additionally property-tested in tests/test_similarity.py.
 
     Scale notes: the bounded query set (exploded to 8 band keys) is
     broadcast, so candidate generation is a map-side equi-join on
@@ -132,13 +202,14 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup + per-query top-k shuffles only the candidate set, which is
     ~N_BANDS/2^BITS_PER_BAND of the corpus per query. Tune
     BITS_PER_BAND ~ log2(corpus/bucket_target) as the corpus grows;
-    the band count, not the corpus, bounds recall.
+    the band count, not the corpus, bounds recall. Signature cost is
+    one (batch x dim)·(dim x planes) numpy pass per Arrow batch.
     """
     emb = load(spark, sf_dir, "embeddings")
+    srp_keys = _srp_keys_udf()
     sig = (emb.select("vec_id", "embedding",
-                      F.explode(srp_bands(F.col("embedding"))).alias("bk"))
-           .select("vec_id", "embedding",
-                   F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
+                      F.posexplode(srp_keys("embedding"))
+                       .alias("band", "key")))
     queries = (sig.filter(F.col("vec_id") < N_QUERY_VECS)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qe"), "band", "key"))

@@ -57,11 +57,13 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    hits = total = 0
+    approx_sets = {}
     for r in approx:
-        total += 1
-        if r.neighbor_id in exact_sets.get(r.query_id, set()):
-            hits += 1
-    # ANN must return something and overlap the exact answer somewhat.
-    assert total > 0
-    assert hits / total > 0.2
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    n_exact = sum(len(s) for s in exact_sets.values())
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set()))
+               for q in exact_sets)
+    # Top-5 recall vs brute force: an ANN below this bar is
+    # misconfigured (tune N_BANDS / BITS_PER_BAND), not "approximate".
+    assert n_exact > 0
+    assert hits / n_exact >= 0.8, f"ANN top-5 recall {hits / n_exact:.2f}"
