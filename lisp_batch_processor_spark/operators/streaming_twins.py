@@ -1,0 +1,106 @@
+"""Batch-checkable twins of the streaming operators.
+
+The streaming modules (``streaming/``) are tested with real
+StreamExecution runs, but a streaming query has no seat at the
+driver's differential-correctness table unless it can be invoked as
+``(spark, sf_dir) -> DataFrame``. q_stream_sessions does exactly
+that: it drives the custom stateful operator
+(`streaming/stateful.py`, applyInPandasWithState bounded sessions)
+over the finite events fixture to completion through a memory sink,
+then returns the DETERMINISTIC subset of its output — sessions closed
+by in-data evidence (inactivity gap or max-events), excluding
+watermark-timeout closes whose emission depends on trigger timing.
+
+That subset is replayable in SQL (gap-split -> fixed-size subdivide),
+so the streaming operator gets a full row+schema+value-hash oracle —
+integer-cents state makes even sum_value bit-identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.registry import query
+from lisp_batch_processor_spark.streaming.stateful import (
+    MAX_EVENTS,
+    SESSION_GAP_US,
+    bounded_sessionize,
+)
+from lisp_batch_processor_spark.streaming.windows import read_events_stream
+
+_Q_STREAM_SESSIONS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, SUM(new_gap) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_sid
+  FROM flagged
+), sub AS (
+  SELECT *, (row_number() OVER (
+    PARTITION BY user_id, gap_sid ORDER BY ts, event_id) - 1)
+    // {MAX_EVENTS} AS sub_id
+  FROM g
+), s AS (
+  SELECT user_id, gap_sid, sub_id,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+    MIN(epoch_us(ts)) AS start_us,
+    MAX(epoch_us(ts)) AS end_us
+  FROM sub GROUP BY user_id, gap_sid, sub_id
+), seqd AS (
+  SELECT user_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY gap_sid, sub_id)
+         - 1 AS BIGINT) AS session_seq,
+    n_events, cents, start_us, end_us,
+    CASE WHEN n_events = {MAX_EVENTS} THEN 1 ELSE 0 END AS closed_by,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY gap_sid DESC, sub_id DESC) AS rev
+  FROM s
+)
+SELECT user_id, session_seq, CAST(n_events AS BIGINT) AS n_events,
+  CAST(cents AS DOUBLE) / 100 AS sum_value,
+  start_us, end_us, CAST(closed_by AS BIGINT) AS closed_by
+FROM seqd
+WHERE rev > 1 OR closed_by = 1
+"""
+
+
+@query("q_stream_sessions", oracle=_Q_STREAM_SESSIONS_ORACLE)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sessions (30-min gap OR 20-event cap) computed by the
+    REAL streaming engine — applyInPandasWithState with event-time
+    timeouts — replayed over the finite fixture, keeping only closes
+    decided by in-data evidence (closed_by 0 = gap, 1 = max-events;
+    watermark-timeout closes [2] are excluded because whether the
+    engine emits them before the stream stops depends on the trigger
+    schedule, not the data).
+
+    The oracle replays the same semantics relationally: gap-split via
+    lag + running sum, then fixed-size subdivision via row_number.
+    Equality here is the strongest signal the streaming operator can
+    get: same sessions, same seqs, same integer-exact sums.
+
+    Scale notes: state is one tuple per user; the memory sink is a
+    test harness — production writes to Kafka/Delta with the
+    identical query body.
+    """
+    name = f"stream_sessions_{uuid.uuid4().hex[:12]}"
+    q = (bounded_sessionize(read_events_stream(spark, sf_dir))
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .filter(F.col("closed_by") != 2)
+            .select("user_id", "session_seq", "n_events", "sum_value",
+                    "start_us", "end_us", "closed_by"))

@@ -29,6 +29,9 @@ from pyspark.sql.types import (
 SESSION_GAP_US = 30 * 60 * 1_000_000
 MAX_EVENTS = 20
 
+# closed_by: 0 = in-data inactivity gap, 1 = max-events, 2 = watermark
+# timeout (no further data arrived). Distinguishing 0 from 2 lets a
+# caller take the deterministic in-data subset of a finite replay.
 OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_seq", LongType()),
@@ -36,14 +39,17 @@ OUTPUT_SCHEMA = StructType([
     StructField("sum_value", DoubleType()),
     StructField("start_us", LongType()),
     StructField("end_us", LongType()),
-    StructField("closed_by", LongType()),  # 0 gap/timeout, 1 max-events
+    StructField("closed_by", LongType()),
 ])
 
-# state: (session_seq, n_events, sum_value, start_us, last_us)
+# state: (session_seq, n_events, sum_cents, start_us, last_us).
+# The running sum is held in integer CENTS: float accumulation order
+# would make sum_value depend on batch boundaries; integer adds are
+# exact and match a decimal-sum oracle bit-for-bit.
 STATE_SCHEMA = StructType([
     StructField("session_seq", LongType()),
     StructField("n_events", LongType()),
-    StructField("sum_value", DoubleType()),
+    StructField("sum_cents", LongType()),
     StructField("start_us", LongType()),
     StructField("last_us", LongType()),
 ])
@@ -74,12 +80,12 @@ def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
         if state.exists:
             seq, n, sv, start, last = state.get
             if n > 0:
-                state.update((seq + 1, 0, 0.0, last, last))
+                state.update((seq + 1, 0, 0, last, last))
                 _set_timeout(state, (int(last) + 2 * SESSION_GAP_US) // 1000)
                 yield pd.DataFrame([{
                     "user_id": user_id, "session_seq": seq, "n_events": n,
-                    "sum_value": round(sv, 2), "start_us": start,
-                    "end_us": last, "closed_by": 0}])
+                    "sum_value": sv / 100.0, "start_us": start,
+                    "end_us": last, "closed_by": 2}])
             else:
                 # Second timeout on the empty seq-carrier: drop it.
                 state.remove()
@@ -90,20 +96,20 @@ def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
     if state.exists:
         seq, n, sv, start, last = state.get
     else:
-        seq, n, sv, start, last = 0, 0, 0.0, None, None
+        seq, n, sv, start, last = 0, 0, 0, None, None
     out = []
     for ts_us, value in zip(rows["ts_us"], rows["value"]):
         if n > 0 and (ts_us - last) > SESSION_GAP_US:
             out.append((seq, n, sv, start, last, 0))
-            seq, n, sv, start = seq + 1, 0, 0.0, None
+            seq, n, sv, start = seq + 1, 0, 0, None
         if n == 0:
             start = int(ts_us)
         n += 1
-        sv += float(value)
+        sv += int(round(float(value) * 100))
         last = int(ts_us)
         if n >= MAX_EVENTS:
             out.append((seq, n, sv, start, last, 1))
-            seq, n, sv, start = seq + 1, 0, 0.0, None
+            seq, n, sv, start = seq + 1, 0, 0, None
     if n > 0:
         state.update((seq, n, sv, int(start), int(last)))
         # Event-time timeout: fire once the watermark passes the gap
@@ -114,16 +120,16 @@ def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
         # Batch ended exactly on a max-events close: persist the seq
         # carrier (same rationale as the timeout branch) instead of
         # dropping it and restarting the user at seq 0.
-        state.update((seq, 0, 0.0, int(last), int(last)))
+        state.update((seq, 0, 0, int(last), int(last)))
         _set_timeout(state, (int(last) + 2 * SESSION_GAP_US) // 1000)
     elif state.exists:
         state.remove()
     if out:
         yield pd.DataFrame(
             [{"user_id": user_id, "session_seq": s, "n_events": c,
-              "sum_value": round(v, 2), "start_us": st, "end_us": en,
+              "sum_value": c_ / 100.0, "start_us": st, "end_us": en,
               "closed_by": cb}
-             for (s, c, v, st, en, cb) in out])
+             for (s, c, c_, st, en, cb) in out])
 
 
 def bounded_sessionize(events: DataFrame) -> DataFrame:

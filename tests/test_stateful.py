@@ -73,11 +73,11 @@ def test_bounded_sessions_split_on_max_events(spark, tmp_path):
                 key=lambda r: r.session_seq)
     assert [r.closed_by for r in u1][:2] == [1, 1]
     assert [r.n_events for r in u1][:2] == [MAX_EVENTS, MAX_EVENTS]
-    # The 10-event tail closes by gap/timeout once the watermark
-    # passes its horizon (same file => single batch; the timeout
-    # batch runs after the watermark update).
+    # The 10-event tail closes by watermark timeout (closed_by=2) once
+    # the watermark passes its horizon (same file => single batch; the
+    # timeout batch runs after the watermark update).
     if len(u1) == 3:
-        assert u1[2].closed_by == 0
+        assert u1[2].closed_by == 2
         assert u1[2].n_events == 50 - 2 * MAX_EVENTS
 
 
