@@ -44,6 +44,13 @@ HEADLINE = [
     "q_similarity_ann",
     "q_quality_audit",
     "q_json_map",
+    # Added in round 2 (totals are not comparable to BENCH_r01;
+    # per-query timings are):
+    "q_dedup_simhash",
+    "q_dedup_connected",
+    "q_dedup_embedding",
+    "q_multimodal_decode",
+    "q_stream_sessions",
 ]
 
 
@@ -67,7 +74,7 @@ def main() -> None:
     # a full-suite pass spaces the two measurements of each query far
     # apart so one window can't poison both. Min measures the engine,
     # not the neighbor's workload.
-    timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for pass_no in range(2):
         for name in HEADLINE:
             fn = qs[name]
@@ -75,11 +82,13 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            passes[name].append(dt)
             print(f"# pass{pass_no} {name}: {dt:.3f}s ({n} rows)",
                   file=sys.stderr)
-    timings = {k: round(v, 3) for k, v in timings.items()}
+    timings = {k: round(min(v), 3) for k, v in passes.items()}
+    # Mean-of-passes alongside the min: a big mean/min gap flags host
+    # contention masking; a regressed min flags the engine.
+    timings_mean = {k: round(sum(v) / len(v), 3) for k, v in passes.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -91,6 +100,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_mean": timings_mean,
+        "total_mean": round(sum(timings_mean.values()), 3),
         "sf": sf_val,
     }))
 

@@ -157,7 +157,11 @@ def connected_components(pairs: DataFrame, a: str, b: str,
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .unionAll(pairs.select(F.col(b).alias("src"),
                                     F.col(a).alias("dst")))
-             .dropDuplicates(["src", "dst"]))
+             .dropDuplicates(["src", "dst"])
+             # Materialize ONCE: edges feed every round's join, and
+             # without a checkpoint each iteration would re-execute
+             # the (possibly expensive) upstream pair-generation plan.
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
@@ -166,15 +170,20 @@ def connected_components(pairs: DataFrame, a: str, b: str,
     for _ in range(max_iter):
         via_edges = (edges.join(labels, edges.src == labels.node)
                      .select(F.col("dst").alias("node"), "component"))
-        new_labels = (labels.unionAll(via_edges)
-                      .groupBy("node")
-                      .agg(F.min("component").alias("component"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
+        # Carry the pre-round label ("orig", unique per node) through
+        # the same aggregation, so convergence detection is a filter
+        # over the checkpointed result instead of an extra join job.
+        tagged = (labels.select("node", "component",
+                                F.col("component").alias("orig"))
+                  .unionAll(via_edges.select(
+                      "node", "component",
+                      F.lit(None).cast("long").alias("orig"))))
+        merged = (tagged.groupBy("node")
+                  .agg(F.min("component").alias("component"),
+                       F.min("orig").alias("orig"))
+                  .localCheckpoint(eager=True))
+        changed = merged.filter(F.col("component") < F.col("orig")).count()
+        labels = merged.select("node", "component")
         if changed == 0:
             break
     if changed != 0:
