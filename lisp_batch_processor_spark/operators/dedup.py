@@ -15,7 +15,7 @@ transitive closure; one pass is the per-round unit of work at 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
@@ -506,39 +506,71 @@ WHERE CAST(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all source-blocked pairs with exact
-    token-set Jaccard >= 0.8, via the inverted-index set-similarity
-    join (see q_dedup_ngram's scale notes)."""
+    token-set Jaccard >= 0.8, via a PREFIX-FILTERED set-similarity
+    join (ppjoin-style, Xiao et al.):
+
+    1. order the vocabulary globally by (document frequency, token) —
+       rarest first;
+    2. index only each document's PREFIX: the first
+       sz - ceil(0.8*sz) + 1 tokens in that order. Two sets can reach
+       Jaccard >= 0.8 only if their prefixes share a token, so the
+       candidate join touches ~20% of the postings — and those are
+       the RAREST tokens, so the hot-token skew (stopword-sized
+       posting lists) never enters the join at all;
+    3. verify candidates with the exact intersection (bounded by the
+       candidate count, not the corpus).
+
+    Output-identical to the unfiltered inverted-index join (the
+    oracle replays brute force), just with a candidate set orders of
+    magnitude smaller at corpus scale.
+    """
     t = (docs.select("doc_id", "source",
                      F.array_distinct(tokens_col()).alias("tok_set"))
          .withColumn("sz", F.size("tok_set")))
-    # Inverted-index set-similarity join: explode to (doc, token)
-    # postings, equi-join postings on (source, token), count matched
-    # tokens per pair = |A∩B|. This replaces the naive all-pairs
-    # array_intersect plan, which Catalyst pulls into the join
-    # condition (evaluating the O(|A|*|B|) intersect twice per pair,
-    # before the cheap predicates) and which parallelizes only by
-    # block key. Here the join key (source, token) is high-
-    # cardinality -> full shuffle parallelism; the count aggregates
-    # map-side; no array op ever runs per pair.
     tok = t.select("doc_id", "source", "sz",
                    F.explode("tok_set").alias("tok"))
-    a, b = tok.alias("a"), tok.alias("b")
+    # Global rarest-first token order (document frequency, then token
+    # for a total order). Prefix length for J >= 0.8 is
+    # sz - ceil(0.8*sz) + 1, integer-exact: ceil(4*sz/5) = (4*sz+4) div 5.
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        tok.join(freq, "tok")
+        .withColumn("r", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")))
+        .filter(F.col("r") <= F.expr("sz - ((4*sz + 4) div 5) + 1"))
+        .select("doc_id", "source", "sz", "tok")
+        # Materialize: both sides of the self-join (and nothing else)
+        # read this frame; without it Spark re-runs tokenize+freq+
+        # window once per side. ~20% of postings -> small.
+        .localCheckpoint(eager=False))
+    a, b = prefix.alias("a"), prefix.alias("b")
     # Size-ratio prune (integer-exact): jaccard >= 0.8 implies
     # 5*min(|A|,|B|) >= 4*max(|A|,|B|); evaluated per posting match,
-    # it keeps incompatible pairs out of the aggregation entirely.
+    # it keeps incompatible pairs out of the candidate set entirely.
     size_ok = (F.least(F.col("a.sz"), F.col("b.sz")) * 5
                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * 4)
-    inter = F.count(F.lit(1))
-    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    return (
+    cand = (
         a.join(b, (F.col("a.source") == F.col("b.source"))
                   & (F.col("a.tok") == F.col("b.tok"))
                   & (F.col("a.doc_id") < F.col("b.doc_id"))
                   & size_ok)
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
-        .agg(inter.alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"]))
+    # Exact verification on the (small) candidate set: the per-pair
+    # array_intersect here is bounded by |candidates|, not corpus^2.
+    sets_ = t.select("doc_id", "tok_set", "sz")
+    j = (cand
+         .join(sets_.select(F.col("doc_id").alias("doc_a"),
+                            F.col("tok_set").alias("set_a"),
+                            F.col("sz").alias("sz_a")), "doc_a")
+         .join(sets_.select(F.col("doc_id").alias("doc_b"),
+                            F.col("tok_set").alias("set_b"),
+                            F.col("sz").alias("sz_b")), "doc_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        j.select("doc_a", "doc_b", "sz_a", "sz_b", inter.alias("inter"))
         # Integer-exact threshold (inter*5 >= union*4); the rounded
         # double is only the reported value, never the decision.
         .filter(F.col("inter") * 5 >= union * 4)
