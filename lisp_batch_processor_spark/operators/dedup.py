@@ -594,6 +594,76 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup.
+# ---------------------------------------------------------------------------
+
+MAX_EDIT_DIST = 100
+MAX_LEN_DIFF = 40   # cheap prune: edit distance >= |len(a) - len(b)|
+_LEN_BAND = 64      # band width; +/-1 probe bands cover MAX_LEN_DIFF
+
+_Q_DEDUP_EDITDIST_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS len FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM d a JOIN d b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+ AND abs(a.len - b.len) <= {MAX_LEN_DIFF}
+ AND levenshtein(a.text, b.text) <= {MAX_EDIT_DIST}
+"""
+
+
+@query("q_dedup_editdist", oracle=_Q_DEDUP_EDITDIST_ORACLE)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-duplicate pairs: Levenshtein distance <=
+    {MAX_EDIT_DIST} within source blocks, length-pruned. Catches the
+    small-edit dups (typo fixes, punctuation churn) that token-set
+    Jaccard smooths over. Hash-checked (integer distances; both
+    engines implement classic unit-cost Levenshtein).
+
+    Scale notes: a raw length predicate gives Spark no equi-key, so
+    lengths are banded ({_LEN_BAND}-char epochs) and the probe side
+    expands to its 3 covering bands — an equi-join on (source, band)
+    with the exact length/distance conditions as residuals, the same
+    plan shape as q_join_range. Distances are computed with Spark's
+    THRESHOLDED levenshtein(l, r, k) — the banded O(len*k) algorithm
+    that abandons a pair the moment its distance provably exceeds k.
+    Its -1 over-threshold sentinel never escapes (filtered to [0, k]),
+    so results equal plain Levenshtein and the oracle needs no
+    sentinel logic.
+
+    At 100 TB the pairwise verifier itself is the cost: front it with
+    LSH candidate generation (lsh_candidate_pairs) and keep this
+    length-banded join for within-block sweeps — the verifier is a
+    drop-in residual in either plan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = (docs.select("doc_id", "source", "text")
+         .withColumn("len", F.length("text"))
+         .withColumn("band", F.expr(f"len div {_LEN_BAND}")))
+    probe = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
+        F.col("text").alias("text_a"), F.col("len").alias("len_a"),
+        F.explode(F.array(F.col("band") - 1, F.col("band"),
+                          F.col("band") + 1)).alias("probe_band"))
+    build = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
+        F.col("text").alias("text_b"), F.col("len").alias("len_b"),
+        F.col("band").alias("band_b"))
+    dist = F.levenshtein("text_a", "text_b", MAX_EDIT_DIST)
+    return (
+        probe.join(build, (F.col("src_a") == F.col("src_b"))
+                   & (F.col("probe_band") == F.col("band_b"))
+                   & (F.col("doc_a") < F.col("doc_b"))
+                   & (F.abs(F.col("len_a") - F.col("len_b"))
+                      <= MAX_LEN_DIFF)
+                   & (dist >= 0) & (dist <= MAX_EDIT_DIST))
+        .select("doc_a", "doc_b", dist.alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup.
 # ---------------------------------------------------------------------------
 

@@ -434,6 +434,60 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_AGG_QUANTILES_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+  MAX(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS p25,
+  MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+  MAX(CASE WHEN rn = (3*n + 3) // 4 THEN o_totalprice END) AS p75,
+  MAX(CASE WHEN rn = (19*n + 19) // 20 THEN o_totalprice END) AS p95,
+  MAX(n) AS n_orders
+FROM r GROUP BY o_orderpriority
+"""
+
+
+@query("q_agg_quantiles", oracle=_Q_AGG_QUANTILES_ORACLE)
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p25/p50/p75/p95) by discrete rank
+    selection: value at row_number == ceil(p*n) under a total order.
+    Selection — not interpolation — so the outputs are actual data
+    values and hash-exact across engines (interpolated percentile
+    arithmetic is engine-specific at the ULP level).
+
+    Scale notes: one shuffle on the group key serves both windows and
+    the final agg; the per-group sort is the inherent cost of exact
+    quantiles — at 100 TB switch to approx_percentile (the
+    q_agg_approx tier) or t-digest sketches.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = orders.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+
+    def at(num: int, den: int):
+        # ceil(num*n/den) = (num*n + den-1) div den, integer-exact.
+        k = F.expr(f"({num}*n + {den - 1}) div {den}")
+        return F.max(F.when(F.col("rn") == k, F.col("o_totalprice")))
+
+    return r.groupBy("o_orderpriority").agg(
+        at(1, 4).alias("p25"),
+        at(1, 2).alias("p50"),
+        at(3, 4).alias("p75"),
+        at(19, 20).alias("p95"),
+        F.max("n").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_rollup_cube — hierarchical totals region -> nation.
 # ---------------------------------------------------------------------------
