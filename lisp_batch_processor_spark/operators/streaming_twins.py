@@ -24,12 +24,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.registry import query
+from lisp_batch_processor_spark.streaming.dedup import dedup_within_watermark
 from lisp_batch_processor_spark.streaming.stateful import (
     MAX_EVENTS,
     SESSION_GAP_US,
     bounded_sessionize,
 )
 from lisp_batch_processor_spark.streaming.windows import read_events_stream
+
+
+def _run_to_memory(spark: SparkSession, stream_df: DataFrame,
+                   prefix: str) -> DataFrame:
+    """Drive a finite append-mode stream to completion through a
+    uniquely-named memory sink; return the sink table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    q = (stream_df.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 _Q_STREAM_SESSIONS_ORACLE = f"""
 WITH flagged AS (
@@ -92,15 +107,38 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     test harness — production writes to Kafka/Delta with the
     identical query body.
     """
-    name = f"stream_sessions_{uuid.uuid4().hex[:12]}"
-    q = (bounded_sessionize(read_events_stream(spark, sf_dir))
-         .writeStream.outputMode("append")
-         .format("memory").queryName(name).start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return (spark.table(name)
+    table = _run_to_memory(
+        spark, bounded_sessionize(read_events_stream(spark, sf_dir)),
+        "stream_sessions")
+    return (table
             .filter(F.col("closed_by") != 2)
             .select("user_id", "session_seq", "n_events", "sum_value",
                     "start_us", "end_us", "closed_by"))
+
+
+_Q_STREAM_DEDUP_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+"""
+
+
+@query("q_stream_dedup", oracle=_Q_STREAM_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-within-watermark, exercised for real: the
+    events fixture is read TWICE as two streaming sources and
+    unioned, so every event_id arrives twice (possibly in different
+    micro-batches) and `dropDuplicatesWithinWatermark` must suppress
+    the duplicate through the state store. The surviving set equals
+    the plain relational DISTINCT — the oracle — row for row.
+
+    Scale notes: state is (event_id -> expiry) bounded by arrival
+    rate x watermark horizon, the standard at-least-once ->
+    effectively-once repair; the batch twin is q_dedup_exact.
+    """
+    doubled = (read_events_stream(spark, sf_dir)
+               .unionByName(read_events_stream(spark, sf_dir)))
+    table = _run_to_memory(
+        spark, dedup_within_watermark(doubled), "stream_dedup")
+    return table.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value")
