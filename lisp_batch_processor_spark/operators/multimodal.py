@@ -135,3 +135,80 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.encode("text", "UTF-8")).alias("byte_len"),
     )
     return packed.mapInPandas(decode_features, schema=_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: 1 -> N explosion over an opaque byte stream.
+# ---------------------------------------------------------------------------
+
+FRAME_SIZE = 128     # bytes per "frame" of the opaque payload
+FRAME_STRIDE = 2     # keep every 2nd frame (temporal subsampling)
+
+_FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_off", T.LongType()),
+    T.StructField("frame_len", T.IntegerType()),
+    T.StructField("frame_md5", T.StringType()),
+])
+
+_Q_MULTIMODAL_FRAMES_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text, length(text) AS n,
+    unnest(generate_series(0, CAST((length(text) - 1) // {FRAME_SIZE} AS INT),
+                           {FRAME_STRIDE})) AS frame_idx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+  CAST(frame_idx AS INT) AS frame_idx,
+  CAST(frame_idx * {FRAME_SIZE} AS BIGINT) AS frame_off,
+  CAST(LEAST({FRAME_SIZE}, n - frame_idx * {FRAME_SIZE}) AS INT) AS frame_len,
+  md5(substr(text, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE})) AS frame_md5
+FROM f
+"""
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: slice the opaque payload into
+    FRAME_SIZE-byte frames, keep every FRAME_STRIDE-th, fingerprint
+    each — the 1->N video/audio frame-sample plumbing with a
+    deterministic stand-in for the real decoder (swap the slicing for
+    av.open/decord in production; the batch shape, explosion, and
+    per-frame metadata schema are the production article).
+    """
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n = len(data)
+            if n == 0:
+                continue
+            for i in range(0, (n - 1) // FRAME_SIZE + 1, FRAME_STRIDE):
+                chunk = data[i * FRAME_SIZE:(i + 1) * FRAME_SIZE]
+                rows.append((int(doc_id), i, i * FRAME_SIZE, len(chunk),
+                             hashlib.md5(chunk).hexdigest()))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_off",
+                               "frame_len", "frame_md5"])
+
+
+@query("q_multimodal_frames", oracle=_Q_MULTIMODAL_FRAMES_ORACLE)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary column: each payload
+    explodes into every-2nd 128-byte frame with offset, length, and
+    md5 fingerprint. Hash-checked: the fixture text is pure ASCII, so
+    the oracle's character slicing equals the UDF's byte slicing and
+    both engines' md5 agree.
+
+    Scale notes: mapInPandas streams Arrow batches — the 1->N
+    explosion happens executor-side with constant memory (frames of
+    one batch at a time), never through a driver collect; output
+    partitioning follows the input scan, so a downstream per-frame
+    stage needs no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    packed = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return packed.mapInPandas(sample_frames, schema=_FRAMES_SCHEMA)
