@@ -51,6 +51,9 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_multimodal_decode",
     "q_stream_sessions",
+    "q_agg_quantiles",
+    "q_multimodal_frames",
+    "q_stream_dedup",
 ]
 
 

@@ -119,6 +119,8 @@ def _srp_keys_udf():
 
     @pandas_udf("array<int>")
     def srp_keys(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # empty Arrow batch (e.g. AQE-empty partition)
+            return pd.Series([], dtype=object)
         mat = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         acc = np.zeros((mat.shape[0], planes.shape[1]))
         for j in range(planes.shape[0]):
