@@ -32,10 +32,11 @@ def dsum(col: Column | str, scale: int = 2, out_scale: int = 2) -> Column:
 
 
 def davg(col: Column | str, scale: int = 2, out_scale: int = 6) -> Column:
-    """Exact-numerator average: decimal sum / count, emitted as double."""
+    """Exact-numerator average: decimal sum / count (both bit-identical
+    across engines), then the portable :func:`dround`."""
     c = F.col(col) if isinstance(col, str) else col
     num = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
-    return F.round(num / F.count(c), out_scale)
+    return dround(num / F.count(c), out_scale)
 
 
 def sql_dsum(expr: str, scale: int = 2, out_scale: int = 2) -> str:
@@ -70,7 +71,32 @@ def sql_dratio(num: str, den: str, scale: int = 6) -> str:
             f" / {m}")
 
 
+def dround(col: Column, scale: int = 6) -> Column:
+    """Portable round-to-scale for DOUBLE expressions:
+    floor(x * 10^scale + 0.5) / 10^scale — every step is a plain IEEE
+    operation plus exact floor, so the result is bit-identical in any
+    engine given the same input double.
+
+    Engine-native ROUND(double, n) is NOT portable: Spark rounds the
+    shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds
+    x*10^n arithmetically, and they disagree whenever the repr ties at
+    digit n+1 — the exact class behind round-1's hash mismatches.
+    Overflow bound: |x|*10^scale must stay under 2^53 (x < 9e9 at
+    scale 6) — all rounded outputs here are ratios/norms/roots far
+    below that.
+    """
+    m = float(10 ** scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(10 ** scale)
+
+
+def sql_dround(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of :func:`dround`."""
+    m = 10 ** scale
+    return (f"CAST(FLOOR(({expr}) * {m}.0 + 0.5) AS BIGINT) / {m}")
+
+
 def sql_davg(expr: str, scale: int = 2, out_scale: int = 6) -> str:
     """DuckDB twin of :func:`davg`."""
-    return (f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
-            f" / COUNT({expr}), {out_scale})")
+    ratio = (f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+             f" / COUNT({expr})")
+    return sql_dround(ratio, out_scale)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.functions.numeric import dround
 from lisp_batch_processor_spark.functions.vectors import cosine, sql_cosine
 from lisp_batch_processor_spark.operators.text import tokens_col
 from lisp_batch_processor_spark.registry import query
@@ -114,7 +115,7 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return j.select(
         "doc_a", "doc_b",
         inter.alias("inter"), uni.alias("uni"),
-        F.round(inter.cast("double") / uni.cast("double"), 6)
+        dround(inter.cast("double") / uni.cast("double"), 6)
          .alias("jaccard"))
 
 
@@ -489,11 +490,11 @@ WITH t AS (
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  ROUND(CAST(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
+  CAST(FLOOR(CAST(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
              AS DOUBLE)
         / (len(a.tok_set) + len(b.tok_set)
-           - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))),
-        6) AS jaccard
+           - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))))
+        * 1000000.0 + 0.5) AS BIGINT) / 1000000 AS jaccard
 FROM t a JOIN t b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
@@ -575,7 +576,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         # double is only the reported value, never the decision.
         .filter(F.col("inter") * 5 >= union * 4)
         .select("doc_a", "doc_b",
-                F.round(F.col("inter").cast("double") / union, 6)
+                dround(F.col("inter").cast("double") / union, 6)
                  .alias("jaccard"))
     )
 

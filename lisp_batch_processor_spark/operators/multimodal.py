@@ -22,22 +22,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.functions.numeric import dround, sql_dround
 from lisp_batch_processor_spark.functions.vectors import l2_norm
 from lisp_batch_processor_spark.registry import query
 
-_Q_MULTIMODAL_COLS_ORACLE = """
+_SQL_L2 = ("sqrt(list_reduce(list_transform(generate_series(1, "
+           "len(embedding)), i -> CAST(embedding[i] AS DOUBLE) "
+           "* CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))")
+_SQL_MEAN = ("list_reduce(list_transform(generate_series(1, "
+             "len(embedding)), i -> CAST(embedding[i] AS DOUBLE)), "
+             "(x, y) -> x + y) / len(embedding)")
+
+_Q_MULTIMODAL_COLS_ORACLE = f"""
 SELECT
   vec_id,
   label,
   CAST(len(embedding) AS INT) AS dim,
-  ROUND(sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
-    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-    (x, y) -> x + y)), 6) AS l2_norm,
-  ROUND(list_reduce(list_transform(generate_series(1, len(embedding)),
-    i -> CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)
-    / len(embedding), 6) AS mean_val,
+  {sql_dround(_SQL_L2, 6)} AS l2_norm,
+  {sql_dround(_SQL_MEAN, 6)} AS mean_val,
   CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
-  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val
+  {sql_dround('CAST(embedding[1] AS DOUBLE)', 6)} AS first_val
 FROM embeddings
 """
 
@@ -57,10 +61,10 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label",
         F.size(e).alias("dim"),
-        F.round(l2_norm(e), 6).alias("l2_norm"),
-        F.round(sum_ / F.size(e), 6).alias("mean_val"),
+        dround(l2_norm(e), 6).alias("l2_norm"),
+        dround(sum_ / F.size(e), 6).alias("mean_val"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
-        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_val"),
+        dround(F.element_at(e, 1).cast("double"), 6).alias("first_val"),
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.functions.numeric import dround, sql_dround
 from lisp_batch_processor_spark.registry import query
 
 _Q_SCALAR_FUNCS_ORACLE = r"""
@@ -32,10 +33,10 @@ SELECT
     AS price_tithe,
   CAST(ceil(o_totalprice) AS BIGINT)  AS price_ceil,
   CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
-  ROUND(sqrt(o_totalprice), 6)        AS price_sqrt,
+  {PRICE_SQRT}        AS price_sqrt,
   abs(o_totalprice) AS price_abs
 FROM orders
-"""
+""".replace("{PRICE_SQRT}", sql_dround("sqrt(o_totalprice)", 6))
 
 
 @query("q_scalar_funcs", oracle=_Q_SCALAR_FUNCS_ORACLE)
@@ -68,7 +69,7 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_tithe"),
         F.ceil("o_totalprice").alias("price_ceil"),
         F.floor("o_totalprice").alias("price_floor"),
-        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        dround(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
         F.abs("o_totalprice").alias("price_abs"),
     )
 

@@ -15,11 +15,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.functions.numeric import dround, sql_dround
 from lisp_batch_processor_spark.functions.vectors import cosine, sql_cosine
 from lisp_batch_processor_spark.registry import query
 
 N_QUERY_VECS = 10
 TOP_K = 5
+
+# Portable 6-dp rounding of the cosine (see functions/numeric.dround).
+_DR_COS = sql_dround("cos", 6)
 
 _Q_SIMILARITY_TOPK_ORACLE = f"""
 WITH q AS (
@@ -38,7 +42,7 @@ WITH q AS (
         (x, y) -> x + y))) AS cos
   FROM q JOIN embeddings e ON e.vec_id <> q.query_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+  SELECT query_id, neighbor_id, {_DR_COS} AS cos_sim,
     row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM pairs
@@ -75,7 +79,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id",
-                    F.round("cos", 6).alias("cos_sim"), "rank"))
+                    dround(F.col("cos"), 6).alias("cos_sim"), "rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +180,7 @@ WITH base AS (
   JOIN embeddings eq ON eq.vec_id = c.query_id
   JOIN embeddings en ON en.vec_id = c.neighbor_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+  SELECT query_id, neighbor_id, {_DR_COS} AS cos_sim,
     row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM pairs
@@ -229,4 +233,4 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id",
-                    F.round("cos", 6).alias("cos_sim"), "rank"))
+                    dround(F.col("cos"), 6).alias("cos_sim"), "rank"))

@@ -12,7 +12,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
-from lisp_batch_processor_spark.functions.numeric import dratio, sql_dratio
+from lisp_batch_processor_spark.functions.numeric import (
+    dratio, dround, sql_dratio, sql_dround,
+)
 from lisp_batch_processor_spark.registry import query
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
@@ -86,14 +88,17 @@ WITH t AS (
 SELECT doc_id, lang, source,
   CAST(len(toks) AS INT) AS n_tokens,
   CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
-  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-        / len(toks), 6) AS avg_token_len,
-  ROUND(CAST(len(list_filter(toks, x -> x IN {_SQL_STOPWORDS})) AS DOUBLE)
-        / len(toks), 6) AS stopword_ratio,
-  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+  {sql_dround(
+      'CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)'
+      ' / len(toks)', 6)} AS avg_token_len,
+  {sql_dround(
+      f'CAST(len(list_filter(toks, x -> x IN {_SQL_STOPWORDS}))'
+      ' AS DOUBLE) / len(toks)', 6)} AS stopword_ratio,
+  {sql_dround('CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)', 6)}
     AS unique_ratio,
-  ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        / length(text), 6) AS alpha_ratio
+  {sql_dround(
+      "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+      ' / length(text)', 6)} AS alpha_ratio
 FROM t
 WHERE len(toks) > 0
 """
@@ -116,16 +121,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
-        F.round(
+        dround(
             F.aggregate("toks", F.lit(0).cast("bigint"),
                         lambda acc, x: acc + F.length(x)).cast("double") / n,
             6).alias("avg_token_len"),
-        F.round(F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
-                 .cast("double") / n, 6).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct("toks")).cast("double") / n, 6)
+        dround(F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+               .cast("double") / n, 6).alias("stopword_ratio"),
+        dround(F.size(F.array_distinct("toks")).cast("double") / n, 6)
             .alias("unique_ratio"),
-        F.round(F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-                 .cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+        dround(F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+               .cast("double") / F.length("text"), 6).alias("alpha_ratio"),
     )
 
 
