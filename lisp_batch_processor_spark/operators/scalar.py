@@ -29,7 +29,7 @@ SELECT
   concat(o_orderstatus, '/', o_orderpriority) AS status_priority,
   CAST(length(o_orderpriority) AS INT) AS priority_len,
   replace(lower(o_orderpriority), ' ', '_') AS priority_slug,
-  ROUND(CAST(CAST(o_totalprice * 0.1 AS DECIMAL(18,4)) AS DOUBLE), 4)
+  CAST(CAST(o_totalprice * 0.1 AS DECIMAL(18,4)) AS DOUBLE)
     AS price_tithe,
   CAST(ceil(o_totalprice) AS BIGINT)  AS price_ceil,
   CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
