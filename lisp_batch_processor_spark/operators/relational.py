@@ -423,15 +423,118 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_agg_approx")
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct count (HyperLogLog++) — the 100 TB scale
-    path where exact distinct is a full shuffle of the key set.
-    rows-only check: HLL estimates are engine-specific by design.
+    """Approximate aggregation tier — the 100 TB scale path where the
+    exact variants need a full shuffle or a per-group sort:
+    approx_count_distinct (HyperLogLog++) and percentile_approx
+    (Greenwald-Khanna). rows-only check: sketch estimates are
+    engine-specific by design (exact twins with oracles:
+    q_agg_distinct, q_agg_quantiles).
     """
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_Q_AGG_COLLECT_ORACLE = """
+SELECT o_orderpriority,
+  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+  arg_min(o_totalprice, o_orderkey) AS first_key_price,
+  arg_max(o_totalprice, o_orderkey) AS last_key_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_agg_collect", oracle=_Q_AGG_COLLECT_ORACLE)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection / argmin-style aggregates: sorted distinct string
+    aggregation (collect_set -> array_sort -> join, the deterministic
+    form of listagg) and min_by/max_by keyed on the unique order key
+    (deterministic by construction; keying arg-extrema on a non-unique
+    column is a correctness bug this query deliberately avoids).
+
+    Scale notes: collect_set is bounded by the value domain (statuses
+    here); never collect an unbounded column per group at 100 TB.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
+         .alias("statuses"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_key_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_key_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+RANGE_FRAME_US = 3_600_000_000  # 1 hour in microseconds
+
+_Q_WINDOW_RANGE_FRAME_ORACLE = f"""
+SELECT event_id, user_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+    AS hour_sum,
+  CAST(COUNT(*) OVER w AS BIGINT) AS hour_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_window_range_frame", oracle=_Q_WINDOW_RANGE_FRAME_ORACLE)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per event, the same user's
+    value sum and event count within the trailing hour — the
+    value-based frame (rangeBetween) that q_window_running's row
+    frames cannot express. RANGE includes all order-value peers, so
+    duplicate timestamps give identical results in both engines
+    regardless of tie order.
+
+    Scale notes: one shuffle on user_id + an in-partition sort;
+    frames are streaming (bounded memory per partition).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-RANGE_FRAME_US, 0))
+    vdec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum(vdec).over(w), 2).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
+
+
+_Q_CUBE_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    AS sum_totalprice
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("q_cube", oracle=_Q_CUBE_ORACLE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    pass — the cross-dimensional companion to q_rollup_cube's
+    hierarchy (completing the GROUPING SETS family).
+
+    Scale notes: cube expands each row to 4 grouping sets; partial
+    aggregation keeps the shuffle at 4x|groups|, not 4x|rows|.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("sum_totalprice"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                     .alias("priority"),
+                    "n_orders", "sum_totalprice"))
 
 
 _Q_AGG_QUANTILES_ORACLE = """
