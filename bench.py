@@ -54,6 +54,9 @@ HEADLINE = [
     "q_agg_quantiles",
     "q_multimodal_frames",
     "q_stream_dedup",
+    "q_agg_collect",
+    "q_window_range_frame",
+    "q_cube",
 ]
 
 
