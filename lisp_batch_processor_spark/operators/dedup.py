@@ -210,7 +210,11 @@ WITH RECURSIVE t AS (
 ), pr AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))) * 5
+  -- Zero-token docs produce no postings on the Spark side, so they
+  -- can never pair; without the len(*) > 0 guards the integer
+  -- predicate (0 >= 0) would pair two empty docs here.
+  WHERE len(a.tok_set) > 0 AND len(b.tok_set) > 0
+    AND len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))) * 5
         >= (len(a.tok_set) + len(b.tok_set)
             - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))))
            * 4
@@ -527,7 +531,11 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """
     t = (docs.select("doc_id", "source",
                      F.array_distinct(tokens_col()).alias("tok_set"))
-         .withColumn("sz", F.size("tok_set")))
+         .withColumn("sz", F.size("tok_set"))
+         # Materialized once: consumed by the prefix path AND twice by
+         # the verification joins (set_a / set_b) — without this the
+         # corpus is re-scanned and re-tokenized three times.
+         .localCheckpoint(eager=False))
     tok = t.select("doc_id", "source", "sz",
                    F.explode("tok_set").alias("tok"))
     # Global rarest-first token order (document frequency, then token
@@ -599,7 +607,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MAX_EDIT_DIST = 100
-MAX_LEN_DIFF = 40   # cheap prune: edit distance >= |len(a) - len(b)|
+# NB: MAX_LEN_DIFF < MAX_EDIT_DIST makes the length bound part of the
+# operator CONTRACT, not a pure prune: pairs with length difference in
+# (40, 100] are excluded even when their edit distance is <= 100. For
+# prune-only semantics set MAX_LEN_DIFF = MAX_EDIT_DIST and size
+# _LEN_BAND >= MAX_LEN_DIFF (edit distance >= |len(a) - len(b)| makes
+# that exclusion-free).
+MAX_LEN_DIFF = 40
 _LEN_BAND = 64      # band width; +/-1 probe bands cover MAX_LEN_DIFF
 
 _Q_DEDUP_EDITDIST_ORACLE = f"""
@@ -617,11 +631,13 @@ FROM d a JOIN d b
 
 @query("q_dedup_editdist", oracle=_Q_DEDUP_EDITDIST_ORACLE)
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level near-duplicate pairs: Levenshtein distance <=
-    {MAX_EDIT_DIST} within source blocks, length-pruned. Catches the
-    small-edit dups (typo fixes, punctuation churn) that token-set
-    Jaccard smooths over. Hash-checked (integer distances; both
-    engines implement classic unit-cost Levenshtein).
+    """Character-level near-duplicate pairs within source blocks.
+    Contract: Levenshtein distance <= MAX_EDIT_DIST (100) AND length
+    difference <= MAX_LEN_DIFF (40) — the length bound is a declared
+    restriction, not a free prune (see the constants' note). Catches
+    the small-edit dups (typo fixes, punctuation churn) that
+    token-set Jaccard smooths over. Hash-checked (integer distances;
+    both engines implement classic unit-cost Levenshtein).
 
     Scale notes: a raw length predicate gives Spark no equi-key, so
     lengths are banded ({_LEN_BAND}-char epochs) and the probe side

@@ -192,9 +192,9 @@ FROM ranked WHERE rank <= {TOP_K}
 
 @query("q_similarity_ann", oracle=_ann_oracle_sql())
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: banded SRP-LSH (8 tables x 4 deterministic
-    hyperplanes), exact cosine re-rank over the union of colliding
-    candidates.
+    """Approximate top-k: banded SRP-LSH (N_BANDS=16 tables x
+    BITS_PER_BAND=3 deterministic hyperplanes), exact cosine re-rank
+    over the union of colliding candidates.
 
     Hash-checked: signatures come from a vectorized Arrow pandas_udf
     whose per-dimension accumulation preserves the left-to-right fold,
@@ -202,7 +202,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key and the exact re-ranked answer. Recall vs brute force
     is additionally property-tested in tests/test_similarity.py.
 
-    Scale notes: the bounded query set (exploded to 8 band keys) is
+    Scale notes: the bounded query set (exploded to N_BANDS keys) is
     broadcast, so candidate generation is a map-side equi-join on
     (band, key) — the corpus is scanned once, never shuffled; the
     dedup + per-query top-k shuffles only the candidate set, which is

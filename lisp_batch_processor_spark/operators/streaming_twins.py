@@ -107,8 +107,15 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     test harness — production writes to Kafka/Delta with the
     identical query body.
     """
+    # All fixture files in ONE data batch: with multi-batch input a
+    # mid-stream session could close by watermark TIMEOUT (excluded
+    # below) where the relational replay sees an in-data gap close —
+    # the subset equivalence holds only when every gap decision sees
+    # all the data at once.
     table = _run_to_memory(
-        spark, bounded_sessionize(read_events_stream(spark, sf_dir)),
+        spark,
+        bounded_sessionize(read_events_stream(spark, sf_dir,
+                                              max_files_per_trigger=1 << 20)),
         "stream_sessions")
     return (table
             .filter(F.col("closed_by") != 2)

@@ -13,6 +13,15 @@ Scale notes: state is one tiny tuple per user (open-session
 aggregate), partitioned by user_id across executors; the watermark
 bounds how long an idle session's state lives (GroupStateTimeout),
 so state size is O(active users), not O(events).
+
+Session-identity contract: `session_seq` is unique per user WITHIN
+the state-retention horizon — after a timeout close, an empty
+seq-carrier row holds the next seq for another 2x gap of watermark
+time, then is garbage-collected (the standard keyed-state TTL
+trade-off; without GC, state grows O(all users ever seen)). A user
+returning after GC restarts at seq 0, so (user_id, session_seq) can
+recur across retention windows; (user_id, start_us) — both emitted —
+is the globally unique session key.
 """
 
 from __future__ import annotations

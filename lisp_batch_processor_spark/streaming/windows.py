@@ -30,14 +30,22 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
     """readStream over the events fixture: nanos -> timestamp, same
-    truncation contract as the batch catalog."""
+    truncation contract as the batch catalog.
+
+    max_files_per_trigger=1 exercises multi-micro-batch behavior
+    (each file a batch); pass a large value when a caller needs the
+    whole fixture in ONE data batch (e.g. q_stream_sessions, whose
+    oracle equivalence assumes gap-closes are decided against all
+    in-data evidence at once).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Streaming sources take a directory; pathGlobFilter selects the
     # events fixture out of the shared sf dir.
     raw = (spark.readStream.schema(EVENTS_SCHEMA)
-           .option("maxFilesPerTrigger", 1)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
