@@ -8,6 +8,7 @@ from lisp_batch_processor_spark.operators import (  # noqa: F401
     relational,
     scalar,
     similarity,
+    skew,
     streaming_twins,
     text,
     tpch,

@@ -13,8 +13,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.functions.numeric import dsum, sql_dsum
+from lisp_batch_processor_spark.registry import query
 
 SALT_COL = "__salt"
 
@@ -85,3 +89,68 @@ def two_phase_agg(df: DataFrame, keys: Sequence[str],
         first[fn](col).alias(out) for out, (fn, col) in aggs.items()])
     return partial.groupBy(*keys).agg(*[
         recombine[fn](out).alias(out) for out, (fn, _) in aggs.items()])
+
+
+_Q_SKEW_JOIN_ORACLE = f"""
+SELECT s_nationkey,
+  COUNT(*) AS n_items,
+  {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+@query("q_skew_join", oracle=_Q_SKEW_JOIN_ORACLE)
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under the correctness gate: lineitem joined to
+    supplier through salted_join (8 salts, supplier replicated per
+    salt), rolled up by supplier nation. The oracle is the PLAIN
+    join — passing proves the salting rewrite is result-invariant,
+    which is the entire point of the utility.
+
+    Scale notes: salting spreads one hot join key over 8 sub-keys at
+    the cost of 8x the (dimension-sized) right side's shuffle — the
+    explicit plan-time fix for the single-hot-key case AQE's skew
+    split can't break up.
+    """
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_suppkey").alias("suppkey"), "l_extendedprice"))
+    supp = (load(spark, sf_dir, "supplier")
+            .select(F.col("s_suppkey").alias("suppkey"), "s_nationkey"))
+    joined = salted_join(li, supp, keys=["suppkey"], n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("sum_price"))
+
+
+_Q_SKEW_AGG_ORACLE = f"""
+SELECT l_returnflag,
+  COUNT(*) AS n_items,
+  {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_skew_agg", oracle=_Q_SKEW_AGG_ORACLE)
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation under the correctness gate:
+    lineitem rolled up by the 3-value l_returnflag — exactly the
+    hot-group shape the utility exists for — via partial agg on
+    (key, salt) then final agg on key. The oracle is the plain GROUP
+    BY: passing proves the decomposition is result-invariant.
+
+    Scale notes: pays off only when one group's FINAL reduce task
+    lags the stage; decimal-exact sums keep the two-phase
+    recombination bit-identical to the single-phase plan.
+    """
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  F.col("l_quantity").cast("decimal(18,2)").alias("qdec")))
+    agg = two_phase_agg(li, ["l_returnflag"],
+                        {"n_items": ("count", "qdec"),
+                         "sum_qty_dec": ("sum", "qdec")},
+                        n_salts=8)
+    return agg.select(
+        "l_returnflag", "n_items",
+        F.round(F.col("sum_qty_dec"), 2).cast("double").alias("sum_qty"))
