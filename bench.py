@@ -57,6 +57,9 @@ HEADLINE = [
     "q_agg_collect",
     "q_window_range_frame",
     "q_cube",
+    "q_skew_join",
+    "q_skew_agg",
+    "q_tpch_q18",
 ]
 
 

@@ -177,6 +177,57 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q18_QTY_THRESHOLD = 250
+
+_Q_TPCH_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey AS big_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY_THRESHOLD}
+)
+SELECT c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  {sql_dsum('l_quantity')} AS total_qty
+FROM big
+JOIN orders   ON o_orderkey = big_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate
+"""
+
+
+@query("q_tpch_q18", oracle=_Q_TPCH_Q18_ORACLE)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds a threshold — the IN-(GROUP BY ... HAVING)
+    subquery, decorrelated into an aggregate semi-join.
+
+    Scale notes: the HAVING aggregate pre-reduces lineitem to
+    qualifying order keys BEFORE any join (the decorrelation Catalyst
+    applies to the SQL form); the second lineitem pass co-partitions
+    with the first on l_orderkey so AQE reuses the exchange where
+    possible, and the tiny qualifying-keys side broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    big = (li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+           .agg(F.sum(qdec).alias("_q"))
+           .filter(F.col("_q") > _Q18_QTY_THRESHOLD)
+           .select("big_orderkey"))
+    return (
+        F.broadcast(big)
+        .join(orders, F.col("o_orderkey") == F.col("big_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd")
+                  .alias("orderdate"))
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
 _Q_JOIN_OUTER_ORACLE = f"""
 SELECT c_custkey, c_mktsegment,
   COUNT(o_orderkey) AS n_orders,
