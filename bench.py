@@ -60,6 +60,7 @@ HEADLINE = [
     "q_skew_join",
     "q_skew_agg",
     "q_tpch_q18",
+    "q_exists_decorrelated",
 ]
 
 

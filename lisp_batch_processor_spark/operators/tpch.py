@@ -264,6 +264,61 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_EXISTS_DECORRELATED_ORACLE = """
+SELECT l1.l_suppkey AS suppkey, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY suppkey
+ORDER BY numwait DESC, suppkey
+LIMIT 20
+"""
+
+
+@query("q_exists_decorrelated", oracle=_Q_EXISTS_DECORRELATED_ORACLE)
+def q_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): lineitems
+    whose supplier is the ONLY one on a multi-supplier 'F' order with
+    a returned ('R') line — a correlated EXISTS + NOT EXISTS pair.
+
+    Decorrelation: instead of two correlated semi/anti joins, ONE
+    per-order aggregate (distinct suppliers, distinct failing
+    suppliers) joined back: EXISTS-other-supplier == n_supps >= 2;
+    NOT-EXISTS-other-failing == n_fail_supps = 1 (l1 itself fails).
+    Oracle keeps the textbook EXISTS form, so passing also certifies
+    the rewrite.
+
+    Scale notes: the aggregate pass and the join both key on
+    l_orderkey — one co-partitioned exchange; top-20 is
+    TakeOrderedAndProject with a deterministic tie-break.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey"))
+    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R",
+                               F.col("l_suppkey"))).alias("n_fail_supps"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(per_order, F.col("agg_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supps") >= 2) & (F.col("n_fail_supps") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("suppkey"))
+        .limit(20)
+    )
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _Q_PIVOT_ORACLE = f"""
