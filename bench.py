@@ -54,9 +54,12 @@ HEADLINE = [
     "q_agg_quantiles",
     "q_multimodal_frames",
     "q_stream_dedup",
-    "q_agg_collect",
-    "q_window_range_frame",
-    "q_cube",
+    # Round 3: q_agg_collect/q_window_range_frame/q_cube merged into
+    # q_agg_distinct/q_window_running/q_rollup_cube (their work is now
+    # timed inside the absorbing queries); q_agg_distinct and
+    # q_window_tumbling added to keep the merged workloads measured.
+    "q_agg_distinct",
+    "q_window_tumbling",
     "q_skew_join",
     "q_skew_agg",
     "q_tpch_q18",
@@ -79,13 +82,17 @@ def main() -> None:
         for wq in ("q_agg_groupby", "q_join_inner"):
             qs[wq](spark, warm_dir).count()
 
-    # Per-query min over two full passes: the box is a shared VM and
-    # host contention windows stall execution for minutes at a time;
-    # a full-suite pass spaces the two measurements of each query far
-    # apart so one window can't poison both. Min measures the engine,
-    # not the neighbor's workload.
+    # Per-query MIN over THREE full passes (headline statistic,
+    # continuous with BENCH_r01/r02 which also reported min): the box
+    # is a shared VM and host contention windows stall execution for
+    # minutes at a time; a full-suite pass spaces the measurements of
+    # each query far apart so one window can't poison all three. Min
+    # measures the engine, not the neighbor's workload. Median and
+    # mean are reported alongside: a big median/min gap flags host
+    # contention masking; a regressed min flags the engine.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for pass_no in range(2):
+    for pass_no in range(n_passes):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.perf_counter()
@@ -96,8 +103,8 @@ def main() -> None:
             print(f"# pass{pass_no} {name}: {dt:.3f}s ({n} rows)",
                   file=sys.stderr)
     timings = {k: round(min(v), 3) for k, v in passes.items()}
-    # Mean-of-passes alongside the min: a big mean/min gap flags host
-    # contention masking; a regressed min flags the engine.
+    timings_median = {k: round(sorted(v)[len(v) // 2], 3)
+                      for k, v in passes.items()}
     timings_mean = {k: round(sum(v) / len(v), 3) for k, v in passes.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -110,8 +117,12 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": timings_median,
         "queries_mean": timings_mean,
+        "total_median": round(sum(timings_median.values()), 3),
         "total_mean": round(sum(timings_mean.values()), 3),
+        "passes": n_passes,
+        "stat": f"min_of_{n_passes}",
         "sf": sf_val,
     }))
 

@@ -45,6 +45,20 @@ def sql_dsum(expr: str, scale: int = 2, out_scale: int = 2) -> str:
             f" {out_scale}) AS DOUBLE)")
 
 
+def sql_isum(expr: str) -> str:
+    """Portable integer SUM for oracle SQL — CONVENTION: every
+    integer-typed SUM (plain or windowed) an oracle EMITS must go
+    through this (or an equivalent explicit CAST).
+
+    DuckDB's SUM over INTEGER/BIGINT returns HUGEINT (int128), which
+    pandas — the driver's canonicalizer — converts to float64, so the
+    hashed repr becomes '3.0' while Spark's bigint prints '3'. This
+    was the two-round q_event_sessionize hash failure. Sums that stay
+    internal to a CTE (compared, never emitted) don't need the cast.
+    """
+    return f"CAST(SUM({expr}) AS BIGINT)"
+
+
 def dratio(num: str, den: str, scale: int = 6) -> Column:
     """Round-half-up(num/den, scale) as a double, computed entirely in
     integer arithmetic so the result is bit-identical across engines:
@@ -64,8 +78,10 @@ def dratio(num: str, den: str, scale: int = 6) -> Column:
 
 
 def sql_dratio(num: str, den: str, scale: int = 6) -> str:
-    """DuckDB twin of :func:`dratio` (// is floor division; operands
-    are non-negative so floor == Spark's truncating div)."""
+    """DuckDB twin of :func:`dratio`. DuckDB's integer // truncates
+    toward zero (like Spark's div), not floor — either way the
+    num >= 0 / den > 0 precondition makes truncation, floor, and
+    Spark's div all agree, which is what the portability rests on."""
     m = 10 ** scale
     return (f"CAST(({2 * m} * ({num}) + ({den})) // (2 * ({den})) AS BIGINT)"
             f" / {m}")

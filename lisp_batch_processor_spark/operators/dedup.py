@@ -167,7 +167,10 @@ def connected_components(pairs: DataFrame, a: str, b: str,
               .distinct()
               .withColumn("component", F.col("node")))
     labels = labels.localCheckpoint(eager=True)
-    changed = -1
+    # 0, not -1: with max_iter <= 0 (or an empty graph) no round runs
+    # and the non-convergence warning below must not fire with a
+    # nonsense "-1 labels still changing" message.
+    changed = 0 if max_iter <= 0 else -1
     for _ in range(max_iter):
         via_edges = (edges.join(labels, edges.src == labels.node)
                      .select(F.col("dst").alias("node"), "component"))

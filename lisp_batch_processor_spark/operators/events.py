@@ -30,7 +30,11 @@ WITH flagged AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id,
+  -- DuckDB's windowed SUM(int) is HUGEINT, which pandas-canonicalizes
+  -- to float64; Spark emits bigint. Pin the type (portability
+  -- convention: every integer SUM in an oracle is cast to BIGINT).
+  CAST(session_id AS BIGINT) AS session_id,
   COUNT(*) AS n_events,
   {sql_dsum('value')} AS sum_value,
   MIN(epoch_us(ts)) AS session_start_us,

@@ -397,7 +397,10 @@ SELECT
   o_orderpriority,
   COUNT(*) AS n_orders,
   COUNT(DISTINCT o_custkey) AS n_customers,
-  COUNT(DISTINCT o_orderstatus) AS n_statuses
+  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+  arg_min(o_totalprice, o_orderkey) AS first_key_price,
+  arg_max(o_totalprice, o_orderkey) AS last_key_price
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -405,19 +408,34 @@ GROUP BY o_orderpriority
 
 @query("q_agg_distinct", oracle=_Q_AGG_DISTINCT_ORACLE)
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregation (exact). The approximate variant
-    (approx_count_distinct / HLL) is exercised in q_agg_approx,
-    which has no SQL oracle by construction.
+    """Distinct + collection/arg-extrema aggregation (exact): distinct
+    counts, sorted distinct string aggregation (collect_set ->
+    array_sort -> join, the deterministic form of listagg), and
+    min_by/max_by keyed on the unique order key (deterministic by
+    construction; keying arg-extrema on a non-unique column is a
+    correctness bug this query deliberately avoids). The approximate
+    variant (approx_count_distinct / HLL) is exercised in
+    q_agg_approx, which has no SQL oracle by construction.
+
+    (Round 3: absorbed the former q_agg_collect — same table, same
+    group key — so the whole registry fits the driver's 50-query
+    correctness window.)
 
     Scale notes: Spark plans multi-distinct with an expand +
-    two-phase aggregate; the group key is low-cardinality so the
-    final shuffle is tiny at any scale.
+    two-phase aggregate; collect_set is bounded by the value domain
+    (statuses here) — never collect an unbounded column per group at
+    100 TB; the group key is low-cardinality so the final shuffle is
+    tiny at any scale.
     """
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
+         .alias("statuses"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_key_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_key_price"),
     )
 
 
@@ -436,105 +454,6 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-
-
-_Q_AGG_COLLECT_ORACLE = """
-SELECT o_orderpriority,
-  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
-  arg_min(o_totalprice, o_orderkey) AS first_key_price,
-  arg_max(o_totalprice, o_orderkey) AS last_key_price,
-  COUNT(*) AS n_orders
-FROM orders
-GROUP BY o_orderpriority
-"""
-
-
-@query("q_agg_collect", oracle=_Q_AGG_COLLECT_ORACLE)
-def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collection / argmin-style aggregates: sorted distinct string
-    aggregation (collect_set -> array_sort -> join, the deterministic
-    form of listagg) and min_by/max_by keyed on the unique order key
-    (deterministic by construction; keying arg-extrema on a non-unique
-    column is a correctness bug this query deliberately avoids).
-
-    Scale notes: collect_set is bounded by the value domain (statuses
-    here); never collect an unbounded column per group at 100 TB.
-    """
-    orders = load(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
-         .alias("statuses"),
-        F.min_by("o_totalprice", "o_orderkey").alias("first_key_price"),
-        F.max_by("o_totalprice", "o_orderkey").alias("last_key_price"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-RANGE_FRAME_US = 3_600_000_000  # 1 hour in microseconds
-
-_Q_WINDOW_RANGE_FRAME_ORACLE = f"""
-SELECT event_id, user_id,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
-    AS hour_sum,
-  CAST(COUNT(*) OVER w AS BIGINT) AS hour_n
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
-"""
-
-
-@query("q_window_range_frame", oracle=_Q_WINDOW_RANGE_FRAME_ORACLE)
-def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE window frame over event time: per event, the same user's
-    value sum and event count within the trailing hour — the
-    value-based frame (rangeBetween) that q_window_running's row
-    frames cannot express. RANGE includes all order-value peers, so
-    duplicate timestamps give identical results in both engines
-    regardless of tie order.
-
-    Scale notes: one shuffle on user_id + an in-partition sort;
-    frames are streaming (bounded memory per partition).
-    """
-    ev = load(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
-         .rangeBetween(-RANGE_FRAME_US, 0))
-    vdec = F.col("value").cast("decimal(18,2)")
-    return ev.select(
-        "event_id", "user_id",
-        F.round(F.sum(vdec).over(w), 2).cast("double").alias("hour_sum"),
-        F.count(F.lit(1)).over(w).alias("hour_n"),
-    )
-
-
-_Q_CUBE_ORACLE = """
-SELECT
-  COALESCE(o_orderstatus, 'ALL') AS status,
-  COALESCE(o_orderpriority, 'ALL') AS priority,
-  COUNT(*) AS n_orders,
-  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-    AS sum_totalprice
-FROM orders
-GROUP BY CUBE(o_orderstatus, o_orderpriority)
-"""
-
-
-@query("q_cube", oracle=_Q_CUBE_ORACLE)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority): all four grouping sets in one
-    pass — the cross-dimensional companion to q_rollup_cube's
-    hierarchy (completing the GROUPING SETS family).
-
-    Scale notes: cube expands each row to 4 grouping sets; partial
-    aggregation keeps the shuffle at 4x|groups|, not 4x|rows|.
-    """
-    orders = load(spark, sf_dir, "orders")
-    return (orders.cube("o_orderstatus", "o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 dsum("o_totalprice").alias("sum_totalprice"))
-            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-                    F.coalesce("o_orderpriority", F.lit("ALL"))
-                     .alias("priority"),
-                    "n_orders", "sum_totalprice"))
 
 
 _Q_AGG_QUANTILES_ORACLE = """
@@ -592,7 +511,7 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_rollup_cube — hierarchical totals region -> nation.
+# q_rollup_cube — the GROUPING SETS family: CUBE ⊇ ROLLUP in one pass.
 # ---------------------------------------------------------------------------
 
 _Q_ROLLUP_CUBE_ORACLE = """
@@ -604,18 +523,25 @@ SELECT
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP(r_name, n_name)
+GROUP BY CUBE(r_name, n_name)
 """
 
 
 @query("q_rollup_cube", oracle=_Q_ROLLUP_CUBE_ORACLE)
 def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical totals nation->region->grand-total via ROLLUP
-    (GROUPING SETS family; no reference counterpart, SURVEY.md §2.B).
+    """GROUPING SETS family over the region->nation dimension pair:
+    CUBE(r_name, n_name) emits all four grouping sets — the three
+    ROLLUP hierarchy levels (region+nation, region subtotal, grand
+    total) plus the cross-dimension nation-only slice (no reference
+    counterpart, SURVEY.md §2.B).
 
-    Scale notes: rollup expands each row to 3 grouping sets before
-    the aggregate — partial aggregation keeps the shuffle at
-    3×|groups|, not 3×|rows|.
+    (Round 3: absorbed the former q_cube — CUBE strictly contains
+    ROLLUP's sets, so one query covers the whole family and the
+    registry fits the driver's 50-query correctness window.)
+
+    Scale notes: cube expands each row to 4 grouping sets before the
+    aggregate — partial aggregation keeps the shuffle at 4×|groups|,
+    not 4×|rows|.
     """
     cust = load(spark, sf_dir, "customer")
     nation = load_broadcast(spark, sf_dir, "nation")
@@ -624,7 +550,7 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(nation, cust.c_nationkey == nation.n_nationkey)
               .join(region, nation.n_regionkey == region.r_regionkey))
     return (
-        joined.rollup("r_name", "n_name")
+        joined.cube("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"),
              dsum("c_acctbal", 2).alias("sum_acctbal"))
         .select(
@@ -670,44 +596,64 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_window_running — running totals / moving averages with frames.
+# q_window_running — running totals / moving averages / RANGE frames.
 # ---------------------------------------------------------------------------
 
-_Q_WINDOW_RUNNING_ORACLE = """
+RANGE_FRAME_US = 3_600_000_000  # 1 hour in microseconds
+
+_Q_WINDOW_RUNNING_ORACLE = f"""
 WITH t AS (
   SELECT user_id, event_id,
-    SUM(CAST(value AS DECIMAL(18,2))) OVER (
-      PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum,
-    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-      PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS mcents,
-    COUNT(*) OVER (
-      PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mcnt
+    SUM(CAST(value AS DECIMAL(18,2))) OVER wrun AS rsum,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wmov * 100 AS BIGINT)
+      AS mcents,
+    COUNT(*) OVER wmov AS mcnt,
+    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER whour, 2) AS DOUBLE)
+      AS hour_sum,
+    CAST(COUNT(*) OVER whour AS BIGINT) AS hour_n
   FROM events
+  WINDOW
+    wrun AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wmov AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+    whour AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, event_id,
   CAST(ROUND(rsum, 2) AS DOUBLE) AS running_value,
   CAST((2000000 * mcents + 100 * mcnt) // (200 * mcnt) AS BIGINT) / 1000000
-    AS moving_avg3
+    AS moving_avg3,
+  hour_sum, hour_n
 FROM t
 """
 
 
 @query("q_window_running", oracle=_Q_WINDOW_RUNNING_ORACLE)
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total and 3-row moving average per user over event
-    time (generalizes the reference's monotone progress ratio R18,
-    `Batch Processor.py:420-425`).
+    """Window-frame family per user over event time: running total
+    (ROWS unbounded-preceding), 3-row moving average (ROWS 2
+    preceding), and trailing-hour sum/count via a RANGE (value-based)
+    frame over epoch micros — the frame shape ROWS cannot express.
+    Generalizes the reference's monotone progress ratio R18
+    (`Batch Processor.py:420-425`). RANGE includes all order-value
+    peers, so duplicate timestamps give identical results in both
+    engines regardless of tie order.
 
-    Scale notes: one shuffle on user_id, one in-partition sort; frames
-    are streaming (bounded memory) — holds at any event count/user.
+    (Round 3: absorbed the former q_window_range_frame — same grain,
+    one row per event — so the registry fits the driver's 50-query
+    correctness window.)
+
+    Scale notes: one shuffle on user_id serves every frame (same
+    partitioning); frames are streaming (bounded memory) — holds at
+    any event count/user.
     """
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = w.rowsBetween(-2, Window.currentRow)
+    hour = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+            .rangeBetween(-RANGE_FRAME_US, 0))
     vdec = F.col("value").cast("decimal(18,2)")
     # Exact paths (functions/numeric rationale): running total rounds
     # in decimal; the moving average is an integer round-half-up in
@@ -717,10 +663,13 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vdec).over(run).alias("rsum"),
         (F.sum(vdec).over(mov) * 100).cast("bigint").alias("mcents"),
         F.count(F.lit(1)).over(mov).alias("mcnt"),
+        F.round(F.sum(vdec).over(hour), 2).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(hour).alias("hour_n"),
     )
     return t.select(
         "user_id", "event_id",
         F.round("rsum", 2).cast("double").alias("running_value"),
         (F.expr("(2000000 * mcents + 100 * mcnt) div (200 * mcnt)")
          / F.lit(1_000_000)).alias("moving_avg3"),
+        "hour_sum", "hour_n",
     )

@@ -146,6 +146,12 @@ def _sql_srp_key(band: int) -> str:
     bits = []
     for j in range(BITS_PER_BAND):
         plane = planes[band * BITS_PER_BAND + j]
+        # The {x:.1f} rendering is lossless ONLY for the current ±1.0
+        # plane scheme — assert that, so a future plane change can't
+        # silently desynchronize the oracle from the UDF (use repr /
+        # %.17g formatting if planes ever become non-trivial floats).
+        assert all(x in (1.0, -1.0) for x in plane), \
+            "non-±1 SRP planes need full-precision oracle literals"
         lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
         d = (f"list_reduce(list_transform(generate_series(1, {EMBED_DIM}), "
              f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}[i])), "

@@ -44,7 +44,13 @@ def _run_to_memory(spark: SparkSession, stream_df: DataFrame,
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # Detach the result from the sink's temp view (localCheckpoint
+    # materializes it), then drop the view — repeated runs in one
+    # session (bench passes + the correctness gate) must not
+    # accumulate in-memory tables in the catalog.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 _Q_STREAM_SESSIONS_ORACLE = f"""
 WITH flagged AS (

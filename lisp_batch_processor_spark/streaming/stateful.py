@@ -26,6 +26,7 @@ is the globally unique session key.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
 import pandas as pd
@@ -114,7 +115,12 @@ def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
         if n == 0:
             start = int(ts_us)
         n += 1
-        sv += int(round(float(value) * 100))
+        # Half-up quantization (floor(x*100 + 0.5)), matching the
+        # dround/DECIMAL-cast convention — Python round() is
+        # half-even and would silently diverge from the oracle on a
+        # value whose double*100 lands exactly on .5 (e.g. 0.125) or
+        # any >2dp input. Values are non-negative (fixture contract).
+        sv += int(math.floor(float(value) * 100 + 0.5))
         last = int(ts_us)
         if n >= MAX_EVENTS:
             out.append((seq, n, sv, start, last, 1))
