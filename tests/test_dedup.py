@@ -91,3 +91,59 @@ def test_dedup_connected_closure_idempotent(spark, sf_dir):
     for doc, r in rep.items():
         assert rep[r] == r, f"rep {r} of {doc} is not a fixpoint"
         assert r <= doc
+
+
+def test_editdist_verifier_composes_with_lsh_candidates(spark, tmp_path):
+    """The q_dedup_editdist docstring promises the thresholded-
+    Levenshtein verifier drops into LSH candidate pairs at scale.
+    Prove the composition on a corpus with constructed near-dups:
+    LSH candidates -> (same-source, length-bound, lev<=k) residual
+    must equal the length-banded join restricted to the same
+    candidate pairs — same pairs, same integer distances."""
+    import os
+
+    from lisp_batch_processor_spark.operators.dedup import (
+        MAX_EDIT_DIST, MAX_LEN_DIFF, q_dedup_editdist,
+    )
+
+    long_base = " ".join(
+        f"token{i} word{i % 7} item{i % 5}" for i in range(40))
+    rows = [
+        (0, "web", long_base),
+        (1, "web", long_base.replace("token3", "tokenX")),   # tiny edit
+        (2, "web", long_base.replace("word", "wyrd")),       # many small edits
+        (3, "books", long_base),                             # cross-source twin
+        (4, "web", "a completely different short document about engines"),
+        (5, "web", "a completely different short document about turbines"),
+    ]
+    sf = os.path.join(str(tmp_path), "corpus")
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .write.parquet(os.path.join(sf, "documents.parquet"))
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    side = lambda tag: docs.select(  # noqa: E731
+        F.col("doc_id").alias(f"doc_{tag}"),
+        F.col("source").alias(f"src_{tag}"),
+        F.col("text").alias(f"text_{tag}"),
+        F.length("text").alias(f"len_{tag}"))
+    dist = F.levenshtein("text_a", "text_b", MAX_EDIT_DIST)
+    composed = (cands.join(side("a"), "doc_a").join(side("b"), "doc_b")
+                .filter((F.col("src_a") == F.col("src_b"))
+                        & (F.abs(F.col("len_a") - F.col("len_b"))
+                           <= MAX_LEN_DIFF)
+                        & (dist >= 0) & (dist <= MAX_EDIT_DIST))
+                .select("doc_a", "doc_b", dist.alias("dist")))
+    got = {(r.doc_a, r.doc_b, r.dist) for r in composed.collect()}
+
+    banded = q_dedup_editdist(spark, sf)
+    want = {(r.doc_a, r.doc_b, r.dist)
+            for r in banded.join(cands, ["doc_a", "doc_b"], "left_semi")
+                           .collect()}
+    assert got == want
+    assert got, "constructed near-dups must survive both paths"
+    # The cross-source twin is an LSH candidate but not an editdist
+    # pair (same-source contract) — both paths must exclude it.
+    cand_set = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    assert (0, 3) in cand_set
+    assert all(p != (0, 3) for p in {(a, b) for a, b, _ in got})

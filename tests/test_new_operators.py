@@ -72,3 +72,46 @@ def test_frames_cover_payload_exactly(spark, sf_dir):
         assert r.frame_off == r.frame_idx * FRAME_SIZE
         assert 1 <= r.frame_len <= FRAME_SIZE
         assert len(r.frame_md5) == 32
+
+
+def test_approx_aggregates_within_bounds_of_exact(spark, sf_dir):
+    """q_agg_approx is the one rows-only analytics query (sketches are
+    engine-specific); give it a correctness signal beyond "it runs":
+    approx_count_distinct must land within its configured 2% rsd
+    (generous 10% tolerance ~ 5 sigma) of q_agg_distinct's exact
+    count, and percentile_approx(0.5, accuracy=1000) must return an
+    actual data value whose rank is within the Greenwald-Khanna bound
+    of the true median rank."""
+    import math
+    from collections import defaultdict
+
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.relational import (
+        q_agg_approx, q_agg_distinct,
+    )
+
+    approx = {r.o_orderpriority: r
+              for r in q_agg_approx(spark, sf_dir).collect()}
+    exact = {r.o_orderpriority: r
+             for r in q_agg_distinct(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+
+    vals = defaultdict(list)
+    for r in (load(spark, sf_dir, "orders")
+              .select("o_orderpriority", "o_totalprice").collect()):
+        vals[r.o_orderpriority].append(r.o_totalprice)
+
+    for key, a in approx.items():
+        e = exact[key]
+        assert a.n_orders == e.n_orders
+        assert abs(a.approx_customers - e.n_customers) <= max(
+            2, math.ceil(0.10 * e.n_customers)), key
+        v = sorted(vals[key])
+        n = len(v)
+        # GK with accuracy=1000: rank error <= n/accuracy (>= 1 row).
+        eps = max(1, n // 1000)
+        k50 = (n + 1) // 2  # 1-based ceil(0.5*n), matches q_agg_quantiles
+        lo = v[max(0, k50 - 1 - eps)]
+        hi = v[min(n - 1, k50 - 1 + eps)]
+        assert lo <= a.approx_median <= hi, (key, lo, a.approx_median, hi)
+        assert a.approx_median in v, "approx median must be a data value"

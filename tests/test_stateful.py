@@ -4,6 +4,7 @@ a deterministic synthetic burst for the max-events close path."""
 
 from __future__ import annotations
 
+import math
 import os
 from collections import defaultdict
 from datetime import datetime, timedelta, timezone
@@ -12,7 +13,7 @@ import pytest
 from pyspark.sql import types as T
 
 from lisp_batch_processor_spark.streaming.stateful import (
-    MAX_EVENTS, bounded_sessionize,
+    MAX_EVENTS, SESSION_GAP_US, bounded_sessionize,
 )
 from lisp_batch_processor_spark.streaming.windows import read_events_stream
 
@@ -124,3 +125,81 @@ def test_session_seq_survives_timeout_close(spark, tmp_path):
     assert len(u1) == 2
     # Distinct, increasing seqs — the pre-fix bug restarted at 0.
     assert [r.session_seq for r in u1] == [0, 1]
+
+
+@pytest.mark.slow
+def test_multibatch_in_data_sessions_subset_of_replay(spark, sf_dir,
+                                                      tmp_path):
+    """Multi-micro-batch equivalence (the q_stream_sessions oracle
+    requires ONE data batch; this is the complementary check): the
+    fixture split into 6 time-ordered files driven one file per
+    trigger. In-order arrival means nothing is ever late, so every
+    session the engine closes on IN-DATA evidence (gap / max-events)
+    must appear — same seq, counts, cents, and bounds — in the
+    single-pass relational replay. Timeout closes (closed_by=2) may
+    fire mid-stream here, which is exactly why they are excluded from
+    the oracle subset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lisp_batch_processor_spark.catalog import load
+
+    pdf = (load(spark, sf_dir, "events")
+           .select("event_id", "ts", "user_id", "value").toPandas()
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = os.path.join(str(tmp_path), "chunks")
+    os.makedirs(src)
+    n_chunks = 6
+    step = math.ceil(len(pdf) / n_chunks)
+    for i in range(n_chunks):
+        p = os.path.join(src, f"ev_{i:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i * step:(i + 1) * step],
+                                 preserve_index=False), p)
+        # FileStreamSource orders by modification time: pin it so the
+        # chunks arrive in event-time order.
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    rows = _run_stream(spark, stream, "bo_multibatch")
+    in_data = [r for r in rows if r.closed_by != 2]
+    assert in_data, "no in-data-closed sessions over the fixture"
+
+    # Pure-Python replay of the bounded-session fold over ALL data at
+    # once (gap-split then size-split, integer cents).
+    per_user: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for r in pdf.itertuples():  # already (ts, event_id)-ordered
+        per_user[r.user_id].append((r.ts.value // 1000, float(r.value)))
+    replay = set()
+    for user, evs in per_user.items():
+        seq = n = cents = 0
+        start = last = None
+        for ts_us, val in evs:
+            if n > 0 and ts_us - last > SESSION_GAP_US:
+                replay.add((user, seq, n, cents, start, last))
+                seq, n, cents, start = seq + 1, 0, 0, None
+            if n == 0:
+                start = ts_us
+            n += 1
+            cents += int(math.floor(val * 100 + 0.5))
+            last = ts_us
+            if n >= MAX_EVENTS:
+                replay.add((user, seq, n, cents, start, last))
+                seq, n, cents, start = seq + 1, 0, 0, None
+        if n > 0:  # open tail: engine may close it by timeout only
+            replay.add((user, seq, n, cents, start, last))
+
+    got = {(r.user_id, r.session_seq, r.n_events,
+            int(math.floor(r.sum_value * 100 + 0.5)),
+            r.start_us, r.end_us)
+           for r in in_data}
+    missing = got - replay
+    assert not missing, f"streaming sessions absent from replay: {sorted(missing)[:5]}"
