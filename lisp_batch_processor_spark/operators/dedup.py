@@ -731,3 +731,45 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cos"))
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD))
     return assignment(e.select("vec_id"), "vec_id", pairs, "vec_a", "vec_b")
+
+
+def srp_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
+                     threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
+    """The unlabeled-corpus swap-in q_dedup_embedding's docstring
+    names: SRP-LSH bucket blocking instead of label blocking.
+    Returns (vec_a, vec_b, cos) with vec_a < vec_b and exact cosine
+    >= threshold.
+
+    Recall contract: two vectors at cosine 0.99 disagree on one ±1
+    hyperplane with probability acos(0.99)/pi ≈ 0.045, so they share
+    a given 3-bit band with probability ≈ 0.955³ ≈ 0.87 and miss ALL
+    16 bands with probability ≈ 0.13¹⁶ ≈ 6e-15 — the bucket join is
+    exhaustive for dup-grade similarity in practice (enforced against
+    brute force in tests/test_dedup.py).
+
+    Scale notes: candidates only meet inside an (band, key) bucket —
+    an equi-join, never a cross join; expected bucket population is
+    N/2^bits per band, and the exact-cosine verify is bounded by the
+    candidate count. Downstream is unchanged: feed the pairs to
+    `assignment` (single-hop reps) or `connected_components`
+    (transitive closure), exactly like the label-blocked variant.
+    """
+    from lisp_batch_processor_spark.operators.similarity import _srp_keys_udf
+
+    srp = _srp_keys_udf()
+    sig = emb.select(F.col(id_col).alias("vid"), "embedding",
+                     F.posexplode(srp("embedding")).alias("band", "key"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("vec_a"),
+                F.col("b.vid").alias("vec_b"),
+                F.col("a.embedding").alias("ea"),
+                F.col("b.embedding").alias("eb"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b",
+                cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -240,3 +240,122 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id",
                     dround(F.col("cos"), 6).alias("cos_sim"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path.
+# ---------------------------------------------------------------------------
+#
+# SURVEY.md names two ANN scale paths: LSH-bucketed (q_similarity_ann,
+# above, under the correctness gate) and IVF. This is the IVF variant
+# as a library operator: deterministic k-means-style cells, nprobe
+# probing, exact re-rank. It has no registry row (the driver gate is
+# capped at 50 queries); its recall contract is enforced in
+# tests/test_similarity.py instead.
+
+IVF_CELLS = 16        # nlist; at corpus scale use ~sqrt(N)
+IVF_NPROBE = 4        # cells probed per query (recall/cost dial)
+IVF_LLOYD_ITERS = 2   # refinement rounds over the seed centroids
+
+
+def _ivf_seed_centroids(emb: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic k-seed selection without RNG state: the k vectors
+    with the smallest md5(vec_id) — a uniform, reproducible sample
+    (same portability rationale as the md5-derived SRP planes).
+    Collecting k×dim floats to the driver is model state, not data:
+    the centroids ARE the index parameters, exactly what a production
+    IVF trains on a sample and broadcasts."""
+    seeded = (emb.select("vec_id", "embedding",
+                         F.md5(F.col("vec_id").cast("string")).alias("h"))
+              .orderBy("h").limit(k))          # TakeOrderedAndProject
+    return [list(map(float, r.embedding)) for r in seeded.collect()]
+
+
+def _ivf_cells_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-batched cell assignment: one (batch×dim)·(dim×k) matmul
+    per batch, then the nprobe most-cosine-similar centroids (both
+    sides unit-normalized, so the dot product ranks by cosine)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroids, dtype=np.float64)
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    ct = c.T
+
+    @pandas_udf("array<int>")
+    def cells(emb_s: pd.Series) -> pd.Series:
+        if len(emb_s) == 0:  # empty Arrow batch
+            return pd.Series([], dtype=object)
+        m = np.stack(emb_s.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ ct), kind="stable", axis=1)
+        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+    return cells
+
+
+def ivf_train(emb: DataFrame, k: int = IVF_CELLS,
+              iters: int = IVF_LLOYD_ITERS) -> list[list[float]]:
+    """Deterministic IVF training: md5-seeded centroids refined by
+    Lloyd rounds expressed as DataFrame aggregations (assign = Arrow
+    matmul UDF; update = posexplode → per-(cell, dim) avg). Each round
+    is one shuffle of (cell, dim, value) triples — k×dim results,
+    independent of corpus size, so the collect is O(model).
+
+    Scale notes: at 100 TB train on a deterministic sample (e.g.
+    `WHERE md5(vec_id) < p`), then assign the full corpus once with
+    the broadcast centroid matrix — the standard IVF split of tiny
+    training from embarrassingly-parallel assignment. Empty cells
+    keep their previous centroid (no respawn heuristic: determinism
+    beats marginal balance here)."""
+    cents = _ivf_seed_centroids(emb, k)
+    for _ in range(iters):
+        one_cell = _ivf_cells_udf(cents, 1)
+        assign = emb.select(one_cell("embedding")[0].alias("cell"),
+                            "embedding")
+        means = (assign
+                 .select("cell", F.posexplode("embedding").alias("dim", "v"))
+                 .groupBy("cell", "dim").agg(F.avg("v").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                       .alias("dm")))
+        new = {r.cell: [float(x.m) for x in r.dm] for r in means.collect()}
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def ivf_topk(emb: DataFrame, centroids: list[list[float]],
+             n_query: int = N_QUERY_VECS, nprobe: int = IVF_NPROBE,
+             top_k: int = TOP_K) -> DataFrame:
+    """IVF query path: corpus vectors live in exactly one cell; each
+    query probes its nprobe nearest cells and exact-cosine re-ranks
+    the union — (query_id, neighbor_id, cos_sim, rank), same output
+    contract as q_similarity_topk / q_similarity_ann.
+
+    Scale notes: the corpus is scanned once to tag cells (narrow, no
+    shuffle — the centroid matrix is broadcast inside the UDF); the
+    bounded query set explodes to nprobe rows and broadcasts, so
+    candidate generation is a map-side equi-join on `cell`. Cell
+    population ~N/nlist bounds per-query candidate volume; nprobe/
+    nlist is the recall dial, verified against brute force in tests.
+    """
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding",
+        _ivf_cells_udf(centroids, 1)("embedding")[0].alias("cell"))
+    probe = _ivf_cells_udf(centroids, nprobe)
+    queries = (emb.filter(F.col("vec_id") < n_query)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe"),
+                       F.explode(probe("embedding")).alias("cell")))
+    # A corpus vector sits in ONE cell, so a (query, neighbor) pair
+    # meets at most once even across nprobe probes — no dedup needed.
+    pairs = (F.broadcast(queries).join(corpus, "cell")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id",
+                     cosine(F.col("qe"), F.col("embedding")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "neighbor_id",
+                    dround(F.col("cos"), 6).alias("cos_sim"), "rank"))

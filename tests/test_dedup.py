@@ -147,3 +147,50 @@ def test_editdist_verifier_composes_with_lsh_candidates(spark, tmp_path):
     cand_set = {(r.doc_a, r.doc_b) for r in cands.collect()}
     assert (0, 3) in cand_set
     assert all(p != (0, 3) for p in {(a, b) for a, b, _ in got})
+
+
+def test_srp_cosine_pairs_matches_brute_force(spark, sf_dir):
+    """The unlabeled-corpus embedding dedup (SRP bucket blocking) must
+    find exactly the brute-force cosine>=threshold pairs. The fixture
+    corpus has no dup-grade pairs (equality is checked and holds
+    vacuously there), so recall is proven on constructed near-dups —
+    at cosine ~0.999 a 16-band miss has probability ~6e-15."""
+    import numpy as np
+
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.functions.vectors import cosine as vcos
+    from lisp_batch_processor_spark.operators.dedup import srp_cosine_pairs
+
+    def brute_pairs(df):
+        a, b = df.alias("a"), df.alias("b")
+        brute = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                 .select(F.col("a.vec_id").alias("vec_a"),
+                         F.col("b.vec_id").alias("vec_b"),
+                         vcos(F.col("a.embedding"),
+                              F.col("b.embedding")).alias("cos"))
+                 .filter(F.col("cos") >= 0.99))
+        return {(r.vec_a, r.vec_b) for r in brute.collect()}
+
+    # Fixture: equality against brute force (currently both empty —
+    # i.e. no false positives survive the exact verify).
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got = {(r.vec_a, r.vec_b) for r in srp_cosine_pairs(emb).collect()}
+    assert got == brute_pairs(emb)
+
+    # Constructed corpus: 8 bases, each with a near-dup (tiny
+    # perturbation -> cosine ~0.9999), plus 8 unrelated vectors.
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(8):
+        base = rng.normal(size=64)
+        near = base + 1e-3 * rng.normal(size=64)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in near]))
+    for i in range(8):
+        rows.append((100 + i, [float(x) for x in rng.normal(size=64)]))
+    built = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    got_b = {(r.vec_a, r.vec_b) for r in srp_cosine_pairs(built).collect()}
+    want_b = brute_pairs(built)
+    assert got_b == want_b
+    assert {(2 * i, 2 * i + 1) for i in range(8)} <= got_b

@@ -67,3 +67,37 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
     # misconfigured (tune N_BANDS / BITS_PER_BAND), not "approximate".
     assert n_exact > 0
     assert hits / n_exact >= 0.8, f"ANN top-5 recall {hits / n_exact:.2f}"
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """IVF is the second ANN scale path (SURVEY §2.C names IVF or
+    LSH; both are now implemented). Deterministic training means the
+    recall is a constant of the fixture, not a flaky sample — probing
+    half the cells must recover most of the exact top-5."""
+    from lisp_batch_processor_spark.operators.similarity import (
+        ivf_topk, ivf_train, q_similarity_topk,
+    )
+    from lisp_batch_processor_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, k=16, iters=2)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+
+    approx = ivf_topk(emb, cents, nprobe=8).collect()
+    exact = q_similarity_topk(spark, sf_dir).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    n_exact = sum(len(s) for s in exact_sets.values())
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set()))
+               for q in exact_sets)
+    assert n_exact > 0
+    assert hits / n_exact >= 0.6, f"IVF top-5 recall {hits / n_exact:.2f}"
+    # Every IVF answer must carry the true exact cosine (re-rank is
+    # exact): cross-check a value against the brute-force row.
+    exact_vals = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_vals:
+            assert r.cos_sim == exact_vals[(r.query_id, r.neighbor_id)]
