@@ -115,3 +115,42 @@ def test_approx_aggregates_within_bounds_of_exact(spark, sf_dir):
         hi = v[min(n - 1, k50 - 1 + eps)]
         assert lo <= a.approx_median <= hi, (key, lo, a.approx_median, hi)
         assert a.approx_median in v, "approx median must be a data value"
+
+
+def test_window_running_range_frame_boundaries(spark, tmp_path):
+    """Pins the RANGE frame semantics q_window_running absorbed:
+    the trailing-hour frame is INCLUSIVE at exactly -1h, exclusive
+    beyond it, and includes all order-value peers (duplicate
+    timestamps) regardless of tie order."""
+    import os
+
+    from lisp_batch_processor_spark.operators.relational import (
+        q_window_running,
+    )
+
+    h = 3_600
+    t0 = 1_700_000_000  # epoch seconds
+    rows = [
+        (1, (t0) * 10**9, 7, 1.0),            # e1
+        (2, (t0 + h) * 10**9, 7, 1.0),        # exactly 1h after e1
+        (3, (t0 + 2 * h + 1) * 10**9, 7, 1.0),  # e2 is 1h+1s earlier
+        (4, (t0 + 3 * h) * 10**9, 7, 1.0),    # duplicate-ts peers...
+        (5, (t0 + 3 * h) * 10**9, 7, 2.0),
+    ]
+    sf = os.path.join(str(tmp_path), "rf")
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, value double"
+    ).write.parquet(os.path.join(sf, "events.parquet"))
+
+    got = {r.event_id: r for r in q_window_running(spark, sf).collect()}
+    assert (got[1].hour_sum, got[1].hour_n) == (1.0, 1)
+    # -1h boundary is inclusive: e1 is in e2's frame.
+    assert (got[2].hour_sum, got[2].hour_n) == (2.0, 2)
+    # 1h+1s is out: e3 sees only itself.
+    assert (got[3].hour_sum, got[3].hour_n) == (1.0, 1)
+    # RANGE includes order-value peers: both duplicate-ts rows see
+    # each other, plus e3 (3599 s earlier, inside the hour).
+    assert (got[4].hour_sum, got[4].hour_n) == (4.0, 3)
+    assert (got[5].hour_sum, got[5].hour_n) == (4.0, 3)
+    # The ROWS frames still behave: running total over the 5 events.
+    assert got[5].running_value == 6.0
