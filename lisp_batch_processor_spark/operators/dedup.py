@@ -137,29 +137,35 @@ def assignment(ids: DataFrame, id_col: str,
 
 
 def connected_components(pairs: DataFrame, a: str, b: str,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         steps_per_sync: int = 2) -> DataFrame:
     """(node, component) for every node in `pairs`, where component
     is the min node id reachable through any chain of pairs — the
     transitive closure the one-pass rep assignment approximates.
 
-    Iterative min-label propagation: each round every node takes the
+    Iterative min-label propagation: each step every node takes the
     min of its own label and its neighbors' labels; converged when no
-    label changes. Rounds = graph diameter (dedup graphs are shallow:
+    label changes. Steps = graph diameter (dedup graphs are shallow:
     near-dup clusters are cliques or short chains).
 
-    Scale notes: each round is one equi-join + one groupBy on the
-    edge list — all shuffles on node id, reusable partitioning. The
-    label frame is localCheckpoint'ed each round: without it the
-    lineage doubles per iteration and Catalyst re-analyzes an
-    exponentially growing plan (the classic iterative-algorithm
-    trap). Convergence is detected with a count() per round, which
+    Scale notes: each step is one equi-join + one groupBy on the
+    edge list — all shuffles on node id, reusable partitioning.
+    `steps_per_sync` propagation steps run between driver
+    synchronizations: the checkpoint+count barrier (the fixed
+    per-round latency that dominates iterative jobs on a busy
+    cluster) is paid once per `steps_per_sync` steps, while the plan
+    depth between checkpoints stays bounded at 2 — without any
+    checkpoint the lineage doubles per step and Catalyst re-analyzes
+    an exponentially growing plan (the classic iterative-algorithm
+    trap). Convergence is detected with a count() per sync, which
     also materializes the checkpoint.
     """
+    steps_per_sync = max(1, steps_per_sync)
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .unionAll(pairs.select(F.col(b).alias("src"),
                                     F.col(a).alias("dst")))
              .dropDuplicates(["src", "dst"])
-             # Materialize ONCE: edges feed every round's join, and
+             # Materialize ONCE: edges feed every step's join, and
              # without a checkpoint each iteration would re-execute
              # the (possibly expensive) upstream pair-generation plan.
              .localCheckpoint(eager=True))
@@ -172,20 +178,24 @@ def connected_components(pairs: DataFrame, a: str, b: str,
     # nonsense "-1 labels still changing" message.
     changed = 0 if max_iter <= 0 else -1
     for _ in range(max_iter):
-        via_edges = (edges.join(labels, edges.src == labels.node)
-                     .select(F.col("dst").alias("node"), "component"))
-        # Carry the pre-round label ("orig", unique per node) through
-        # the same aggregation, so convergence detection is a filter
-        # over the checkpointed result instead of an extra join job.
-        tagged = (labels.select("node", "component",
+        # `orig` carries each node's label from the LAST SYNC through
+        # every in-between aggregation (min keeps it: orig is unique
+        # per node and only the self row carries it), so convergence
+        # detection is a filter over the checkpointed result instead
+        # of an extra join job.
+        stepped = labels.select("node", "component",
                                 F.col("component").alias("orig"))
-                  .unionAll(via_edges.select(
-                      "node", "component",
-                      F.lit(None).cast("long").alias("orig"))))
-        merged = (tagged.groupBy("node")
-                  .agg(F.min("component").alias("component"),
-                       F.min("orig").alias("orig"))
-                  .localCheckpoint(eager=True))
+        for _ in range(steps_per_sync):
+            via_edges = (edges.join(stepped, edges.src == stepped.node)
+                         .select(F.col("dst").alias("node"), "component"))
+            stepped = (stepped.select("node", "component", "orig")
+                       .unionAll(via_edges.select(
+                           "node", "component",
+                           F.lit(None).cast("long").alias("orig")))
+                       .groupBy("node")
+                       .agg(F.min("component").alias("component"),
+                            F.min("orig").alias("orig")))
+        merged = stepped.localCheckpoint(eager=True)
         changed = merged.filter(F.col("component") < F.col("orig")).count()
         labels = merged.select("node", "component")
         if changed == 0:
@@ -197,8 +207,9 @@ def connected_components(pairs: DataFrame, a: str, b: str,
 
         warnings.warn(
             f"connected_components: {changed} labels still changing "
-            f"after max_iter={max_iter}; result is not converged "
-            f"(graph diameter exceeds the round budget)",
+            f"after max_iter={max_iter} syncs "
+            f"({max_iter * steps_per_sync} propagation steps); result "
+            f"is not converged (graph diameter exceeds the budget)",
             RuntimeWarning, stacklevel=2)
     return labels
 
