@@ -82,6 +82,15 @@ def main() -> None:
         for wq in ("q_agg_groupby", "q_join_inner"):
             qs[wq](spark, warm_dir).count()
 
+    # WARMUP POLICY (round 4): one full discarded pass over the suite
+    # at the TARGET sf before the timed passes. The tiny-sf warmup
+    # above covers codegen, but the first target-sf pass still pays
+    # page-cache population and per-query JIT tiers — on sub-second
+    # queries that cold pass inflated 3-pass MEANS ~1.7× on flat
+    # medians in rounds 2-3 (false regression alarms). Disable with
+    # SPARK_GRAFT_BENCH_WARMUP=0.
+    n_warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
+
     # Per-query MIN over THREE full passes (headline statistic,
     # continuous with BENCH_r01/r02 which also reported min): the box
     # is a shared VM and host contention windows stall execution for
@@ -90,21 +99,30 @@ def main() -> None:
     # measures the engine, not the neighbor's workload. Median and
     # mean are reported alongside: a big median/min gap flags host
     # contention masking; a regressed min flags the engine.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for pass_no in range(n_passes):
+    for pass_no in range(-n_warmup, n_passes):
+        warm = pass_no < 0
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
-            passes[name].append(dt)
-            print(f"# pass{pass_no} {name}: {dt:.3f}s ({n} rows)",
-                  file=sys.stderr)
+            if not warm:
+                passes[name].append(dt)
+            tag = "warmup" if warm else f"pass{pass_no}"
+            print(f"# {tag} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    def _median(v: list[float]) -> float:
+        s = sorted(v)
+        n = len(s)
+        # True median: average the two middle elements on even counts
+        # (sorted(v)[n//2] alone is the upper median).
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
     timings = {k: round(min(v), 3) for k, v in passes.items()}
-    timings_median = {k: round(sorted(v)[len(v) // 2], 3)
-                      for k, v in passes.items()}
+    timings_median = {k: round(_median(v), 3) for k, v in passes.items()}
     timings_mean = {k: round(sum(v) / len(v), 3) for k, v in passes.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -122,6 +140,7 @@ def main() -> None:
         "total_median": round(sum(timings_median.values()), 3),
         "total_mean": round(sum(timings_mean.values()), 3),
         "passes": n_passes,
+        "warmup_passes": n_warmup,
         "stat": f"min_of_{n_passes}",
         "sf": sf_val,
     }))

@@ -1,5 +1,5 @@
 """Fuzzy / near-duplicate detection — north-star dedup operators
-(SURVEY.md §2.C q_dedup_fuzzy, BASELINE.json north_star): MinHash+LSH,
+(SURVEY.md §2.C q_dedup_* rows, BASELINE.json north_star): MinHash+LSH,
 SimHash, n-gram Jaccard, and embedding-cosine near-dup. All are
 DataFrame-native (hash/array built-ins; no Python UDFs, no
 cartesian products — every candidate generation is a bounded
@@ -173,10 +173,11 @@ def connected_components(pairs: DataFrame, a: str, b: str,
               .distinct()
               .withColumn("component", F.col("node")))
     labels = labels.localCheckpoint(eager=True)
-    # 0, not -1: with max_iter <= 0 (or an empty graph) no round runs
-    # and the non-convergence warning below must not fire with a
-    # nonsense "-1 labels still changing" message.
-    changed = 0 if max_iter <= 0 else -1
+    # With max_iter <= 0 no round runs: the result is converged only
+    # if the graph is empty (checkpointed edges make the probe a
+    # cheap local scan), so the warning below still fires — with an
+    # honest message — instead of silently returning singletons.
+    changed = -1 if max_iter > 0 else edges.limit(1).count()
     for _ in range(max_iter):
         # `orig` carries each node's label from the LAST SYNC through
         # every in-between aggregation (min keeps it: orig is unique
@@ -205,12 +206,19 @@ def connected_components(pairs: DataFrame, a: str, b: str,
         # loudly instead of silently returning partial components.
         import warnings
 
-        warnings.warn(
-            f"connected_components: {changed} labels still changing "
-            f"after max_iter={max_iter} syncs "
-            f"({max_iter * steps_per_sync} propagation steps); result "
-            f"is not converged (graph diameter exceeds the budget)",
-            RuntimeWarning, stacklevel=2)
+        if max_iter <= 0:
+            warnings.warn(
+                f"connected_components: max_iter={max_iter} <= 0 on a "
+                "non-empty graph — no propagation ran; returning "
+                "initial singleton labels (not converged)",
+                RuntimeWarning, stacklevel=2)
+        else:
+            warnings.warn(
+                f"connected_components: {changed} labels still changing "
+                f"after max_iter={max_iter} syncs "
+                f"({max_iter * steps_per_sync} propagation steps); result "
+                f"is not converged (graph diameter exceeds the budget)",
+                RuntimeWarning, stacklevel=2)
     return labels
 
 

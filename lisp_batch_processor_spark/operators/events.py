@@ -32,8 +32,9 @@ WITH flagged AS (
 )
 SELECT user_id,
   -- DuckDB's windowed SUM(int) is HUGEINT, which pandas-canonicalizes
-  -- to float64; Spark emits bigint. Pin the type (portability
-  -- convention: every integer SUM in an oracle is cast to BIGINT).
+  -- to float64; Spark emits bigint. Pin the type — this is the
+  -- functions/numeric.sql_isum convention, inlined because the SUM
+  -- lives in the CTE above, not in this SELECT.
   CAST(session_id AS BIGINT) AS session_id,
   COUNT(*) AS n_events,
   {sql_dsum('value')} AS sum_value,

@@ -296,11 +296,20 @@ def _ivf_cells_udf(centroids: list[list[float]], nprobe: int):
 
 def ivf_train(emb: DataFrame, k: int = IVF_CELLS,
               iters: int = IVF_LLOYD_ITERS) -> list[list[float]]:
-    """Deterministic IVF training: md5-seeded centroids refined by
-    Lloyd rounds expressed as DataFrame aggregations (assign = Arrow
-    matmul UDF; update = posexplode → per-(cell, dim) avg). Each round
-    is one shuffle of (cell, dim, value) triples — k×dim results,
-    independent of corpus size, so the collect is O(model).
+    """Seed-deterministic IVF training: md5-seeded centroids refined
+    by Lloyd rounds expressed as DataFrame aggregations (assign =
+    Arrow matmul UDF; update = posexplode → per-(cell, dim) avg).
+    Each round is one shuffle of (cell, dim, value) triples — k×dim
+    results, independent of corpus size, so the collect is O(model).
+
+    "Seed-deterministic", not bit-deterministic: the SEEDS are exact
+    (md5 order), but the Lloyd update's F.avg over doubles depends on
+    partition/reduction order, so refined centroids can differ by
+    ULPs across partitionings and argsort ties near cell boundaries
+    could flip an assignment. IVF is an approximate index — recall
+    contracts (tests/test_similarity.py) are the right invariant,
+    not centroid bits. For bit-stable centroids, sum in decimal and
+    divide (functions/numeric.dsum pattern).
 
     Scale notes: at 100 TB train on a deterministic sample (e.g.
     `WHERE md5(vec_id) < p`), then assign the full corpus once with
@@ -309,6 +318,11 @@ def ivf_train(emb: DataFrame, k: int = IVF_CELLS,
     keep their previous centroid (no respawn heuristic: determinism
     beats marginal balance here)."""
     cents = _ivf_seed_centroids(emb, k)
+    # A corpus smaller than k seeds fewer than k centroids; clamp so
+    # the refresh comprehension below can't index past the seed list.
+    k = len(cents)
+    if k == 0:
+        raise ValueError("ivf_train: empty corpus, no centroids to seed")
     for _ in range(iters):
         one_cell = _ivf_cells_udf(cents, 1)
         assign = emb.select(one_cell("embedding")[0].alias("cell"),

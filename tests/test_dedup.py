@@ -194,3 +194,70 @@ def test_srp_cosine_pairs_matches_brute_force(spark, sf_dir):
     want_b = brute_pairs(built)
     assert got_b == want_b
     assert {(2 * i, 2 * i + 1) for i in range(8)} <= got_b
+
+
+def test_connected_components_steps_per_sync_path_graph(spark):
+    """Pin convergence detection when steps_per_sync > 1 (the `orig`
+    label-carrier trick, dedup.py): on an odd-diameter path graph the
+    last sync does one useful step plus one no-op step, so the
+    carrier must still report that sync as 'changed' and require one
+    clean extra sync to detect the fixpoint.
+
+    Path 1-2-3-4-5-6-7-8: diameter 7 (odd). Min-label propagation
+    needs 7 steps; with steps_per_sync=2 that is 4 changing syncs
+    plus 1 clean detection sync.
+    """
+    import warnings
+
+    from lisp_batch_processor_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["doc_a", "doc_b"])
+    want = {i: 1 for i in range(1, 9)}  # recursive-closure answer
+
+    # Enough budget (5 syncs x 2 steps >= 7 + detection): converged,
+    # exact labels, NO warning.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {r.node: r.component
+               for r in connected_components(
+                   pairs, "doc_a", "doc_b",
+                   max_iter=5, steps_per_sync=2).collect()}
+    assert got == want
+
+    # Budget below the diameter (3 syncs x 2 steps = 6 < 7): labels
+    # are NOT the closure and the non-convergence warning MUST fire.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got_short = {r.node: r.component
+                     for r in connected_components(
+                         pairs, "doc_a", "doc_b",
+                         max_iter=3, steps_per_sync=2).collect()}
+    assert any("not converged" in str(x.message) for x in w)
+    assert got_short != want
+    # Propagation is still monotone: 6 of the 7 hops completed.
+    assert got_short[7] == 1 and got_short[8] == 2
+
+
+def test_connected_components_zero_max_iter_warns(spark):
+    """max_iter <= 0 on a non-empty graph must warn (no propagation
+    ran; singletons are not converged) — and stay silent on an empty
+    graph, where singletons ARE the fixpoint."""
+    import warnings
+
+    from lisp_batch_processor_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {r.node: r.component
+               for r in connected_components(
+                   pairs, "doc_a", "doc_b", max_iter=0).collect()}
+    assert got == {1: 1, 2: 2}  # untouched singletons
+    assert any("no propagation ran" in str(x.message) for x in w)
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        assert connected_components(
+            empty, "doc_a", "doc_b", max_iter=0).count() == 0

@@ -71,9 +71,10 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
 
 def test_ivf_recall_against_brute_force(spark, sf_dir):
     """IVF is the second ANN scale path (SURVEY §2.C names IVF or
-    LSH; both are now implemented). Deterministic training means the
-    recall is a constant of the fixture, not a flaky sample — probing
-    half the cells must recover most of the exact top-5."""
+    LSH; both are now implemented). Seed-deterministic training (md5
+    seeds; Lloyd means can move by ULPs across partitionings) keeps
+    recall stable on the fixture without a flaky random sample —
+    probing half the cells must recover most of the exact top-5."""
     from lisp_batch_processor_spark.operators.similarity import (
         ivf_topk, ivf_train, q_similarity_topk,
     )
@@ -101,3 +102,53 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_vals:
             assert r.cos_sim == exact_vals[(r.query_id, r.neighbor_id)]
+
+
+def test_ivf_train_on_sample_probe_full_corpus(spark, sf_dir):
+    """The scale recipe in ivf_train's docstring — train centroids on
+    a deterministic `md5(vec_id) < p` sample, then assign/probe the
+    FULL corpus — must hold the same recall bar as full-corpus
+    training (the sample only moves centroids, and nprobe/nlist is
+    what bounds recall)."""
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.similarity import (
+        ivf_topk, ivf_train, q_similarity_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    # ~50% deterministic sample: first md5 hex digit < '8'.
+    sample = emb.filter(
+        F.md5(F.col("vec_id").cast("string")) < F.lit("8"))
+    n_all, n_sample = emb.count(), sample.count()
+    assert 0 < n_sample < n_all
+
+    cents = ivf_train(sample, k=16, iters=2)
+    assert len(cents) == 16
+
+    approx = ivf_topk(emb, cents, nprobe=8).collect()
+    exact = q_similarity_topk(spark, sf_dir).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    n_exact = sum(len(s) for s in exact_sets.values())
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set()))
+               for q in exact_sets)
+    assert n_exact > 0
+    assert hits / n_exact >= 0.6, \
+        f"sample-trained IVF top-5 recall {hits / n_exact:.2f}"
+
+
+def test_ivf_train_tiny_corpus_clamps_k(spark):
+    """A corpus smaller than k must train len(corpus) centroids, not
+    IndexError inside the Lloyd refresh (ADVICE r3)."""
+    import numpy as np
+
+    from lisp_batch_processor_spark.operators.similarity import ivf_train
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(5)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_train(tiny, k=16, iters=1)
+    assert len(cents) == 5 and all(len(c) == 64 for c in cents)
