@@ -65,9 +65,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature and self-join on (band_idx, band_key) —
-    candidates only ever meet inside a bucket, never via cross join.
+def banded_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key): the LSH index rows for a
+    signature frame — the thing a production pipeline PERSISTS as the
+    corpus signature index (partitioned by band_idx, bucketed by
+    band_key) so later batches join against it without touching the
+    corpus text.
 
     The band key is the exact ':'-joined signature slice (not a hash
     of it) so the oracle's candidate set is identical by construction;
@@ -83,8 +86,14 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
              .alias("band_key"))
         for b in range(MINHASH_BANDS)
     ])
-    banded = (sig.select("doc_id", F.explode(bands).alias("bk"))
-              .select("doc_id", "bk.band_idx", "bk.band_key"))
+    return (sig.select("doc_id", F.explode(bands).alias("bk"))
+            .select("doc_id", "bk.band_idx", "bk.band_key"))
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_key) —
+    candidates only ever meet inside a bucket, never via cross join."""
+    banded = banded_signatures(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -367,6 +376,67 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirmed = verify_jaccard(docs, pairs).filter(
         F.col("inter") * 10 >= F.col("uni") * 7)
     return assignment(docs.select("doc_id"), "doc_id",
+                      confirmed, "doc_a", "doc_b")
+
+
+def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
+                          corpus_index: DataFrame | None = None,
+                          threshold_num: int = 7,
+                          threshold_den: int = 10) -> DataFrame:
+    """Batch-vs-corpus incremental near-dup — the most common
+    production dedup shape: assign a NEW batch of documents against an
+    EXISTING corpus without ever self-joining the corpus. Returns one
+    row per batch doc: (doc_id, rep_id, is_dup), where rep_id is the
+    min id among LSH-confirmed neighbors (corpus or batch) — exactly
+    what the full self-join over (corpus ∪ batch) would assign to the
+    new docs (pinned by tests/test_dedup.py).
+
+    Candidate generation is two bounded equi-joins on the LSH bucket
+    key: batch-bands vs the corpus signature index (`corpus_index`, a
+    `banded_signatures` frame — pass the persisted one; it is rebuilt
+    from `corpus_docs` only when omitted), plus batch-vs-batch for
+    dups arriving together. Exact-Jaccard verification reads corpus
+    text only for candidate doc_ids (semi-join prune), so per-batch
+    cost is O(batch + candidates) — the corpus contributes index rows
+    and the pruned verify set, never a self-join.
+
+    Scale notes (100 TB corpus, GB-sized batches): persist the index
+    partitioned by band_idx / bucketed by band_key so the batch join
+    is co-located; persist (doc_id, text) — or precomputed shingle
+    sets — as the verify store keyed by doc_id. Appending the new
+    non-dup docs' signatures to the index keeps the pipeline
+    incremental forever. Jaccard threshold is integer-exact:
+    inter * threshold_den >= uni * threshold_num (default 0.7, same
+    as q_dedup_minhash).
+    """
+    sig_new = minhash_signatures(batch_docs)
+    new_banded = banded_signatures(sig_new)
+    if corpus_index is None:
+        corpus_index = banded_signatures(minhash_signatures(corpus_docs))
+    bc = (new_banded.alias("n")
+          .join(corpus_index.alias("c"),
+                (F.col("n.band_idx") == F.col("c.band_idx"))
+                & (F.col("n.band_key") == F.col("c.band_key")))
+          .select(F.col("n.doc_id").alias("new_id"),
+                  F.col("c.doc_id").alias("old_id")))
+    bb = lsh_candidate_pairs(sig_new)
+    # Normalize to (doc_a=min, doc_b=max) — the exact pair shape the
+    # full (corpus ∪ batch) self-join produces, so `assignment` gives
+    # identical reps.
+    pairs = (bc.select(F.least("new_id", "old_id").alias("doc_a"),
+                       F.greatest("new_id", "old_id").alias("doc_b"))
+             .unionByName(bb)
+             .dropDuplicates(["doc_a", "doc_b"]))
+    touched = (pairs.select(F.col("doc_a").alias("doc_id"))
+               .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+               .distinct())
+    verify_docs = (
+        corpus_docs.join(touched, "doc_id", "left_semi")
+        .select("doc_id", "text")
+        .unionByName(batch_docs.select("doc_id", "text")))
+    confirmed = verify_jaccard(verify_docs, pairs).filter(
+        F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
+    return assignment(batch_docs.select("doc_id"), "doc_id",
                       confirmed, "doc_a", "doc_b")
 
 

@@ -261,3 +261,68 @@ def test_connected_components_zero_max_iter_warns(spark):
         warnings.simplefilter("error", RuntimeWarning)
         assert connected_components(
             empty, "doc_a", "doc_b", max_iter=0).count() == 0
+
+
+def test_incremental_near_dups_equals_full_self_join(spark):
+    """incremental_near_dups must assign new docs exactly what the
+    full self-join over (corpus ∪ batch) assigns them — proven on a
+    corpus with an internal dup cluster plus a batch containing a
+    corpus near-dup, an exact corpus dup, a batch-internal dup pair,
+    and a novel doc."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        banded_signatures,
+        incremental_near_dups,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    other = ("spark catalyst tungsten codegen arrow shuffle partition "
+             "executor broadcast join aggregate window stream state "
+             "watermark checkpoint parquet column prune filter push")
+    corpus_rows = [
+        (10, BASE),
+        (11, BASE),                                   # corpus-internal dup
+        (12, other),
+        (13, "databases indexes btrees transactions locks logs pages "
+             "buffers recovery checkpoints undo redo vacuum stats "
+             "planner optimizer executor storage compression bloom"),
+    ]
+    batch_rows = [
+        (20, BASE.replace("winter", "summer")),       # near-dup of corpus 10/11
+        (21, other),                                  # exact dup of corpus 12
+        (22, "totally novel text about mountains rivers valleys and "
+             "glaciers carving stone over ten thousand slow years"),
+        (23, "totally novel text about mountains rivers valleys and "
+             "glaciers carving stone over ten thousand fast years"),  # dup of 22
+    ]
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    got = {(r.doc_id, r.rep_id, r.is_dup)
+           for r in incremental_near_dups(corpus, batch).collect()}
+
+    union = corpus.unionByName(batch)
+    sig = minhash_signatures(union)
+    confirmed = verify_jaccard(union, lsh_candidate_pairs(sig)).filter(
+        F.col("inter") * 10 >= F.col("uni") * 7)
+    from lisp_batch_processor_spark.operators.dedup import assignment
+    full = assignment(union.select("doc_id"), "doc_id",
+                      confirmed, "doc_a", "doc_b")
+    want = {(r.doc_id, r.rep_id, r.is_dup)
+            for r in full.filter(F.col("doc_id") >= 20).collect()}
+
+    assert got == want
+    by_id = {d: (r, dup) for d, r, dup in got}
+    assert by_id[20] == (10, True)     # near-dup -> earliest corpus rep
+    assert by_id[21] == (12, True)     # exact dup -> corpus rep
+    assert by_id[22] == (22, False)    # novel, first of its pair
+    assert by_id[23] == (22, True)     # batch-internal dup -> batch rep
+
+    # The persisted-index path must agree with the rebuild path.
+    idx = banded_signatures(minhash_signatures(corpus))
+    got_idx = {(r.doc_id, r.rep_id, r.is_dup)
+               for r in incremental_near_dups(
+                   corpus, batch, corpus_index=idx).collect()}
+    assert got_idx == want
