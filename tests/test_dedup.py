@@ -326,3 +326,47 @@ def test_incremental_near_dups_equals_full_self_join(spark):
                for r in incremental_near_dups(
                    corpus, batch, corpus_index=idx).collect()}
     assert got_idx == want
+
+
+def test_contraction_matches_label_propagation(spark):
+    """Star-contraction CC must produce identical (node, component)
+    labels to min-label propagation (the oracle twin) — on the
+    chain+triangle fixture, a deep path, and a random graph — while
+    converging in O(log n) rounds where propagation needs O(diameter)
+    syncs."""
+    import random
+
+    from lisp_batch_processor_spark.operators.dedup import (
+        connected_components,
+        connected_components_contraction,
+    )
+
+    def labels(df):
+        return {r.node: r.component for r in df.collect()}
+
+    fixture = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6), (6, 7), (5, 7)],
+        ["doc_a", "doc_b"])
+    assert (labels(connected_components_contraction(
+                fixture, "doc_a", "doc_b"))
+            == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 5})
+
+    # Deep path: 65 nodes, diameter 64. Label prop at 2 steps/sync
+    # needs 32+ syncs; contraction must finish in O(log n) rounds.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 65)], ["doc_a", "doc_b"])
+    stats = {}
+    got = labels(connected_components_contraction(
+        path, "doc_a", "doc_b", stats=stats))
+    assert got == {i: 1 for i in range(1, 66)}
+    assert stats["rounds"] <= 10, f"too many rounds: {stats['rounds']}"
+
+    # Random graph: contraction == propagation label-for-label.
+    rng = random.Random(11)
+    rand_edges = [(rng.randrange(200), rng.randrange(200))
+                  for _ in range(120)]
+    rand_edges = [(u, v) for u, v in rand_edges if u != v]
+    rdf = spark.createDataFrame(rand_edges, ["doc_a", "doc_b"])
+    assert (labels(connected_components_contraction(rdf, "doc_a", "doc_b"))
+            == labels(connected_components(rdf, "doc_a", "doc_b",
+                                           max_iter=50)))
