@@ -734,7 +734,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .withColumn("r", F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "tok")))
         .filter(F.col("r") <= F.expr("sz - ((4*sz + 4) div 5) + 1"))
-        .select("doc_id", "source", "sz", "tok")
+        .select("doc_id", "source", "sz", "tok", "r")
         # Materialize: both sides of the self-join (and nothing else)
         # read this frame; without it Spark re-runs tokenize+freq+
         # window once per side. ~20% of postings -> small.
@@ -745,11 +745,25 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # it keeps incompatible pairs out of the candidate set entirely.
     size_ok = (F.least(F.col("a.sz"), F.col("b.sz")) * 5
                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * 4)
+    # ppjoin POSITIONAL filter (integer-exact): a match at global
+    # token-order positions (r_a, r_b) bounds the overlap by
+    # 1 + min(sz_a - r_a, sz_b - r_b); Jaccard >= 0.8 requires
+    # overlap >= 4*(sz_a+sz_b)/9 (from 9*I >= 4*(|A|+|B|)), so a
+    # posting survives iff 9*bound >= 4*(sz_a+sz_b). The bound is
+    # valid for the pair's FIRST common token (nothing common
+    # precedes it in the shared order), and every qualifying pair
+    # passes there — later matches may under-bound and drop their
+    # posting, but the pair survives via dropDuplicates as long as
+    # ONE posting passes. Prunes pairs whose only shared prefix
+    # tokens sit too late in either list.
+    pos_ok = (9 * (F.lit(1) + F.least(F.col("a.sz") - F.col("a.r"),
+                                      F.col("b.sz") - F.col("b.r")))
+              >= 4 * (F.col("a.sz") + F.col("b.sz")))
     cand = (
         a.join(b, (F.col("a.source") == F.col("b.source"))
                   & (F.col("a.tok") == F.col("b.tok"))
                   & (F.col("a.doc_id") < F.col("b.doc_id"))
-                  & size_ok)
+                  & size_ok & pos_ok)
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"]))
