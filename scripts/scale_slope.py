@@ -1,0 +1,171 @@
+"""Scale-slope measurement: converts the operators' "scale notes"
+docstring claims into evidence.
+
+Runs the most expensive queries at sf0.01, sf0.1, and a x10 synthetic
+blow-up of sf0.1 (union of 10 replicas with shifted keys; replica
+token-suffixing keeps replicas textually DISJOINT so near-dup density
+per block stays constant and only corpus size grows — measuring
+corpus scaling, not dup-density scaling). /root/testdata is
+read-only, so the blow-up is materialized once under
+$SPARK_GRAFT_SCALE_DIR (default /root/repo/.scale/x10).
+
+Streaming twins (q_stream_sessions, q_stream_dedup) are measured at
+sf0.01/sf0.1 only: their source reads the single-file events fixture
+via pathGlobFilter, which a Spark-written multi-file blow-up can't
+feed without changing the reader under test.
+
+Per (query, scale): 1 discarded warmup pass + N timed passes
+($SPARK_GRAFT_SCALE_PASSES, default 2), min reported. The slope
+exponent between scales a and b is ln(t_b/t_a) / ln(rows_b/rows_a);
+<= ~1.15 reads as linear. The sf0.01 point is fixed-overhead
+dominated (sub-second job latency), so the sf0.1 -> x10 exponent is
+the load-bearing number.
+
+Writes SCALE_r04.json and prints a markdown table (pasted into
+SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lisp_batch_processor_spark import all_queries  # noqa: E402
+from lisp_batch_processor_spark.session import get_spark  # noqa: E402
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+REPLICAS = 10
+KEY_SHIFT = 10**9
+
+# query -> (driving table for the rows metric, supports x10 blow-up)
+QUERIES = {
+    "q_dedup_connected": ("documents", True),
+    "q_dedup_ngram": ("documents", True),
+    "q_dedup_minhash": ("documents", True),
+    "q_dedup_simhash": ("documents", True),
+    "q_exists_decorrelated": ("lineitem", True),
+    "q_stream_sessions": ("events", False),
+    "q_stream_dedup": ("events", False),
+}
+
+
+def build_blowup(spark, out_dir: str) -> None:
+    """Materialize the x10 blow-up of sf0.1 (documents + orders +
+    lineitem), deterministic so reruns reuse it.
+
+    documents: doc_id shifted per replica; source suffixed (replica
+    blocks stay original-sized); every TOKEN suffixed with the
+    replica tag, so replica vocabularies are disjoint — no
+    cross-replica shingle/minhash/simhash collisions, corpus 10x.
+    orders/lineitem: order keys shifted per replica (new orders, same
+    supplier/part dims — per-order groups stay original-sized).
+    """
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    parts = []
+    for i in range(REPLICAS):
+        d = (docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_SHIFT))
+             .withColumn("source", F.concat_ws("_", "source", F.lit(f"r{i}"))))
+        if i > 0:
+            d = d.withColumn(
+                "text",
+                F.regexp_replace("text", "([a-zA-Z0-9]+)", f"$1q{i}x"))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        t = spark.read.parquet(f"{SF01}/{tbl}.parquet")
+        reps = [t.withColumn(key, F.col(key) + F.lit(i * KEY_SHIFT))
+                for i in range(REPLICAS)]
+        u = reps[0]
+        for p in reps[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+
+
+def main() -> None:
+    blow_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR",
+                              "/root/repo/.scale/x10")
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark("scale-slope", cpus=cpus, shuffle_partitions=cpus)
+    qs = all_queries()
+
+    if not os.path.isdir(os.path.join(blow_dir, "documents.parquet")):
+        print("# building x10 blow-up ...", file=sys.stderr)
+        build_blowup(spark, blow_dir)
+
+    rows_cache: dict[tuple[str, str], int] = {}
+
+    def nrows(sf_dir: str, table: str) -> int:
+        key = (sf_dir, table)
+        if key not in rows_cache:
+            rows_cache[key] = (spark.read
+                               .parquet(f"{sf_dir}/{table}.parquet").count())
+        return rows_cache[key]
+
+    results: dict[str, dict] = {}
+    for name, (table, blowable) in QUERIES.items():
+        scales = [("sf0.01", SF001), ("sf0.1", SF01)]
+        if blowable:
+            scales.append(("x10", blow_dir))
+        per_scale = {}
+        for label, sf_dir in scales:
+            times = []
+            for p in range(-1, n_passes):  # pass -1 = discarded warmup
+                t0 = time.perf_counter()
+                out_n = qs[name](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                if p >= 0:
+                    times.append(dt)
+                print(f"# {name} {label} pass{p}: {dt:.2f}s "
+                      f"({out_n} out rows)", file=sys.stderr)
+            per_scale[label] = {
+                "sec": round(min(times), 3),
+                "input_rows": nrows(sf_dir, table),
+            }
+        slopes = {}
+        labels = [s[0] for s in scales]
+        for lo, hi in zip(labels, labels[1:]):
+            t1, t2 = per_scale[lo]["sec"], per_scale[hi]["sec"]
+            n1, n2 = (per_scale[lo]["input_rows"],
+                      per_scale[hi]["input_rows"])
+            slopes[f"{lo}->{hi}"] = round(
+                math.log(t2 / t1) / math.log(n2 / n1), 2)
+        results[name] = {"scales": per_scale, "slope_exponents": slopes}
+
+    payload = {
+        "metric": "scale_slope",
+        "stat": f"min_of_{n_passes}_after_warmup",
+        "replicas": REPLICAS,
+        "queries": results,
+    }
+    with open("/root/repo/SCALE_r04.json", "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+
+    # Markdown table for SCALE.md
+    print("\n| query | sf0.01 | sf0.1 | x10 | exp(0.01->0.1) | "
+          "exp(0.1->x10) |")
+    print("|---|---|---|---|---|---|")
+    for name, r in results.items():
+        s = r["scales"]
+        e = r["slope_exponents"]
+        x10 = f"{s['x10']['sec']}s" if "x10" in s else "—"
+        e2 = e.get("sf0.1->x10", "—")
+        print(f"| {name} | {s['sf0.01']['sec']}s | {s['sf0.1']['sec']}s "
+              f"| {x10} | {e['sf0.01->sf0.1']} | {e2} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""End-to-end training-data pipeline composition — the real-world
+shape all the operators exist to serve, chained through the engine's
+`Pipeline` abstraction (the reference's ordered/reorderable stage
+list, SURVEY.md §1.2) into ONE lazy Catalyst plan:
+
+    quality filter -> exact dedup -> near-dup dedup (MinHash+LSH ->
+    connected components) -> per-source token accounting
+
+Each stage is independently oracle-checked elsewhere (q_text_quality,
+q_text_fingerprint, q_dedup_minhash, q_dedup_connected,
+q_text_tokens); this test pins the CROSS-STAGE invariants a corpus
+curation run depends on: the kept set is dup-free under the pipeline's
+own definitions, every dropped doc traces to a kept representative,
+and stage toggling (the Pipeline contract) only widens/narrows the
+output monotonically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.operators.dedup import (
+    connected_components_contraction,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    verify_jaccard,
+)
+from lisp_batch_processor_spark.operators.text import tokens_col
+from lisp_batch_processor_spark.pipeline import Pipeline
+
+MIN_TOKENS = 5
+MIN_ALPHA = 0.3
+JACCARD_NUM, JACCARD_DEN = 7, 10  # keep >= 0.7 pairs, as q_dedup_minhash
+
+
+def quality_filter(df):
+    """Pre-training quality gate: enough tokens, mostly-alphabetic."""
+    alpha = (F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+             .cast("double") / F.length("text"))
+    return (df.withColumn("n_tokens", F.size(tokens_col()))
+            .filter((F.col("n_tokens") >= MIN_TOKENS)
+                    & (alpha >= MIN_ALPHA)))
+
+
+def exact_dedup(df):
+    """Keep the min doc_id per normalized-content fingerprint."""
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    w_min = (df.withColumn("fp", fp)
+             .groupBy("fp").agg(F.min("doc_id").alias("keep_id")))
+    return (df.withColumn("fp", fp)
+            .join(w_min, "fp", "left_semi")  # prunes nothing; keeps plan narrow
+            .join(w_min.select(F.col("keep_id").alias("doc_id")),
+                  "doc_id", "left_semi")
+            .drop("fp"))
+
+
+def near_dedup(df):
+    """MinHash+LSH candidates -> exact-Jaccard verify -> transitive
+    closure -> keep component representatives only."""
+    confirmed = verify_jaccard(df, lsh_candidate_pairs(
+        minhash_signatures(df))).filter(
+        F.col("inter") * JACCARD_DEN >= F.col("uni") * JACCARD_NUM)
+    comp = connected_components_contraction(confirmed, "doc_a", "doc_b")
+    dropped = comp.filter(F.col("node") != F.col("component")) \
+                  .select(F.col("node").alias("doc_id"))
+    return df.join(dropped, "doc_id", "left_anti")
+
+
+def token_accounting(df):
+    return (df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(tokens_col())).alias("total_tokens")))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """Fixture documents + constructed dups so every stage has work:
+    an exact dup (whitespace/case churn only), a near dup (one token
+    changed), and a low-quality doc the first gate must drop."""
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            (9_000_001, base.source, "  " + base.text.upper() + "  "),
+            (9_000_002, base.source,
+             base.text + " zzextra zzextra zzextra"),
+            (9_000_003, base.source, "!!! 123 ??? 456 *** 789 %%% 000"),
+        ],
+        "doc_id long, source string, text string")
+    return docs.unionByName(extra), base.doc_id
+
+
+def test_training_data_pipeline_composition(spark, corpus):
+    docs, base_id = corpus
+    pipe = (Pipeline()
+            .add("quality", quality_filter)
+            .add("exact_dedup", exact_dedup)
+            .add("near_dedup", near_dedup))
+    kept = pipe(docs).localCheckpoint(eager=True)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    n_in = docs.count()
+
+    # The constructed rows route correctly: low-quality dropped at the
+    # gate, exact dup collapsed to the earlier doc, near dup collapsed
+    # into the base's component.
+    assert 9_000_003 not in kept_ids
+    assert 9_000_001 not in kept_ids
+    assert 9_000_002 not in kept_ids
+    assert base_id in kept_ids
+    assert 0 < len(kept_ids) < n_in
+
+    # THE dup-free invariant: rerunning the pipeline's own near-dup
+    # detection on the kept set finds zero confirmed pairs.
+    leftover = verify_jaccard(kept, lsh_candidate_pairs(
+        minhash_signatures(kept))).filter(
+        F.col("inter") * JACCARD_DEN >= F.col("uni") * JACCARD_NUM)
+    assert leftover.count() == 0
+
+    # Idempotence: the pipeline is a fixpoint on its own output.
+    again = {r.doc_id for r in pipe(kept).select("doc_id").collect()}
+    assert again == kept_ids
+
+    # Downstream accounting stage composes on the curated set.
+    acct = {r.source: (r.n_docs, r.total_tokens)
+            for r in token_accounting(kept).collect()}
+    assert sum(n for n, _ in acct.values()) == len(kept_ids)
+    assert all(t > 0 for _, t in acct.values())
+
+
+def test_pipeline_stage_toggling_is_monotone(spark, corpus):
+    """The Pipeline contract under composition: disabling a dedup
+    stage can only widen the kept set; re-enabling restores it."""
+    docs, _ = corpus
+    pipe = (Pipeline()
+            .add("quality", quality_filter)
+            .add("exact_dedup", exact_dedup)
+            .add("near_dedup", near_dedup))
+    full = {r.doc_id for r in pipe(docs).select("doc_id").collect()}
+
+    pipe.set_enabled("near_dedup", False)
+    no_near = {r.doc_id for r in pipe(docs).select("doc_id").collect()}
+    assert full < no_near  # the near-dups reappear
+
+    pipe.set_enabled("near_dedup", True)
+    assert {r.doc_id
+            for r in pipe(docs).select("doc_id").collect()} == full
