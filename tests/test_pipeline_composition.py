@@ -47,13 +47,10 @@ def quality_filter(df):
 def exact_dedup(df):
     """Keep the min doc_id per normalized-content fingerprint."""
     fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
-    w_min = (df.withColumn("fp", fp)
-             .groupBy("fp").agg(F.min("doc_id").alias("keep_id")))
-    return (df.withColumn("fp", fp)
-            .join(w_min, "fp", "left_semi")  # prunes nothing; keeps plan narrow
-            .join(w_min.select(F.col("keep_id").alias("doc_id")),
-                  "doc_id", "left_semi")
-            .drop("fp"))
+    keep = (df.select(fp.alias("fp"), "doc_id")
+            .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    return df.join(keep, "doc_id", "left_semi")
 
 
 def near_dedup(df):
