@@ -370,3 +370,25 @@ def test_contraction_matches_label_propagation(spark):
     assert (labels(connected_components_contraction(rdf, "doc_a", "doc_b"))
             == labels(connected_components(rdf, "doc_a", "doc_b",
                                            max_iter=50)))
+
+
+def test_library_operator_plans_are_scale_safe(spark, sf_dir):
+    """Extend the registered-query plan audit to the round-4 LIBRARY
+    operators: incremental batch-vs-corpus dedup must generate
+    candidates via equi-joins only (no cartesian / broadcast nested
+    loop) and stay JVM-side (no row-at-a-time Python eval)."""
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.dedup import (
+        incremental_near_dups,
+    )
+    from lisp_batch_processor_spark.plans.inspect import (
+        assert_no_cartesian,
+        physical_plan,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    out = incremental_near_dups(corpus, batch)
+    assert_no_cartesian(out)
+    assert "BatchEvalPython" not in physical_plan(out)
