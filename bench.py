@@ -4,8 +4,15 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is timed as plan-build + full execution; results are
-consumed via count() on a cached-free plan (no collect of wide rows
-to the driver — the driver is not part of the measured engine).
+consumed via a `noop` datasource write, which forces every operator
+to produce every row without collecting anything to the driver.
+count() is NOT a valid consumption for benchmarking this engine:
+under a count that reads no columns, Catalyst eliminates left-outer
+joins whose right side is an aggregate (provably unique join key), so
+the assignment-shaped dedup queries (q_dedup_minhash / simhash /
+embedding) collapsed to bare scans — discovered in round 4 when their
+x100 blow-up timings came back flat. Pre-r4 BENCH totals undercount
+those queries; per-query numbers for everything else are continuous.
 """
 
 from __future__ import annotations
@@ -107,12 +114,12 @@ def main() -> None:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             if not warm:
                 passes[name].append(dt)
             tag = "warmup" if warm else f"pass{pass_no}"
-            print(f"# {tag} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+            print(f"# {tag} {name}: {dt:.3f}s", file=sys.stderr)
 
     def _median(v: list[float]) -> float:
         s = sorted(v)
@@ -141,6 +148,7 @@ def main() -> None:
         "total_mean": round(sum(timings_mean.values()), 3),
         "passes": n_passes,
         "warmup_passes": n_warmup,
+        "consume": "noop_write",
         "stat": f"min_of_{n_passes}",
         "sf": sf_val,
     }))

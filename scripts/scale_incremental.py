@@ -1,0 +1,113 @@
+"""Incremental batch-vs-corpus dedup scale measurement: the
+production-shaped companion to scale_slope.py.
+
+Measures `dedup.incremental_near_dups` assigning a FIXED 500-doc
+batch (sf0.01 documents, ids shifted into a fresh key range) against
+corpora of growing size (sf0.1 and the x10 blow-up), with the corpus
+signature index PERSISTED to parquet first — the amortized production
+configuration, where per-batch work must not grow with the corpus.
+
+Consumption is a `noop` datasource write, never count(): the operator
+returns an assignment (left outer join on an aggregated min-neighbor
+key), which Catalyst join-eliminates under a column-less count — see
+bench.py's module docstring for the round-4 discovery.
+
+Per (corpus, config): 1 discarded warmup + N timed passes
+($SPARK_GRAFT_SCALE_PASSES, default 3), min reported. Also reports
+the index-rebuild cost per corpus (the amortized-away part) so the
+flat-batch claim is shown against the cost it avoids.
+
+Writes SCALE_INC_r04.json and prints a markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lisp_batch_processor_spark.operators.dedup import (  # noqa: E402
+    banded_signatures, incremental_near_dups, minhash_signatures)
+from lisp_batch_processor_spark.session import get_spark  # noqa: E402
+from scripts.scale_slope import SF01, build_blowup  # noqa: E402
+
+SF001 = "/root/testdata/sf0.01"
+BATCH_SHIFT = 5 * 10**12  # far above any corpus/replica key range
+
+
+def main() -> None:
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark("scale-incremental", cpus=cpus, shuffle_partitions=cpus)
+
+    blow_dir = "/root/repo/.scale/x10"
+    if not os.path.isdir(os.path.join(blow_dir, "documents.parquet")):
+        print("# building x10 blow-up ...", file=sys.stderr)
+        build_blowup(spark, blow_dir, {"documents"})
+
+    batch = (spark.read.parquet(f"{SF001}/documents.parquet")
+             .withColumn("doc_id", F.col("doc_id") + F.lit(BATCH_SHIFT)))
+    batch_n = batch.count()
+
+    corpora = [("sf0.1", f"{SF01}/documents.parquet"),
+               ("x10", f"{blow_dir}/documents.parquet")]
+    results: dict[str, dict] = {}
+    for label, path in corpora:
+        corpus = spark.read.parquet(path)
+        idx_path = f"/root/repo/.scale/inc_index_{label}.parquet"
+
+        t0 = time.perf_counter()
+        (banded_signatures(minhash_signatures(corpus))
+         .write.mode("overwrite").parquet(idx_path))
+        idx_build_sec = time.perf_counter() - t0
+
+        index = spark.read.parquet(idx_path)
+        idx_rows = index.count()
+        out_n = incremental_near_dups(corpus, batch,
+                                      corpus_index=index).count()
+
+        times = []
+        for p in range(-1, n_passes):  # pass -1 = discarded warmup
+            t0 = time.perf_counter()
+            (incremental_near_dups(corpus, batch, corpus_index=index)
+             .write.format("noop").mode("overwrite").save())
+            dt = time.perf_counter() - t0
+            if p >= 0:
+                times.append(dt)
+            print(f"# {label} pass{p}: {dt:.2f}s ({out_n} out rows)",
+                  file=sys.stderr)
+        results[label] = {
+            "corpus_rows": corpus.count(),
+            "index_rows": idx_rows,
+            "index_build_sec": round(idx_build_sec, 3),
+            "batch_rows": batch_n,
+            "batch_out_rows": out_n,
+            "per_batch_sec": round(min(times), 3),
+        }
+
+    payload = {
+        "metric": "scale_incremental_dedup",
+        "stat": f"min_of_{n_passes}_after_warmup",
+        "consume": "noop_write",
+        "corpora": results,
+    }
+    with open("/root/repo/SCALE_INC_r04.json", "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+
+    print("\n| corpus | index rows | index build | per-batch wall "
+          "| batch out rows |")
+    print("|---|---|---|---|---|")
+    for label, r in results.items():
+        print(f"| {label} ({r['corpus_rows']} docs) | {r['index_rows']:,} "
+              f"| {r['index_build_sec']}s | {r['per_batch_sec']}s "
+              f"| {r['batch_out_rows']} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,9 @@ from lisp_batch_processor_spark.session import get_spark  # noqa: E402
 
 SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
-REPLICAS = 10
+# x10 by default; SPARK_GRAFT_SCALE_REPLICAS=100 adds a second decade
+# (the blow-up materializes under .scale/x<n>).
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 KEY_SHIFT = 10**9
 
 # query -> (driving table for the rows metric, supports x10 blow-up)
@@ -57,7 +59,8 @@ QUERIES = {
 }
 
 
-def build_blowup(spark, out_dir: str) -> None:
+def build_blowup(spark, out_dir: str,
+                 tables: set[str] | None = None) -> None:
     """Materialize the x10 blow-up of sf0.1 (documents + orders +
     lineitem), deterministic so reruns reuse it.
 
@@ -68,22 +71,28 @@ def build_blowup(spark, out_dir: str) -> None:
     orders/lineitem: order keys shifted per replica (new orders, same
     supplier/part dims — per-order groups stay original-sized).
     """
-    docs = spark.read.parquet(f"{SF01}/documents.parquet")
-    parts = []
-    for i in range(REPLICAS):
-        d = (docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_SHIFT))
-             .withColumn("source", F.concat_ws("_", "source", F.lit(f"r{i}"))))
-        if i > 0:
-            d = d.withColumn(
-                "text",
-                F.regexp_replace("text", "([a-zA-Z0-9]+)", f"$1q{i}x"))
-        parts.append(d)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    tables = tables or {"documents", "orders", "lineitem"}
+    if "documents" in tables:
+        docs = spark.read.parquet(f"{SF01}/documents.parquet")
+        parts = []
+        for i in range(REPLICAS):
+            d = (docs
+                 .withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_SHIFT))
+                 .withColumn("source",
+                             F.concat_ws("_", "source", F.lit(f"r{i}"))))
+            if i > 0:
+                d = d.withColumn(
+                    "text",
+                    F.regexp_replace("text", "([a-zA-Z0-9]+)", f"$1q{i}x"))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        if tbl not in tables:
+            continue
         t = spark.read.parquet(f"{SF01}/{tbl}.parquet")
         reps = [t.withColumn(key, F.col(key) + F.lit(i * KEY_SHIFT))
                 for i in range(REPLICAS)]
@@ -95,15 +104,23 @@ def build_blowup(spark, out_dir: str) -> None:
 
 def main() -> None:
     blow_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR",
-                              "/root/repo/.scale/x10")
+                              f"/root/repo/.scale/x{REPLICAS}")
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    queries = {k: v for k, v in QUERIES.items()
+               if only is None or k in only.split(",")}
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2")))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     spark = get_spark("scale-slope", cpus=cpus, shuffle_partitions=cpus)
     qs = all_queries()
 
-    if not os.path.isdir(os.path.join(blow_dir, "documents.parquet")):
-        print("# building x10 blow-up ...", file=sys.stderr)
-        build_blowup(spark, blow_dir)
+    xlabel = f"x{REPLICAS}"
+    need_tables = {t for q, (t, blowable) in queries.items() if blowable}
+    missing = {t for t in need_tables
+               if not os.path.isdir(os.path.join(blow_dir, f"{t}.parquet"))}
+    if missing:
+        print(f"# building {xlabel} blow-up for {sorted(missing)} ...",
+              file=sys.stderr)
+        build_blowup(spark, blow_dir, missing)
 
     rows_cache: dict[tuple[str, str], int] = {}
 
@@ -115,16 +132,23 @@ def main() -> None:
         return rows_cache[key]
 
     results: dict[str, dict] = {}
-    for name, (table, blowable) in QUERIES.items():
+    for name, (table, blowable) in queries.items():
         scales = [("sf0.01", SF001), ("sf0.1", SF01)]
         if blowable:
-            scales.append(("x10", blow_dir))
+            scales.append((xlabel, blow_dir))
         per_scale = {}
         for label, sf_dir in scales:
+            # Out-row count taken OUTSIDE the timing loop, for the
+            # did-the-workload-really-scale cross-check only.
+            out_n = qs[name](spark, sf_dir).count()
             times = []
             for p in range(-1, n_passes):  # pass -1 = discarded warmup
                 t0 = time.perf_counter()
-                out_n = qs[name](spark, sf_dir).count()
+                # noop write: forces every row through every operator.
+                # count() is pruned by Catalyst for assignment-shaped
+                # plans (outer join on aggregate key) — see bench.py.
+                qs[name](spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 if p >= 0:
                     times.append(dt)
@@ -150,21 +174,22 @@ def main() -> None:
         "replicas": REPLICAS,
         "queries": results,
     }
-    with open("/root/repo/SCALE_r04.json", "w") as f:
+    suffix = "" if REPLICAS == 10 else f"_x{REPLICAS}"
+    with open(f"/root/repo/SCALE_r04{suffix}.json", "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
 
     # Markdown table for SCALE.md
-    print("\n| query | sf0.01 | sf0.1 | x10 | exp(0.01->0.1) | "
-          "exp(0.1->x10) |")
+    print(f"\n| query | sf0.01 | sf0.1 | {xlabel} | exp(0.01->0.1) | "
+          f"exp(0.1->{xlabel}) |")
     print("|---|---|---|---|---|---|")
     for name, r in results.items():
         s = r["scales"]
         e = r["slope_exponents"]
-        x10 = f"{s['x10']['sec']}s" if "x10" in s else "—"
-        e2 = e.get("sf0.1->x10", "—")
+        xv = f"{s[xlabel]['sec']}s" if xlabel in s else "—"
+        e2 = e.get(f"sf0.1->{xlabel}", "—")
         print(f"| {name} | {s['sf0.01']['sec']}s | {s['sf0.1']['sec']}s "
-              f"| {x10} | {e['sf0.01->sf0.1']} | {e2} |")
+              f"| {xv} | {e['sf0.01->sf0.1']} | {e2} |")
 
 
 if __name__ == "__main__":
