@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
 from lisp_batch_processor_spark.functions.numeric import dround
-from lisp_batch_processor_spark.functions.vectors import cosine, sql_cosine
+from lisp_batch_processor_spark.functions.vectors import (
+    dot, l2_norm, sql_cosine)
 from lisp_batch_processor_spark.operators.text import tokens_col
 from lisp_batch_processor_spark.registry import query
 
@@ -911,22 +912,27 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-checked against a brute-force DuckDB oracle: both engines
     fold the dot product left-to-right in double, so even the cosine
-    threshold decision is bit-identical.
+    threshold decision is bit-identical. The norm is precomputed ONCE
+    per vector (O(N) folds instead of two per pair); the per-pair
+    expression dot/(nrm_a*nrm_b) runs the identical IEEE ops in the
+    identical order as the inline cosine, so results stay bit-exact
+    while the dominant pair stage folds one array, not three.
 
     Scale notes: blocking on `label` (a cluster/category id) bounds
     the pair count; for unlabeled corpora swap the block key for the
     SRP-LSH bucket of q_similarity_ann — same downstream plan.
     """
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", "embedding")
+    e = (emb.select("vec_id", "label", "embedding")
+         .withColumn("nrm", l2_norm(F.col("embedding"))))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                   & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
-                cosine(F.col("a.embedding"), F.col("b.embedding"))
-                    .alias("cos"))
+                (dot(F.col("a.embedding"), F.col("b.embedding"))
+                 / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"))
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD))
     return assignment(e.select("vec_id"), "vec_id", pairs, "vec_a", "vec_b")
 
@@ -948,7 +954,9 @@ def srp_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
     Scale notes: candidates only meet inside an (band, key) bucket —
     an equi-join, never a cross join; expected bucket population is
     N/2^bits per band, and the exact-cosine verify is bounded by the
-    candidate count. Downstream is unchanged: feed the pairs to
+    candidate count (norms are precomputed per vector, so the verify
+    folds one array per pair — same bit-exact trick as
+    q_dedup_embedding). Downstream is unchanged: feed the pairs to
     `assignment` (single-hop reps) or `connected_components`
     (transitive closure), exactly like the label-blocked variant.
     """
@@ -956,6 +964,7 @@ def srp_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
 
     srp = _srp_keys_udf()
     sig = emb.select(F.col(id_col).alias("vid"), "embedding",
+                     l2_norm(F.col("embedding")).alias("nrm"),
                      F.posexplode(srp("embedding")).alias("band", "key"))
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -965,9 +974,12 @@ def srp_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         .select(F.col("a.vid").alias("vec_a"),
                 F.col("b.vid").alias("vec_b"),
                 F.col("a.embedding").alias("ea"),
-                F.col("b.embedding").alias("eb"))
+                F.col("b.embedding").alias("eb"),
+                F.col("a.nrm").alias("na"),
+                F.col("b.nrm").alias("nb"))
         .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b",
-                cosine(F.col("ea"), F.col("eb")).alias("cos"))
+                (dot(F.col("ea"), F.col("eb"))
+                 / (F.col("na") * F.col("nb"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
