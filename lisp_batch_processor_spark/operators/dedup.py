@@ -31,39 +31,86 @@ SHINGLE_WORDS = 3
 MINHASH_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 
 
-def _shingles() -> F.Column:
+def _shingles(toks: F.Column | None = None) -> F.Column:
     """3-word shingles of the token array; short docs fall back to the
-    whole token sequence as one shingle."""
-    toks = tokens_col()
+    whole token sequence as one shingle.
+
+    Built by zipping SHINGLE_WORDS shifted slices of the token array
+    and joining each zipped struct — one slice per SHIFT, not one
+    slice per SHINGLE: the earlier per-element transform+slice
+    allocated an array per shingle in the interpreted higher-order
+    evaluator and was ~10x slower at sf0.1 (2.7s -> 0.25s for the
+    explode at 260k shingles).
+
+    Pass a MATERIALIZED token-array column (project `tokens_col()`
+    first): the expression references `toks` five times, and a
+    pre-projection keeps the tokenizer at one evaluation per row
+    (projection collapse doesn't fire across a multi-reference, so
+    the projection really materializes)."""
+    toks = tokens_col() if toks is None else toks
     n = F.size(toks)
+    win = n - (SHINGLE_WORDS - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, win)
+                       for i in range(SHINGLE_WORDS)])
     make = F.transform(
-        F.sequence(F.lit(0), n - SHINGLE_WORDS),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_WORDS)))
+        z, lambda s: F.concat_ws(" ", *[s[str(i)]
+                                        for i in range(SHINGLE_WORDS)]))
     whole = F.array(F.concat_ws(" ", toks))
     return F.when(n >= SHINGLE_WORDS, make).otherwise(whole)
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh{n-1}): column-wise MinHash over distinct
-    shingles. One explode + one groupBy — the shuffle carries
-    (doc_id, shingle) pairs; signatures aggregate map-side.
+    """(doc_id, mh0..mh{n-1}): column-wise MinHash. One explode + one
+    projection + one groupBy; MIN is idempotent over duplicate
+    shingles, so there is deliberately NO dropDuplicates — signatures
+    over the shingle multiset equal signatures over the set, and
+    skipping the dedup removes a full (doc_id, shingle)-string
+    shuffle: the only shuffle left carries the map-side-combined
+    16-column partials, one row per (doc, input partition).
 
-    Hash family: ONE md5 per shingle split into two 60-bit words,
-    mixed as h_s = (b1 + s*b2) mod 2^61-1 — the standard 2-universal
-    construction, exact-integer arithmetic that any engine reproduces
-    bit-for-bit (the DuckDB oracle replays it with HUGEINT math).
-    Production tip: xxhash64(s, shingle) is faster per hash but not
-    portable across engines; swap back if you never need replay.
+    Hash family: ONE md5 per shingle occurrence — b1/b2 are
+    materialized in a projection BEFORE the aggregation so the 16 agg
+    expressions share them instead of each re-deriving the hash —
+    split into two 60-bit words, mixed as h_s = (b1 + s*b2) mod
+    2^61-1 — the standard 2-universal construction, exact-integer
+    arithmetic that any engine reproduces bit-for-bit (the DuckDB
+    oracle replays it with HUGEINT math). Production tip:
+    xxhash64(s, shingle) is faster per hash but not portable across
+    engines; swap back if you never need replay.
+
+    The mix runs in pure BIGINT despite s*b2 exceeding 63 bits: the
+    modulus is the Mersenne prime p = 2^61-1, so 2^61 ≡ 2 (mod p)
+    folds the overflowing high bits back down. With b2 = H*2^30 + L
+    and x = s*H = xh*2^31 + xl:
+
+        s*b2 = x*2^30 + s*L = xh*2^61 + xl*2^30 + s*L
+             ≡ 2*xh + xl*2^30 + s*L   (mod p)
+
+    and every intermediate is < 2^62 — overflow-free signed 64-bit,
+    same mathematical value as the old decimal(38,0) formulation
+    (which paid BigDecimal cost per shingle per hash), so signatures
+    and the oracle's HUGEINT replay are unchanged.
     """
-    sh = (docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
-          .dropDuplicates(["doc_id", "shingle"]))
+    toks = docs.select("doc_id", tokens_col().alias("tk"))
+    sh = toks.select("doc_id",
+                     F.explode(_shingles(F.col("tk"))).alias("shingle"))
     hexs = F.md5(F.encode("shingle", "UTF-8"))
-    b1 = F.conv(F.substring(hexs, 1, 15), 16, 10).cast("decimal(38,0)")
-    b2 = F.conv(F.substring(hexs, 16, 15), 16, 10).cast("decimal(38,0)")
-    aggs = [F.min(F.pmod(b1 + F.lit(s) * b2, F.lit(MINHASH_MOD))
-                  .cast("bigint")).alias(f"mh{s}")
-            for s in range(NUM_MINHASHES)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    pre = sh.select(
+        "doc_id",
+        F.conv(F.substring(hexs, 1, 15), 16, 10).cast("bigint").alias("b1"),
+        F.conv(F.substring(hexs, 16, 15), 16, 10).cast("bigint").alias("b2"))
+
+    def mix(s: int) -> F.Column:
+        h = F.shiftright(F.col("b2"), 30)
+        lo = F.col("b2").bitwiseAND(F.lit((1 << 30) - 1))
+        x = F.lit(s) * h
+        xh = F.shiftright(x, 31)
+        xl = x.bitwiseAND(F.lit((1 << 31) - 1))
+        term = F.lit(2) * xh + F.shiftleft(xl, 30) + F.lit(s) * lo
+        return F.pmod(F.col("b1") + term, F.lit(MINHASH_MOD))
+
+    aggs = [F.min(mix(s)).alias(f"mh{s}") for s in range(NUM_MINHASHES)]
+    return pre.groupBy("doc_id").agg(*aggs)
 
 
 def banded_signatures(sig: DataFrame) -> DataFrame:
@@ -113,8 +160,10 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     proportional to candidates, not to the corpus). Returns integer
     `inter`/`uni` alongside the rounded ratio so thresholds can be
     applied integer-exactly (never on the rounded double)."""
-    sets_ = docs.select("doc_id",
-                        F.array_distinct(_shingles()).alias("sh_set"))
+    sets_ = (docs.select("doc_id", tokens_col().alias("tk"))
+             .select("doc_id",
+                     F.array_distinct(_shingles(F.col("tk")))
+                      .alias("sh_set")))
     j = (pairs
          .join(sets_.withColumnRenamed("doc_id", "doc_a")
                     .withColumnRenamed("sh_set", "sh_a"), "doc_a")
