@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -22,22 +23,36 @@ TABLES = (
 BOUNDED_DIMS = frozenset({"region", "nation"})
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; parquet gives pushdown + pruning for free.
-
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    read natively; we read it as raw nanos (legacy conf) and truncate
-    to microseconds with integer division — the same floor-truncation
-    DuckDB applies when it casts ns parquet to its µs TIMESTAMP, so
-    the two engines see identical values. (Float division would lose
-    precision: epoch-nanos exceed double's 53-bit mantissa.)
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to session-TZ TimestampType regardless of
+    how the fixture was written. Generations of the driver's fixtures
+    differ: TIMESTAMP(NANOS) (read as raw-nanos BIGINT under the
+    legacy conf, then floor-truncated to µs — the same truncation
+    DuckDB applies casting ns to its µs TIMESTAMP; integer division
+    because epoch-nanos exceed double's 53-bit mantissa) vs
+    TIMESTAMP(MICROS) without UTC adjustment (read natively as
+    TIMESTAMP_NTZ; a plain cast is value-preserving under the
+    engine's fixed UTC session TZ, session.py). Schema-adaptive so
+    either vintage of the fixture loads identically.
     """
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):        # raw nanos via legacy conf
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df                          # already TimestampType
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; parquet gives pushdown + pruning for
+    free. `events.ts` is normalized via normalize_event_ts (fixture
+    vintages differ in physical timestamp type)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

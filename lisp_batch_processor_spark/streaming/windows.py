@@ -20,20 +20,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
+# Non-ts columns are stable across fixture generations; ts's physical
+# type varies (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)) so the stream
+# schema is probed from the batch footer at call time.
+_EVENTS_FIELDS = [
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # raw nanos (parquet TIMESTAMP(NANOS))
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
     T.StructField("props", T.StringType()),
-])
+]
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
-    """readStream over the events fixture: nanos -> timestamp, same
-    truncation contract as the batch catalog.
+    """readStream over the events fixture: ts normalized to
+    TimestampType under the same truncation contract as the batch
+    catalog (catalog.normalize_event_ts), whatever the fixture's
+    physical timestamp type.
 
     max_files_per_trigger=1 exercises multi-micro-batch behavior
     (each file a batch); pass a large value when a caller needs the
@@ -41,14 +45,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     oracle equivalence assumes gap-closes are decided against all
     in-data evidence at once).
     """
+    from lisp_batch_processor_spark.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streams need a declared schema; probe ts's physical type from
+    # the batch footer (metadata-only read) so one code path serves
+    # every fixture vintage.
+    ts_type = (spark.read.parquet(f"{sf_dir}/events.parquet")
+               .schema["ts"].dataType)
+    schema = T.StructType([_EVENTS_FIELDS[0],
+                           T.StructField("ts", ts_type),
+                           *_EVENTS_FIELDS[1:]])
     # Streaming sources take a directory; pathGlobFilter selects the
     # events fixture out of the shared sf dir.
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+    raw = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def streaming_tumbling_counts(events: DataFrame,
