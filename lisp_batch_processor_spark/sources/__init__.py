@@ -7,5 +7,7 @@ from lisp_batch_processor_spark.sources.readers import (  # noqa: F401
     scan_directory,
 )
 from lisp_batch_processor_spark.sources.writers import (  # noqa: F401
+    overwrite_partitions_dynamic,
+    write_bucketed,
     write_partitioned,
 )
