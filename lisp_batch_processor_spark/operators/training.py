@@ -225,29 +225,38 @@ def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
         F.least(n.cast("bigint"), F.lit(budget)).alias("n_tokens"))
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["n_tokens", "doc_id"],
-                              ascending=[False, True])
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
-        remaining: list[int] = []   # free space per open pack
-        rows = []
-        counts: list[int] = []      # docs already in pack -> pos
-        for doc, ln in zip(pdf["doc_id"], pdf["n_tokens"]):
-            ln = int(ln)
-            for i, free in enumerate(remaining):
-                if free >= ln:
-                    idx = i
-                    break
-            else:
-                idx = len(remaining)
-                remaining.append(budget)
-                counts.append(0)
-            rows.append((bucket, (bucket << 32) | idx, int(doc),
-                         counts[idx], ln))
-            counts[idx] += 1
-            remaining[idx] -= ln
+        rows = ffd_pack(bucket, zip(pdf["doc_id"], pdf["n_tokens"]), budget)
         return pd.DataFrame(rows, columns=[f.name for f in _PACK_SCHEMA])
 
     return slim.groupBy("bucket").applyInPandas(ffd, _PACK_SCHEMA)
+
+
+def ffd_pack(bucket: int, docs, budget: int) -> list[tuple]:
+    """Pure first-fit-decreasing core (one bucket): docs is an
+    iterable of (doc_id, n_tokens); returns (bucket, pack_id, doc_id,
+    pos, n_tokens) rows. Split out from the Arrow stage so its
+    invariants are property-testable without a SparkSession
+    (tests/test_training.py hypothesis suite)."""
+    items = sorted(((int(ln), int(doc)) for doc, ln in docs),
+                   key=lambda t: (-t[0], t[1]))
+    remaining: list[int] = []   # free space per open pack
+    counts: list[int] = []      # docs already in pack -> next pos
+    rows: list[tuple] = []
+    for ln, doc in items:
+        ln = min(ln, budget)
+        for i, free in enumerate(remaining):
+            if free >= ln:
+                idx = i
+                break
+        else:
+            idx = len(remaining)
+            remaining.append(budget)
+            counts.append(0)
+        rows.append((bucket, (bucket << 32) | idx, doc, counts[idx], ln))
+        counts[idx] += 1
+        remaining[idx] -= ln
+    return rows
 
 
 # ---------------------------------------------------------------------------

@@ -216,3 +216,42 @@ def test_hash_bucket_python_replay(spark):
     got = {r.k: r.b for r in
            df.select("k", hash_bucket("k", "pin", 97).alias("b")).collect()}
     assert got == {i: _py_bucket("pin", i, 97) for i in range(100)}
+
+
+# ---------------------------------------------------------------------------
+# ffd_pack pure-core property suite (no SparkSession needed).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lisp_batch_processor_spark.operators.training import ffd_pack
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=300), max_size=120),
+    budget=st.integers(min_value=1, max_value=200),
+)
+def test_ffd_pack_properties(lens, budget):
+    docs = list(enumerate(lens))  # doc_id = index, unique
+    rows = ffd_pack(7, docs, budget)
+
+    # Exactly-once, clamped lengths.
+    assert sorted(r[2] for r in rows) == sorted(d for d, _ in docs)
+    assert all(r[4] == min(lens[r[2]], budget) for r in rows)
+
+    packs: dict[int, list] = {}
+    for r in rows:
+        assert r[0] == 7 and r[1] >> 32 == 7
+        packs.setdefault(r[1], []).append(r)
+    for rs in packs.values():
+        assert sum(r[4] for r in rs) <= budget
+        assert sorted(r[3] for r in rs) == list(range(len(rs)))
+
+    # First-fit bound: at most one pack at most half full.
+    fills = [sum(r[4] for r in rs) for rs in packs.values()]
+    assert sum(1 for f in fills if f <= budget // 2) <= 1
+
+    # Determinism under input order.
+    assert ffd_pack(7, reversed(docs), budget) == rows
