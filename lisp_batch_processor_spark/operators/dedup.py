@@ -31,9 +31,10 @@ SHINGLE_WORDS = 3
 MINHASH_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 
 
-def _shingles(toks: F.Column | None = None) -> F.Column:
-    """3-word shingles of the token array; short docs fall back to the
-    whole token sequence as one shingle.
+def _shingles(toks: F.Column | None = None,
+              n: int = SHINGLE_WORDS) -> F.Column:
+    """n-word shingles of the token array (default SHINGLE_WORDS=3);
+    short docs fall back to the whole token sequence as one shingle.
 
     Built by zipping SHINGLE_WORDS shifted slices of the token array
     and joining each zipped struct — one slice per SHIFT, not one
@@ -48,15 +49,13 @@ def _shingles(toks: F.Column | None = None) -> F.Column:
     (projection collapse doesn't fire across a multi-reference, so
     the projection really materializes)."""
     toks = tokens_col() if toks is None else toks
-    n = F.size(toks)
-    win = n - (SHINGLE_WORDS - 1)
-    z = F.arrays_zip(*[F.slice(toks, i + 1, win)
-                       for i in range(SHINGLE_WORDS)])
+    sz = F.size(toks)
+    win = sz - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, win) for i in range(n)])
     make = F.transform(
-        z, lambda s: F.concat_ws(" ", *[s[str(i)]
-                                        for i in range(SHINGLE_WORDS)]))
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
     whole = F.array(F.concat_ws(" ", toks))
-    return F.when(n >= SHINGLE_WORDS, make).otherwise(whole)
+    return F.when(sz >= n, make).otherwise(whole)
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

@@ -288,3 +288,178 @@ def redact_pii(text: Column | str = "text") -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap with an eval set.
+# ---------------------------------------------------------------------------
+
+DECONTAM_NGRAM = 8
+
+
+def contamination_flags(train_docs: DataFrame, eval_docs: DataFrame,
+                        n: int = DECONTAM_NGRAM,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Flag training documents that share any n-token shingle with an
+    evaluation/benchmark corpus — the standard pre-training
+    decontamination sweep (exact n-gram collision, the GPT-3/C4
+    recipe shape). Returns one row per training doc:
+    (id_col, n_eval_grams, contaminated) where n_eval_grams counts
+    DISTINCT eval n-grams found in the doc.
+
+    Both sides tokenize with the engine's shared tokenizer
+    (text.tokens_col) and shingle with the dedup module's zip-shift
+    builder (dedup._shingles), so decontamination, MinHash, and
+    n-gram dedup all agree on what a "token window" is. Docs shorter
+    than n tokens contribute their whole token sequence as one gram
+    (the _shingles fallback) — a short eval doc therefore only
+    matches training docs that contain it as their ENTIRE token
+    sequence; standard practice is to drop sub-n eval rows before
+    the sweep, which callers control.
+
+    Scale notes: the eval gram set is tiny relative to the corpus
+    (benchmarks are MBs, corpora are TBs) and is broadcast — the
+    training side is scanned once, exploded to distinct grams per
+    doc, and hash-joined map-side with NO shuffle of the corpus;
+    the only reduce is the per-doc hit count. At 100 TB the explode
+    carries (doc_id, gram) for ~doc_len grams per doc; to shrink it
+    further hash grams to bigints (xxhash64) — collisions only
+    over-flag, which is the safe direction for decontamination.
+    """
+    from lisp_batch_processor_spark.operators.dedup import _shingles
+
+    tr = train_docs.select(F.col(id_col), tokens_col().alias("tk"))
+    tr_grams = tr.select(
+        id_col,
+        F.explode(F.array_distinct(_shingles(F.col("tk"), n)))
+         .alias("gram"))
+    ev = eval_docs.select(tokens_col().alias("tk"))
+    ev_grams = (ev.select(
+        F.explode(F.array_distinct(_shingles(F.col("tk"), n)))
+         .alias("gram"))
+        .distinct())
+    hits = (tr_grams.join(F.broadcast(ev_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_eval_grams")))
+    return (train_docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_eval_grams", F.lit(0)).alias("n_eval_grams"))
+            .withColumn("contaminated", F.col("n_eval_grams") > 0))
+
+
+def decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
+                  n: int = DECONTAM_NGRAM,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop contaminated training docs (the filter materialization of
+    contamination_flags): left-anti join on the flagged id set, so
+    the corpus itself never shuffles — only ids move."""
+    bad = (contamination_flags(train_docs, eval_docs, n, id_col)
+           .filter("contaminated").select(id_col))
+    return train_docs.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Fractional-epoch upsampling — domain mixing with rates above 1.
+# ---------------------------------------------------------------------------
+
+def epoch_rates(domain_tokens: Mapping[str, int],
+                target: Mapping[str, float],
+                budget_tokens: int) -> dict[str, float]:
+    """Per-domain epoch counts achieving the target token mixture at
+    an EXPLICIT total budget — the upsampling generalization of
+    mix_rates: epochs_d = w_d * budget / tokens_d may exceed 1
+    (domain repeated), the regime every real pretraining mix hits
+    for small high-quality domains (books, wiki).
+
+    Pure driver arithmetic over O(#domains) aggregates; pair with
+    domain_upsample to apply."""
+    tw = {d: w for d, w in target.items() if w > 0}
+    norm = sum(tw.values())
+    if norm <= 0:
+        raise ValueError("target mixture has no positive weights")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    tw = {d: w / norm for d, w in tw.items()}
+    missing = [d for d in tw if domain_tokens.get(d, 0) <= 0]
+    if missing:
+        raise ValueError(f"target domains with no corpus tokens: {missing}")
+    return {d: w * budget_tokens / domain_tokens[d] for d, w in tw.items()}
+
+
+def domain_upsample(docs: DataFrame, epochs: Mapping[str, float],
+                    domain_col: str = "source", id_col: str = "doc_id",
+                    salt: str = "epoch-v1") -> DataFrame:
+    """Repeat each domain's documents `epochs[domain]` times in
+    expectation: floor(e) full copies per doc plus one extra copy iff
+    the doc's deterministic coin lands under the fractional part.
+    Adds an `epoch` column (0..reps-1) so downstream packing/shuffle
+    can treat copies as distinct rows; domains absent from `epochs`
+    are dropped (rate 0).
+
+    Deterministic per (salt, id): rerunning, repartitioning, or
+    growing the corpus never flips which docs carry the fractional
+    extra copy — same stability contract as split_assign/domain_mix.
+
+    Scale notes: a scan-local explode of a 0..reps-1 sequence — no
+    shuffle, no driver state beyond the O(#domains) epoch map. Output
+    volume is sum_d(epochs_d * tokens_d) by construction, i.e. the
+    budget handed to epoch_rates.
+    """
+    if any(e < 0 for e in epochs.values()):
+        raise ValueError("epoch counts must be non-negative")
+    full = {d: int(e) for d, e in epochs.items()}
+    frac_thr = {d: int(round((e - int(e)) * SPLIT_BUCKETS))
+                for d, e in epochs.items()}
+    m_full = F.create_map(*[x for d in sorted(epochs)
+                            for x in (F.lit(d), F.lit(full[d]))])
+    m_frac = F.create_map(*[x for d in sorted(epochs)
+                            for x in (F.lit(d), F.lit(frac_thr[d]))])
+    b = hash_bucket(id_col, salt)
+    reps = (m_full[F.col(domain_col)]
+            + (b < m_frac[F.col(domain_col)]).cast("int"))
+    return (docs
+            .withColumn("_reps", reps)
+            .filter(F.col("_reps").isNotNull() & (F.col("_reps") > 0))
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(0), F.col("_reps") - 1)))
+            .drop("_reps"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle — training order without a random seed
+# race.
+# ---------------------------------------------------------------------------
+
+def shuffle_deterministic(docs: DataFrame, salt: str = "shuffle-v1",
+                          id_col: str = "doc_id",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Order the corpus by a deterministic hash of (salt, id) — the
+    global training-order shuffle. Adds `shuffle_key` (the 60-bit md5
+    word) and returns the frame range-partitioned and sorted by it,
+    ready for a partitioned write whose files ARE the training order.
+
+    Unlike orderBy(rand()), the order is a pure function of (salt,
+    id): reruns and retried tasks produce identical output (rand()
+    re-rolls per task attempt — a real nondeterminism bug at scale),
+    and a changed salt is a fresh epoch-level reshuffle.
+
+    When copies exist (domain_upsample output with an `epoch`
+    column), pass a composite id or salt per epoch so copies spread
+    through the order instead of clustering.
+
+    Scale notes: one range shuffle — exactly the cost of any global
+    sort, with boundaries from Spark's range sampler; no driver-side
+    ordering state. At 100 TB prefer writing bucketed-by-key files
+    and streaming them in key order if a single total order is not
+    required.
+    """
+    hexs = F.md5(F.encode(F.concat_ws(":", F.lit(salt),
+                                      F.col(id_col).cast("string")),
+                          "UTF-8"))
+    key = F.conv(F.substring(hexs, 1, 15), 16, 10).cast("bigint")
+    out = docs.withColumn("shuffle_key", key)
+    parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return (out.repartitionByRange(parts, "shuffle_key", F.col(id_col))
+            .sortWithinPartitions("shuffle_key", id_col))

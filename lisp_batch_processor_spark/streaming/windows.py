@@ -16,6 +16,8 @@ identical, which is the point.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -44,6 +46,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     whole fixture in ONE data batch (e.g. q_stream_sessions, whose
     oracle equivalence assumes gap-closes are decided against all
     in-data evidence at once).
+
+    The fixture may be either the driver's SINGLE FILE
+    `events.parquet` (selected out of the shared sf dir via
+    pathGlobFilter) or a Spark-written DIRECTORY of part files (the
+    scale blow-ups under .scale/) — the stream source points at
+    whichever shape exists, so the same reader under test feeds both
+    the correctness fixtures and the multi-file scale corpora.
     """
     from lisp_batch_processor_spark.catalog import normalize_event_ts
 
@@ -51,17 +60,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     # Streams need a declared schema; probe ts's physical type from
     # the batch footer (metadata-only read) so one code path serves
     # every fixture vintage.
-    ts_type = (spark.read.parquet(f"{sf_dir}/events.parquet")
-               .schema["ts"].dataType)
+    path = f"{sf_dir}/events.parquet"
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     schema = T.StructType([_EVENTS_FIELDS[0],
                            T.StructField("ts", ts_type),
                            *_EVENTS_FIELDS[1:]])
-    # Streaming sources take a directory; pathGlobFilter selects the
-    # events fixture out of the shared sf dir.
-    raw = (spark.readStream.schema(schema)
-           .option("maxFilesPerTrigger", max_files_per_trigger)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if os.path.isdir(path):
+        raw = reader.option("pathGlobFilter", "*.parquet").parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet") \
+                    .parquet(sf_dir)
     return normalize_event_ts(raw)
 
 

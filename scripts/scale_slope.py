@@ -9,10 +9,12 @@ corpus scaling, not dup-density scaling). /root/testdata is
 read-only, so the blow-up is materialized once under
 $SPARK_GRAFT_SCALE_DIR (default /root/repo/.scale/x10).
 
-Streaming twins (q_stream_sessions, q_stream_dedup) are measured at
-sf0.01/sf0.1 only: their source reads the single-file events fixture
-via pathGlobFilter, which a Spark-written multi-file blow-up can't
-feed without changing the reader under test.
+Streaming twins (q_stream_sessions, q_stream_dedup) blow up too:
+events replicate with shifted event/user ids (per-user session
+shapes stay original-sized, user count grows 10x) into a multi-file
+directory, which read_events_stream now feeds directly — so the
+REAL streaming engine is measured at every scale point, multi-file
+micro-batching included.
 
 Per (query, scale): 1 discarded warmup pass + N timed passes
 ($SPARK_GRAFT_SCALE_PASSES, default 2), min reported. The slope
@@ -54,8 +56,8 @@ QUERIES = {
     "q_dedup_minhash": ("documents", True),
     "q_dedup_simhash": ("documents", True),
     "q_exists_decorrelated": ("lineitem", True),
-    "q_stream_sessions": ("events", False),
-    "q_stream_dedup": ("events", False),
+    "q_stream_sessions": ("events", True),
+    "q_stream_dedup": ("events", True),
 }
 
 
@@ -70,8 +72,13 @@ def build_blowup(spark, out_dir: str,
     cross-replica shingle/minhash/simhash collisions, corpus 10x.
     orders/lineitem: order keys shifted per replica (new orders, same
     supplier/part dims — per-order groups stay original-sized).
+    events: event_id AND user_id shifted per replica — per-user
+    session shapes stay original-sized while the user population
+    (streaming state width) grows 10x; written as a handful of part
+    files so the streaming source's per-file micro-batching is
+    exercised for real.
     """
-    tables = tables or {"documents", "orders", "lineitem"}
+    tables = tables or {"documents", "orders", "lineitem", "events"}
     if "documents" in tables:
         docs = spark.read.parquet(f"{SF01}/documents.parquet")
         parts = []
@@ -100,6 +107,35 @@ def build_blowup(spark, out_dir: str,
         for p in reps[1:]:
             u = u.unionByName(p)
         u.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+
+    if "events" in tables:
+        from lisp_batch_processor_spark.catalog import load
+
+        ev = load(spark, SF01, "events")  # ts normalized to micros
+        reps = [ev.withColumn("event_id", F.col("event_id")
+                              + F.lit(i * KEY_SHIFT))
+                  .withColumn("user_id", F.col("user_id")
+                              + F.lit(i * KEY_SHIFT))
+                for i in range(REPLICAS)]
+        u = reps[0]
+        for p in reps[1:]:
+            u = u.unionByName(p)
+        # A handful of part files: each is a streaming micro-batch at
+        # maxFilesPerTrigger=1, so the blow-up exercises multi-batch
+        # state handling without thousands of trigger round-trips.
+        # Range-partitioned by ts so each file is a time slice ...
+        (u.repartitionByRange(8, "ts", "event_id").write
+          .mode("overwrite").parquet(f"{out_dir}/events.parquet"))
+        # ... and mtime-stamped in slice order: FileStreamSource picks
+        # oldest-mtime-first, so micro-batches replay in event-time
+        # order. Without this, a random later file would be entirely
+        # "late" past the watermark and the stateful operators would
+        # do less work than the corpus implies.
+        import glob
+        parts = sorted(glob.glob(f"{out_dir}/events.parquet/part-*"))
+        base = time.time() - len(parts)
+        for i, pth in enumerate(parts):
+            os.utime(pth, (base + i, base + i))
 
 
 def main() -> None:

@@ -20,8 +20,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.operators.training import (
-    PII_PATTERNS, SPLIT_BUCKETS, domain_mix, hash_bucket, mix_rates,
-    pack_sequences, redact_pii, split_assign, split_thresholds,
+    PII_PATTERNS, SPLIT_BUCKETS, contamination_flags, decontaminate,
+    domain_mix, domain_upsample, epoch_rates, hash_bucket, mix_rates,
+    pack_sequences, redact_pii, shuffle_deterministic, split_assign,
+    split_thresholds,
 )
 
 SF01 = "/root/testdata/sf0.01"
@@ -216,6 +218,144 @@ def test_hash_bucket_python_replay(spark):
     got = {r.k: r.b for r in
            df.select("k", hash_bucket("k", "pin", 97).alias("b")).collect()}
     assert got == {i: _py_bucket("pin", i, 97) for i in range(100)}
+
+
+# ---------------------------------------------------------------------------
+# contamination_flags / decontaminate
+# ---------------------------------------------------------------------------
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_grams(text: str, n: int) -> set[str]:
+    toks = _py_tokens(text)
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_contamination_flags_python_replay(spark):
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    rows = docs.select("doc_id", "text").orderBy("doc_id").limit(6).collect()
+    n = 8
+    # Eval set: an 8-token window lifted from two fixture docs (must
+    # flag exactly those containing the window), plus a gram no doc
+    # contains.
+    ev_texts = []
+    for r in rows[:2]:
+        toks = _py_tokens(r.text)
+        assert len(toks) >= n, "fixture doc too short for the test"
+        ev_texts.append(" ".join(toks[3:3 + n]))
+    ev_texts.append("zz yy xx ww vv uu tt ss")
+    eval_df = spark.createDataFrame([(t,) for t in ev_texts], "text string")
+
+    got = {r.doc_id: (r.n_eval_grams, r.contaminated)
+           for r in contamination_flags(docs, eval_df, n=n).collect()}
+
+    ev_grams = set()
+    for t in ev_texts:
+        ev_grams |= _py_grams(t, n)
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        hits = len(_py_grams(r.text, n) & ev_grams)
+        expect[r.doc_id] = (hits, hits > 0)
+    assert got == expect
+    # The two lifted windows each flag at least their source doc.
+    assert got[rows[0].doc_id][1] and got[rows[1].doc_id][1]
+
+    kept = decontaminate(docs, eval_df, n=n)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == \
+        {d for d, (_, c) in expect.items() if not c}
+
+
+def test_contamination_clean_eval_flags_nothing(spark):
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    eval_df = spark.createDataFrame(
+        [("qq ww ee rr tt yy uu ii oo pp",)], "text string")
+    out = contamination_flags(docs, eval_df)
+    assert out.filter("contaminated").count() == 0
+    assert out.count() == docs.count()  # one row per input doc
+
+
+# ---------------------------------------------------------------------------
+# epoch_rates / domain_upsample
+# ---------------------------------------------------------------------------
+
+def test_epoch_rates_allows_upsampling():
+    tokens = {"web": 1_000_000, "books": 10_000}
+    target = {"web": 0.7, "books": 0.3}
+    budget = 500_000
+    e = epoch_rates(tokens, target, budget)
+    assert abs(e["web"] - 0.35) < 1e-12
+    assert abs(e["books"] - 15.0) < 1e-12  # upsampled 15 epochs
+    # Token mixture at the budget is exact.
+    out = {d: tokens[d] * e[d] for d in e}
+    assert abs(sum(out.values()) - budget) < 1e-6
+    assert abs(out["books"] / budget - 0.3) < 1e-12
+    with pytest.raises(ValueError):
+        epoch_rates(tokens, target, 0)
+    with pytest.raises(ValueError):
+        epoch_rates({"web": 0}, {"web": 1.0}, 100)
+
+
+def test_domain_upsample_python_replay(spark):
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    epochs = {"src0": 2.5, "src1": 1.0, "src2": 0.25}  # drops src3+
+    out = domain_upsample(docs, epochs, salt="ep-t")
+    got = sorted((r.doc_id, r.epoch) for r in
+                 out.select("doc_id", "epoch").collect())
+
+    expect = []
+    for r in docs.select("doc_id", "source").collect():
+        if r.source not in epochs:
+            continue
+        e = epochs[r.source]
+        reps = int(e)
+        if _py_bucket("ep-t", r.doc_id) < int(round((e - int(e))
+                                                    * SPLIT_BUCKETS)):
+            reps += 1
+        expect.extend((r.doc_id, k) for k in range(reps))
+    assert got == sorted(expect)
+    # src1 docs appear exactly once; some src0 doc appears 3 times.
+    per_doc = {}
+    for d, _ in got:
+        per_doc[d] = per_doc.get(d, 0) + 1
+    src = {r.doc_id: r.source for r in
+           docs.select("doc_id", "source").collect()}
+    assert all(per_doc[d] == 1 for d in per_doc if src[d] == "src1")
+    assert any(c == 3 for d, c in per_doc.items() if src[d] == "src0")
+    with pytest.raises(ValueError):
+        domain_upsample(docs, {"src0": -1.0})
+
+
+# ---------------------------------------------------------------------------
+# shuffle_deterministic
+# ---------------------------------------------------------------------------
+
+def test_shuffle_deterministic_order_and_stability(spark):
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+
+    def order(df):
+        return [r.doc_id for r in
+                shuffle_deterministic(df, salt="sh-t", num_partitions=4)
+                .select("doc_id").toLocalIterator()]
+
+    got = order(docs)
+    # Python replay: sort by (md5 word, doc_id).
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    keyed = sorted(
+        ids, key=lambda d: (int(hashlib.md5(
+            f"sh-t:{d}".encode()).hexdigest()[:15], 16), d))
+    assert got == keyed
+    assert got != sorted(ids)  # it actually shuffles
+    # Stable under input partitioning.
+    assert order(docs.repartition(13)) == got
+    # A different salt draws a different order.
+    other = [r.doc_id for r in
+             shuffle_deterministic(docs, salt="sh-u", num_partitions=4)
+             .select("doc_id").toLocalIterator()]
+    assert other != got
 
 
 # ---------------------------------------------------------------------------
