@@ -204,14 +204,22 @@ def main() -> None:
                 math.log(t2 / t1) / math.log(n2 / n1), 2)
         results[name] = {"scales": per_scale, "slope_exponents": slopes}
 
+    suffix = "" if REPLICAS == 10 else f"_x{REPLICAS}"
+    out_path = f"/root/repo/SCALE_r04{suffix}.json"
+    # Partial runs (SPARK_GRAFT_SCALE_QUERIES) merge into the existing
+    # results file instead of clobbering the queries they didn't run.
+    merged = dict(results)
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+        merged = {**prior, **results}
     payload = {
         "metric": "scale_slope",
         "stat": f"min_of_{n_passes}_after_warmup",
         "replicas": REPLICAS,
-        "queries": results,
+        "queries": merged,
     }
-    suffix = "" if REPLICAS == 10 else f"_x{REPLICAS}"
-    with open(f"/root/repo/SCALE_r04{suffix}.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
 

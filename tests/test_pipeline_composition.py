@@ -127,6 +127,74 @@ def test_training_data_pipeline_composition(spark, corpus):
     assert all(t > 0 for _, t in acct.values())
 
 
+def test_training_assembly_composition(spark, corpus):
+    """The assembly tail of the pipeline — decontaminate -> split ->
+    upsample -> pack -> shuffle — composed on the curated corpus.
+    Each operator is replay-tested alone in test_training.py; this
+    pins what the chain owes the training run: eval-overlapping docs
+    never reach a pack, every (doc, epoch) copy is packed exactly
+    once within budget, and the final order is a pure function of
+    the data (rerun-identical)."""
+    from lisp_batch_processor_spark.operators.training import (
+        decontaminate, domain_upsample, pack_sequences, split_assign,
+        shuffle_deterministic,
+    )
+
+    docs, _ = corpus
+    curated = (Pipeline()
+               .add("quality", quality_filter)
+               .add("exact_dedup", exact_dedup)
+               .add("near_dedup", near_dedup))(docs) \
+        .localCheckpoint(eager=True)
+
+    # Eval set: an 8-token window lifted from one curated doc — that
+    # doc must be scrubbed before packing.
+    victim = curated.orderBy("doc_id").limit(1).collect()[0]
+    window = " ".join(
+        [t for t in victim.text.lower().split() if t][:8])
+    eval_df = spark.createDataFrame([(window,)], "text string")
+    clean = decontaminate(curated, eval_df)
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert victim.doc_id not in clean_ids
+    assert clean_ids < {r.doc_id
+                        for r in curated.select("doc_id").collect()}
+
+    # Split, then upsample ONLY the train split (eval splits are
+    # never repeated); copies get a composite row id so packing sees
+    # unique keys.
+    split = split_assign(clean)
+    train = split.filter("split = 'train'")
+    sources = [r.source for r in
+               train.select("source").distinct().collect()]
+    epochs = {s: 1.5 for s in sources[:2]} | {s: 1.0
+                                              for s in sources[2:]}
+    up = (domain_upsample(train, epochs)
+          .withColumn("row_id", F.col("doc_id") * 16 + F.col("epoch")))
+    n_rows = up.count()
+    assert n_rows >= train.count()  # upsampling never shrinks
+
+    packed = pack_sequences(up, budget=256, id_col="row_id",
+                            n_buckets=4)
+    pk = packed.collect()
+    # Exactly-once per (doc, epoch) copy, budget respected per pack.
+    assert sorted(r.doc_id for r in pk) == sorted(
+        r.row_id for r in up.select("row_id").collect())
+    assert len(pk) == n_rows
+    fills: dict[int, int] = {}
+    for r in pk:
+        fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+    assert all(f <= 256 for f in fills.values())
+
+    # Deterministic order: two independent runs give the same order.
+    o1 = [r.row_id for r in
+          shuffle_deterministic(up, id_col="row_id", num_partitions=4)
+          .select("row_id").toLocalIterator()]
+    o2 = [r.row_id for r in
+          shuffle_deterministic(up, id_col="row_id", num_partitions=4)
+          .select("row_id").toLocalIterator()]
+    assert o1 == o2 and sorted(o1) != o1
+
+
 def test_pipeline_stage_toggling_is_monotone(spark, corpus):
     """The Pipeline contract under composition: disabling a dedup
     stage can only widen the kept set; re-enabling restores it."""
