@@ -58,6 +58,9 @@ QUERIES = {
     "q_exists_decorrelated": ("lineitem", True),
     "q_stream_sessions": ("events", True),
     "q_stream_dedup": ("events", True),
+    "q_similarity_topk": ("embeddings", True),
+    "q_similarity_ann": ("embeddings", True),
+    "q_dedup_embedding": ("embeddings", True),
 }
 
 
@@ -77,8 +80,16 @@ def build_blowup(spark, out_dir: str,
     (streaming state width) grows 10x; written as a handful of part
     files so the streaming source's per-file micro-batching is
     exercised for real.
+    embeddings: vec_id and label shifted per replica (label blocks
+    stay original-sized); vectors are IDENTICAL copies, which is the
+    dense-region stress case for SRP buckets — bucket population and
+    per-query candidates grow with the corpus, exactly what a 10x
+    denser real corpus does. The bounded query sets (vec_id < 10)
+    keep only the replica-0 originals, so per-query work isolates
+    corpus growth.
     """
-    tables = tables or {"documents", "orders", "lineitem", "events"}
+    tables = tables or {"documents", "orders", "lineitem", "events",
+                        "embeddings"}
     if "documents" in tables:
         docs = spark.read.parquet(f"{SF01}/documents.parquet")
         parts = []
@@ -136,6 +147,19 @@ def build_blowup(spark, out_dir: str,
         base = time.time() - len(parts)
         for i, pth in enumerate(parts):
             os.utime(pth, (base + i, base + i))
+
+    if "embeddings" in tables:
+        emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+        reps = [emb.withColumn("vec_id", F.col("vec_id")
+                               + F.lit(i * KEY_SHIFT))
+                   .withColumn("label", (F.col("label")
+                                         + F.lit(i * 1_000_000))
+                               .cast("int"))
+                for i in range(REPLICAS)]
+        u = reps[0]
+        for p in reps[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
 def main() -> None:

@@ -395,3 +395,45 @@ def test_ffd_pack_properties(lens, budget):
 
     # Determinism under input order.
     assert ffd_pack(7, reversed(docs), budget) == rows
+
+
+# ---------------------------------------------------------------------------
+# mix_rates / epoch_rates pure-core property suite.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    tokens=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1, max_size=5),
+    weights=st.lists(st.floats(min_value=0.01, max_value=10.0,
+                               allow_nan=False), min_size=1, max_size=5),
+)
+def test_mix_and_epoch_rates_properties(tokens, weights):
+    domains = sorted(tokens)
+    target = {d: w for d, w in zip(domains, weights)}
+
+    # mix_rates: never upsamples, at least one domain binds at 1.0,
+    # and the kept token mixture is exactly the normalized target.
+    rates = mix_rates(tokens, target)
+    assert set(rates) == set(target)
+    assert all(0 < r <= 1.0 for r in rates.values())
+    assert any(abs(r - 1.0) < 1e-9 for r in rates.values())
+    kept = {d: tokens[d] * rates[d] for d in rates}
+    total = sum(kept.values())
+    norm = sum(target.values())
+    for d in rates:
+        assert abs(kept[d] / total - target[d] / norm) < 1e-9
+
+    # epoch_rates at the mix_rates-implied budget reproduces
+    # mix_rates exactly (the no-upsampling boundary), and any larger
+    # budget scales every epoch count proportionally.
+    budget = int(total)
+    if budget > 0:
+        e1 = epoch_rates(tokens, target, budget)
+        for d in e1:
+            assert abs(e1[d] - rates[d] * (budget / total)) < 1e-6
+        e2 = epoch_rates(tokens, target, budget * 3)
+        for d in e2:
+            assert abs(e2[d] / e1[d] - 3) < 1e-6
