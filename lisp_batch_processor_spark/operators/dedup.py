@@ -78,17 +78,23 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     engines; swap back if you never need replay.
 
     The mix runs in pure BIGINT despite s*b2 exceeding 63 bits: the
-    modulus is the Mersenne prime p = 2^61-1, so 2^61 ≡ 2 (mod p)
-    folds the overflowing high bits back down. With b2 = H*2^30 + L
-    and x = s*H = xh*2^31 + xl:
+    modulus is the Mersenne prime p = 2^61-1, so 2^61 = p + 1 ≡ 1
+    (mod p) folds the overflowing high bits back down. With
+    b2 = H*2^30 + L and x = s*H = xh*2^31 + xl:
 
         s*b2 = x*2^30 + s*L = xh*2^61 + xl*2^30 + s*L
-             ≡ 2*xh + xl*2^30 + s*L   (mod p)
+             ≡ xh + xl*2^30 + s*L   (mod p)
 
     and every intermediate is < 2^62 — overflow-free signed 64-bit,
     same mathematical value as the old decimal(38,0) formulation
     (which paid BigDecimal cost per shingle per hash), so signatures
-    and the oracle's HUGEINT replay are unchanged.
+    and the oracle's HUGEINT replay are unchanged. (An earlier cut of
+    this fold multiplied xh by 2 — the identity for a 32-bit split,
+    2^62 ≡ 2, not the 31-bit split used here; that computed a
+    well-defined but DIFFERENT hash family than the oracle replays,
+    masked downstream by exact-Jaccard verification. The parity test
+    in tests/test_dedup.py pins signature equality directly so the
+    fold can't drift from the documented formula again.)
     """
     toks = docs.select("doc_id", tokens_col().alias("tk"))
     sh = toks.select("doc_id",
@@ -105,7 +111,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         x = F.lit(s) * h
         xh = F.shiftright(x, 31)
         xl = x.bitwiseAND(F.lit((1 << 31) - 1))
-        term = F.lit(2) * xh + F.shiftleft(xl, 30) + F.lit(s) * lo
+        term = xh + F.shiftleft(xl, 30) + F.lit(s) * lo
         return F.pmod(F.col("b1") + term, F.lit(MINHASH_MOD))
 
     aggs = [F.min(mix(s)).alias(f"mh{s}") for s in range(NUM_MINHASHES)]
@@ -553,8 +559,13 @@ def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
     inter * threshold_den >= uni * threshold_num (default 0.7, same
     as q_dedup_minhash).
     """
-    sig_new = minhash_signatures(batch_docs)
-    new_banded = banded_signatures(sig_new)
+    new_banded = (banded_signatures(minhash_signatures(batch_docs))
+                  # Materialized once: feeds the corpus-index join AND
+                  # both sides of the batch-vs-batch self-join —
+                  # without it the whole batch MinHash plan (explode +
+                  # md5 + 16 aggs) re-runs per reference (same
+                  # convention as ngram_jaccard_pairs' checkpoints).
+                  .localCheckpoint(eager=False))
     if corpus_index is None:
         corpus_index = banded_signatures(minhash_signatures(corpus_docs))
     bc = (new_banded.alias("n")
@@ -563,14 +574,22 @@ def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
                 & (F.col("n.band_key") == F.col("c.band_key")))
           .select(F.col("n.doc_id").alias("new_id"),
                   F.col("c.doc_id").alias("old_id")))
-    bb = lsh_candidate_pairs(sig_new)
+    ba, bb_ = new_banded.alias("ba"), new_banded.alias("bb")
+    bb = (ba.join(bb_, (F.col("ba.band_idx") == F.col("bb.band_idx"))
+                  & (F.col("ba.band_key") == F.col("bb.band_key"))
+                  & (F.col("ba.doc_id") < F.col("bb.doc_id")))
+          .select(F.col("ba.doc_id").alias("doc_a"),
+                  F.col("bb.doc_id").alias("doc_b"))
+          .dropDuplicates(["doc_a", "doc_b"]))
     # Normalize to (doc_a=min, doc_b=max) — the exact pair shape the
     # full (corpus ∪ batch) self-join produces, so `assignment` gives
     # identical reps.
     pairs = (bc.select(F.least("new_id", "old_id").alias("doc_a"),
                        F.greatest("new_id", "old_id").alias("doc_b"))
              .unionByName(bb)
-             .dropDuplicates(["doc_a", "doc_b"]))
+             .dropDuplicates(["doc_a", "doc_b"])
+             # Feeds `touched` twice and the verify join once.
+             .localCheckpoint(eager=False))
     touched = (pairs.select(F.col("doc_a").alias("doc_id"))
                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
                .distinct())

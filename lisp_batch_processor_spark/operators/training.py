@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    LongType, StructField, StructType,
+    ByteType, IntegerType, LongType, ShortType, StructField, StructType,
 )
 
 from lisp_batch_processor_spark.operators.text import tokens_col
@@ -65,10 +65,18 @@ def hash_bucket(id_col: Column | str, salt: str,
     landing in `val` says nothing about its mixing coin flip.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(_hash_word(salt, c), F.lit(n_buckets))
+
+
+def _hash_word(salt: str, c: Column) -> Column:
+    """The shared 60-bit salted md5 word: md5('<salt>:<id>') first 15
+    hex chars as BIGINT. One definition so hash_bucket and
+    shuffle_deterministic can never drift apart — the construction is
+    a cross-engine replay contract (DuckDB/hashlib oracles hardcode
+    it in tests)."""
     hexs = F.md5(F.encode(F.concat_ws(":", F.lit(salt),
                                       c.cast("string")), "UTF-8"))
-    word = F.conv(F.substring(hexs, 1, 15), 16, 10).cast("bigint")
-    return F.pmod(word, F.lit(n_buckets))
+    return F.conv(F.substring(hexs, 1, 15), 16, 10).cast("bigint")
 
 
 def split_thresholds(splits: Sequence[tuple[str, float]],
@@ -218,6 +226,16 @@ def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    # Fail fast on non-integral ids: the slim (bucket, id, len) frame
+    # carries the id as bigint, and a silent cast would turn string/
+    # UUID ids into nulls that only crash deep inside the Arrow stage.
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType,
+                                LongType)):
+        raise TypeError(
+            f"pack_sequences needs an integral {id_col!r} (got "
+            f"{id_type.simpleString()}); hash or factorize string ids "
+            "to bigint first")
     n = token_len if token_len is not None else F.size(tokens_col())
     slim = docs.select(
         hash_bucket(id_col, salt, n_buckets).alias("bucket"),
@@ -455,11 +473,8 @@ def shuffle_deterministic(docs: DataFrame, salt: str = "shuffle-v1",
     and streaming them in key order if a single total order is not
     required.
     """
-    hexs = F.md5(F.encode(F.concat_ws(":", F.lit(salt),
-                                      F.col(id_col).cast("string")),
-                          "UTF-8"))
-    key = F.conv(F.substring(hexs, 1, 15), 16, 10).cast("bigint")
-    out = docs.withColumn("shuffle_key", key)
+    out = docs.withColumn("shuffle_key",
+                          _hash_word(salt, F.col(id_col)))
     parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
     return (out.repartitionByRange(parts, "shuffle_key", F.col(id_col))
             .sortWithinPartitions("shuffle_key", id_col))

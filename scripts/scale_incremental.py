@@ -56,6 +56,11 @@ def main() -> None:
 
     corpora = [("sf0.1", f"{SF01}/documents.parquet"),
                ("x10", f"{blow_dir}/documents.parquet")]
+    # Second decade when the x100 corpus is already materialized (the
+    # scale_slope x100 run builds it); 500k docs, index ~2M rows.
+    x100_docs = "/root/repo/.scale/x100/documents.parquet"
+    if os.path.isdir(x100_docs):
+        corpora.append(("x100", x100_docs))
     results: dict[str, dict] = {}
     for label, path in corpora:
         corpus = spark.read.parquet(path)

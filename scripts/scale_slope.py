@@ -49,18 +49,19 @@ SF01 = "/root/testdata/sf0.1"
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 KEY_SHIFT = 10**9
 
-# query -> (driving table for the rows metric, supports x10 blow-up)
+# query -> driving table for the rows metric; every query gets the
+# blow-up scale point.
 QUERIES = {
-    "q_dedup_connected": ("documents", True),
-    "q_dedup_ngram": ("documents", True),
-    "q_dedup_minhash": ("documents", True),
-    "q_dedup_simhash": ("documents", True),
-    "q_exists_decorrelated": ("lineitem", True),
-    "q_stream_sessions": ("events", True),
-    "q_stream_dedup": ("events", True),
-    "q_similarity_topk": ("embeddings", True),
-    "q_similarity_ann": ("embeddings", True),
-    "q_dedup_embedding": ("embeddings", True),
+    "q_dedup_connected": "documents",
+    "q_dedup_ngram": "documents",
+    "q_dedup_minhash": "documents",
+    "q_dedup_simhash": "documents",
+    "q_exists_decorrelated": "lineitem",
+    "q_stream_sessions": "events",
+    "q_stream_dedup": "events",
+    "q_similarity_topk": "embeddings",
+    "q_similarity_ann": "embeddings",
+    "q_dedup_embedding": "embeddings",
 }
 
 
@@ -174,7 +175,7 @@ def main() -> None:
     qs = all_queries()
 
     xlabel = f"x{REPLICAS}"
-    need_tables = {t for q, (t, blowable) in queries.items() if blowable}
+    need_tables = set(queries.values())
     missing = {t for t in need_tables
                if not os.path.isdir(os.path.join(blow_dir, f"{t}.parquet"))}
     if missing:
@@ -192,10 +193,8 @@ def main() -> None:
         return rows_cache[key]
 
     results: dict[str, dict] = {}
-    for name, (table, blowable) in queries.items():
-        scales = [("sf0.01", SF001), ("sf0.1", SF01)]
-        if blowable:
-            scales.append((xlabel, blow_dir))
+    for name, table in queries.items():
+        scales = [("sf0.01", SF001), ("sf0.1", SF01), (xlabel, blow_dir)]
         per_scale = {}
         for label, sf_dir in scales:
             # Out-row count taken OUTSIDE the timing loop, for the
@@ -254,10 +253,9 @@ def main() -> None:
     for name, r in results.items():
         s = r["scales"]
         e = r["slope_exponents"]
-        xv = f"{s[xlabel]['sec']}s" if xlabel in s else "—"
-        e2 = e.get(f"sf0.1->{xlabel}", "—")
         print(f"| {name} | {s['sf0.01']['sec']}s | {s['sf0.1']['sec']}s "
-              f"| {xv} | {e['sf0.01->sf0.1']} | {e2} |")
+              f"| {s[xlabel]['sec']}s | {e['sf0.01->sf0.1']} "
+              f"| {e[f'sf0.1->{xlabel}']} |")
 
 
 if __name__ == "__main__":

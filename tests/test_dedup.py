@@ -71,6 +71,42 @@ def test_minhash_signature_deterministic(spark, dup_docs):
     assert a == b
 
 
+def test_minhash_signatures_match_formula_exactly(spark, dup_docs):
+    """Pin the overflow-free BIGINT Mersenne fold to the documented
+    hash family h_s = (b1 + s*b2) mod 2^61-1, replayed in exact
+    Python integers over the same md5-derived words. This is the
+    contract the DuckDB oracle's HUGEINT replay and any persisted
+    signature index depend on — candidate sets are only 'identical by
+    construction' if the signatures are. (Caught a real bug: a fold
+    that used coefficient 2 for the high word — the 32-bit-split
+    identity, not the 31-bit split's 2^61 ≡ 1 — passed every
+    downstream test because exact-Jaccard verification masks
+    candidate-set differences.)"""
+    import hashlib as hl
+    import re as _re
+
+    P = 2305843009213693951
+    got = {r.doc_id: [r[f"mh{s}"] for s in range(16)]
+           for r in minhash_signatures(dup_docs).collect()}
+
+    for doc_id, text in [(r.doc_id, r.text) for r in dup_docs.collect()]:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if len(toks) >= 3:
+            shingles = {" ".join(toks[i:i + 3])
+                        for i in range(len(toks) - 2)}
+        else:
+            shingles = {" ".join(toks)}
+        expect = []
+        for s in range(16):
+            vals = []
+            for sh in shingles:
+                hx = hl.md5(sh.encode()).hexdigest()
+                b1, b2 = int(hx[:15], 16), int(hx[15:30], 16)
+                vals.append((b1 + s * b2) % P)
+            expect.append(min(vals))
+        assert got[doc_id] == expect, f"doc {doc_id} signature drift"
+
+
 def test_connected_components_chain_and_triangle(spark):
     from lisp_batch_processor_spark.operators.dedup import connected_components
     pairs = spark.createDataFrame(
