@@ -441,11 +441,18 @@ def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_dup", F.col("doc_id") != F.col("rep_id")))
 
 
+# The short-doc fallback COALESCEs because DuckDB's
+# array_to_string([], ' ') is NULL where Spark's concat_ws() is '' —
+# without it zero-token docs get an empty shingle SET in the oracle
+# but a [''] singleton in Spark, so Spark pairs empty docs as exact
+# dups (jaccard 1 on {''}) and the oracle doesn't. The fixtures have
+# no zero-token docs, so only the randomized differential test
+# (tests/test_differential_fuzz.py) could see this.
 _SQL_SHINGLES = (
     "CASE WHEN len(toks) >= 3 THEN "
     "list_transform(generate_series(1, len(toks) - 2), "
     "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
-    "ELSE [array_to_string(toks, ' ')] END")
+    "ELSE [COALESCE(array_to_string(toks, ' '), '')] END")
 
 
 def _minhash_oracle_sql() -> str:

@@ -1,0 +1,102 @@
+"""Randomized differential testing of the document-dedup pipelines:
+run the Spark implementation AND its DuckDB oracle on RANDOM corpora
+with planted near-threshold duplicates, and require exact equality —
+the same comparison the driver's gate makes, minus the blessed
+fixture.
+
+Why this exists: the fixture can mask real divergence. The round-4
+MinHash fold bug (wrong Mersenne coefficient — a different hash
+family than the oracle replays) passed the fixture gate because
+exact-Jaccard verification confirmed the same final pairs from both
+engines' (different) candidate sets. Random corpora with many pairs
+sitting NEAR the LSH band thresholds make that kind of masking
+vanishingly unlikely: any family drift flips some pair's candidacy
+in one engine only, and the assignment hashes split.
+
+Seeds are fixed so runs are reproducible; corpora include empty
+docs, sub-shingle docs, case/whitespace/punctuation churn, exact
+dups, and token-substitution variants whose Jaccard straddles the
+0.7/0.8 thresholds, across multiple source blocks.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from lisp_batch_processor_spark import all_queries, oracles
+from scripts.check_correctness import _rowset
+
+# documents-shaped queries that read only (doc_id, source, text) —
+# the full fuzzy-dedup family plus the exact-dup fingerprint.
+FUZZ_QUERIES = (
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram",
+    "q_dedup_editdist",
+    "q_dedup_connected",
+    "q_text_fingerprint",
+)
+
+
+def _fuzz_corpus(seed: int, n_base: int = 50) -> list[tuple]:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(150)] + ["the", "and", "data", "run"]
+    sources = ["sA", "sB", "sC"]
+    rows: list[tuple] = []
+    doc_id = 0
+    for _ in range(n_base):
+        src = rng.choice(sources)
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        rows.append((doc_id, src, " ".join(toks)))
+        doc_id += 1
+        # 0-2 variants: replace up to a third of the tokens, so pair
+        # Jaccard lands all over [0.5, 1.0] — straddling the 0.7
+        # (minhash) and 0.8 (ngram) thresholds where band-membership
+        # disagreements between drifting hash families would show.
+        for _ in range(rng.randint(0, 2)):
+            v = list(toks)
+            for _ in range(rng.randint(0, max(1, len(v) // 3))):
+                if v:
+                    v[rng.randrange(len(v))] = rng.choice(vocab)
+            vsrc = src if rng.random() < 0.8 else rng.choice(sources)
+            rows.append((doc_id, vsrc, " ".join(v)))
+            doc_id += 1
+    # Case/whitespace/punctuation churn (fingerprint + tokenizer
+    # normalization paths) and an exact dup pair.
+    rows.append((doc_id, "sA", "Hello, World!  multiple   spaces here"))
+    rows.append((doc_id + 1, "sA", "hello world MULTIPLE spaces? here"))
+    rows.append((doc_id + 2, "sB", rows[0][2]))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_dedup_family_matches_oracles_on_random_corpus(
+        spark, tmp_path_factory, seed):
+    rows = _fuzz_corpus(seed)
+    d = tmp_path_factory.mktemp(f"fuzz{seed}")
+    (spark.createDataFrame(rows, "doc_id long, source string, text string")
+     .coalesce(2).write.mode("overwrite")
+     .parquet(f"{d}/documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')")
+
+    qs, osql = all_queries(), oracles()
+    for name in FUZZ_QUERIES:
+        sdf = qs[name](spark, str(d))
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(osql[name])
+        dcols = [dd[0] for dd in res.description]
+        drows = res.fetchall()
+        assert sorted(scols) == sorted(dcols), name
+        assert len(srows) == len(drows), \
+            f"{name}: spark {len(srows)} rows vs oracle {len(drows)}"
+        a, b = _rowset(scols, srows), _rowset(dcols, drows)
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        assert a == b, f"{name} seed {seed}: first diffs {diffs}"
