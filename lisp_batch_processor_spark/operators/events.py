@@ -84,15 +84,28 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic window form rather than DuckDB's ASOF JOIN: when
+# several touches share the greatest b.ts < a.ts, ASOF picks an
+# unspecified one — the randomized differential test (same-instant
+# touches planted) caught Spark and DuckDB picking different rows.
+# The operator's contract is "latest ts, ties by largest event_id",
+# and this oracle replays exactly that.
 _Q_JOIN_ASOF_ORACLE = """
-SELECT a.event_id, a.user_id,
-  epoch_us(a.ts) AS conv_ts_us,
-  b.event_id AS touch_event_id,
-  epoch_us(b.ts) AS touch_ts_us,
-  b.event_type AS touch_type
-FROM (SELECT * FROM events WHERE event_type = 'error') a
-ASOF JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) b
-  ON a.user_id = b.user_id AND b.ts < a.ts
+SELECT event_id, user_id, conv_ts_us, touch_event_id, touch_ts_us,
+       touch_type
+FROM (
+  SELECT a.event_id, a.user_id,
+    epoch_us(a.ts) AS conv_ts_us,
+    b.event_id AS touch_event_id,
+    epoch_us(b.ts) AS touch_ts_us,
+    b.event_type AS touch_type,
+    row_number() OVER (PARTITION BY a.event_id
+                       ORDER BY b.ts DESC, b.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'error') a
+  JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) b
+    ON a.user_id = b.user_id AND b.ts < a.ts
+)
+WHERE rn = 1
 """
 
 
@@ -120,10 +133,15 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("event_id").alias("t_id"),
                      F.col("event_type").alias("t_type"),
                      F.lit(1).alias("side")))
-    # Order (ts, side): at equal ts the error (side 0) sorts before
-    # the touch, so a same-instant touch is not visible — the strict
-    # `b.ts < a.ts` semantics.
-    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+    # Order (ts, side, event_id): at equal ts the error (side 0)
+    # sorts before the touch, so a same-instant touch is not visible
+    # — the strict `b.ts < a.ts` semantics. event_id makes the order
+    # TOTAL: when several touches share a ts, the largest event_id
+    # sorts last and is the one carried — without it `last()` over a
+    # tied order is partitioning-dependent (caught by the randomized
+    # differential test; the fixture has unique per-user timestamps
+    # so the gate alone could not see it).
+    w = (Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = (conv.unionByName(touch)
                .withColumn("touch_event_id",

@@ -72,6 +72,89 @@ def _fuzz_corpus(seed: int, n_base: int = 50) -> list[tuple]:
     return rows
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+# event-time queries over (event_id, ts, user_id, event_type, value):
+# the batch event operators AND the streaming twins — the streaming
+# engine itself runs against the random fixture through the same
+# memory-sink harness the gate uses.
+EVENT_FUZZ_QUERIES = (
+    "q_event_sessionize",
+    "q_join_asof",
+    "q_join_range",
+    "q_window_tumbling",
+    "q_stream_sessions",
+    "q_stream_dedup",
+)
+
+
+def _fuzz_events(seed: int, n_users: int = 12) -> list[tuple]:
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    base = datetime(2025, 3, 1)
+    types = ["click", "view", "error", "scroll"]
+    rows: list[tuple] = []
+    eid = 0
+    for u in range(n_users):
+        t_us = rng.randint(0, 3_600_000_000)
+        # Some users get long bursts (> the 20-event session cap);
+        # steps include 0 (same-instant ties), the EXACT session gap
+        # (stays in-session: the `>` is strict), and gap+1 (splits).
+        for _ in range(rng.randint(1, 55)):
+            t_us += rng.choice([0, 0, 1, 999_983, SESSION_GAP_US,
+                                SESSION_GAP_US + 1,
+                                rng.randint(1, 2 * SESSION_GAP_US)])
+            ty = rng.choice(types)
+            rows.append((eid, base + timedelta(microseconds=t_us), u,
+                         ty, rng.randint(0, 10_000) / 100, "{}"))
+            eid += 1
+            # As-of strictness: occasionally an error at the SAME
+            # instant as the touch just emitted — the strict b.ts <
+            # a.ts must not see it.
+            if ty in ("click", "view") and rng.random() < 0.1:
+                rows.append((eid, base + timedelta(microseconds=t_us),
+                             u, "error", rng.randint(0, 10_000) / 100,
+                             "{}"))
+                eid += 1
+    rng.shuffle(rows)  # file order must not matter
+    return rows
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_event_queries_match_oracles_on_random_events(
+        spark, tmp_path_factory, seed):
+    rows = _fuzz_events(seed)
+    d = tmp_path_factory.mktemp(f"evfuzz{seed}")
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+     # One part file: the streaming twins' oracle equivalence needs
+     # all data in one micro-batch, matching the gate fixture shape.
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{d}/events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')")
+
+    qs, osql = all_queries(), oracles()
+    for name in EVENT_FUZZ_QUERIES:
+        sdf = qs[name](spark, str(d))
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(osql[name])
+        dcols = [dd[0] for dd in res.description]
+        drows = res.fetchall()
+        assert sorted(scols) == sorted(dcols), name
+        assert len(srows) == len(drows), \
+            f"{name} seed {seed}: spark {len(srows)} vs oracle {len(drows)}"
+        a, b = _rowset(scols, srows), _rowset(dcols, drows)
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        assert a == b, f"{name} seed {seed}: first diffs {diffs}"
+
+
 @pytest.mark.parametrize("seed", [7, 23])
 def test_dedup_family_matches_oracles_on_random_corpus(
         spark, tmp_path_factory, seed):
