@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from lisp_batch_processor_spark.catalog import load
 from lisp_batch_processor_spark.functions.numeric import dround
 from lisp_batch_processor_spark.functions.vectors import (
-    dot, l2_norm, sql_cosine)
+    dot, l2_norm, sql_cosine, sql_dot)
 from lisp_batch_processor_spark.operators.text import tokens_col
 from lisp_batch_processor_spark.registry import query
 
@@ -967,7 +967,14 @@ WITH pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+  -- Zero-norm vectors have no cosine (0/0): excluded from pairing on
+  -- both engines. Without the guards DuckDB's double division yields
+  -- NaN, which its comparisons rank ABOVE the threshold, while Spark
+  -- under ANSI mode errors on the division — the randomized
+  -- differential test plants zero vectors to pin this.
+  WHERE {sql_dot('a.embedding', 'a.embedding')} > 0
+    AND {sql_dot('b.embedding', 'b.embedding')} > 0
+    AND {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
 ), nbr AS (
   SELECT vec_b AS vec_id, MIN(vec_a) AS min_nbr FROM pairs GROUP BY vec_b
 )
@@ -999,7 +1006,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     e = (emb.select("vec_id", "label", "embedding")
          .withColumn("nrm", l2_norm(F.col("embedding"))))
-    a, b = e.alias("a"), e.alias("b")
+    # Zero-norm vectors have no cosine: excluded from PAIRING (ANSI
+    # division would error; NaN would rank above any threshold) but
+    # still owed an assignment row (rep = self) below.
+    p = e.filter(F.col("nrm") > 0)
+    a, b = p.alias("a"), p.alias("b")
     pairs = (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                   & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -1037,9 +1048,12 @@ def srp_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
     from lisp_batch_processor_spark.operators.similarity import _srp_keys_udf
 
     srp = _srp_keys_udf()
-    sig = emb.select(F.col(id_col).alias("vid"), "embedding",
-                     l2_norm(F.col("embedding")).alias("nrm"),
-                     F.posexplode(srp("embedding")).alias("band", "key"))
+    sig = (emb.select(F.col(id_col).alias("vid"), "embedding",
+                      l2_norm(F.col("embedding")).alias("nrm"),
+                      F.posexplode(srp("embedding")).alias("band", "key"))
+           # Zero-norm vectors have no cosine — excluded from pairing
+           # (same convention as q_dedup_embedding).
+           .filter(F.col("nrm") > 0))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

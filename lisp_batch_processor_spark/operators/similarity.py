@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.catalog import load
 from lisp_batch_processor_spark.functions.numeric import dround, sql_dround
-from lisp_batch_processor_spark.functions.vectors import cosine, sql_cosine
+from lisp_batch_processor_spark.functions.vectors import (
+    cosine, dot, sql_cosine, sql_dot)
 from lisp_batch_processor_spark.registry import query
 
 N_QUERY_VECS = 10
@@ -25,10 +26,14 @@ TOP_K = 5
 # Portable 6-dp rounding of the cosine (see functions/numeric.dround).
 _DR_COS = sql_dround("cos", 6)
 
+# Zero-norm guards on both sides: cosine with a zero vector is 0/0 —
+# Spark's ANSI division errors and DuckDB's NaN would rank first, so
+# such vectors are excluded from ranking by contract (fuzz-pinned).
 _Q_SIMILARITY_TOPK_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
   WHERE vec_id < {N_QUERY_VECS}
+    AND {sql_dot('embedding', 'embedding')} > 0
 ), pairs AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
     list_reduce(list_transform(generate_series(1, len(q.qe)),
@@ -41,6 +46,7 @@ WITH q AS (
         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
         (x, y) -> x + y))) AS cos
   FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+   AND {sql_dot('e.embedding', 'e.embedding')} > 0
 ), ranked AS (
   SELECT query_id, neighbor_id, {_DR_COS} AS cos_sim,
     row_number() OVER (PARTITION BY query_id
@@ -66,10 +72,13 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_similarity_ann.
     """
     emb = load(spark, sf_dir, "embeddings")
-    queries = (emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    # Zero-norm vectors have no cosine: dropped from both sides (the
+    # ANSI division would error; NaN would outrank every real score).
+    nz = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    queries = (nz.filter(F.col("vec_id") < N_QUERY_VECS)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qe")))
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    corpus = nz.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     pairs = (F.broadcast(queries).crossJoin(corpus)
              .filter(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "neighbor_id",
@@ -171,6 +180,9 @@ WITH base AS (
   SELECT vec_id,
     {key_cols}
   FROM embeddings
+  -- zero-norm vectors are excluded from the index and from querying:
+  -- their cosine is 0/0 (same convention as q_similarity_topk).
+  WHERE {sql_dot('embedding', 'embedding')} > 0
 ), sig AS (
   {band_rows}
 ), q AS (
@@ -219,9 +231,12 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     srp_keys = _srp_keys_udf()
-    sig = (emb.select("vec_id", "embedding",
-                      F.posexplode(srp_keys("embedding"))
-                       .alias("band", "key")))
+    # Zero-norm vectors are excluded from the index and the query set
+    # (no cosine; same convention as q_similarity_topk).
+    nz = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    sig = (nz.select("vec_id", "embedding",
+                     F.posexplode(srp_keys("embedding"))
+                      .alias("band", "key")))
     queries = (sig.filter(F.col("vec_id") < N_QUERY_VECS)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qe"), "band", "key"))
@@ -353,11 +368,14 @@ def ivf_topk(emb: DataFrame, centroids: list[list[float]],
     population ~N/nlist bounds per-query candidate volume; nprobe/
     nlist is the recall dial, verified against brute force in tests.
     """
-    corpus = emb.select(
+    # Zero-norm vectors have no cosine — excluded from index and
+    # queries (same convention as the other similarity operators).
+    nz = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    corpus = nz.select(
         F.col("vec_id").alias("neighbor_id"), "embedding",
         _ivf_cells_udf(centroids, 1)("embedding")[0].alias("cell"))
     probe = _ivf_cells_udf(centroids, nprobe)
-    queries = (emb.filter(F.col("vec_id") < n_query)
+    queries = (nz.filter(F.col("vec_id") < n_query)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qe"),
                        F.explode(probe("embedding")).alias("cell")))

@@ -155,6 +155,92 @@ def test_event_queries_match_oracles_on_random_events(
         assert a == b, f"{name} seed {seed}: first diffs {diffs}"
 
 
+# vector queries over (vec_id, embedding, label): exact cosine
+# threshold decisions and SRP bucket keys must be bit-identical.
+VECTOR_FUZZ_QUERIES = (
+    "q_dedup_embedding",
+    "q_similarity_topk",
+    "q_similarity_ann",
+)
+
+EMBED_DIM = 64
+
+
+def _fuzz_embeddings(seed: int, n: int = 120) -> list[tuple]:
+    import math
+
+    rng = random.Random(seed)
+
+    def rand_vec():
+        return [rng.gauss(0, 1) for _ in range(EMBED_DIM)]
+
+    rows: list[tuple] = []
+    vid = 0
+    for _ in range(n):
+        v = rand_vec()
+        label = rng.randrange(5)
+        rows.append((vid, v, label))
+        vid += 1
+        r = rng.random()
+        if r < 0.15:
+            # Exact duplicate (cos == 1 bit-for-bit).
+            rows.append((vid, list(v), label))
+            vid += 1
+        elif r < 0.45:
+            # Constructed cosine straddling the 0.99 dup threshold:
+            # w = c*u + sqrt(1-c^2)*o with o orthogonal to v. Float32
+            # storage perturbs the realized cosine a few ULP around
+            # the target, so the >= 0.99 DECISION depends on both
+            # engines computing the identical double.
+            c = rng.choice([0.9899, 0.98995, 0.99, 0.99005, 0.9901])
+            o = rand_vec()
+            dv = sum(a * a for a in v) ** 0.5
+            d = sum(a * b for a, b in zip(v, o)) / (dv * dv)
+            o = [b - d * a for a, b in zip(v, o)]  # orthogonalize
+            do = sum(a * a for a in o) ** 0.5
+            w = [c * a / dv + math.sqrt(1 - c * c) * b / do
+                 for a, b in zip(v, o)]
+            rows.append((vid, w,
+                         label if rng.random() < 0.8 else rng.randrange(5)))
+            vid += 1
+    # Zero vectors: norm 0 -> cosine 0/0 = NaN; both engines must
+    # agree on how NaN meets >= thresholds and DESC ranking.
+    rows.append((vid, [0.0] * EMBED_DIM, 0))
+    rows.append((vid + 1, [0.0] * EMBED_DIM, 0))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_vector_queries_match_oracles_on_random_embeddings(
+        spark, tmp_path_factory, seed):
+    rows = _fuzz_embeddings(seed)
+    d = tmp_path_factory.mktemp(f"vecfuzz{seed}")
+    (spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+     .coalesce(2).write.mode("overwrite")
+     .parquet(f"{d}/embeddings.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')")
+
+    qs, osql = all_queries(), oracles()
+    for name in VECTOR_FUZZ_QUERIES:
+        sdf = qs[name](spark, str(d))
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(osql[name])
+        dcols = [dd[0] for dd in res.description]
+        drows = res.fetchall()
+        assert sorted(scols) == sorted(dcols), name
+        assert len(srows) == len(drows), \
+            f"{name} seed {seed}: spark {len(srows)} vs oracle {len(drows)}"
+        a, b = _rowset(scols, srows), _rowset(dcols, drows)
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        assert a == b, f"{name} seed {seed}: first diffs {diffs}"
+
+
 @pytest.mark.parametrize("seed", [7, 23])
 def test_dedup_family_matches_oracles_on_random_corpus(
         spark, tmp_path_factory, seed):
