@@ -26,7 +26,11 @@ SELECT
   upper(o_orderstatus)              AS status_upper,
   substr(o_orderpriority, 1, 1)     AS priority_digit,
   regexp_extract(o_orderpriority, '^([0-9])-(.+)$', 2) AS priority_word,
-  concat(o_orderstatus, '/', o_orderpriority) AS status_priority,
+  -- concat_ws, not concat('/'): Spark's concat_ws SKIPS null
+  -- arguments (null status -> just the priority) while concat
+  -- null-propagates in Spark and empty-strings in DuckDB — the
+  -- randomized fuzz (null statuses) pinned the skip semantics.
+  concat_ws('/', o_orderstatus, o_orderpriority) AS status_priority,
   CAST(length(o_orderpriority) AS INT) AS priority_len,
   replace(lower(o_orderpriority), ' ', '_') AS priority_slug,
   CAST(CAST(o_totalprice * 0.1 AS DECIMAL(18,4)) AS DOUBLE)
@@ -74,12 +78,23 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid guards: Spark's get_json_object is TOLERANT (malformed
+# or empty JSON -> NULL) while DuckDB's json_extract_string ERRORS on
+# malformed input — at 100 TB malformed props are a certainty, so the
+# tolerant semantics are the contract and the oracle replays them
+# (pinned by the randomized fuzz, which plants '', 'not json',
+# truncated objects, JSON null, and array documents).
 _Q_JSON_MAP_ORACLE = """
 SELECT
   event_id,
-  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
-  (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+  CAST(CASE WHEN json_valid(props)
+       THEN json_extract_string(props, '$.k') END AS INT) AS k_val,
+  CAST(CASE WHEN json_valid(props)
+       THEN json_extract_string(props, '$.k') END AS INT) % 10
+    AS k_bucket,
+  ((CASE WHEN json_valid(props)
+    THEN json_extract_string(props, '$.missing') END) IS NULL)
+    AS missing_is_null
 FROM events
 """
 

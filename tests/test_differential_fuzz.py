@@ -210,6 +210,72 @@ def _fuzz_embeddings(seed: int, n: int = 120) -> list[tuple]:
     return rows
 
 
+def _assert_query_matches_oracle(spark, con, name, sf_dir, seed):
+    qs, osql = all_queries(), oracles()
+    sdf = qs[name](spark, str(sf_dir))
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(osql[name])
+    dcols = [dd[0] for dd in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), name
+    assert len(srows) == len(drows), \
+        f"{name} seed {seed}: spark {len(srows)} vs oracle {len(drows)}"
+    a, b = _rowset(scols, srows), _rowset(dcols, drows)
+    diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+    assert a == b, f"{name} seed {seed}: first diffs {diffs}"
+
+
+@pytest.mark.parametrize("seed", [13, 61])
+def test_scalar_and_json_queries_on_random_rows(
+        spark, tmp_path_factory, seed):
+    """q_scalar_funcs over random orders (NULLs, empty and unicode
+    strings, regex non-matches, boundary dates, zero/huge prices) and
+    q_json_map over random events props (malformed JSON, JSON null,
+    array documents, quoted numbers, present-and-absent keys)."""
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    d = tmp_path_factory.mktemp(f"scfuzz{seed}")
+
+    statuses = ["O", "F", "P", "", "ø", None]
+    prios = ["1-URGENT", "5-LOW", "2-HIGH PRIO", "URGENT", "", "9-",
+             "1-URGENT EXTRA WORDS", None, "x-nope", "3-médium"]
+    orders = []
+    for i in range(120):
+        day = datetime(1992, 1, 1) + timedelta(
+            days=rng.randint(0, 365 * 40), seconds=rng.randint(0, 86399))
+        price = rng.choice(
+            [0.0, 0.005, 104729.991, rng.uniform(0, 1e7), None])
+        orders.append((i, rng.randint(1, 50), rng.choice(statuses),
+                       price, day, rng.choice(prios)))
+    (spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp_ntz, "
+                "o_orderpriority string")
+     .coalesce(2).write.mode("overwrite").parquet(f"{d}/orders.parquet"))
+
+    props_pool = ['{"k": 7}', '{"k":-13}', '{"k": 0}', '{}', "", "not json",
+                  '{"k":', '{"k": null}', '{"k": 7, "missing": 1}',
+                  '{"k":"9"}', "null", "[1,2]", ' {"k":3} ', None]
+    events = []
+    base = datetime(2025, 3, 1)
+    for i in range(150):
+        events.append((i, base + timedelta(seconds=i), rng.randint(0, 9),
+                       "click", 1.0, rng.choice(props_pool)))
+    (spark.createDataFrame(
+        events, "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet"))
+
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet/*.parquet')")
+    for name in ("q_scalar_funcs", "q_json_map"):
+        _assert_query_matches_oracle(spark, con, name, d, seed)
+
+
 @pytest.mark.parametrize("seed", [5, 31])
 def test_vector_queries_match_oracles_on_random_embeddings(
         spark, tmp_path_factory, seed):
