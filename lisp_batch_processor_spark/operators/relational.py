@@ -434,8 +434,18 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
          .alias("statuses"),
-        F.min_by("o_totalprice", "o_orderkey").alias("first_key_price"),
-        F.max_by("o_totalprice", "o_orderkey").alias("last_key_price"),
+        # Arg-extrema over NON-NULL prices (DuckDB's arg_min/arg_max
+        # skip null values; Spark's min_by would return the null):
+        # nulling the ORDERING key for null-price rows makes min_by
+        # skip them — Spark's Min/MaxBy ignores null orderings — so
+        # both engines return the price at the extreme key among
+        # rows that HAVE a price. Fuzz-pinned (null prices).
+        F.min_by("o_totalprice",
+                 F.when(F.col("o_totalprice").isNotNull(),
+                        F.col("o_orderkey"))).alias("first_key_price"),
+        F.max_by("o_totalprice",
+                 F.when(F.col("o_totalprice").isNotNull(),
+                        F.col("o_orderkey"))).alias("last_key_price"),
     )
 
 
@@ -456,6 +466,11 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL prices are excluded BEFORE ranking (the standard percentile
+# convention — every SQL percentile function ignores NULLs). Without
+# the filter the engines disagree on where NULLs sort (Spark ASC is
+# NULLS FIRST, DuckDB is NULLS LAST), shifting every rank — caught by
+# the randomized fuzz; n_orders counts ranked (non-null) rows.
 _Q_AGG_QUANTILES_ORACLE = """
 WITH r AS (
   SELECT o_orderpriority, o_totalprice,
@@ -463,6 +478,7 @@ WITH r AS (
                        ORDER BY o_totalprice, o_orderkey) AS rn,
     COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 )
 SELECT o_orderpriority,
   MAX(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS p25,
@@ -487,7 +503,11 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles — at 100 TB switch to approx_percentile (the
     q_agg_approx tier) or t-digest sketches.
     """
-    orders = load(spark, sf_dir, "orders")
+    # NULL prices excluded before ranking (standard percentile
+    # semantics; also the only cross-engine-stable choice — Spark
+    # sorts NULLS FIRST ascending, DuckDB NULLS LAST).
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_totalprice").isNotNull()))
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey")
     wn = Window.partitionBy("o_orderpriority")

@@ -68,7 +68,10 @@ def two_phase_agg(df: DataFrame, keys: Sequence[str],
     """Two-phase (salted) aggregation for hot groups: partial agg on
     (keys + salt), then final agg on keys. Supports the decomposable
     aggregates {sum, count, min, max}: `aggs` maps output column ->
-    (function, input column).
+    (function, input column). `("count", "*")` counts ROWS (SQL
+    COUNT(*)); `("count", col)` counts non-null values of col — the
+    same distinction SQL makes, and one the randomized fuzz pinned
+    (the two differ as soon as the column is nullable).
 
     Spark's hash aggregation already does map-side partials, so this
     only pays off when a single group is so hot its FINAL reduce task
@@ -80,13 +83,19 @@ def two_phase_agg(df: DataFrame, keys: Sequence[str],
     for fn, _ in aggs.values():
         if fn not in first:
             raise ValueError(f"{fn!r} is not decomposable; use plain groupBy")
+
+    def _partial(fn: str, col: str):
+        if fn == "count" and col == "*":
+            return F.count(F.lit(1))
+        return first[fn](col)
+
     keys = list(keys)
     salted = df.withColumn(
         SALT_COL,
         (F.crc32(F.monotonically_increasing_id().cast("string"))
          % n_salts).cast("int"))
     partial = salted.groupBy(*keys, SALT_COL).agg(*[
-        first[fn](col).alias(out) for out, (fn, col) in aggs.items()])
+        _partial(fn, col).alias(out) for out, (fn, col) in aggs.items()])
     return partial.groupBy(*keys).agg(*[
         recombine[fn](out).alias(out) for out, (fn, _) in aggs.items()])
 
@@ -148,7 +157,9 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_returnflag",
                   F.col("l_quantity").cast("decimal(18,2)").alias("qdec")))
     agg = two_phase_agg(li, ["l_returnflag"],
-                        {"n_items": ("count", "qdec"),
+                        # count "*" = rows, matching the oracle's
+                        # COUNT(*) even when l_quantity is NULL.
+                        {"n_items": ("count", "*"),
                          "sum_qty_dec": ("sum", "qdec")},
                         n_salts=8)
     return agg.select(

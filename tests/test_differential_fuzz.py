@@ -276,6 +276,114 @@ def test_scalar_and_json_queries_on_random_rows(
         _assert_query_matches_oracle(spark, con, name, d, seed)
 
 
+# relational / TPC-H family — every query over the 7-table world
+# (plus events for the window/pivot rows). NULLs go in VALUE columns
+# (balances, prices, quantities, segments, dates) while keys stay
+# non-null (the TPC-H contract); dangling foreign keys and customers
+# without orders arise naturally from independent sampling.
+RELATIONAL_FUZZ_QUERIES = (
+    "q_scan_project", "q_filter_pred", "q_dedup_exact",
+    "q_pipeline_chain", "q_sort_limit", "q_set_ops", "q_join_inner",
+    "q_join_semi_anti", "q_agg_groupby", "q_agg_distinct",
+    "q_agg_quantiles", "q_rollup_cube", "q_window_rank",
+    "q_window_running", "q_tpch_q3", "q_tpch_q5", "q_tpch_q17",
+    "q_tpch_q18", "q_join_outer", "q_exists_decorrelated", "q_pivot",
+    "q_skew_join", "q_skew_agg",
+)
+
+
+def _fuzz_tpch_world(spark, d, seed: int) -> None:
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+
+    def null_or(v, p=0.12):
+        return None if rng.random() < p else v
+
+    def day(lo=1992, hi=1998):
+        return (datetime(lo, 1, 1)
+                + timedelta(days=rng.randint(0, (hi - lo) * 365)))
+
+    def write(name, rows, schema):
+        (spark.createDataFrame(rows, schema).coalesce(2)
+         .write.mode("overwrite").parquet(f"{d}/{name}.parquet"))
+
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    write("region", [(i, regions[i]) for i in range(5)],
+          "r_regionkey int, r_name string")
+    write("nation", [(i, f"NATION_{i}", rng.randrange(5))
+                     for i in range(25)],
+          "n_nationkey int, n_name string, n_regionkey int")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY",
+            "HOUSEHOLD"]
+    write("customer",
+          [(c, f"Customer#{c}", rng.randrange(25),
+            null_or(round(rng.uniform(-999, 9999), 2)),
+            null_or(rng.choice(segs)))
+           for c in range(1, 61)],
+          "c_custkey long, c_name string, c_nationkey int, "
+          "c_acctbal double, c_mktsegment string")
+    write("supplier",
+          [(s, f"Supplier#{s}", rng.randrange(25),
+            null_or(round(rng.uniform(-999, 9999), 2)))
+           for s in range(1, 16)],
+          "s_suppkey long, s_name string, s_nationkey int, "
+          "s_acctbal double")
+    types = ["ECONOMY", "MEDIUM", "PROMO", "SMALL", "STANDARD", "LARGE"]
+    write("part",
+          [(p, f"part {p}", f"Brand#{rng.randrange(1, 26)}",
+            rng.choice(types), null_or(rng.randint(1, 50)),
+            round(rng.uniform(1, 2000), 2))
+           for p in range(1, 31)],
+          "p_partkey long, p_name string, p_brand string, "
+          "p_type string, p_size int, p_retailprice double")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"]
+    write("orders",
+          [(o, rng.randint(1, 70),  # custkeys 61-70 dangle
+            rng.choice("OFP"),
+            null_or(round(rng.uniform(1, 300000), 2)),
+            null_or(day(), 0.06), rng.choice(prios))
+           for o in range(1, 121)],
+          "o_orderkey long, o_custkey long, o_orderstatus string, "
+          "o_totalprice double, o_orderdate timestamp_ntz, "
+          "o_orderpriority string")
+    write("lineitem",
+          [(rng.randint(1, 130), rng.randint(1, 30),  # orders 121-130 dangle
+            rng.randint(1, 15), ln,
+            null_or(float(rng.randint(1, 50))),
+            round(rng.uniform(1, 90000), 2),
+            round(rng.choice([0.0, 0.02, 0.05, 0.1]), 2),
+            round(rng.choice([0.0, 0.04, 0.08]), 2),
+            rng.choice("ANR"), rng.choice("OF"), day(1992, 1999))
+           for ln in range(1, 8) for _ in range(70)],
+          "l_orderkey long, l_partkey long, l_suppkey long, "
+          "l_linenumber int, l_quantity double, l_extendedprice double, "
+          "l_discount double, l_tax double, l_returnflag string, "
+          "l_linestatus string, l_shipdate timestamp_ntz")
+    base = datetime(2025, 3, 1)
+    write("events",
+          [(i, base + timedelta(seconds=i * 37), rng.randint(0, 9),
+            rng.choice(["click", "view", "error", "scroll"]),
+            null_or(rng.randint(0, 10_000) / 100), "{}")
+           for i in range(200)],
+          "event_id long, ts timestamp_ntz, user_id long, "
+          "event_type string, value double, props string")
+
+
+@pytest.mark.parametrize("seed", [3, 47])
+def test_relational_queries_on_random_tpch(spark, tmp_path_factory, seed):
+    d = tmp_path_factory.mktemp(f"tpchfuzz{seed}")
+    _fuzz_tpch_world(spark, d, seed)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet/*.parquet')")
+    for name in RELATIONAL_FUZZ_QUERIES:
+        _assert_query_matches_oracle(spark, con, name, d, seed)
+
+
 @pytest.mark.parametrize("seed", [5, 31])
 def test_vector_queries_match_oracles_on_random_embeddings(
         spark, tmp_path_factory, seed):
