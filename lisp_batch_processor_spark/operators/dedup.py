@@ -22,7 +22,8 @@ from lisp_batch_processor_spark.catalog import load
 from lisp_batch_processor_spark.functions.numeric import dround
 from lisp_batch_processor_spark.functions.vectors import (
     dot, l2_norm, sql_cosine, sql_dot)
-from lisp_batch_processor_spark.operators.text import tokens_col
+from lisp_batch_processor_spark.operators.text import (
+    SQL_ASCII_LOWER, tokens_col)
 from lisp_batch_processor_spark.registry import query
 
 NUM_MINHASHES = 16
@@ -376,7 +377,7 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
                      .alias("component")))
 
 
-_SQL_TOK_LIST = ("list_filter(regexp_split_to_array(lower(text), "
+_SQL_TOK_LIST = (f"list_filter(regexp_split_to_array({SQL_ASCII_LOWER}, "
                  "'[^a-z0-9]+'), x -> x <> '')")
 _SQL_TOK_SET = f"list_distinct({_SQL_TOK_LIST})"
 
@@ -747,12 +748,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram (token-set) Jaccard — SQL-expressible, source-blocked.
 # ---------------------------------------------------------------------------
 
-_Q_DEDUP_NGRAM_ORACLE = """
+_Q_DEDUP_NGRAM_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, source,
-         list_distinct(list_filter(
-           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
-           AS tok_set
+  SELECT doc_id, source, {_SQL_TOK_SET} AS tok_set
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -930,6 +928,14 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidate generation (lsh_candidate_pairs) and keep this
     length-banded join for within-block sweeps — the verifier is a
     drop-in residual in either plan.
+
+    Unicode caveat: Levenshtein UNITS are engine-specific for
+    non-ASCII text — the JVM edits UTF-16 code units (an emoji is 2)
+    while DuckDB edits code points (1) — so cross-engine distance
+    parity is defined over texts where the two coincide (ASCII/BMP);
+    the randomized fuzz therefore keeps non-ASCII docs in singleton
+    source blocks. Within ONE engine the distances are consistent
+    either way.
     """
     docs = load(spark, sf_dir, "documents")
     d = (docs.select("doc_id", "source", "text")

@@ -20,19 +20,39 @@ from lisp_batch_processor_spark.registry import query
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 STOPWORDS = ("a", "the", "of", "and", "is", "to", "in")
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# DuckDB twin of ascii_lower(text) — keep the two in sync.
+SQL_ASCII_LOWER = f"translate(text, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def ascii_lower(c: Column) -> Column:
+    """ASCII-only lowercasing (A-Z -> a-z via translate), NOT
+    locale/Unicode lower(): full vs simple Unicode case mappings
+    differ between engines (Java lowers Turkish 'İ' to 'i' + a
+    combining dot, utf8proc maps it simply), which desynchronizes
+    tokenization cross-engine — caught by the randomized fuzz's
+    unicode corpus. Non-ASCII letters are token SEPARATORS under
+    TOKEN_SPLIT_RE regardless of case, so ASCII-only casing loses
+    nothing, is locale-independent (no tr_TR surprises at 100 TB),
+    and is bit-identical in every engine."""
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
 
 def tokens_col(text: Column | str = "text") -> Column:
-    """Lowercased tokens with empties removed — the shared tokenizer.
+    """ASCII-lowercased tokens with empties removed — the shared
+    tokenizer (see ascii_lower for why not full lower()).
 
-    DuckDB twin: list_filter(regexp_split_to_array(lower(text),
+    DuckDB twin: list_filter(regexp_split_to_array({SQL_ASCII_LOWER},
     '[^a-z0-9]+'), t -> t <> '').
     """
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+    return F.filter(F.split(ascii_lower(c), TOKEN_SPLIT_RE),
+                    lambda t: t != "")
 
 
-_SQL_TOKENS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
-               " t -> t <> '')")
+_SQL_TOKENS = (f"list_filter(regexp_split_to_array({SQL_ASCII_LOWER}, "
+               "'[^a-z0-9]+'), t -> t <> '')")
 _SQL_STOPWORDS = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 # ---------------------------------------------------------------------------
@@ -183,10 +203,10 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_text_fingerprint — deterministic document fingerprinting.
 # ---------------------------------------------------------------------------
 
-_Q_TEXT_FINGERPRINT_ORACLE = """
+_Q_TEXT_FINGERPRINT_ORACLE = f"""
 WITH f AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         md5(trim(regexp_replace({SQL_ASCII_LOWER}, '\\s+', ' ', 'g')))
            AS fingerprint
   FROM documents
 )
@@ -206,7 +226,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the 128-bit hash — uniformly distributed, no skew.
     """
     docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    # ascii_lower, not lower(): Unicode case mappings differ across
+    # engines (see tokens_col) and would fork the content hash.
+    fp = F.md5(F.trim(F.regexp_replace(ascii_lower(F.col("text")),
+                                       r"\s+", " ")))
     from pyspark.sql import Window
     w = Window.partitionBy("fingerprint")
     return (

@@ -29,8 +29,10 @@ import pytest
 from lisp_batch_processor_spark import all_queries, oracles
 from scripts.check_correctness import _rowset
 
-# documents-shaped queries that read only (doc_id, source, text) —
-# the full fuzzy-dedup family plus the exact-dup fingerprint.
+# documents-shaped queries — the full fuzzy-dedup family, the
+# exact-dup fingerprint, and the text-analysis stack (the corpus
+# carries the full fixture schema incl. lang / n_chars, with
+# unicode, emoji, CJK, and Turkish-casing docs planted).
 FUZZ_QUERIES = (
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -38,6 +40,10 @@ FUZZ_QUERIES = (
     "q_dedup_editdist",
     "q_dedup_connected",
     "q_text_fingerprint",
+    "q_text_analysis",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_langid",
 )
 
 
@@ -65,11 +71,34 @@ def _fuzz_corpus(seed: int, n_base: int = 50) -> list[tuple]:
             rows.append((doc_id, vsrc, " ".join(v)))
             doc_id += 1
     # Case/whitespace/punctuation churn (fingerprint + tokenizer
-    # normalization paths) and an exact dup pair.
-    rows.append((doc_id, "sA", "Hello, World!  multiple   spaces here"))
-    rows.append((doc_id + 1, "sA", "hello world MULTIPLE spaces? here"))
-    rows.append((doc_id + 2, "sB", rows[0][2]))
-    return rows
+    # normalization paths), an exact dup pair, and unicode stress:
+    # umlauts/ß, CJK (tokenizer strips all), emoji, Turkish dotted-I
+    # casing (lower() corner), combining characters.
+    extra = [
+        "Hello, World!  multiple   spaces here",
+        "hello world MULTIPLE spaces? here",
+        rows[0][2],
+        "Üppige Grüße aus München ß straße",
+        "数据 处理 系统 大规模 训练",
+        "emoji 😀 test 🚀 tokens remain ascii only",
+        "İstanbul KIRMIZI ışık DİKKAT",
+        "café combining acute vs café precomposed",
+    ]
+    for k, t in enumerate(extra):
+        # Unicode docs get singleton sources: q_dedup_editdist is
+        # source-blocked and Levenshtein UNITS differ by engine on
+        # non-ASCII text (JVM UTF-16 code units vs DuckDB code
+        # points — an emoji counts 2 vs 1), so cross-engine distance
+        # parity is only defined where the units coincide. The
+        # unblocked tokenizer-based queries (minhash/simhash/
+        # fingerprint/text_*) still process these docs fully.
+        src = rng.choice(["sA", "sB"]) if t.isascii() else f"sU{k}"
+        rows.append((doc_id, src, t))
+        doc_id += 1
+    # Fixture schema order: (doc_id, text, lang, source, n_chars).
+    langs = ["en", "de", "fr", "zh", None]
+    return [(i, text, rng.choice(langs), src, len(text))
+            for i, src, text in rows]
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -288,7 +317,7 @@ RELATIONAL_FUZZ_QUERIES = (
     "q_agg_quantiles", "q_rollup_cube", "q_window_rank",
     "q_window_running", "q_tpch_q3", "q_tpch_q5", "q_tpch_q17",
     "q_tpch_q18", "q_join_outer", "q_exists_decorrelated", "q_pivot",
-    "q_skew_join", "q_skew_agg",
+    "q_skew_join", "q_skew_agg", "q_quality_audit", "q_status_rollup",
 )
 
 
@@ -420,7 +449,9 @@ def test_dedup_family_matches_oracles_on_random_corpus(
         spark, tmp_path_factory, seed):
     rows = _fuzz_corpus(seed)
     d = tmp_path_factory.mktemp(f"fuzz{seed}")
-    (spark.createDataFrame(rows, "doc_id long, source string, text string")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
      .coalesce(2).write.mode("overwrite")
      .parquet(f"{d}/documents.parquet"))
 
