@@ -101,6 +101,19 @@ def _fuzz_corpus(seed: int, n_base: int = 50) -> list[tuple]:
             for i, src, text in rows]
 
 
+def test_fuzz_families_cover_every_oracled_query():
+    """Completeness guard: every query with a DuckDB oracle belongs
+    to exactly one fuzz family — a new oracled query must be added to
+    a family (or this test names it)."""
+    covered = (set(FUZZ_QUERIES) | {"q_multimodal_frames"}
+               | set(EVENT_FUZZ_QUERIES) | set(VECTOR_FUZZ_QUERIES)
+               | {"q_scalar_funcs", "q_json_map"}
+               | set(RELATIONAL_FUZZ_QUERIES))
+    assert set(oracles()) == covered, (
+        f"unfuzzed oracled queries: {sorted(set(oracles()) - covered)}; "
+        f"stale fuzz entries: {sorted(covered - set(oracles()))}")
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 # event-time queries over (event_id, ts, user_id, event_type, value):
@@ -190,6 +203,7 @@ VECTOR_FUZZ_QUERIES = (
     "q_dedup_embedding",
     "q_similarity_topk",
     "q_similarity_ann",
+    "q_multimodal_cols",
 )
 
 EMBED_DIM = 64
@@ -460,17 +474,24 @@ def test_dedup_family_matches_oracles_on_random_corpus(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{d}/documents.parquet/*.parquet')")
 
-    qs, osql = all_queries(), oracles()
     for name in FUZZ_QUERIES:
-        sdf = qs[name](spark, str(d))
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(osql[name])
-        dcols = [dd[0] for dd in res.description]
-        drows = res.fetchall()
-        assert sorted(scols) == sorted(dcols), name
-        assert len(srows) == len(drows), \
-            f"{name}: spark {len(srows)} rows vs oracle {len(drows)}"
-        a, b = _rowset(scols, srows), _rowset(dcols, drows)
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-        assert a == b, f"{name} seed {seed}: first diffs {diffs}"
+        _assert_query_matches_oracle(spark, con, name, d, seed)
+
+    # q_multimodal_frames is byte-level; its oracle is expressible
+    # only for ASCII payloads (DuckDB md5 hashes VARCHAR, so byte
+    # slices of non-UTF-8-safe payloads can't be hashed SQL-side —
+    # the operator docstring documents the contract). Check it on
+    # the ASCII subset of the corpus.
+    d2 = tmp_path_factory.mktemp(f"fuzzascii{seed}")
+    ascii_rows = [r for r in rows if r[1].isascii()]
+    (spark.createDataFrame(
+        ascii_rows, "doc_id long, text string, lang string, "
+                    "source string, n_chars long")
+     .coalesce(2).write.mode("overwrite")
+     .parquet(f"{d2}/documents.parquet"))
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d2}/documents.parquet/*.parquet')")
+    _assert_query_matches_oracle(spark, con2, "q_multimodal_frames",
+                                 d2, seed)
