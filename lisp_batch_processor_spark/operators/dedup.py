@@ -334,12 +334,20 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
         sym = edges.unionAll(edges.select(F.col("v").alias("u"),
                                           F.col("u").alias("v")))
         mn = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        # No dropDuplicates here: ls feeds a MIN aggregate (duplicate
+        # rows can't change a min) and the small-star join, whose
+        # output is canonicalized by the ss dropDuplicates below —
+        # one fewer shuffle per round. Neutral at sf0.1 (the fixed
+        # per-round driver sync dominates there) but shuffle volume
+        # is what scales with the graph; on graphs with very heavy
+        # duplicate multiplicities the early dedup could pay for
+        # itself by shrinking the ss join — near-dup graphs (short
+        # chains, small cliques) are not that shape.
         ls = (sym.join(mn, "u")
               .filter(F.col("v") > F.col("u"))
               .select(F.col("v").alias("u"),
                       F.least("u", "mn").alias("v"))
-              .filter(F.col("u") != F.col("v"))
-              .dropDuplicates(["u", "v"]))
+              .filter(F.col("u") != F.col("v")))
         # Small-star: per node u over its SMALLER neighbors (the
         # directed (big -> small) edges), m = min; connect u and all
         # those neighbors to m.
