@@ -144,10 +144,12 @@ def banded_signatures(sig: DataFrame) -> DataFrame:
             .select("doc_id", "bk.band_idx", "bk.band_key"))
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature and self-join on (band_idx, band_key) —
-    candidates only ever meet inside a bucket, never via cross join."""
-    banded = banded_signatures(sig)
+def banded_candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Self-join a banded-signature frame on (band_idx, band_key) —
+    candidates only ever meet inside a bucket, never via cross join.
+    The ONE definition of LSH candidate generation: both the
+    whole-corpus path (lsh_candidate_pairs) and the incremental
+    batch path call it, so the join shape can't drift between them."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -158,6 +160,11 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature, then generate bucket-join candidates."""
+    return banded_candidate_pairs(banded_signatures(sig))
 
 
 def verify_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -590,13 +597,7 @@ def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
                 & (F.col("n.band_key") == F.col("c.band_key")))
           .select(F.col("n.doc_id").alias("new_id"),
                   F.col("c.doc_id").alias("old_id")))
-    ba, bb_ = new_banded.alias("ba"), new_banded.alias("bb")
-    bb = (ba.join(bb_, (F.col("ba.band_idx") == F.col("bb.band_idx"))
-                  & (F.col("ba.band_key") == F.col("bb.band_key"))
-                  & (F.col("ba.doc_id") < F.col("bb.doc_id")))
-          .select(F.col("ba.doc_id").alias("doc_a"),
-                  F.col("bb.doc_id").alias("doc_b"))
-          .dropDuplicates(["doc_a", "doc_b"]))
+    bb = banded_candidate_pairs(new_banded)
     # Normalize to (doc_a=min, doc_b=max) — the exact pair shape the
     # full (corpus ∪ batch) self-join produces, so `assignment` gives
     # identical reps.

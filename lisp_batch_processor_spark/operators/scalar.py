@@ -50,6 +50,17 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine exact; transcendental fns (ln/exp/pow) are kept out
     of oracle-compared outputs because libm results differ by ULPs.
 
+    Case-mapping parity contract: upper()/lower() here keep their
+    full SQL Unicode semantics (unlike the tokenizer's deliberate
+    ascii_lower, text.py) — cross-engine hash parity therefore holds
+    on the 1:1 case-mapping subset (all of ASCII and Latin-1, e.g.
+    'ø'→'Ø', 'é'), and is NOT defined for special-casing characters
+    (Turkish 'İ', 'ß'→'SS', ligatures) where Java's full mappings and
+    utf8proc's simple mappings legitimately differ. Status/priority
+    codes are machine-generated ASCII in any TPC-H-shaped schema, so
+    the boundary is theoretical for this data model — documented, not
+    papered over.
+
     Scale notes: narrow, codegen'd, zero shuffle at any scale.
     """
     o = load(spark, sf_dir, "orders")
@@ -84,18 +95,30 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tolerant semantics are the contract and the oracle replays them
 # (pinned by the randomized fuzz, which plants '', 'not json',
 # truncated objects, JSON null, and array documents).
+# A VALID document whose k is non-integer ('{"k": "abc"}',
+# '{"k": 1.5}') must yield NULL, not a strict-cast error (Spark ANSI
+# CAST and DuckDB CAST both throw) — and the two engines' tolerant
+# parses ALSO differ: Spark's try_cast is strictly-integer (NULL for
+# '1.5') while DuckDB's TRY_CAST parses-and-ROUNDS ('1.5' -> 2), so
+# the oracle guards with an integer-shape regex to replay Spark's
+# parse exactly. Overflowing integers null out in both.
 _Q_JSON_MAP_ORACLE = """
-SELECT
-  event_id,
-  CAST(CASE WHEN json_valid(props)
-       THEN json_extract_string(props, '$.k') END AS INT) AS k_val,
-  CAST(CASE WHEN json_valid(props)
-       THEN json_extract_string(props, '$.k') END AS INT) % 10
-    AS k_bucket,
-  ((CASE WHEN json_valid(props)
-    THEN json_extract_string(props, '$.missing') END) IS NULL)
-    AS missing_is_null
-FROM events
+WITH j AS (
+  SELECT event_id,
+    CASE WHEN json_valid(props)
+         THEN json_extract_string(props, '$.k') END AS ks,
+    CASE WHEN json_valid(props)
+         THEN json_extract_string(props, '$.missing') END AS ms
+  FROM events
+), k AS (
+  SELECT event_id, ms,
+    CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+         THEN TRY_CAST(trim(ks) AS INT) END AS k_val
+  FROM j
+)
+SELECT event_id, k_val, k_val % 10 AS k_bucket,
+       (ms IS NULL) AS missing_is_null
+FROM k
 """
 
 
@@ -110,7 +133,10 @@ def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     known (single parse, columnar downstream) — both shown in tests.
     """
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast, not cast: under ANSI mode a plain cast CRASHES the
+    # job on the first '{"k": "abc"}' — tolerant extraction means
+    # tolerant parsing too (fuzz plants non-numeric k values).
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.select(
         "event_id",
         k.alias("k_val"),

@@ -22,8 +22,18 @@ STOPWORDS = ("a", "the", "of", "and", "is", "to", "in")
 
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
-# DuckDB twin of ascii_lower(text) — keep the two in sync.
-SQL_ASCII_LOWER = f"translate(text, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def sql_ascii_lower(expr: str = "text") -> str:
+    """DuckDB twin of ascii_lower for any SQL expression — one
+    definition (mirrors the sql_cosine/sql_dot helper pattern) so
+    oracles over columns other than a bare `text` can't hand-roll a
+    drifting copy of the translate."""
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+# The common bare-`text` instance used by the existing oracles.
+SQL_ASCII_LOWER = sql_ascii_lower("text")
 
 
 def ascii_lower(c: Column) -> Column:

@@ -58,9 +58,18 @@ def main() -> None:
                ("x10", f"{blow_dir}/documents.parquet")]
     # Second decade when the x100 corpus is already materialized (the
     # scale_slope x100 run builds it); 500k docs, index ~2M rows.
-    x100_docs = "/root/repo/.scale/x100/documents.parquet"
+    # Honor the same dir override scale_slope uses for REPLICAS=100,
+    # so a corpus built elsewhere isn't silently skipped.
+    x100_dir = os.environ.get("SPARK_GRAFT_SCALE_X100_DIR",
+                              os.environ.get("SPARK_GRAFT_SCALE_DIR",
+                                             "/root/repo/.scale/x100"))
+    x100_docs = os.path.join(x100_dir, "documents.parquet")
     if os.path.isdir(x100_docs):
         corpora.append(("x100", x100_docs))
+    else:
+        print(f"# x100 corpus not found at {x100_docs}; "
+              "run scale_slope with SPARK_GRAFT_SCALE_REPLICAS=100 "
+              "first for the second decade", file=sys.stderr)
     results: dict[str, dict] = {}
     for label, path in corpora:
         corpus = spark.read.parquet(path)

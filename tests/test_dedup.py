@@ -84,13 +84,19 @@ def test_minhash_signatures_match_formula_exactly(spark, dup_docs):
     candidate-set differences.)"""
     import hashlib as hl
     import re as _re
+    import string as _string
 
     P = 2305843009213693951
     got = {r.doc_id: [r[f"mh{s}"] for s in range(16)]
            for r in minhash_signatures(dup_docs).collect()}
 
+    # ASCII-only casing, mirroring text.ascii_lower — Python's full
+    # .lower() would diverge on special-casing chars (Turkish İ).
+    _ascii = str.maketrans(_string.ascii_uppercase,
+                           _string.ascii_lowercase)
     for doc_id, text in [(r.doc_id, r.text) for r in dup_docs.collect()]:
-        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        toks = [t for t in
+                _re.split(r"[^a-z0-9]+", text.translate(_ascii)) if t]
         if len(toks) >= 3:
             shingles = {" ".join(toks[i:i + 3])
                         for i in range(len(toks) - 2)}

@@ -181,20 +181,8 @@ def test_event_queries_match_oracles_on_random_events(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{d}/events.parquet/*.parquet')")
 
-    qs, osql = all_queries(), oracles()
     for name in EVENT_FUZZ_QUERIES:
-        sdf = qs[name](spark, str(d))
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(osql[name])
-        dcols = [dd[0] for dd in res.description]
-        drows = res.fetchall()
-        assert sorted(scols) == sorted(dcols), name
-        assert len(srows) == len(drows), \
-            f"{name} seed {seed}: spark {len(srows)} vs oracle {len(drows)}"
-        a, b = _rowset(scols, srows), _rowset(dcols, drows)
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-        assert a == b, f"{name} seed {seed}: first diffs {diffs}"
+        _assert_query_matches_oracle(spark, con, name, d, seed)
 
 
 # vector queries over (vec_id, embedding, label): exact cosine
@@ -300,7 +288,11 @@ def test_scalar_and_json_queries_on_random_rows(
 
     props_pool = ['{"k": 7}', '{"k":-13}', '{"k": 0}', '{}', "", "not json",
                   '{"k":', '{"k": null}', '{"k": 7, "missing": 1}',
-                  '{"k":"9"}', "null", "[1,2]", ' {"k":3} ', None]
+                  '{"k":"9"}', "null", "[1,2]", ' {"k":3} ', None,
+                  # VALID JSON, non-integer k: extraction succeeds but
+                  # the int parse must yield NULL (try_cast), not an
+                  # ANSI/strict-cast crash.
+                  '{"k": "abc"}', '{"k": 1.5}', '{"k": 99999999999999}']
     events = []
     base = datetime(2025, 3, 1)
     for i in range(150):
@@ -442,20 +434,8 @@ def test_vector_queries_match_oracles_on_random_embeddings(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{d}/embeddings.parquet/*.parquet')")
 
-    qs, osql = all_queries(), oracles()
     for name in VECTOR_FUZZ_QUERIES:
-        sdf = qs[name](spark, str(d))
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(osql[name])
-        dcols = [dd[0] for dd in res.description]
-        drows = res.fetchall()
-        assert sorted(scols) == sorted(dcols), name
-        assert len(srows) == len(drows), \
-            f"{name} seed {seed}: spark {len(srows)} vs oracle {len(drows)}"
-        a, b = _rowset(scols, srows), _rowset(dcols, drows)
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-        assert a == b, f"{name} seed {seed}: first diffs {diffs}"
+        _assert_query_matches_oracle(spark, con, name, d, seed)
 
 
 @pytest.mark.parametrize("seed", [7, 23])
