@@ -167,16 +167,33 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     return banded_candidate_pairs(banded_signatures(sig))
 
 
+def shingle_store(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_set): precomputed distinct shingle sets — the
+    VERIFY STORE a production pipeline persists alongside the banded
+    signature index (keyed by doc_id) so Jaccard verification becomes
+    point lookups into a compact table instead of re-reading and
+    re-shingling corpus text per batch. The companion to
+    `banded_signatures`: index answers "who might match", store
+    answers "do they really"."""
+    return (docs.select("doc_id", tokens_col().alias("tk"))
+            .select("doc_id",
+                    F.array_distinct(_shingles(F.col("tk")))
+                     .alias("sh_set")))
+
+
 def verify_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (|candidates| is
     LSH-bounded, so carrying both shingle sets through the join is
     proportional to candidates, not to the corpus). Returns integer
     `inter`/`uni` alongside the rounded ratio so thresholds can be
     applied integer-exactly (never on the rounded double)."""
-    sets_ = (docs.select("doc_id", tokens_col().alias("tk"))
-             .select("doc_id",
-                     F.array_distinct(_shingles(F.col("tk")))
-                      .alias("sh_set")))
+    return verify_jaccard_sets(shingle_store(docs), pairs)
+
+
+def verify_jaccard_sets(sets_: DataFrame, pairs: DataFrame) -> DataFrame:
+    """verify_jaccard over an already-built shingle store
+    (`shingle_store` output, possibly read back from parquet) —
+    the zero-recompute verify path for incremental pipelines."""
     j = (pairs
          .join(sets_.withColumnRenamed("doc_id", "doc_a")
                     .withColumnRenamed("sh_set", "sh_a"), "doc_a")
@@ -554,6 +571,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
                           corpus_index: DataFrame | None = None,
+                          verify_store: DataFrame | None = None,
                           threshold_num: int = 7,
                           threshold_den: int = 10) -> DataFrame:
     """Batch-vs-corpus incremental near-dup — the most common
@@ -575,12 +593,18 @@ def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
 
     Scale notes (100 TB corpus, GB-sized batches): persist the index
     partitioned by band_idx / bucketed by band_key so the batch join
-    is co-located; persist (doc_id, text) — or precomputed shingle
-    sets — as the verify store keyed by doc_id. Appending the new
-    non-dup docs' signatures to the index keeps the pipeline
-    incremental forever. Jaccard threshold is integer-exact:
-    inter * threshold_den >= uni * threshold_num (default 0.7, same
-    as q_dedup_minhash).
+    is co-located, AND persist `shingle_store(corpus)` keyed by
+    doc_id and pass it as `verify_store` — verification then joins
+    candidates into the compact precomputed store (semi-join pruned
+    to touched ids) instead of re-reading and re-shingling corpus
+    TEXT per batch, removing the last corpus-proportional term from
+    the per-batch path (measured: SCALE.md's incremental table).
+    When `verify_store` is omitted it is derived from `corpus_docs`
+    on the fly (the self-contained configuration). Appending the new
+    non-dup docs' signatures + shingle sets to the two stores keeps
+    the pipeline incremental forever. Jaccard threshold is
+    integer-exact: inter * threshold_den >= uni * threshold_num
+    (default 0.7, same as q_dedup_minhash).
     """
     new_banded = (banded_signatures(minhash_signatures(batch_docs))
                   # Materialized once: feeds the corpus-index join AND
@@ -610,11 +634,12 @@ def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
     touched = (pairs.select(F.col("doc_a").alias("doc_id"))
                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
                .distinct())
-    verify_docs = (
-        corpus_docs.join(touched, "doc_id", "left_semi")
-        .select("doc_id", "text")
-        .unionByName(batch_docs.select("doc_id", "text")))
-    confirmed = verify_jaccard(verify_docs, pairs).filter(
+    corpus_sets = (shingle_store(corpus_docs) if verify_store is None
+                   else verify_store)
+    verify_sets = (
+        corpus_sets.join(touched, "doc_id", "left_semi")
+        .unionByName(shingle_store(batch_docs)))
+    confirmed = verify_jaccard_sets(verify_sets, pairs).filter(
         F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
     return assignment(batch_docs.select("doc_id"), "doc_id",
                       confirmed, "doc_a", "doc_b")

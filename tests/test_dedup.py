@@ -369,6 +369,20 @@ def test_incremental_near_dups_equals_full_self_join(spark):
                    corpus, batch, corpus_index=idx).collect()}
     assert got_idx == want
 
+    # ... and the fully-persisted production configuration (signature
+    # index + precomputed shingle verify store, corpus text never
+    # touched) must agree too. Passing a poisoned corpus_docs proves
+    # the per-batch plan really reads only the two stores.
+    from lisp_batch_processor_spark.operators.dedup import shingle_store
+    store = shingle_store(corpus)
+    poisoned = corpus.withColumn(
+        "text", F.lit("poisoned - must never be shingled"))
+    got_store = {(r.doc_id, r.rep_id, r.is_dup)
+                 for r in incremental_near_dups(
+                     poisoned, batch, corpus_index=idx,
+                     verify_store=store).collect()}
+    assert got_store == want
+
 
 def test_contraction_matches_label_propagation(spark):
     """Star-contraction CC must produce identical (node, component)
