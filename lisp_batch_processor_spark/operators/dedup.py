@@ -778,6 +778,125 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "simhash", "rep_id", "is_dup"))
 
 
+# --- corpus-size-scaled SimHash (the SCALE.md caveat's named fix) ----------
+#
+# q_dedup_simhash's fixed 4x15-bit bands admit ~N^2 * 4 / 2^15 random
+# band collisions: fine to ~10^6 docs (measured sublinear through the
+# x100 decade), quadratic beyond. The fix is to scale the band width
+# with log2(N). md5 has 128 bits, so the fingerprint widens to TWO
+# 60-bit words (hex chars 1-15 and 16-30), four bands laid out two per
+# word — band width up to 30 bits, collision-bounded to ~10^10 docs.
+# Four bands stay the floor: pigeonhole guarantees any pair within
+# hamming distance 3 shares at least one exact band.
+
+SIMHASH_MAX_BAND_WIDTH = 30
+_SIMHASH_WORD_BITS = 60
+
+
+def simhash_band_width(n_docs: int,
+                       target_cands_per_doc: float = 8.0) -> int:
+    """Band width (bits) sized so EXPECTED random band collisions per
+    doc — n_docs * SIMHASH_BANDS / 2^width under uniform keys — stays
+    <= target_cands_per_doc. ceil(log2(n * bands / target)), clamped
+    to [15, 30]: 15 is q_dedup_simhash's baseline, 30 is the 2-word
+    md5 ceiling (~10^10 docs at the default target)."""
+    import math
+    if n_docs <= 1:
+        return 15
+    w = math.ceil(math.log2(n_docs * SIMHASH_BANDS / target_cands_per_doc))
+    return max(15, min(SIMHASH_MAX_BAND_WIDTH, w))
+
+
+def simhash_fingerprints_wide(docs: DataFrame,
+                              band_width: int) -> DataFrame:
+    """(doc_id, w0, w1): two-word SimHash for band_width-bit bands.
+    Word w holds bands 2w and 2w+1 — its low 2*band_width bits — and
+    votes with its own 60-bit md5 hash word, so the two words are
+    independent hash functions of the token set. Same per-bit
+    vote-sum construction as simhash_fingerprints (which remains the
+    oracle-replayed 60-bit baseline)."""
+    used = 2 * band_width
+    if not 15 <= band_width <= SIMHASH_MAX_BAND_WIDTH:
+        raise ValueError(f"band_width {band_width} outside [15, 30]")
+    tf = (docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt")))
+    hexs = F.md5(F.encode("tok", "UTF-8"))
+    tf = tf.withColumn("h0", F.conv(F.substring(hexs, 1, 15), 16, 10)
+                       .cast("bigint")) \
+           .withColumn("h1", F.conv(F.substring(hexs, 16, 15), 16, 10)
+                       .cast("bigint"))
+    sums = tf.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(f"h{w}", i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("cnt")).otherwise(-F.col("cnt")))
+         .alias(f"s{w}_{i}")
+        for w in range(2) for i in range(used)
+    ])
+    words = []
+    for w in range(2):
+        acc = None
+        for i in range(used):
+            bit = F.shiftleft(F.when(F.col(f"s{w}_{i}") > 0, F.lit(1))
+                              .otherwise(F.lit(0)).cast("bigint"), i)
+            acc = bit if acc is None else acc + bit
+        words.append(acc.alias(f"w{w}"))
+    return sums.select("doc_id", *words)
+
+
+def simhash_candidate_pairs_scaled(fp: DataFrame,
+                                   band_width: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) candidates from the two-word banded
+    bucket join: four band_width-bit bands, two sliced from each
+    word; hamming is summed bit_count(xor) over both words (unused
+    high bits are zero on both sides, so they never contribute)."""
+    mask = (1 << band_width) - 1
+    bands = F.array(*[
+        F.shiftright(f"w{b // 2}", (b % 2) * band_width)
+         .bitwiseAND(F.lit(mask))
+        for b in range(SIMHASH_BANDS)])
+    banded = fp.select("doc_id", "w0", "w1",
+                       F.posexplode(bands).alias("band_idx", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                (F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
+                 + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1"))))
+                    .alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"]))
+
+
+def simhash_near_dups_scaled(docs: DataFrame,
+                             band_width: int | None = None,
+                             n_docs_hint: int | None = None,
+                             hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """q_dedup_simhash's semantics with corpus-size-scaled bands:
+    (doc_id, rep_id, is_dup) assignment, near-dup iff hamming <=
+    hamming_max over the widened fingerprint. Pass band_width
+    directly or n_docs_hint (a count or estimate — production knows
+    it; width derives via simhash_band_width). NOTE the threshold is
+    over 4*band_width used bits, so a fixed hamming_max tightens
+    relatively as bands widen — the correct direction when widening
+    to suppress random collisions; raise hamming_max only alongside
+    more bands (pigeonhole: catching <= h needs h+1 bands).
+
+    Scale notes: candidate volume stays ~target_cands_per_doc * N by
+    construction as N grows — the quadratic term q_dedup_simhash's
+    scale notes name is gone until ~10^10 docs; everything else is
+    the same map-side fingerprint agg + bucket equi-join."""
+    if band_width is None:
+        if n_docs_hint is None:
+            raise ValueError("pass band_width or n_docs_hint")
+        band_width = simhash_band_width(n_docs_hint)
+    fp = simhash_fingerprints_wide(docs, band_width)
+    pairs = (simhash_candidate_pairs_scaled(fp, band_width)
+             .filter(F.col("hamming") <= hamming_max))
+    return assignment(docs.select("doc_id"), "doc_id",
+                      pairs, "doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # n-gram (token-set) Jaccard — SQL-expressible, source-blocked.
 # ---------------------------------------------------------------------------

@@ -229,7 +229,14 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band count, not the corpus, bounds recall. Signature cost is
     one (batch x dim)·(dim x planes) numpy pass per Arrow batch.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    return srp_ann_topk(load(spark, sf_dir, "embeddings"))
+
+
+def srp_ann_topk(emb: DataFrame, n_query: int = N_QUERY_VECS,
+                 top_k: int = TOP_K) -> DataFrame:
+    """The plain SRP-LSH path as a library operator over any
+    (vec_id, embedding) frame — q_similarity_ann's body, reusable so
+    tests and the collapsed variant can run both paths on one corpus."""
     srp_keys = _srp_keys_udf()
     # Zero-norm vectors are excluded from the index and the query set
     # (no cosine; same convention as q_similarity_topk).
@@ -237,7 +244,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (nz.select("vec_id", "embedding",
                      F.posexplode(srp_keys("embedding"))
                       .alias("band", "key")))
-    queries = (sig.filter(F.col("vec_id") < N_QUERY_VECS)
+    queries = (sig.filter(F.col("vec_id") < n_query)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qe"), "band", "key"))
     cand = (F.broadcast(queries)
@@ -252,7 +259,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
+            .filter(F.col("rank") <= top_k)
             .select("query_id", "neighbor_id",
                     dround(F.col("cos"), 6).alias("cos_sim"), "rank"))
 
@@ -388,6 +395,99 @@ def ivf_topk(emb: DataFrame, centroids: list[list[float]],
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "neighbor_id",
+                    dround(F.col("cos"), 6).alias("cos_sim"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-vector collapse — the identical-copy mitigation.
+# ---------------------------------------------------------------------------
+#
+# SCALE.md's adversarial blow-up (identical vector copies per replica)
+# measured SRP ANN growing near-linearly (exp 0.87): every copy lands
+# in every bucket its twin occupies, so candidate generation degrades
+# toward brute force inside the hit buckets. Real corpora ARE like
+# this wherever exact re-posts/mirrors survive upstream dedup. The
+# standard fix: search over DISTINCT vectors, then expand each
+# retrieved vector into its member ids — candidate work scales with
+# unique vectors, not copies, and the expansion is bounded by k.
+
+
+def collapse_duplicate_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, members, n_members): one row per DISTINCT
+    embedding array; vec_id is the min member id (the group rep),
+    members the sorted id list sharing that exact vector. One
+    hash-agg shuffle on the vector bytes; at 100 TB group on
+    xxhash64(embedding-bytes) first and verify equality inside the
+    bucket if vector payloads are too wide to shuffle as keys."""
+    return (emb.groupBy("embedding")
+            .agg(F.min("vec_id").alias("vec_id"),
+                 F.sort_array(F.collect_list("vec_id")).alias("members"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .select("vec_id", "embedding", "members", "n_members"))
+
+
+def ann_topk_collapsed(emb: DataFrame, n_query: int = N_QUERY_VECS,
+                       top_k: int = TOP_K) -> DataFrame:
+    """SRP-LSH top-k over the duplicate-collapsed corpus, expanded
+    back to per-id results — same output contract as q_similarity_ann
+    (query_id, neighbor_id, cos_sim, rank), but index/candidate cost
+    scales with UNIQUE vectors while answers still rank every copy.
+
+    Exactness of the expansion: copies of one vector share its cosine
+    and sit in one group, so expanding groups in (cos desc, id asc)
+    order and re-ranking ids reproduces the uncollapsed ranking. The
+    group cut keeps a group iff fewer than top_k + 1 member ids
+    precede it (cumulative count), +1 because the query's own id is
+    dropped post-expansion; distinct-vector cos ties at the cut
+    boundary follow group-rep order (with continuous embeddings such
+    cross-group exact-double ties don't occur in practice — the
+    common tie source, identical vectors, is inside one group by
+    construction).
+
+    Scale notes: identical-copy mass multiplies bucket populations
+    for the plain SRP path but leaves the collapsed path's candidate
+    count unchanged; the expansion explode is bounded by ~(top_k+1)
+    ids per kept group per query. Measured in SCALE.md (collapsed row
+    of the similarity table)."""
+    srp_keys = _srp_keys_udf()
+    nz = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    uniq = collapse_duplicate_vectors(nz)
+    sig = (uniq.select("vec_id", "embedding", "members", "n_members",
+                       F.posexplode(srp_keys("embedding"))
+                        .alias("band", "key")))
+    queries = (nz.filter(F.col("vec_id") < n_query)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe"),
+                       F.posexplode(srp_keys("embedding"))
+                        .alias("band", "key")))
+    cand = (F.broadcast(queries)
+            .join(sig, ["band", "key"])
+            .select("query_id", "qe",
+                    F.col("vec_id").alias("rep_id"),
+                    "embedding", "members", "n_members")
+            .dropDuplicates(["query_id", "rep_id"]))
+    scored = cand.select(
+        "query_id", "rep_id", "members", "n_members",
+        cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("rep_id").asc())
+    kept = (scored
+            .withColumn(
+                "prior_members",
+                F.coalesce(
+                    F.sum("n_members").over(
+                        wg.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+            .filter(F.col("prior_members") < top_k + 1))
+    expanded = (kept
+                .select("query_id", "cos",
+                        F.explode("members").alias("neighbor_id"))
+                .filter(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (expanded.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
             .select("query_id", "neighbor_id",
                     dround(F.col("cos"), 6).alias("cos_sim"), "rank"))

@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from lisp_batch_processor_spark.operators.dedup import (  # noqa: E402
-    banded_signatures, incremental_near_dups, minhash_signatures)
+    banded_signatures, incremental_near_dups, minhash_signatures,
+    shingle_store)
 from lisp_batch_processor_spark.session import get_spark  # noqa: E402
 from scripts.scale_slope import SF01, build_blowup  # noqa: E402
 
@@ -85,23 +86,37 @@ def main() -> None:
         out_n = incremental_near_dups(corpus, batch,
                                       corpus_index=index).count()
 
-        times = []
+        # The fully-persisted production configuration additionally
+        # keeps shingle_store(corpus) on disk, so the verify stage
+        # joins candidates into the compact precomputed store instead
+        # of re-reading + re-shingling corpus text per batch.
+        store_path = f"/root/repo/.scale/inc_store_{label}.parquet"
+        t0 = time.perf_counter()
+        shingle_store(corpus).write.mode("overwrite").parquet(store_path)
+        store_build_sec = time.perf_counter() - t0
+        store = spark.read.parquet(store_path)
+
+        times: dict[str, list[float]] = {"text": [], "store": []}
         for p in range(-1, n_passes):  # pass -1 = discarded warmup
-            t0 = time.perf_counter()
-            (incremental_near_dups(corpus, batch, corpus_index=index)
-             .write.format("noop").mode("overwrite").save())
-            dt = time.perf_counter() - t0
-            if p >= 0:
-                times.append(dt)
-            print(f"# {label} pass{p}: {dt:.2f}s ({out_n} out rows)",
-                  file=sys.stderr)
+            for cfg, kw in (("text", {}), ("store", {"verify_store": store})):
+                t0 = time.perf_counter()
+                (incremental_near_dups(corpus, batch, corpus_index=index,
+                                       **kw)
+                 .write.format("noop").mode("overwrite").save())
+                dt = time.perf_counter() - t0
+                if p >= 0:
+                    times[cfg].append(dt)
+                print(f"# {label} pass{p} [{cfg}]: {dt:.2f}s "
+                      f"({out_n} out rows)", file=sys.stderr)
         results[label] = {
             "corpus_rows": corpus.count(),
             "index_rows": idx_rows,
             "index_build_sec": round(idx_build_sec, 3),
+            "store_build_sec": round(store_build_sec, 3),
             "batch_rows": batch_n,
             "batch_out_rows": out_n,
-            "per_batch_sec": round(min(times), 3),
+            "per_batch_sec": round(min(times["text"]), 3),
+            "per_batch_store_sec": round(min(times["store"]), 3),
         }
 
     payload = {
@@ -114,12 +129,13 @@ def main() -> None:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
 
-    print("\n| corpus | index rows | index build | per-batch wall "
-          "| batch out rows |")
-    print("|---|---|---|---|---|")
+    print("\n| corpus | index rows | index+store build | per-batch "
+          "(text verify) | per-batch (store verify) | batch out rows |")
+    print("|---|---|---|---|---|---|")
     for label, r in results.items():
         print(f"| {label} ({r['corpus_rows']} docs) | {r['index_rows']:,} "
-              f"| {r['index_build_sec']}s | {r['per_batch_sec']}s "
+              f"| {r['index_build_sec']}s + {r['store_build_sec']}s "
+              f"| {r['per_batch_sec']}s | {r['per_batch_store_sec']}s "
               f"| {r['batch_out_rows']} |")
 
 

@@ -61,8 +61,26 @@ QUERIES = {
     "q_stream_dedup": "events",
     "q_similarity_topk": "embeddings",
     "q_similarity_ann": "embeddings",
+    "q_similarity_ann_collapsed": "embeddings",
     "q_dedup_embedding": "embeddings",
 }
+
+
+def _extra_queries() -> dict:
+    """Library operators measured alongside the registry queries:
+    the duplicate-collapse ANN (no registry row — the driver gate is
+    capped at 50) wrapped to the (spark, sf_dir) shape. The blow-up's
+    identical-copy replicas are exactly the adversarial case it
+    exists to fix, so its scale point belongs next to
+    q_similarity_ann's."""
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.similarity import (
+        ann_topk_collapsed)
+    return {
+        "q_similarity_ann_collapsed":
+            lambda spark, sf_dir: ann_topk_collapsed(
+                load(spark, sf_dir, "embeddings")),
+    }
 
 
 def build_blowup(spark, out_dir: str,
@@ -172,7 +190,7 @@ def main() -> None:
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2")))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     spark = get_spark("scale-slope", cpus=cpus, shuffle_partitions=cpus)
-    qs = all_queries()
+    qs = {**all_queries(), **_extra_queries()}
 
     xlabel = f"x{REPLICAS}"
     need_tables = set(queries.values())

@@ -448,3 +448,64 @@ def test_library_operator_plans_are_scale_safe(spark, sf_dir):
     out = incremental_near_dups(corpus, batch)
     assert_no_cartesian(out)
     assert "BatchEvalPython" not in physical_plan(out)
+
+
+def test_simhash_scaled_band_width_formula():
+    """Width grows with log2(N) and clamps to the md5 2-word range."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        SIMHASH_MAX_BAND_WIDTH, simhash_band_width)
+
+    assert simhash_band_width(1) == 15
+    assert simhash_band_width(10_000) == 15          # baseline regime
+    assert simhash_band_width(10**6) == 19
+    assert simhash_band_width(10**9) == 29
+    assert simhash_band_width(10**14) == SIMHASH_MAX_BAND_WIDTH
+    widths = [simhash_band_width(10**k) for k in range(2, 13)]
+    assert widths == sorted(widths)                   # monotone in N
+
+
+def test_simhash_scaled_near_dups(spark):
+    """The corpus-size-scaled SimHash must (a) catch exact dups at
+    every width (hamming 0), (b) catch a light token edit, (c) admit
+    FEWER random band collisions at wider bands — the property the
+    width formula exists to buy."""
+    import random
+
+    from lisp_batch_processor_spark.operators.dedup import (
+        simhash_candidate_pairs_scaled, simhash_fingerprints_wide,
+        simhash_near_dups_scaled)
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(4000)]
+    rows = [(i, " ".join(rng.sample(vocab, 40))) for i in range(400)]
+    rows.append((1000, rows[3][1]))                  # exact dup of 3
+    # Near-dup pair: a 1-token edit of a LONG doc — SimHash's
+    # hamming<=3 contract is a high-similarity bar, and a 1-in-40
+    # token change flips too many near-zero vote sums (measured
+    # hamming 5-7); 1-in-400 flips ~1 bit at either width.
+    long_base = " ".join(rng.sample(vocab, 400))
+    toks = long_base.split()
+    toks[7] = "zzzedit"
+    rows.append((2000, long_base))
+    rows.append((2001, " ".join(toks)))              # 1-token edit of 2000
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for width in (15, 25):
+        out = {r.doc_id: (r.rep_id, r.is_dup)
+               for r in simhash_near_dups_scaled(
+                   docs, band_width=width).collect()}
+        assert len(out) == len(rows)
+        assert out[1000] == (3, True), f"exact dup missed at width {width}"
+        assert out[2001] == (2000, True), f"near dup missed at width {width}"
+
+    # Random-collision suppression: candidate pairs (pre-hamming
+    # filter) at width 25 must be a subset-sized fraction of width 15.
+    cands = {}
+    for width in (15, 25):
+        fp = simhash_fingerprints_wide(docs, width)
+        cands[width] = simhash_candidate_pairs_scaled(fp, width).count()
+    # Both widths contain the constructed pairs; the rest are random
+    # collisions, which 10 more bits per band must crush.
+    assert cands[25] < cands[15], cands
+    assert cands[25] <= 2 + max(2, cands[15] // 4), cands
+    assert cands[25] >= 2, cands  # the real pairs still collide

@@ -152,3 +152,41 @@ def test_ivf_train_tiny_corpus_clamps_k(spark):
     tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cents = ivf_train(tiny, k=16, iters=1)
     assert len(cents) == 5 and all(len(c) == 64 for c in cents)
+
+
+def test_ann_collapsed_equals_plain_on_duplicated_corpus(spark):
+    """ann_topk_collapsed must return EXACTLY what the plain SRP path
+    returns on a corpus full of exact-duplicate vectors (the SCALE.md
+    adversarial case it exists to fix): identical candidate id sets,
+    cosines, and ranks — while indexing only the unique vectors."""
+    import numpy as np
+
+    from lisp_batch_processor_spark.operators.similarity import (
+        ann_topk_collapsed, collapse_duplicate_vectors, srp_ann_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    uniq_vecs = [[float(x) for x in rng.normal(size=64).astype(np.float32)]
+                 for _ in range(30)]
+    # Copies assigned round-robin so the low ids (the query set) are
+    # spread across groups of multiplicity 1..4 — queries themselves
+    # have exact-duplicate twins that must rank as neighbors (cos 1.0).
+    copies = []
+    for i, v in enumerate(uniq_vecs):
+        copies.extend([v] * (1 + i % 4))
+    rows = [(i, v) for i, v in enumerate(copies)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    grouped = collapse_duplicate_vectors(emb)
+    assert grouped.count() == 30
+    got_members = {tuple(r.members) for r in grouped.collect()}
+    assert all(len(set(m)) == len(m) for m in got_members)
+    assert sum(len(m) for m in got_members) == len(copies)
+
+    plain = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+             for r in srp_ann_topk(emb).collect()}
+    collapsed = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+                 for r in ann_topk_collapsed(emb).collect()}
+    assert collapsed == plain
+    # Sanity: duplicate twins of a query really surface at cos 1.0.
+    assert any(c == 1.0 for (_, _, c, _) in collapsed)
