@@ -509,3 +509,74 @@ def test_simhash_scaled_near_dups(spark):
     assert cands[25] < cands[15], cands
     assert cands[25] <= 2 + max(2, cands[15] // 4), cands
     assert cands[25] >= 2, cands  # the real pairs still collide
+
+
+def test_incremental_index_append_stays_equal_to_full_recompute(spark):
+    """The 'incremental forever' claim: after day-2's batch is
+    assigned, appending its non-dup docs' signatures + shingle sets
+    to the two persisted stores must make day-3's incremental run
+    equal a full self-join recompute over everything kept so far —
+    no drift as the stores grow by append instead of rebuild. Both
+    day-2 and day-3 pass poisoned corpus text, so the whole chain
+    provably runs off the stores alone."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        assignment, banded_signatures, incremental_near_dups,
+        lsh_candidate_pairs, minhash_signatures, shingle_store,
+        verify_jaccard)
+
+    base_a = BASE
+    base_b = ("spark catalyst tungsten codegen arrow shuffle partition "
+              "executor broadcast join aggregate window stream state "
+              "watermark checkpoint parquet column prune filter push")
+    novel_c = ("totally novel text about mountains rivers valleys and "
+               "glaciers carving stone over ten thousand slow years")
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(10, base_a), (11, base_b)], schema)
+    day2 = spark.createDataFrame(
+        [(20, base_a.replace("winter", "summer")),   # dup of 10
+         (21, novel_c)], schema)                     # novel -> kept
+    day3 = spark.createDataFrame(
+        [(30, novel_c.replace("slow", "fast")),      # dup of day-2's 21
+         (31, base_a.replace("quick", "rapid")),     # dup of day-1's 10
+         (32, "entirely fresh content on tide pools barnacles kelp "
+              "anemones urchins and the patient rhythm of the moon")],
+        schema)
+
+    def poisoned(df):
+        return df.withColumn("text", F.lit("poisoned"))
+
+    idx = banded_signatures(minhash_signatures(corpus))
+    store = shingle_store(corpus)
+
+    out2 = incremental_near_dups(poisoned(corpus), day2,
+                                 corpus_index=idx, verify_store=store)
+    kept2_ids = {r.doc_id for r in out2.filter(~F.col("is_dup")).collect()}
+    assert kept2_ids == {21}
+    day2_kept = day2.join(
+        out2.filter(~F.col("is_dup")).select("doc_id"), "doc_id")
+
+    # Append day-2 survivors to both stores (union, no rebuild).
+    idx2 = idx.unionByName(banded_signatures(minhash_signatures(day2_kept)))
+    store2 = store.unionByName(shingle_store(day2_kept))
+    corpus2 = corpus.unionByName(day2_kept)
+
+    got = {(r.doc_id, r.rep_id, r.is_dup)
+           for r in incremental_near_dups(
+               poisoned(corpus2), day3,
+               corpus_index=idx2, verify_store=store2).collect()}
+
+    union = corpus2.unionByName(day3)
+    confirmed = verify_jaccard(
+        union, lsh_candidate_pairs(minhash_signatures(union))).filter(
+        F.col("inter") * 10 >= F.col("uni") * 7)
+    full = assignment(union.select("doc_id"), "doc_id",
+                      confirmed, "doc_a", "doc_b")
+    want = {(r.doc_id, r.rep_id, r.is_dup)
+            for r in full.filter(F.col("doc_id") >= 30).collect()}
+
+    assert got == want
+    by_id = {d: (r, dup) for d, r, dup in got}
+    assert by_id[30] == (21, True)    # matched via the APPENDED index rows
+    assert by_id[31] == (10, True)    # matched via the day-1 index rows
+    assert by_id[32] == (32, False)   # novel
