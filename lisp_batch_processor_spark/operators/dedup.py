@@ -569,7 +569,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       confirmed, "doc_a", "doc_b")
 
 
-def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
+def incremental_near_dups(corpus_docs: DataFrame | None,
+                          batch_docs: DataFrame,
                           corpus_index: DataFrame | None = None,
                           verify_store: DataFrame | None = None,
                           threshold_num: int = 7,
@@ -600,12 +601,19 @@ def incremental_near_dups(corpus_docs: DataFrame, batch_docs: DataFrame,
     TEXT per batch, removing the last corpus-proportional term from
     the per-batch path (measured: SCALE.md's incremental table).
     When `verify_store` is omitted it is derived from `corpus_docs`
-    on the fly (the self-contained configuration). Appending the new
-    non-dup docs' signatures + shingle sets to the two stores keeps
-    the pipeline incremental forever. Jaccard threshold is
-    integer-exact: inter * threshold_den >= uni * threshold_num
-    (default 0.7, same as q_dedup_minhash).
+    on the fly (the self-contained configuration); with BOTH stores
+    passed, `corpus_docs` is provably unused and may be None — the
+    fully-persisted shape `streaming.dedup.streaming_near_dup_ingest`
+    runs per micro-batch. Appending the new non-dup docs' signatures
+    + shingle sets to the two stores keeps the pipeline incremental
+    forever. Jaccard threshold is integer-exact:
+    inter * threshold_den >= uni * threshold_num (default 0.7, same
+    as q_dedup_minhash).
     """
+    if corpus_docs is None and (corpus_index is None
+                                or verify_store is None):
+        raise ValueError("corpus_docs=None requires both corpus_index "
+                         "and verify_store")
     new_banded = (banded_signatures(minhash_signatures(batch_docs))
                   # Materialized once: feeds the corpus-index join AND
                   # both sides of the batch-vs-batch self-join —

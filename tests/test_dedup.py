@@ -580,3 +580,36 @@ def test_incremental_index_append_stays_equal_to_full_recompute(spark):
     assert by_id[30] == (21, True)    # matched via the APPENDED index rows
     assert by_id[31] == (10, True)    # matched via the day-1 index rows
     assert by_id[32] == (32, False)   # novel
+
+
+def test_new_library_operator_plans_have_no_scale_killers(spark):
+    """The plan-audit bar the 50 registered queries already pass,
+    applied to the round-4 library operators: no cartesian product,
+    no broadcast-nested-loop join anywhere in the collapsed-ANN,
+    scaled-SimHash, or store-backed incremental-dedup plans."""
+    import numpy as np
+
+    from lisp_batch_processor_spark.operators.dedup import (
+        banded_signatures, incremental_near_dups, minhash_signatures,
+        shingle_store, simhash_near_dups_scaled)
+    from lisp_batch_processor_spark.operators.similarity import (
+        ann_topk_collapsed)
+    from lisp_batch_processor_spark.plans.inspect import assert_no_cartesian
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared tokens alpha beta gamma")
+         for i in range(30)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100 + i, f"fresh batch text {i} delta epsilon zeta")
+         for i in range(5)], "doc_id long, text string")
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=64).astype(np.float32)])
+         for i in range(40)], "vec_id long, embedding array<float>")
+
+    assert_no_cartesian(simhash_near_dups_scaled(docs, band_width=20))
+    assert_no_cartesian(ann_topk_collapsed(emb))
+    assert_no_cartesian(incremental_near_dups(
+        docs, batch,
+        corpus_index=banded_signatures(minhash_signatures(docs)),
+        verify_store=shingle_store(docs)))

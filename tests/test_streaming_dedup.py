@@ -35,3 +35,71 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     ).collect()[0]
     assert got.n == 500
     assert got.d == 500
+
+
+@pytest.mark.slow
+def test_streaming_near_dup_ingest_grows_the_index(spark, tmp_path):
+    """Two micro-batches through streaming_near_dup_ingest: batch 1
+    contains a corpus dup and a novel doc; batch 2 contains a dup of
+    batch 1's SURVIVOR — catchable only because epoch 1 appended its
+    survivors to the persisted stores. Assignments must equal running
+    incremental_near_dups sequentially with manual appends."""
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.operators.dedup import (
+        banded_signatures, minhash_signatures, shingle_store)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        streaming_near_dup_ingest)
+
+    base_a = ("the quick brown fox jumps over the lazy dog and runs far "
+              "away into the deep dark forest to find some food for the "
+              "long winter")
+    novel_c = ("totally novel text about mountains rivers valleys and "
+               "glaciers carving stone over ten thousand slow years")
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(10, base_a)], schema)
+
+    index_path = os.path.join(str(tmp_path), "index.parquet")
+    store_path = os.path.join(str(tmp_path), "store.parquet")
+    banded_signatures(minhash_signatures(corpus)).write.parquet(index_path)
+    shingle_store(corpus).write.parquet(store_path)
+
+    # Two source files -> two micro-batches (maxFilesPerTrigger=1).
+    # File names order the epochs (file source lists in path order).
+    src = os.path.join(str(tmp_path), "incoming")
+    spark.createDataFrame(
+        [(20, base_a.replace("winter", "summer")),   # dup of corpus 10
+         (21, novel_c)], schema                      # novel -> survivor
+    ).coalesce(1).write.parquet(os.path.join(src, "batch=0"))
+    spark.createDataFrame(
+        [(30, novel_c.replace("slow", "fast")),      # dup of epoch-1's 21
+         (31, "entirely fresh content on tide pools barnacles kelp "
+              "anemones urchins and the patient rhythm of the moon")],
+        schema).coalesce(1).write.parquet(os.path.join(src, "batch=1"))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    epochs: dict[int, set] = {}
+    writer = streaming_near_dup_ingest(
+        stream, index_path, store_path,
+        lambda out, eid: epochs.setdefault(
+            eid, {(r.doc_id, r.rep_id, r.is_dup) for r in out.collect()}))
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = set().union(*epochs.values())
+    assert len(epochs) == 2
+    assert got == {(20, 10, True),    # corpus dup, via the seeded index
+                   (21, 21, False),   # novel survivor, appended
+                   (30, 21, True),    # caught by epoch-1's appended rows
+                   (31, 31, False)}
+    # The stores grew by exactly the survivors (21 then 31).
+    idx_ids = {r.doc_id for r in spark.read.parquet(index_path)
+               .select("doc_id").distinct().collect()}
+    store_ids = {r.doc_id for r in spark.read.parquet(store_path)
+                 .select("doc_id").distinct().collect()}
+    assert idx_ids == store_ids == {10, 21, 31}
