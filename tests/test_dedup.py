@@ -590,8 +590,8 @@ def test_new_library_operator_plans_have_no_scale_killers(spark):
     import numpy as np
 
     from lisp_batch_processor_spark.operators.dedup import (
-        banded_signatures, incremental_near_dups, minhash_signatures,
-        shingle_store, simhash_near_dups_scaled)
+        banded_signatures, incremental_near_dups, line_dedup,
+        minhash_signatures, shingle_store, simhash_near_dups_scaled)
     from lisp_batch_processor_spark.operators.similarity import (
         ann_topk_collapsed)
     from lisp_batch_processor_spark.plans.inspect import assert_no_cartesian
@@ -609,7 +609,81 @@ def test_new_library_operator_plans_have_no_scale_killers(spark):
 
     assert_no_cartesian(simhash_near_dups_scaled(docs, band_width=20))
     assert_no_cartesian(ann_topk_collapsed(emb))
+    assert_no_cartesian(line_dedup(docs))
     assert_no_cartesian(incremental_near_dups(
         docs, batch,
         corpus_index=banded_signatures(minhash_signatures(docs)),
         verify_store=shingle_store(docs)))
+
+
+def test_line_dedup_matches_duckdb_window_oracle(spark):
+    """Global line-level dedup (C4-style boilerplate removal) vs an
+    independent DuckDB window-function formulation: first corpus-wide
+    occurrence by (doc_id, pos) survives, short lines are exempt,
+    min_repeat gates what counts as boilerplate, empty docs rebuild
+    to '' and NULL text stays NULL."""
+    import duckdb
+
+    from lisp_batch_processor_spark.operators.dedup import line_dedup
+
+    rows = [
+        (0, "alpha one\nshared banner line\nbeta two"),
+        (1, "shared banner line\ngamma three\n--"),          # banner dup
+        (2, "gamma three\nshared banner line\nalpha one"),   # all dups
+        (3, ""),                                             # empty doc
+        (4, None),                                           # null text
+        (5, "--\n--\nunique tail"),                          # short exempt
+        (6, "twice only\ndelta four"),
+        (7, "twice only\nepsilon five"),                     # 2-occurrence
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for min_chars, min_repeat in [(1, 2), (3, 2), (1, 3)]:
+        got = {r["doc_id"]: (r["text"], r["lines_total"], r["lines_kept"])
+               for r in line_dedup(docs, min_chars=min_chars,
+                                   min_repeat=min_repeat).collect()}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(f"""
+            WITH lines AS (
+              -- two unnests in one SELECT are zipped in DuckDB
+              SELECT doc_id,
+                unnest(generate_series(1,
+                    len(str_split(text, chr(10))))) - 1 AS pos,
+                unnest(str_split(text, chr(10))) AS line
+              FROM docs
+            ), marked AS (
+              SELECT doc_id, pos, line,
+                CASE WHEN length(line) < {min_chars} THEN TRUE
+                     WHEN COUNT(*) OVER (PARTITION BY line)
+                          < {min_repeat} THEN TRUE
+                     WHEN ROW_NUMBER() OVER (PARTITION BY line
+                          ORDER BY doc_id, pos) = 1 THEN TRUE
+                     ELSE FALSE END AS keep
+              FROM lines
+            ), rebuilt AS (
+              SELECT doc_id,
+                COALESCE(STRING_AGG(line, chr(10) ORDER BY pos)
+                         FILTER (WHERE keep), '') AS text,
+                COUNT(*) AS lines_total,
+                COUNT(*) FILTER (WHERE keep) AS lines_kept
+              FROM marked GROUP BY doc_id
+            )
+            SELECT d.doc_id, r.text, r.lines_total, r.lines_kept
+            FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        """).fetchall()}
+        con.close()
+
+        assert got == want, (min_chars, min_repeat)
+
+    # Spot-check the default config's semantics directly.
+    got = {r["doc_id"]: r["text"]
+           for r in line_dedup(docs).collect()}
+    assert got[0] == "alpha one\nshared banner line\nbeta two"
+    # banner removed; "--" kept: it's doc 1's first corpus occurrence.
+    assert got[1] == "gamma three\n--"
+    assert got[2] == ""                          # every line seen earlier
+    assert got[3] == ""
+    assert got[4] is None
