@@ -326,3 +326,142 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_en", "score_es", "score_de", "score_fr",
         predicted.alias("predicted_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality stats (Gopher-style) — within-document repetition
+# signals the basic ratio filters above can't see.
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings; empty
+    array when the doc has fewer than n tokens (no short-doc
+    fallback — repetition stats must not invent a pseudo-gram).
+    Same zip-of-shifted-slices build as dedup._shingles (one slice
+    per shift, not per gram)."""
+    sz = F.size(toks)
+    win = sz - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, win) for i in range(n)])
+    make = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    return F.when(sz >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", line_delim: str = "\n",
+                     ngram_n: int = 2) -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher
+    quality rules (Rae et al. 2021, published heuristics): documents
+    dominated by repeated lines or by one repeated word n-gram are
+    machine-generated boilerplate the per-token ratio filters
+    (q_text_quality) cannot see.
+
+    Returns one row per input document:
+      - ``n_lines``, ``dup_line_frac``: fraction of line occurrences
+        whose line appears more than once IN THIS DOC,
+      - ``dup_line_char_frac``: same fraction weighted by line chars,
+      - ``top_ngram``, ``top_ngram_char_frac``: the most frequent
+        word-``ngram_n``-gram (ties broken by gram char length then
+        lexicographically — deterministic) and the fraction of doc
+        chars its occurrences cover (count x gram chars / doc chars),
+      - ``symbol_word_ratio``: ('#' + '...' + unicode-ellipsis
+        occurrences) per token.
+    Docs with NULL text get NULL stats; fractions are NULL when their
+    denominator is 0 (empty text / fewer than n tokens).
+
+    Scale notes (100 TB): two explode -> groupBy legs, both keyed at
+    (doc, line) / (doc, gram) grain — keys are finer than documents,
+    so no hot key can form (a billion-fold repeated line still groups
+    under its OWN doc only); the per-doc re-aggregations and the
+    final joins are all on the doc id, so AQE co-partitions them.
+    Everything is JVM-side; no Python in the path.
+    """
+    import re as _re
+
+    did = F.col(id_col)
+    base = docs.select(
+        did, F.col(text_col).alias("_rs_text"),
+        tokens_col(F.col(text_col)).alias("_rs_toks"))
+
+    # Leg 1: within-doc duplicate lines.
+    lines = base.select(
+        did, F.explode(F.split("_rs_text", _re.escape(line_delim), -1))
+                .alias("_rs_line"))
+    per_line = (lines.groupBy(did, "_rs_line")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    line_stats = (per_line
+                  .withColumn("_len", F.length("_rs_line"))
+                  .groupBy(did)
+                  .agg(F.sum("_c").alias("n_lines"),
+                       F.sum(F.when(F.col("_c") > 1, F.col("_c"))
+                              .otherwise(0)).alias("_dup_lines"),
+                       F.sum(F.col("_c") * F.col("_len"))
+                        .alias("_line_chars"),
+                       F.sum(F.when(F.col("_c") > 1,
+                                    F.col("_c") * F.col("_len"))
+                              .otherwise(0)).alias("_dup_line_chars")))
+
+    # Leg 2: most frequent word n-gram.
+    grams = base.select(
+        did, F.explode(_word_ngrams(F.col("_rs_toks"), ngram_n))
+                .alias("_rs_gram"))
+    per_gram = (grams.groupBy(did, "_rs_gram")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    top_gram = (per_gram.groupBy(did)
+                .agg(F.max(F.struct(
+                        F.col("_c").alias("c"),
+                        F.length("_rs_gram").alias("glen"),
+                        F.col("_rs_gram").alias("g"))).alias("_t")))
+
+    frac = lambda num, den: F.when(den > 0, num.cast("double") / den)
+    out = (docs.select(
+               did, F.col(text_col).alias("_rs_text"),
+               F.length(text_col).alias("_n_chars"),
+               F.size(tokens_col(F.col(text_col))).alias("_n_words"),
+               (F.regexp_count(F.col(text_col), F.lit("#"))
+                + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+                + F.regexp_count(F.col(text_col), F.lit("…")))
+                   .alias("_n_sym"))
+           .join(line_stats, id_col, "left")
+           .join(top_gram, id_col, "left"))
+    return out.select(
+        id_col,
+        F.col("n_lines"),
+        frac(F.col("_dup_lines"), F.col("n_lines"))
+            .alias("dup_line_frac"),
+        frac(F.col("_dup_line_chars"), F.col("_line_chars"))
+            .alias("dup_line_char_frac"),
+        F.col("_t.g").alias("top_ngram"),
+        frac(F.col("_t.c") * F.col("_t.glen"), F.col("_n_chars"))
+            .alias("top_ngram_char_frac"),
+        frac(F.col("_n_sym"), F.col("_n_words"))
+            .alias("symbol_word_ratio"),
+    )
+
+
+# Published Gopher thresholds for the signals computed here (paper
+# table A1; the n-gram bound is the n=2 row).
+GOPHER_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_ngram_char_frac": 0.20,
+    "symbol_word_ratio": 0.10,
+}
+
+
+def gopher_repetition_filter(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             thresholds: dict | None = None) -> DataFrame:
+    """Attach a boolean ``keep`` column: True iff every repetition
+    signal is at or under its threshold (defaults: the published
+    Gopher bounds, GOPHER_THRESHOLDS). NULL signals (empty/NULL text)
+    are treated as passing — emptiness is a length filter's job, not
+    a repetition filter's. Returns (id_col, <signals>, keep)."""
+    th = dict(GOPHER_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    stats = repetition_stats(docs, id_col=id_col, text_col=text_col)
+    keep = F.lit(True)
+    for name, bound in th.items():
+        keep = keep & (F.col(name).isNull() | (F.col(name) <= bound))
+    return stats.withColumn("keep", keep)

@@ -594,6 +594,7 @@ def test_new_library_operator_plans_have_no_scale_killers(spark):
         minhash_signatures, shingle_store, simhash_near_dups_scaled)
     from lisp_batch_processor_spark.operators.similarity import (
         ann_topk_collapsed)
+    from lisp_batch_processor_spark.operators.text import repetition_stats
     from lisp_batch_processor_spark.plans.inspect import assert_no_cartesian
 
     docs = spark.createDataFrame(
@@ -610,6 +611,7 @@ def test_new_library_operator_plans_have_no_scale_killers(spark):
     assert_no_cartesian(simhash_near_dups_scaled(docs, band_width=20))
     assert_no_cartesian(ann_topk_collapsed(emb))
     assert_no_cartesian(line_dedup(docs))
+    assert_no_cartesian(repetition_stats(docs))
     assert_no_cartesian(incremental_near_dups(
         docs, batch,
         corpus_index=banded_signatures(minhash_signatures(docs)),

@@ -59,3 +59,72 @@ def test_fingerprint_normalization_collapses_whitespace(spark):
                        (3, "different")])
     out = [r.f for r in df.select(fp.alias("f")).collect()]
     assert out[0] == out[1] != out[2]
+
+
+def test_repetition_stats_match_python_counter_oracle(spark):
+    """Gopher-style repetition signals vs an independent Python
+    Counter replay: within-doc duplicate-line fractions, the
+    deterministic top-n-gram tie-break, symbol-per-word ratio, and
+    the NULL conventions (NULL text, empty text, < n tokens)."""
+    import re
+    from collections import Counter
+
+    from lisp_batch_processor_spark.operators.text import (
+        gopher_repetition_filter, repetition_stats)
+
+    rows = [
+        (0, "spam spam spam spam spam"),                  # one hot 2-gram
+        (1, "alpha beta\nalpha beta\ngamma"),             # dup lines
+        (2, "a#b # c... d…e"),                            # symbols
+        (3, ""),                                          # empty text
+        (4, None),                                        # null text
+        (5, "solo"),                                      # < 2 tokens
+        (6, "x y\nx y\nx y\nx y"),                        # all-dup lines
+        (7, "aa bb aa bb cc dd cc dd"),                   # 2-gram tie
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["dup_line_frac"],
+                         r["dup_line_char_frac"], r["top_ngram"],
+                         r["top_ngram_char_frac"], r["symbol_word_ratio"])
+           for r in repetition_stats(docs).collect()}
+
+    def lower(t):
+        return "".join(c.lower() if "A" <= c <= "Z" else c for c in t)
+
+    want = {}
+    for doc_id, text in rows:
+        if text is None:
+            want[doc_id] = (None,) * 6
+            continue
+        lines = text.split("\n")
+        lc = Counter(lines)
+        n_lines = len(lines)
+        dup = sum(c for c in lc.values() if c > 1)
+        line_chars = sum(len(l) for l in lines)
+        dup_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
+        toks = [t for t in re.split("[^a-z0-9]+", lower(text)) if t]
+        grams = ([" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+                 if len(toks) >= 2 else [])
+        gc = Counter(grams)
+        top = (max(gc.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+               if gc else None)
+        n_chars = len(text)
+        n_sym = text.count("#") + text.count("...") + text.count("…")
+        want[doc_id] = (
+            n_lines,
+            dup / n_lines if n_lines else None,
+            dup_chars / line_chars if line_chars else None,
+            top[0] if top else None,
+            (top[1] * len(top[0]) / n_chars) if top and n_chars else None,
+            n_sym / len(toks) if toks else None,
+        )
+    assert got == want
+
+    # The filter: spam/all-dup docs rejected, clean docs kept, and
+    # NULL-signal docs (empty / NULL text) pass through as keepers.
+    kept = {r["doc_id"]: r["keep"]
+            for r in gopher_repetition_filter(docs).collect()}
+    assert kept[0] is False            # top 2-gram covers most chars
+    assert kept[6] is False            # every line duplicated
+    assert kept[2] is False            # symbol-heavy
+    assert kept[3] is True and kept[4] is True and kept[5] is True
