@@ -66,3 +66,23 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture as a temp view for SQL-form queries."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out_small_scan(df: DataFrame, spark: SparkSession,
+                       floor: int | None = None) -> DataFrame:
+    """Spread a scan across the box when the input has fewer splits
+    than cores. A fixture-sized parquet file (one row group) scans as
+    ONE task, so a broadcast-join probe straight off the scan runs
+    serially no matter how wide the box is — the pair stages of the
+    embedding dedup measured 1-task at sf0.1 for exactly this reason.
+
+    Gated: only repartitions when the observed split count is below
+    ``floor`` (default: defaultParallelism), so at production scale —
+    where inputs always have many splits — this is a no-op and adds
+    no shuffle. The explicit numPartitions keeps AQE from coalescing
+    the tiny shuffle back down to one partition (coalescing is
+    size-based and fixture data is far below the advisory size).
+    """
+    floor = floor or spark.sparkContext.defaultParallelism
+    n = df.rdd.getNumPartitions()
+    return df.repartition(floor) if n < floor else df

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lisp_batch_processor_spark.catalog import load
+from lisp_batch_processor_spark.catalog import fan_out_small_scan, load
 from lisp_batch_processor_spark.functions.numeric import dround
 from lisp_batch_processor_spark.functions.vectors import (
     dot, l2_norm, sql_cosine, sql_dot)
@@ -1176,7 +1176,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zero-norm vectors have no cosine: excluded from PAIRING (ANSI
     # division would error; NaN would rank above any threshold) but
     # still owed an assignment row (rep = self) below.
-    p = e.filter(F.col("nrm") > 0)
+    # fan_out: the broadcast-join probe runs one task per input
+    # split, and a single-file fixture is one split (no-op at scale).
+    p = fan_out_small_scan(e.filter(F.col("nrm") > 0), spark)
     a, b = p.alias("a"), p.alias("b")
     pairs = (
         a.join(b, (F.col("a.label") == F.col("b.label"))
