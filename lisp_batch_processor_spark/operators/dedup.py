@@ -97,6 +97,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     in tests/test_dedup.py pins signature equality directly so the
     fold can't drift from the documented formula again.)
     """
+    # fan_out: the md5-per-shingle + 16 partial mins all run MAP-SIDE
+    # before the groupBy, i.e. one task per input split — a one-file
+    # fixture would hash the whole corpus serially (no-op at scale).
+    docs = fan_out_small_scan(docs, docs.sparkSession)
     toks = docs.select("doc_id", tokens_col().alias("tk"))
     sh = toks.select("doc_id",
                      F.explode(_shingles(F.col("tk"))).alias("shingle"))
@@ -672,6 +676,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     portable choice (same rationale as minhash_signatures) that lets
     the DuckDB oracle replay fingerprints exactly; swap for xxhash64
     when replay is never needed."""
+    # fan_out: tokenize+explode+partial-count are map-side — serial
+    # on a one-split fixture scan without it (no-op at scale).
+    docs = fan_out_small_scan(docs, docs.sparkSession)
     tf = (docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
           .withColumn("h", F.conv(
@@ -826,6 +833,9 @@ def simhash_fingerprints_wide(docs: DataFrame,
     used = 2 * band_width
     if not 15 <= band_width <= SIMHASH_MAX_BAND_WIDTH:
         raise ValueError(f"band_width {band_width} outside [15, 30]")
+    # fan_out: tokenize+explode+partial-count are map-side — serial
+    # on a one-split fixture scan without it (no-op at scale).
+    docs = fan_out_small_scan(docs, docs.sparkSession)
     tf = (docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt")))
     hexs = F.md5(F.encode("tok", "UTF-8"))
@@ -950,6 +960,10 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     oracle replays brute force), just with a candidate set orders of
     magnitude smaller at corpus scale.
     """
+    # fan_out: the checkpointed `t` below inherits the scan's split
+    # count, so a one-file fixture tokenizes serially AND leaves the
+    # verify joins' build sides one-partition (no-op at scale).
+    docs = fan_out_small_scan(docs, docs.sparkSession)
     t = (docs.select("doc_id", "source",
                      F.array_distinct(tokens_col()).alias("tok_set"))
          .withColumn("sz", F.size("tok_set"))
