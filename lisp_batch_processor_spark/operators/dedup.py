@@ -578,7 +578,10 @@ def incremental_near_dups(corpus_docs: DataFrame | None,
                           corpus_index: DataFrame | None = None,
                           verify_store: DataFrame | None = None,
                           threshold_num: int = 7,
-                          threshold_den: int = 10) -> DataFrame:
+                          threshold_den: int = 10,
+                          corpus_band_bloom: DataFrame | None = None,
+                          bloom_bits: int = 0,
+                          bloom_hashes: int = 0) -> DataFrame:
     """Batch-vs-corpus incremental near-dup — the most common
     production dedup shape: assign a NEW batch of documents against an
     EXISTING corpus without ever self-joining the corpus. Returns one
@@ -613,6 +616,17 @@ def incremental_near_dups(corpus_docs: DataFrame | None,
     forever. Jaccard threshold is integer-exact:
     inter * threshold_den >= uni * threshold_num (default 0.7, same
     as q_dedup_minhash).
+
+    Optional Bloom prefilter: pass `corpus_band_bloom` (an
+    `operators.bloom.bloom_build` frame over the corpus index's
+    (band_idx, band_key), persisted alongside it and extended per
+    batch with `bloom_union`) plus its (bloom_bits, bloom_hashes).
+    Batch band rows whose bucket provably has no corpus occupant
+    then skip the corpus-index join entirely — for a mostly-novel
+    batch that join's probe side shrinks to (true dup bands + fpp)
+    while the result is unchanged (no false negatives; equality
+    pinned by tests/test_bloom.py). The batch-vs-batch self-join
+    deliberately still sees every band row.
     """
     if corpus_docs is None and (corpus_index is None
                                 or verify_store is None):
@@ -627,7 +641,14 @@ def incremental_near_dups(corpus_docs: DataFrame | None,
                   .localCheckpoint(eager=False))
     if corpus_index is None:
         corpus_index = banded_signatures(minhash_signatures(corpus_docs))
-    bc = (new_banded.alias("n")
+    probe_banded = new_banded
+    if corpus_band_bloom is not None:
+        from lisp_batch_processor_spark.operators.bloom import (
+            prefilter_members)
+        probe_banded = prefilter_members(
+            new_banded, corpus_band_bloom, ["band_idx", "band_key"],
+            bloom_bits, bloom_hashes)
+    bc = (probe_banded.alias("n")
           .join(corpus_index.alias("c"),
                 (F.col("n.band_idx") == F.col("c.band_idx"))
                 & (F.col("n.band_key") == F.col("c.band_key")))
