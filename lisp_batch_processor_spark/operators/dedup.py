@@ -1368,3 +1368,107 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                     F.when(F.col("_ld_orig").isNull(), F.lit(None))
                      .otherwise(F.coalesce("lines_kept", F.lit(0)))
                      .alias("lines_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (token-window span) global dedup.
+# ---------------------------------------------------------------------------
+
+def span_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", window: int = 20,
+               min_repeat: int = 2) -> DataFrame:
+    """Exact-substring dedup at token-window grain — the "dedup
+    below document AND below line" pass: find every ``window``-token
+    sliding substring that occurs at least ``min_repeat`` times
+    corpus-wide, keep its corpus-wide FIRST occurrence (ordered by
+    (doc_id, position)), and strip the tokens covered by every other
+    occurrence. Catches verbatim passages pasted MID-line into
+    otherwise-distinct documents, which line_dedup (different
+    surrounding line) and MinHash (document mostly novel) both miss.
+
+    Tokens are exact whitespace-split words (case-sensitive — exact
+    substring means exact; the analysis tokenizer's lowercasing
+    would conflate distinct text). Output text is the surviving
+    token stream joined with single spaces — a normalized rendering,
+    documented contract, same as the token budget downstream
+    training consumers count. Docs shorter than ``window`` tokens
+    pass through (normalized, never stripped); NULL text stays NULL;
+    a fully-covered doc comes back as ''.
+
+    Returns one row per input doc:
+    ``(id_col, text_col, tokens_total, tokens_kept)``.
+
+    Scale notes (100 TB): window keys are md5 digests of the zipped
+    shifted slices (the _shingles zip-shift construction — one slice
+    per OFFSET, not per window), so the per-doc expansion is one
+    posexplode of n-W+1 digests. The global winner/count agg is a
+    map-side-combined hash-agg on the digest; the join back to
+    occurrences is a digest equi-join (hot digests are one winner
+    row — AQE skew-split shape, never a product). Coverage expands
+    each removed span to its W positions (explode(sequence)) and
+    distincts them: amplification is bounded by W on duplicated
+    regions only, then one (doc,pos) anti-join and one groupBy(doc)
+    reassembly — every shuffle key-bucketed, nothing driver-side.
+
+    Reference parity: membership-dedup family (Batch Processor.py
+    R6/R7) pushed below line grain; Python sliding-window replay
+    pinned in tests/test_dedup.py.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    did, pos = F.col("_sd_did"), F.col("_sd_pos")
+    tok = docs.select(
+        F.col(id_col).alias("_sd_did"),
+        F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda x: x != "").alias("_sd_toks"))
+    toks = F.col("_sd_toks")
+    n = F.size(toks)
+    span_w = n - (window - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, span_w)
+                       for i in range(window)])
+    keys = F.transform(
+        z, lambda s: F.md5(F.concat_ws(
+            " ", *[s[str(i)] for i in range(window)])))
+    occ = (tok.filter(n >= window)
+           .select(did, F.posexplode(keys).alias("_sd_pos", "_sd_key")))
+    winners = (occ.groupBy("_sd_key")
+               .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
+                     .alias("_sd_w"),
+                    F.count(F.lit(1)).alias("_sd_n")))
+    removed = (occ.join(winners, "_sd_key")
+               .filter((F.col("_sd_n") >= min_repeat)
+                       & ~((F.col("_sd_w.d") == did)
+                           & (F.col("_sd_w.p") == pos))))
+    covered = (removed
+               .select(did, F.explode(
+                   F.sequence(pos, pos + (window - 1))).alias("_sd_pos"))
+               .dropDuplicates(["_sd_did", "_sd_pos"]))
+    exploded = tok.select(
+        did, F.posexplode(toks).alias("_sd_pos", "_sd_tok"))
+    kept = exploded.join(covered, ["_sd_did", "_sd_pos"], "left_anti")
+    rebuilt = (kept.groupBy("_sd_did")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(pos.alias("p"),
+                                         F.col("_sd_tok").alias("t")))),
+                            lambda s: s["t"]),
+                        " ").alias("_sd_text"),
+                    F.count(F.lit(1)).alias("tokens_kept")))
+    orig = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_sd_orig"))
+    totals = tok.select(did.alias("_sd_tid"), n.alias("tokens_total"))
+    return (orig
+            .join(totals, orig[id_col] == F.col("_sd_tid"), "left")
+            .join(rebuilt, orig[id_col] == rebuilt["_sd_did"], "left")
+            .select(id_col,
+                    F.when(F.col("_sd_orig").isNull(), F.lit(None))
+                     .otherwise(F.coalesce("_sd_text", F.lit("")))
+                     .alias(text_col),
+                    F.when(F.col("_sd_orig").isNull(), F.lit(None))
+                     .otherwise(F.col("tokens_total"))
+                     .alias("tokens_total"),
+                    F.when(F.col("_sd_orig").isNull(), F.lit(None))
+                     .otherwise(F.coalesce("tokens_kept", F.lit(0)))
+                     .alias("tokens_kept")))

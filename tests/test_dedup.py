@@ -689,3 +689,72 @@ def test_line_dedup_matches_duckdb_window_oracle(spark):
     assert got[2] == ""                          # every line seen earlier
     assert got[3] == ""
     assert got[4] is None
+
+
+def test_span_dedup_matches_python_sliding_window_oracle(spark):
+    """span_dedup (exact-substring token-window dedup) must equal a
+    direct Python replay of its contract: md5-keyed W-token sliding
+    windows, global first occurrence by (doc_id, pos) survives, all
+    tokens covered by any other occurrence of a >=min_repeat window
+    are stripped, survivors re-joined with single spaces."""
+    from lisp_batch_processor_spark.operators.dedup import span_dedup
+
+    boiler = ("all rights reserved no part of this page may be "
+              "reproduced without the written permission of the owner")
+    rows = [
+        (0, "intro text for the very first document " + boiler +
+            " and a unique closing remark about tide pools"),
+        (1, "a different page entirely " + boiler +
+            " followed by words never seen elsewhere in the corpus"),
+        (2, boiler + " " + boiler),         # internal repetition
+        (3, "short doc"),                    # < window tokens
+        (4, None),                           # NULL passthrough
+        (5, "  spaced    out\ttokens\nacross   lines  "),
+        (6, ""),                             # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for window, min_repeat in [(8, 2), (8, 3), (12, 2)]:
+        got = {r["doc_id"]: (r["text"], r["tokens_total"],
+                             r["tokens_kept"])
+               for r in span_dedup(docs, window=window,
+                                   min_repeat=min_repeat).collect()}
+
+        # --- Python replay ---
+        toks = {d: (t.split() if t is not None else None)
+                for d, t in rows}
+        occ = {}   # key -> list of (doc, pos) in scan order
+        for d, tk in sorted(toks.items()):
+            if tk is None or len(tk) < window:
+                continue
+            for p in range(len(tk) - window + 1):
+                occ.setdefault(" ".join(tk[p:p + window]), []).append(
+                    (d, p))
+        covered = {d: set() for d, _ in rows}
+        for key, places in occ.items():
+            if len(places) < min_repeat:
+                continue
+            winner = min(places)
+            for d, p in places:
+                if (d, p) != winner:
+                    covered[d].update(range(p, p + window))
+        want = {}
+        for d, tk in toks.items():
+            if tk is None:
+                want[d] = (None, None, None)
+                continue
+            keep = [t for i, t in enumerate(tk) if i not in covered[d]]
+            want[d] = (" ".join(keep), len(tk), len(keep))
+        assert got == want, (window, min_repeat)
+
+    # Default-config spot checks: boilerplate survives only in doc 0.
+    got = {r["doc_id"]: r["text"]
+           for r in span_dedup(docs, window=8).collect()}
+    assert boiler in got[0]
+    assert boiler not in got[1]
+    assert "followed by words never seen elsewhere" in got[1]
+    assert got[2] == ""          # both copies covered by doc 0's win
+    assert got[3] == "short doc"
+    assert got[4] is None
+    assert got[5] == "spaced out tokens across lines"
+    assert got[6] == ""
