@@ -31,6 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from lisp_batch_processor_spark.operators.bloom import (  # noqa: E402
+    bloom_build, bloom_parameters)
 from lisp_batch_processor_spark.operators.dedup import (  # noqa: E402
     banded_signatures, incremental_near_dups, minhash_signatures,
     shingle_store)
@@ -96,9 +98,29 @@ def main() -> None:
         store_build_sec = time.perf_counter() - t0
         store = spark.read.parquet(store_path)
 
-        times: dict[str, list[float]] = {"text": [], "store": []}
+        # Third config: the persisted stores PLUS a corpus-band Bloom
+        # prefilter, so the (mostly novel) batch's band rows skip the
+        # corpus-index join unless their bucket provably has a corpus
+        # occupant. The filter is built once per corpus and persisted
+        # next to the index; per-batch cost is its broadcast probe.
+        bloom_path = f"/root/repo/.scale/inc_bloom_{label}.parquet"
+        m, k = bloom_parameters(max(idx_rows, 1), 0.01)
+        t0 = time.perf_counter()
+        (bloom_build(index, ["band_idx", "band_key"], m, k)
+         .write.mode("overwrite").parquet(bloom_path))
+        bloom_build_sec = time.perf_counter() - t0
+        band_bloom = spark.read.parquet(bloom_path)
+        bloom_kw = {"verify_store": store, "corpus_band_bloom": band_bloom,
+                    "bloom_bits": m, "bloom_hashes": k}
+        bloom_out_n = incremental_near_dups(
+            corpus, batch, corpus_index=index, **bloom_kw).count()
+        assert bloom_out_n == out_n, (bloom_out_n, out_n)
+
+        times: dict[str, list[float]] = {"text": [], "store": [],
+                                         "bloom": []}
         for p in range(-1, n_passes):  # pass -1 = discarded warmup
-            for cfg, kw in (("text", {}), ("store", {"verify_store": store})):
+            for cfg, kw in (("text", {}), ("store", {"verify_store": store}),
+                            ("bloom", bloom_kw)):
                 t0 = time.perf_counter()
                 (incremental_near_dups(corpus, batch, corpus_index=index,
                                        **kw)
@@ -117,6 +139,8 @@ def main() -> None:
             "batch_out_rows": out_n,
             "per_batch_sec": round(min(times["text"]), 3),
             "per_batch_store_sec": round(min(times["store"]), 3),
+            "bloom_build_sec": round(bloom_build_sec, 3),
+            "per_batch_bloom_sec": round(min(times["bloom"]), 3),
         }
 
     payload = {
@@ -129,13 +153,16 @@ def main() -> None:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
 
-    print("\n| corpus | index rows | index+store build | per-batch "
-          "(text verify) | per-batch (store verify) | batch out rows |")
-    print("|---|---|---|---|---|---|")
+    print("\n| corpus | index rows | index+store+bloom build | per-batch "
+          "(text verify) | per-batch (store verify) | per-batch "
+          "(store+bloom) | batch out rows |")
+    print("|---|---|---|---|---|---|---|")
     for label, r in results.items():
         print(f"| {label} ({r['corpus_rows']} docs) | {r['index_rows']:,} "
               f"| {r['index_build_sec']}s + {r['store_build_sec']}s "
+              f"+ {r['bloom_build_sec']}s "
               f"| {r['per_batch_sec']}s | {r['per_batch_store_sec']}s "
+              f"| {r['per_batch_bloom_sec']}s "
               f"| {r['batch_out_rows']} |")
 
 

@@ -63,6 +63,8 @@ QUERIES = {
     "q_similarity_ann": "embeddings",
     "q_similarity_ann_collapsed": "embeddings",
     "q_dedup_embedding": "embeddings",
+    "q_line_dedup": "documents",
+    "q_span_dedup": "documents",
 }
 
 
@@ -74,12 +76,25 @@ def _extra_queries() -> dict:
     exists to fix, so its scale point belongs next to
     q_similarity_ann's."""
     from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.dedup import (
+        line_dedup, span_dedup)
     from lisp_batch_processor_spark.operators.similarity import (
         ann_topk_collapsed)
     return {
         "q_similarity_ann_collapsed":
             lambda spark, sf_dir: ann_topk_collapsed(
                 load(spark, sf_dir, "embeddings")),
+        # Sub-document global dedup passes: the x10 replicas are
+        # token-suffixed (disjoint vocabularies), so duplicate
+        # density per replica stays constant and the slope measures
+        # corpus growth, the same property the near-dup queries rely
+        # on.
+        "q_line_dedup":
+            lambda spark, sf_dir: line_dedup(
+                load(spark, sf_dir, "documents")),
+        "q_span_dedup":
+            lambda spark, sf_dir: span_dedup(
+                load(spark, sf_dir, "documents")),
     }
 
 
