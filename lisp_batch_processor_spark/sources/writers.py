@@ -51,6 +51,51 @@ def write_bucketed(df: DataFrame, table: str,
     writer.saveAsTable(table)
 
 
+def compact(spark: SparkSession, path: str,
+            target_file_bytes: int = 128 * 1024 * 1024,
+            fmt: str = "parquet") -> int:
+    """Rewrite a dataset into files of ~``target_file_bytes`` each —
+    the standard table-maintenance pass for incremental pipelines.
+    Every micro-batch/append-style writer (streaming_near_dup_ingest,
+    overwrite_partitions_dynamic per-day reruns) accretes small
+    files, and at 100 TB a million 1 MB files costs more in listing,
+    open() round-trips, and lost column-chunk locality than the data
+    itself; readers want files near the HDFS-block/row-group sweet
+    spot. Returns the number of files written.
+
+    File count = ceil(on-disk bytes / target): sized from the data's
+    COMPRESSED footprint (Hadoop FS listing, driver-side metadata
+    only — no data pass), so the output lands near the target
+    regardless of the input's compression ratio. The rewrite is one
+    round-robin repartition (no key skew possible) and one write
+    through Spark's commit protocol, staged to a sibling temp dir
+    and swapped in only after the job commits — a failed compaction
+    leaves the original intact.
+
+    Scale notes: compact PER PARTITION DIRECTORY (pass the partition
+    path) on a schedule, not the whole table at once — the rewrite
+    reads and writes the full partition, so this is a bandwidth
+    pass; the win is paid back by every subsequent read. For
+    bucketed tables, compact via write_bucketed instead (bucket
+    count fixes file count; plain repartition would destroy bucket
+    metadata).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    size = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-size // target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compacting"
+    (df.repartition(n_files)
+       .write.mode("overwrite").format(fmt).save(tmp))
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(jpath, True)
+    fs.rename(jtmp, jpath)
+    return n_files
+
+
 def overwrite_partitions_dynamic(spark: SparkSession, df: DataFrame,
                                  path: str,
                                  partition_by: Sequence[str]) -> None:

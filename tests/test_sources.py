@@ -141,3 +141,35 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    from lisp_batch_processor_spark.sources.writers import compact
+
+    path = str(tmp_path / "frag")
+    src = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") * 3).alias("v"))
+    # Fragment: 64 files for ~10k rows.
+    src.repartition(64).write.parquet(path)
+    n_before = len([f for f in os.listdir(path)
+                    if f.startswith("part-")])
+    assert n_before == 64
+
+    want = {(r.id, r.v) for r in src.collect()}
+    n_files = compact(spark, path, target_file_bytes=1 << 30)
+    assert n_files == 1
+    n_after = len([f for f in os.listdir(path)
+                   if f.startswith("part-")])
+    assert n_after == 1
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == want
+    assert not os.path.exists(path + "._compacting")
+
+    # A small target splits the rewrite into multiple files.
+    src.repartition(32).write.mode("overwrite").parquet(path)
+    size = sum(os.path.getsize(os.path.join(path, f))
+               for f in os.listdir(path) if f.startswith("part-"))
+    n_files = compact(spark, path, target_file_bytes=max(size // 4, 1))
+    assert n_files >= 2
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == want
