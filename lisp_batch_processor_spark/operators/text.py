@@ -465,3 +465,50 @@ def gopher_repetition_filter(docs: DataFrame, id_col: str = "doc_id",
     for name, bound in th.items():
         keep = keep & (F.col(name).isNull() | (F.col(name) <= bound))
     return stats.withColumn("keep", keep)
+
+
+def boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", delim: str = "\n",
+                      min_chars: int = 1, min_docs: int = 2,
+                      top_k: int | None = None) -> DataFrame:
+    """Mine the corpus's boilerplate: lines that recur across
+    documents, with their document frequencies — the diagnostic that
+    tells you what `dedup.line_dedup`'s ``min_repeat`` should be and
+    WHAT it will remove before you run it (nav bars, cookie banners,
+    license footers surface at the top of this table).
+
+    Returns ``(line, n_docs, n_occurrences)`` for every line of at
+    least ``min_chars`` characters appearing in at least ``min_docs``
+    DISTINCT documents, ordered by (n_docs, n_occurrences) descending;
+    ``top_k`` caps the result via TakeOrdered (no global sort
+    materialization).
+
+    Scale notes (100 TB): lines dedupe to (digest, doc) pairs FIRST
+    (map-side-combined aggregate carrying one line sample — a
+    billion-fold repeated banner arrives at the reducer as one row
+    per map partition with its per-doc occurrence count), then a
+    second hash-agg on the digest counts distinct docs as plain
+    count(*) — the classic two-step that avoids count(DISTINCT)'s
+    expand. Shuffles ship the 128-bit digest, not the line bytes.
+    """
+    import re as _re
+
+    line = F.col("_bp_line")
+    lines = (docs.select(
+        F.col(id_col).alias("_bp_did"),
+        F.explode(F.split(F.col(text_col), _re.escape(delim),
+                          -1)).alias("_bp_line"))
+        .filter(F.length(line) >= min_chars))
+    per_doc = (lines
+               .groupBy(F.md5(line).alias("_bp_key"), "_bp_did")
+               .agg(F.first(line).alias("_bp_line"),
+                    F.count(F.lit(1)).alias("_bp_occ")))
+    agg = (per_doc.groupBy("_bp_key")
+           .agg(F.first("_bp_line").alias("line"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_bp_occ").alias("n_occurrences"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("line", "n_docs", "n_occurrences")
+           .orderBy(F.desc("n_docs"), F.desc("n_occurrences"),
+                    F.asc("line")))
+    return agg.limit(top_k) if top_k is not None else agg

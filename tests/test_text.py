@@ -128,3 +128,45 @@ def test_repetition_stats_match_python_counter_oracle(spark):
     assert kept[6] is False            # every line duplicated
     assert kept[2] is False            # symbol-heavy
     assert kept[3] is True and kept[4] is True and kept[5] is True
+
+
+def test_boilerplate_lines_matches_counter_oracle(spark):
+    """boilerplate_lines vs a Python Counter replay: per-line doc
+    frequency and total occurrences over delimiter-split lines."""
+    from collections import Counter, defaultdict
+
+    from lisp_batch_processor_spark.operators.text import (
+        boilerplate_lines)
+
+    rows = [
+        (0, "cookie banner\nreal content one\ncookie banner"),
+        (1, "cookie banner\nnav | home | about\nreal content two"),
+        (2, "nav | home | about\nunique paragraph here"),
+        (3, "x\ncookie banner"),
+        (4, None),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for min_chars, min_docs in [(1, 2), (2, 2), (1, 3)]:
+        got = [(r.line, r.n_docs, r.n_occurrences)
+               for r in boilerplate_lines(
+                   docs, min_chars=min_chars, min_docs=min_docs
+               ).collect()]
+        ndocs, nocc = defaultdict(set), Counter()
+        for d, t in rows:
+            if t is None:
+                continue
+            for ln in t.split("\n"):
+                if len(ln) >= min_chars:
+                    ndocs[ln].add(d)
+                    nocc[ln] += 1
+        want = sorted(
+            ((ln, len(ds), nocc[ln]) for ln, ds in ndocs.items()
+             if len(ds) >= min_docs),
+            key=lambda r: (-r[1], -r[2], r[0]))
+        assert got == want, (min_chars, min_docs)
+
+    top = boilerplate_lines(docs, top_k=1).collect()
+    assert [(r.line, r.n_docs, r.n_occurrences) for r in top] == \
+        [("cookie banner", 3, 4)]
