@@ -71,14 +71,34 @@ HEADLINE = [
     "q_skew_agg",
     "q_tpch_q18",
     "q_exists_decorrelated",
+    # Round 4: sub-document global dedup passes (library operators —
+    # the 50-slot registry is full, so they enter the bench through
+    # the same wrapper mechanism scale_slope.py uses).
+    "q_line_dedup",
+    "q_span_dedup",
 ]
+
+
+def _extra_queries() -> dict:
+    """Library operators timed alongside the registered queries."""
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.dedup import (
+        line_dedup, span_dedup)
+    return {
+        "q_line_dedup":
+            lambda spark, sf_dir: line_dedup(
+                load(spark, sf_dir, "documents")),
+        "q_span_dedup":
+            lambda spark, sf_dir: span_dedup(
+                load(spark, sf_dir, "documents")),
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
-    qs = all_queries()
+    qs = {**all_queries(), **_extra_queries()}
 
     # Warm the JVM/codegen paths (parquet reader, hash agg, joins)
     # on the tiny sf so per-query timings measure the engine at the

@@ -758,3 +758,67 @@ def test_span_dedup_matches_python_sliding_window_oracle(spark):
     assert got[4] is None
     assert got[5] == "spaced out tokens across lines"
     assert got[6] == ""
+
+
+def _span_dedup_replay(rows, window, min_repeat):
+    """Python reference for span_dedup's contract (shared by the
+    fixture test above and the random-corpus fuzz below)."""
+    toks = {d: (t.split() if t is not None else None) for d, t in rows}
+    occ = {}
+    for d, tk in sorted(toks.items()):
+        if tk is None or len(tk) < window:
+            continue
+        for p in range(len(tk) - window + 1):
+            occ.setdefault(" ".join(tk[p:p + window]), []).append((d, p))
+    covered = {d: set() for d, _ in rows}
+    for places in occ.values():
+        if len(places) < min_repeat:
+            continue
+        winner = min(places)
+        for d, p in places:
+            if (d, p) != winner:
+                covered[d].update(range(p, p + window))
+    out = {}
+    for d, tk in toks.items():
+        if tk is None:
+            out[d] = (None, None, None)
+            continue
+        keep = [t for i, t in enumerate(tk) if i not in covered[d]]
+        out[d] = (" ".join(keep), len(tk), len(keep))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_span_dedup_fuzz_random_corpus(spark, seed):
+    """span_dedup on random corpora with heavy cross-doc window
+    collisions (tiny vocabulary + planted shared passages) must equal
+    the Python replay exactly — including overlapping spans, docs
+    that are pure repetition, and winner ties at position grain."""
+    import random
+
+    from lisp_batch_processor_spark.operators.dedup import span_dedup
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]  # tiny: collisions abound
+    passage = " ".join(rng.choice(vocab) for _ in range(9))
+    rows = []
+    for d in range(40):
+        k = rng.randint(0, 30)
+        words = [rng.choice(vocab) for _ in range(k)]
+        if rng.random() < 0.4:
+            ins = rng.randint(0, len(words))
+            words[ins:ins] = passage.split()
+        text = " ".join(words)
+        if rng.random() < 0.1:
+            text = text.replace(" ", "   ", 1)
+        rows.append((d, text))
+    rows += [(40, None), (41, ""), (42, passage + " " + passage)]
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for window, min_repeat in [(5, 2), (5, 3), (7, 2)]:
+        got = {r["doc_id"]: (r["text"], r["tokens_total"],
+                             r["tokens_kept"])
+               for r in span_dedup(docs, window=window,
+                                   min_repeat=min_repeat).collect()}
+        assert got == _span_dedup_replay(rows, window, min_repeat), (
+            seed, window, min_repeat)
