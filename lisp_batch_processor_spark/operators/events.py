@@ -246,3 +246,83 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "sum_value", "n_users",
         )
     )
+
+
+def funnel(events: DataFrame, steps: list[str],
+           horizon_s: int = 24 * 3600,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           tie_col: str = "event_id") -> DataFrame:
+    """Ordered-sequence conversion ("funnel") over an event stream:
+    for each user, match step i at the earliest event of type
+    ``steps[i]`` STRICTLY after the step i-1 match (ties broken by
+    ``tie_col``, so same-instant events have a deterministic order),
+    anchored at the user's EARLIEST step-0 event, with every later
+    step landing within ``horizon_s`` of that anchor. Returns the
+    conversion table ``(step_idx, step, n_users)`` — n_users is how
+    many users reached at least that step.
+
+    Semantics are the standard "earliest-anchor greedy" funnel:
+    deterministic, one answer per user, replayable in any engine
+    (Python replay pinned in tests/test_new_operators.py). A user
+    whose first anchor fails the horizon does NOT retry a later
+    anchor — document-simple and what most funnel products compute.
+
+    Scale notes (100 TB): events are pre-filtered to the step types
+    (predicate pushdown to the scan), then ONE shuffle on user_id
+    builds each user's sorted (ts, tie, type) array, and the greedy
+    walk is a single JVM-side `aggregate` over that array — no
+    per-step joins, no window functions, no Python. Per-user state is
+    the user's step-typed events only; the final count is a
+    map-side-combinable global aggregate producing k numbers. Skewed
+    power users cost one wide array each (bound it upstream with a
+    time-range filter if a user can emit millions of step events
+    inside the horizon).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    horizon_us = int(horizon_s) * 1_000_000
+    ev = (events
+          .filter(F.col(type_col).isin(*steps))
+          .select(F.col(user_col).alias("_fn_user"),
+                  F.struct(
+                      F.unix_micros(F.col(ts_col)).alias("us"),
+                      F.col(tie_col).alias("tie"),
+                      F.col(type_col).alias("et")).alias("_fn_e")))
+    per_user = (ev.groupBy("_fn_user")
+                .agg(F.array_sort(F.collect_list("_fn_e")).alias("_fn_es")))
+    init = F.struct(
+        F.lit(0).alias("m"),
+        F.lit(None).cast("long").alias("prev_us"),
+        F.lit(None).cast("long").alias("prev_tie"),
+        F.lit(None).cast("long").alias("t1_us"))
+    def _step(acc, e):
+        advance = (
+            (acc["m"] < k)
+            & (e["et"] == F.element_at(step_arr, acc["m"] + 1))
+            & ((acc["m"] == 0)
+               | (F.struct(e["us"], e["tie"])
+                  > F.struct(acc["prev_us"], acc["prev_tie"])))
+            & ((acc["m"] == 0)
+               | (e["us"] <= acc["t1_us"] + F.lit(horizon_us))))
+        return F.when(advance, F.struct(
+            (acc["m"] + 1).alias("m"),
+            e["us"].alias("prev_us"),
+            e["tie"].cast("long").alias("prev_tie"),
+            F.coalesce(acc["t1_us"], e["us"]).alias("t1_us"))
+        ).otherwise(acc)
+    reached = per_user.select(
+        F.aggregate("_fn_es", init, _step)["m"].alias("_fn_m"))
+    counts = reached.agg(*[
+        F.sum((F.col("_fn_m") >= i + 1).cast("long")).alias(f"_fn_s{i}")
+        for i in range(k)])
+    return (counts.select(F.posexplode(
+                F.array(*[F.coalesce(F.col(f"_fn_s{i}"), F.lit(0))
+                          for i in range(k)]))
+                .alias("step_idx", "n_users"))
+            .select("step_idx",
+                    F.element_at(step_arr, F.col("step_idx") + 1)
+                     .alias("step"),
+                    "n_users"))

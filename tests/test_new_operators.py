@@ -154,3 +154,105 @@ def test_window_running_range_frame_boundaries(spark, tmp_path):
     assert (got[5].hour_sum, got[5].hour_n) == (4.0, 3)
     # The ROWS frames still behave: running total over the 5 events.
     assert got[5].running_value == 6.0
+
+
+def _funnel_replay(rows, steps, horizon_s):
+    """Python reference for funnel's earliest-anchor greedy walk."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, us, uid, et in rows:
+        if et in steps:
+            by_user[uid].append((us, eid, et))
+    horizon_us = horizon_s * 1_000_000
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        m, prev, t1 = 0, None, None
+        for us, eid, et in sorted(evs):
+            if (m < len(steps) and et == steps[m]
+                    and (m == 0 or (us, eid) > prev)
+                    and (m == 0 or us <= t1 + horizon_us)):
+                m += 1
+                prev = (us, eid)
+                t1 = us if t1 is None else t1
+        for i in range(m):
+            counts[i] += 1
+    return [(i, steps[i], counts[i]) for i in range(len(steps))]
+
+
+def test_funnel_matches_python_replay(spark):
+    """funnel() vs a Python replay on crafted edges (same-instant
+    ties, horizon boundary, repeated steps, non-completers) and on
+    random event streams."""
+    import random
+    from datetime import datetime, timedelta
+
+    from lisp_batch_processor_spark.operators.events import funnel
+
+    base = datetime(2025, 6, 1)
+    S = 1_000_000  # one second in microseconds
+
+    def mk(eid, us, uid, et):
+        return (eid, base + timedelta(microseconds=us), uid, et)
+
+    crafted = [
+        # user 1: clean completion view->click->error
+        mk(1, 0, 1, "view"), mk(2, 5 * S, 1, "click"),
+        mk(3, 9 * S, 1, "error"),
+        # user 2: click precedes view -> stalls at view
+        mk(4, 0, 2, "click"), mk(5, 5 * S, 2, "view"),
+        # user 3: same-instant view+click — tie order by event_id:
+        # click (eid 7) is after view (eid 6), so it counts
+        mk(6, 0, 3, "view"), mk(7, 0, 3, "click"),
+        # user 4: completes exactly AT the horizon (inclusive)
+        mk(8, 0, 4, "view"), mk(9, 3 * S, 4, "click"),
+        mk(10, 60 * S, 4, "error"),
+        # user 5: last step one microsecond past the horizon
+        mk(11, 0, 5, "view"), mk(12, 3 * S, 5, "click"),
+        mk(13, 60 * S + 1, 5, "error"),
+        # user 6: anchor at its EARLIEST view; completion would only
+        # work from the later view -> greedy does not retry
+        mk(14, 0, 6, "view"), mk(15, 100 * S, 6, "view"),
+        mk(16, 101 * S, 6, "click"), mk(17, 102 * S, 6, "error"),
+        # user 7: only noise
+        mk(18, 0, 7, "scroll"),
+    ]
+    steps = ["view", "click", "error"]
+    df = spark.createDataFrame(
+        crafted, "event_id long, ts timestamp, user_id long, "
+                 "event_type string")
+    got = [(r.step_idx, r.step, r.n_users)
+           for r in funnel(df, steps, horizon_s=60)
+           .orderBy("step_idx").collect()]
+    rows_us = [(eid, int(ts.timestamp() * 1_000_000), uid, et)
+               for eid, ts, uid, et in crafted]
+    assert got == _funnel_replay(rows_us, steps, 60)
+    # Pin the crafted expectations explicitly: every view-er reaches
+    # step 0 (incl. the step-2 staller); clicks = users 1, 3 (tie
+    # broken toward the later event_id), 4, 5 (their last steps'
+    # horizon fates don't matter here); errors = 1 and 4 (user 4
+    # lands exactly AT the horizon — inclusive; user 5 is 1µs past).
+    assert got == [(0, "view", 6), (1, "click", 4), (2, "error", 2)]
+
+    rng = random.Random(7)
+    types = ["view", "click", "error", "scroll", "buy"]
+    fuzz = []
+    eid = 100
+    for uid in range(30):
+        us = rng.randint(0, 10 * S)
+        for _ in range(rng.randint(0, 25)):
+            us += rng.choice([0, 1, S, 30 * S, 3600 * S])
+            fuzz.append(mk(eid, us, uid, rng.choice(types)))
+            eid += 1
+    dff = spark.createDataFrame(
+        fuzz, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    fuzz_us = [(e, int(t.timestamp() * 1_000_000), u, ty)
+               for e, t, u, ty in fuzz]
+    for steps2, hz in [(["view", "click"], 3600),
+                       (["view", "click", "buy"], 120),
+                       (["scroll", "error"], 1)]:
+        got = [(r.step_idx, r.step, r.n_users)
+               for r in funnel(dff, steps2, horizon_s=hz)
+               .orderBy("step_idx").collect()]
+        assert got == _funnel_replay(fuzz_us, steps2, hz), (steps2, hz)
