@@ -1,0 +1,97 @@
+"""SCD2 history maintenance: change/no-op/insert split, idempotent
+replay, NULL attrs and NULL keys, multi-batch chains, as-of reads."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.operators.scd import (
+    scd2_apply, scd2_as_of, scd2_init)
+
+T0 = datetime(2025, 1, 1)
+T1 = datetime(2025, 2, 1)
+T2 = datetime(2025, 3, 1)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, city string, tier string")
+
+
+def _upd(spark, rows, eff):
+    return spark.createDataFrame(
+        [(k, c, t, eff) for k, c, t in rows],
+        "k long, city string, tier string, effective_from timestamp")
+
+
+def _hist_set(h):
+    return {(r.k, r.city, r.tier, r.effective_from, r.effective_to,
+             r.is_current) for r in h.collect()}
+
+
+def test_scd2_change_noop_insert_and_asof(spark):
+    hist = scd2_init(_snap(spark, [
+        (1, "lyon", "gold"),
+        (2, "oslo", "silver"),
+        (3, None, "bronze"),          # NULL attr
+    ]), T0, key="k")
+
+    h1 = scd2_apply(hist, _upd(spark, [
+        (1, "paris", "gold"),         # changed
+        (2, "oslo", "silver"),        # no-op
+        (3, None, "bronze"),          # no-op with NULL attr
+        (4, "kyiv", "gold"),          # new key
+    ], T1), key="k", attrs=["city", "tier"])
+
+    assert _hist_set(h1) == {
+        (1, "lyon", "gold", T0, T1, False),
+        (1, "paris", "gold", T1, None, True),
+        (2, "oslo", "silver", T0, None, True),
+        (3, None, "bronze", T0, None, True),
+        (4, "kyiv", "gold", T1, None, True),
+    }
+
+    # Idempotency: replaying the same batch changes nothing.
+    h1b = scd2_apply(h1, _upd(spark, [
+        (1, "paris", "gold"), (2, "oslo", "silver"),
+        (3, None, "bronze"), (4, "kyiv", "gold"),
+    ], T1), key="k", attrs=["city", "tier"])
+    assert _hist_set(h1b) == _hist_set(h1)
+
+    # Second batch chains: key 1 changes again, key 2 goes NULL city.
+    h2 = scd2_apply(h1, _upd(spark, [
+        (1, "paris", "platinum"),
+        (2, None, "silver"),
+    ], T2), key="k", attrs=["city", "tier"])
+    assert _hist_set(h2) == {
+        (1, "lyon", "gold", T0, T1, False),
+        (1, "paris", "gold", T1, T2, False),
+        (1, "paris", "platinum", T2, None, True),
+        (2, "oslo", "silver", T0, T2, False),
+        (2, None, "silver", T2, None, True),
+        (3, None, "bronze", T0, None, True),
+        (4, "kyiv", "gold", T1, None, True),
+    }
+
+    # As-of reads: between T1 and T2 key 1 is paris/gold; at T2 the
+    # boundary belongs to the NEW version (effective_to exclusive).
+    mid = {(r.k, r.city, r.tier)
+           for r in scd2_as_of(h2, datetime(2025, 2, 15)).collect()}
+    assert mid == {(1, "paris", "gold"), (2, "oslo", "silver"),
+                   (3, None, "bronze"), (4, "kyiv", "gold")}
+    at_t2 = {(r.k, r.city, r.tier)
+             for r in scd2_as_of(h2, T2).collect()}
+    assert (1, "paris", "platinum") in at_t2
+    before = {(r.k,) for r in scd2_as_of(h2, datetime(2024, 1, 1)).collect()}
+    assert before == set()
+
+
+def test_scd2_null_key_matches_itself(spark):
+    hist = scd2_init(_snap(spark, [(None, "x", "t")]), T0, key="k")
+    h1 = scd2_apply(hist, _upd(spark, [(None, "y", "t")], T1),
+                    key="k", attrs=["city", "tier"])
+    assert _hist_set(h1) == {
+        (None, "x", "t", T0, T1, False),
+        (None, "y", "t", T1, None, True),
+    }
