@@ -67,6 +67,12 @@ def _positions(key_cols: list[F.Column], num_bits: int,
     (i ≤ k ~ 30, m ≤ 2^40 ⇒ products ≤ 2^45). h2 is forced odd and m
     is a multiple of 64 (even), so h2m stays odd — never zero, never
     collapsing the probe sequence to one cell."""
+    if num_bits < 64 or num_bits % 64:
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64 "
+            f"(bloom_parameters guarantees it), got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     h1m = F.pmod(F.xxhash64(*key_cols), F.lit(num_bits))
     h2m = F.pmod(
         F.xxhash64(F.lit(0x9E3779B9), *key_cols).bitwiseOR(F.lit(1)),

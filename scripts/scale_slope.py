@@ -65,6 +65,7 @@ QUERIES = {
     "q_dedup_embedding": "embeddings",
     "q_line_dedup": "documents",
     "q_span_dedup": "documents",
+    "q_funnel": "events",
 }
 
 
@@ -76,6 +77,7 @@ def _extra_queries() -> dict:
     exists to fix, so its scale point belongs next to
     q_similarity_ann's."""
     from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.events import funnel
     from lisp_batch_processor_spark.operators.dedup import (
         line_dedup, span_dedup)
     from lisp_batch_processor_spark.operators.similarity import (
@@ -95,6 +97,13 @@ def _extra_queries() -> dict:
         "q_span_dedup":
             lambda spark, sf_dir: span_dedup(
                 load(spark, sf_dir, "documents")),
+        # The events blow-up shifts user_id per replica, so the user
+        # population (per-user array width stays original-sized)
+        # grows with the corpus — exactly funnel's scale axis.
+        "q_funnel":
+            lambda spark, sf_dir: funnel(
+                load(spark, sf_dir, "events"),
+                ["view", "click", "purchase"], horizon_s=24 * 3600),
     }
 
 

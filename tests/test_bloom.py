@@ -139,3 +139,34 @@ def test_incremental_append_bloom_equals_plain(spark):
     assert got.count() == want.count() == 1150
     assert (got.exceptAll(want).count() == 0
             and want.exceptAll(got).count() == 0)
+
+
+# ---------------------------------------------------------------------------
+# bloom_parameters pure property suite (no SparkSession needed).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    fpp=st.floats(min_value=1e-6, max_value=0.5,
+                  allow_nan=False, allow_infinity=False),
+)
+def test_bloom_parameters_properties(n, fpp):
+    import math
+
+    m, k = bloom_parameters(n, fpp)
+    # Whole words, at least one word, at least one hash.
+    assert m % 64 == 0 and m >= 64 and k >= 1
+    # Within one word of the textbook optimum m* = -n ln p / ln^2 2.
+    m_star = -n * math.log(fpp) / (math.log(2) ** 2)
+    assert m >= min(m_star, 64)
+    assert m <= max(m_star, 64) + 64
+    # k is the rounded optimum for the ACTUAL m.
+    assert abs(k - m / n * math.log(2)) <= 0.5 + 1e-9 or k == 1
+    # Monotone in n at fixed fpp (more keys never shrink the filter).
+    m2, _ = bloom_parameters(n + max(1, n // 7), fpp)
+    assert m2 >= m
