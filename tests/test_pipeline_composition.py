@@ -212,3 +212,57 @@ def test_pipeline_stage_toggling_is_monotone(spark, corpus):
     pipe.set_enabled("near_dedup", True)
     assert {r.doc_id
             for r in pipe(docs).select("doc_id").collect()} == full
+
+
+def test_pipeline_with_boilerplate_strip_stage(spark, corpus):
+    """The sub-document pass slots into the curation chain where a
+    web pipeline runs it — after the quality gate, before exact
+    dedup — as an ordinary Pipeline stage: a shared banner line
+    survives in at most one kept document, documents otherwise
+    distinct are NOT collapsed by it, and the downstream dup-free
+    invariant still holds on the final kept set."""
+    from lisp_batch_processor_spark.operators.dedup import line_dedup
+
+    docs, _ = corpus
+    banner = ("subscribe to our newsletter for updates "
+              "and accept all cookies to continue reading")
+    with_banner = docs.unionByName(spark.createDataFrame(
+        [(9_100_000 + i, f"s{i % 2}",
+          banner + "\n" + f"genuinely distinct article body number "
+          f"{i} about topic {i * 17} with its own words")
+         for i in range(4)],
+        "doc_id long, source string, text string"))
+
+    def boilerplate_strip(df):
+        cleaned = line_dedup(df).select(
+            "doc_id", "text").withColumnRenamed("text", "_bs_text")
+        return (df.join(cleaned, "doc_id")
+                .drop("text").withColumnRenamed("_bs_text", "text"))
+
+    pipe = (Pipeline()
+            .add("quality", quality_filter)
+            .add("strip", boilerplate_strip)
+            .add("exact_dedup", exact_dedup)
+            .add("near_dedup", near_dedup))
+    kept = pipe(with_banner).localCheckpoint(eager=True)
+    kept_rows = {r.doc_id: r.text for r in kept.collect()}
+
+    # All four banner docs survive (their bodies are distinct), and
+    # the banner text itself survives in at most one of them.
+    banner_ids = [d for d in kept_rows if d >= 9_100_000]
+    assert len(banner_ids) == 4
+    assert sum(banner in kept_rows[d] for d in banner_ids) <= 1
+
+    # Cross-stage invariant unchanged: the kept set is dup-free under
+    # the pipeline's own near-dup definition.
+    leftover = verify_jaccard(kept, lsh_candidate_pairs(
+        minhash_signatures(kept))).filter(
+        F.col("inter") * JACCARD_DEN >= F.col("uni") * JACCARD_NUM)
+    assert leftover.count() == 0
+
+    # Toggling the strip stage only changes TEXT, never membership:
+    # line removal is sub-document, so the kept id-set is identical.
+    pipe.set_enabled("strip", False)
+    no_strip_ids = {r.doc_id
+                    for r in pipe(with_banner).select("doc_id").collect()}
+    assert no_strip_ids == set(kept_rows)
