@@ -256,3 +256,46 @@ def test_funnel_matches_python_replay(spark):
                for r in funnel(dff, steps2, horizon_s=hz)
                .orderBy("step_idx").collect()]
         assert got == _funnel_replay(fuzz_us, steps2, hz), (steps2, hz)
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
+    """Physical-plan pins for the round-4 library operators — the
+    properties that matter at 100 TB, so a refactor that
+    de-optimizes them fails CI:
+
+    - funnel: the step-type predicate reaches the parquet scan, the
+      scan reads only the referenced columns, and the whole funnel is
+      TWO exchanges (one user_id shuffle + the k-counter global agg);
+    - span_dedup: digest-bucketed equi-joins only, no cartesian or
+      broadcast-nested-loop shapes anywhere;
+    - bloom probe: the word map joins as a broadcast hash join.
+    """
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.bloom import (
+        bloom_build, bloom_parameters, bloom_probe)
+    from lisp_batch_processor_spark.operators.dedup import span_dedup
+    from lisp_batch_processor_spark.operators.events import funnel
+    from lisp_batch_processor_spark.plans import (
+        assert_no_cartesian, assert_pushed_filters,
+        assert_read_schema_pruned, physical_plan)
+
+    fn = funnel(load(spark, sf_dir, "events"),
+                ["view", "click", "purchase"])
+    assert_no_cartesian(fn)
+    assert_pushed_filters(fn, "In(event_type")
+    assert_read_schema_pruned(fn, "events.parquet", 4)
+    plan = physical_plan(fn)
+    n_ex = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_ex == 2, f"funnel wants 2 exchanges, got {n_ex}:\n{plan}"
+
+    sd = span_dedup(load(spark, sf_dir, "documents"))
+    assert_no_cartesian(sd)
+
+    members = spark.range(0, 100).select(F.col("id").alias("k"))
+    m, k = bloom_parameters(100, 0.01)
+    probe = bloom_probe(members, bloom_build(members, "k", m, k),
+                        "k", m, k)
+    assert_no_cartesian(probe)
+    assert "BroadcastHashJoin" in physical_plan(probe)
