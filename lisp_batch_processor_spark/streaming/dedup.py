@@ -93,3 +93,105 @@ def streaming_near_dup_ingest(stream_docs: DataFrame, index_path: str,
         sink(out, epoch_id)
 
     return stream_docs.writeStream.foreachBatch(_process)
+
+
+def streaming_line_dedup_ingest(stream_docs: DataFrame,
+                                line_store_path: str, sink,
+                                delim: str = "\n",
+                                min_chars: int = 1):
+    """Streaming ingest with ever-growing LINE-level boilerplate
+    suppression — the streaming twin of `operators.dedup.line_dedup`
+    at its default ``min_repeat=2`` (any line seen before is
+    boilerplate): each micro-batch of (doc_id, text) docs is rebuilt
+    with every line already in the PERSISTED line-digest store (or
+    earlier in the batch, by (doc_id, position)) removed, then the
+    batch's surviving first-occurrence digests append to the store,
+    so later micro-batches also dedup against them. Lines shorter
+    than ``min_chars`` are exempt, as in the batch operator.
+    ``sink(docs_df, epoch_id)`` receives each epoch's
+    (doc_id, text, lines_total, lines_kept) rows.
+
+    Thresholds above 2 need corpus-wide occurrence COUNTS, which an
+    append-only digest store cannot carry — run the batch operator
+    with ``min_repeat=k`` over the accumulated corpus for that
+    (documented trade-off). With batch doc_ids ordered across
+    epochs, replaying the epochs is EXACTLY the batch operator over
+    the concatenated corpus (pinned by tests/test_streaming_dedup.py).
+
+    Same foreachBatch rationale and epoch discipline as
+    `streaming_near_dup_ingest`: the rebuild materializes BEFORE the
+    store append (a doc must not be deduped against its own lines),
+    and duplicate store rows from an epoch replay are harmless — the
+    store is a membership set, append-idempotent under distinct.
+
+    Scale notes: per epoch this is one posexplode, one broadcast-or-
+    hash left-anti-shaped membership join against the store keyed on
+    the 128-bit digest, one in-batch winner agg, and one groupBy(doc)
+    reassembly — the store contributes only its digest column, never
+    line text, so per-epoch cost grows with the DISTINCT-line corpus
+    slowly and the join stays digest-bucketed.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        seen = spark.read.parquet(line_store_path).select("line_key")
+        did, pos, line = (F.col("_sl_did"), F.col("_sl_pos"),
+                          F.col("_sl_line"))
+        lines = (batch.select(
+            F.col("doc_id").alias("_sl_did"),
+            F.posexplode(F.split(F.col("text"), _re.escape(delim), -1))
+             .alias("_sl_pos", "_sl_line"))
+            .withColumn("_sl_key",
+                        F.when(F.length(line) >= min_chars,
+                               F.md5(line)))
+            .localCheckpoint(eager=True))
+        keyed = lines.filter(F.col("_sl_key").isNotNull())
+        novel = keyed.join(seen,
+                           keyed["_sl_key"] == seen["line_key"],
+                           "left_anti")
+        winners = (novel.groupBy("_sl_key")
+                   .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
+                         .alias("_sl_w")))
+        kept_keyed = (novel.join(winners, "_sl_key")
+                      .filter((F.col("_sl_w.d") == did)
+                              & (F.col("_sl_w.p") == pos))
+                      .select("_sl_did", "_sl_pos", "_sl_line"))
+        kept = (lines.filter(F.col("_sl_key").isNull())
+                .select("_sl_did", "_sl_pos", "_sl_line")
+                .unionByName(kept_keyed))
+        rebuilt = (kept.groupBy("_sl_did")
+                   .agg(F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct(pos.alias("p"),
+                                             line.alias("l")))),
+                                lambda s: s["l"]),
+                            delim).alias("_sl_text"),
+                        F.count(F.lit(1)).alias("lines_kept")))
+        totals = batch.select(
+            "doc_id", F.col("text").alias("_sl_orig"),
+            F.size(F.split(F.col("text"), _re.escape(delim), -1))
+             .alias("lines_total"))
+        out = (totals
+               .join(rebuilt, totals["doc_id"] == rebuilt["_sl_did"],
+                     "left")
+               .select("doc_id",
+                       F.when(F.col("_sl_orig").isNull(), F.lit(None))
+                        .otherwise(F.coalesce("_sl_text", F.lit("")))
+                        .alias("text"),
+                       F.when(F.col("_sl_orig").isNull(), F.lit(None))
+                        .otherwise(F.col("lines_total"))
+                        .alias("lines_total"),
+                       F.when(F.col("_sl_orig").isNull(), F.lit(None))
+                        .otherwise(F.coalesce("lines_kept", F.lit(0)))
+                        .alias("lines_kept"))
+               .localCheckpoint(eager=True))  # snapshot pre-append
+        (winners.select(F.col("_sl_key").alias("line_key"))
+         .write.mode("append").parquet(line_store_path))
+        sink(out, epoch_id)
+
+    return stream_docs.writeStream.foreachBatch(_process)

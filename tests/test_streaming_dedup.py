@@ -103,3 +103,66 @@ def test_streaming_near_dup_ingest_grows_the_index(spark, tmp_path):
     store_ids = {r.doc_id for r in spark.read.parquet(store_path)
                  .select("doc_id").distinct().collect()}
     assert idx_ids == store_ids == {10, 21, 31}
+
+
+@pytest.mark.slow
+def test_streaming_line_dedup_matches_batch_replay(spark, tmp_path):
+    """Two micro-batches through streaming_line_dedup_ingest: batch 2
+    must lose lines first seen in batch 1 (catchable only via the
+    persisted digest store), and the concatenated epochs must equal
+    the batch line_dedup over the full corpus (ids ordered across
+    epochs ⇒ identical first-occurrence winners)."""
+    from lisp_batch_processor_spark.operators.dedup import line_dedup
+    from lisp_batch_processor_spark.streaming.dedup import (
+        streaming_line_dedup_ingest)
+
+    schema = "doc_id long, text string"
+    b0 = [(0, "alpha one\nshared banner line\nbeta two"),
+          (1, "gamma three\nshared banner line\n--"),
+          (2, None)]
+    b1 = [(10, "shared banner line\ndelta four\n--"),
+          (11, "delta four\nepsilon five")]
+
+    store = os.path.join(str(tmp_path), "lines.parquet")
+    spark.createDataFrame([], "line_key string").write.parquet(store)
+
+    src = os.path.join(str(tmp_path), "docs_in")
+    spark.createDataFrame(b0, schema).coalesce(1) \
+        .write.parquet(os.path.join(src, "batch=0"))
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.parquet(os.path.join(src, "batch=1"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    epochs: dict[int, dict] = {}
+    writer = streaming_line_dedup_ingest(
+        stream, store,
+        lambda out, eid: epochs.setdefault(
+            eid, {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+                  for r in out.collect()}))
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(epochs) == 2
+    got = {}
+    for e in epochs.values():
+        got.update(e)
+
+    want = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+            for r in line_dedup(
+                spark.createDataFrame(b0 + b1, schema)).collect()}
+    assert got == want
+    # The cross-epoch catch specifically: doc 10 loses BOTH its
+    # banner line and its "--" (each first seen in epoch 1, caught
+    # only via the persisted store), and doc 11 loses "delta four"
+    # (first seen earlier IN the same epoch, in doc 10).
+    assert got[10] == ("delta four", 3, 1)
+    assert got[11] == ("epsilon five", 2, 1)
+    # Store holds one digest per distinct line (5 from epoch 1 +
+    # 2 novel in epoch 2), append-grown.
+    n_lines = spark.read.parquet(store).distinct().count()
+    assert n_lines == spark.read.parquet(store).count() == 7
