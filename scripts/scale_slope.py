@@ -66,6 +66,7 @@ QUERIES = {
     "q_line_dedup": "documents",
     "q_span_dedup": "documents",
     "q_funnel": "events",
+    "q_similarity_ivf": "embeddings",
 }
 
 
@@ -81,7 +82,7 @@ def _extra_queries() -> dict:
     from lisp_batch_processor_spark.operators.dedup import (
         line_dedup, span_dedup)
     from lisp_batch_processor_spark.operators.similarity import (
-        ann_topk_collapsed)
+        ann_topk_collapsed, ivf_topk, ivf_train)
     return {
         "q_similarity_ann_collapsed":
             lambda spark, sf_dir: ann_topk_collapsed(
@@ -97,6 +98,12 @@ def _extra_queries() -> dict:
         "q_span_dedup":
             lambda spark, sf_dir: span_dedup(
                 load(spark, sf_dir, "documents")),
+        # IVF end-to-end: train (collect is O(k x dim), corpus-size
+        # independent) + assign/probe — the timing includes training,
+        # the honest whole-index cost at each corpus size.
+        "q_similarity_ivf":
+            lambda spark, sf_dir: (lambda e: ivf_topk(
+                e, ivf_train(e)))(load(spark, sf_dir, "embeddings")),
         # The events blow-up shifts user_id per replica, so the user
         # population (per-user array width stays original-sized)
         # grows with the corpus — exactly funnel's scale axis.
