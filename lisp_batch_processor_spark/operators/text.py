@@ -512,3 +512,65 @@ def boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
            .orderBy(F.desc("n_docs"), F.desc("n_occurrences"),
                     F.asc("line")))
     return agg.limit(top_k) if top_k is not None else agg
+
+
+def hashed_feature_scores(docs: DataFrame, weights: DataFrame,
+                          n_buckets: int = 1 << 20,
+                          bias: float = 0.0,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Linear text classifier over hashed token features — the
+    fasttext-style quality-scorer shape most corpus pipelines run
+    between the cheap ratio filters (q_text_quality) and expensive
+    model scoring: each token hashes into one of ``n_buckets``
+    feature buckets, bucket weights come from the (small) ``weights``
+    frame — columns ``(bucket, weight)``, trained wherever you train
+    classifiers; this engine SCORES, it does not train — and
+    ``score = sigmoid(bias + Σ weight[bucket(token)])`` over the
+    token MULTISET (each occurrence counts, fasttext-style).
+
+    Returns one row per doc: ``(id_col, n_tokens, score)`` —
+    token-less docs score sigmoid(bias); NULL text stays NULL.
+
+    The bucket hash is the engine-portable md5 convention (first 15
+    hex chars as a 60-bit int, mod n_buckets) over the shared
+    tokenizer — bit-replayable in Python/DuckDB, same trade-off as
+    the MinHash family (xxhash64 is faster, not portable).
+
+    Scale notes (100 TB): one token explode (map-side), one
+    broadcast hash join against the weights frame (n_buckets-bounded
+    — a few MB for 2^20 buckets; missing buckets coalesce to weight
+    0), one map-side-combined per-doc SUM. Nothing Python, nothing
+    driver-side; the classifier is exactly as scalable as a word
+    count.
+    """
+    did = F.col("_hf_did")
+    toks = (docs.select(
+        F.col(id_col).alias("_hf_did"),
+        F.explode_outer(tokens_col(text_col)).alias("_hf_tok")))
+    bucketed = toks.withColumn(
+        "_hf_bucket",
+        F.when(F.col("_hf_tok").isNotNull(),
+               F.conv(F.substring(F.md5("_hf_tok"), 1, 15), 16, 10)
+                .cast("long") % n_buckets))
+    w = F.broadcast(weights.select(
+        F.col("bucket").alias("_hf_bucket"),
+        F.col("weight").alias("_hf_w")))
+    scored = (bucketed.join(w, "_hf_bucket", "left")
+              .groupBy("_hf_did")
+              .agg(F.count("_hf_tok").alias("n_tokens"),
+                   F.sum(F.when(F.col("_hf_tok").isNotNull(),
+                                F.coalesce("_hf_w", F.lit(0.0))))
+                    .alias("_hf_raw")))
+    logit = F.lit(float(bias)) + F.coalesce("_hf_raw", F.lit(0.0))
+    orig = docs.select(F.col(id_col),
+                       F.col(text_col).isNull().alias("_hf_null"))
+    return (orig.join(scored, orig[id_col] == did, "left")
+            .select(id_col,
+                    F.when(F.col("_hf_null"), F.lit(None))
+                     .otherwise(F.coalesce("n_tokens", F.lit(0)))
+                     .alias("n_tokens"),
+                    F.when(F.col("_hf_null"), F.lit(None))
+                     .otherwise(F.lit(1.0)
+                                / (F.lit(1.0) + F.exp(-logit)))
+                     .alias("score")))

@@ -170,3 +170,62 @@ def test_boilerplate_lines_matches_counter_oracle(spark):
     top = boilerplate_lines(docs, top_k=1).collect()
     assert [(r.line, r.n_docs, r.n_occurrences) for r in top] == \
         [("cookie banner", 3, 4)]
+
+
+def test_hashed_feature_scores_matches_python_replay(spark):
+    """hashed_feature_scores vs an exact Python replay of its
+    contract: shared-tokenizer tokens, md5-15-hex bucket hash,
+    multiset weight sum, sigmoid(bias + sum)."""
+    import hashlib
+    import math
+    import re
+
+    from lisp_batch_processor_spark.operators.text import (
+        hashed_feature_scores)
+
+    rows = [
+        (0, "Good Prose reads well and has Variety in its words"),
+        (1, "spam spam spam spam buy now buy now"),
+        (2, "Üñïcode separators split tokens ascii only 123"),
+        (3, ""),
+        (4, None),
+        (5, "!!! ???"),                      # separators only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_buckets = 1 << 12
+    bias = -0.5
+
+    def tok(t):
+        low = "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c
+                      for c in t)
+        return [x for x in re.split("[^a-z0-9]+", low) if x]
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+
+    # Weights over the buckets of a few known tokens (+ noise rows).
+    wmap = {bucket("spam"): -1.2, bucket("buy"): -0.7,
+            bucket("prose"): 0.9, bucket("variety"): 0.8,
+            bucket("tokens"): 0.1, 12345: 3.0}
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket long, weight double")
+
+    got = {r.doc_id: (r.n_tokens,
+                      None if r.score is None else round(r.score, 12))
+           for r in hashed_feature_scores(
+               docs, weights, n_buckets=n_buckets, bias=bias).collect()}
+
+    want = {}
+    for d, t in rows:
+        if t is None:
+            want[d] = (None, None)
+            continue
+        toks = tok(t)
+        raw = sum(wmap.get(bucket(x), 0.0) for x in toks)
+        want[d] = (len(toks),
+                   round(1.0 / (1.0 + math.exp(-(bias + raw))), 12))
+    assert got == want
+    # Direction sanity: spam-weighted doc scores below the good doc.
+    assert got[1][1] < got[0][1]
+    # Token-less docs score sigmoid(bias).
+    assert got[3] == got[5] == (0, round(1 / (1 + math.exp(0.5)), 12))
