@@ -142,3 +142,39 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "violations", "checked"))
 
     return li_long.unionAll(orphans).unionAll(dup_pk).unionAll(bad_status)
+
+
+def run_counters(df: DataFrame, ok: F.Column | None = None,
+                 name: str = "run"):
+    """Zero-cost run accounting riding on the query itself — the
+    reference's live success counter and final "k of N" summary
+    (`Batch Processor.py:85, 312, 329, 420-425`, R16-R18) done the
+    Spark way: `Observation` metrics are computed INSIDE the job
+    (per-task partial aggregation merged on the driver), so the
+    counts cost no second pass, no cache, and no extra action —
+    where a naive `df.count()` + `df.filter(ok).count()` would scan
+    the data twice more.
+
+    Returns ``(df', observation)``: run any ONE action on ``df'``
+    (write, collect, noop), then ``observation.get`` yields
+    ``{"n_rows": ..., "n_ok": ..., "n_err": ...}``. ``ok`` is the
+    per-row success predicate (default: everything succeeded —
+    pure-transform pipelines have no error channel); the error rows
+    themselves stay IN the output, per the per-row error-channel
+    convention (R21: errors don't abort the batch, q_quality_audit
+    reports them).
+
+    Scale notes: observed metrics are Catalyst `CollectMetrics` —
+    a streaming-friendly, partial-aggregated side output; at any
+    corpus size the driver receives one row of counters.
+    """
+    from pyspark.sql import Observation
+
+    okc = F.lit(True) if ok is None else ok
+    obs = Observation(name)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(okc.cast("long")).alias("n_ok"),
+        F.sum((~okc).cast("long")).alias("n_err"))
+    return out, obs

@@ -299,3 +299,20 @@ def test_new_operator_plan_shapes(spark, sf_dir):
                         "k", m, k)
     assert_no_cartesian(probe)
     assert "BroadcastHashJoin" in physical_plan(probe)
+
+
+def test_run_counters_ride_the_single_action(spark):
+    """run_counters (the R16-R18 Observation analog): one action
+    yields the output AND the ok/err accounting, with error rows
+    kept in the output per the error-channel convention."""
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.operators.quality import run_counters
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10 != 0).alias("valid"))
+    out, obs = run_counters(df, ok=F.col("valid"))
+    n = out.count()  # the one action
+    assert n == 1000                      # error rows stay in the output
+    got = obs.get
+    assert got == {"n_rows": 1000, "n_ok": 900, "n_err": 100}
