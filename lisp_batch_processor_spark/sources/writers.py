@@ -107,3 +107,92 @@ def overwrite_partitions_dynamic(spark: SparkSession, df: DataFrame,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (df.write.mode("overwrite").format("parquet")
      .partitionBy(*partition_by).save(path))
+
+
+ZORDER_BITS = 10  # 1024 rank buckets per column — file-level
+# pruning needs bucket counts comparable to file counts, not row
+# counts, and the quantile model (and its approxQuantile cost) grows
+# with 2^bits: 10 bits keeps the driver-side model at ~1k boundaries
+# per column while supporting thousands of output files.
+
+
+def morton_interleave(bucket_cols, bits: int = ZORDER_BITS):
+    """Morton (Z-order) code of already-bucketed integer columns:
+    bit i of column j lands at output bit i*len(cols)+j. Pure JVM
+    bit arithmetic (one shift/mask/or chain, fully codegen'd); with
+    the default 16 bits and up to 4 columns the code fits a long.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(bucket_cols)
+    if not 1 <= n <= 4:
+        raise ValueError(f"morton_interleave takes 1-4 columns, got {n}")
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} cols overflows a long")
+    code = F.lit(0).cast("long")
+    for j, c in enumerate(bucket_cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            code = code.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cl, i).bitwiseAND(F.lit(1)),
+                    i * n + j))
+    return code
+
+
+def zorder_write(df, path: str, cols, n_files: int,
+                 fmt: str = "parquet", bits: int = ZORDER_BITS,
+                 mode: str = "overwrite") -> None:
+    """Write `df` clustered on the Z-order (Morton) curve of `cols`
+    — the multi-column data-skipping layout: sorting on (a, b)
+    clusters only `a`; interleaving the columns' rank bits clusters
+    BOTH, so each output file covers a small hyper-rectangle of the
+    (a, b) space and parquet min/max footer stats prune files for
+    predicates on EITHER column (or both). The standard lakehouse
+    layout pass for fact tables queried along several dimensions.
+
+    Ranks come from `approxQuantile` boundaries (driver-side model
+    state: 2^bits numbers per column, corpus-size independent)
+    applied via `ml.feature.Bucketizer` (JVM binary search over the
+    broadcast splits), so SKEW cannot starve the curve: buckets are
+    equi-populated by construction even for pathological value
+    distributions, where value-uniform bucketing would collapse a
+    heavy-hitter range into one cell. The clustered write is one
+    `repartitionByRange` on the code (sampled range partitioner —
+    balanced files) with an in-partition sort so row groups within a
+    file stay tight too.
+
+    Columns must be numeric (rankable; cast dates/timestamps, hash
+    or dictionary-encode strings). Verified by tests/test_sources.py:
+    per-file bounding boxes shrink on BOTH columns vs the
+    one-column-sorted layout, and a point predicate on either column
+    prunes to a strict file subset.
+    """
+    from pyspark.ml.feature import Bucketizer
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    quantiles = [i / n_buckets for i in range(1, n_buckets)]
+    work = df
+    bucket_cols = []
+    for idx, c in enumerate(cols):
+        # relativeError 1/(4*buckets): boundary wobble stays well
+        # inside a bucket; the result is still a valid clustering
+        # (wrong-by-one bucket edges cost locality, never rows).
+        bounds = df.approxQuantile(c, quantiles, 1.0 / (4 * n_buckets))
+        splits = ([float("-inf")] + sorted(set(bounds))
+                  + [float("inf")])
+        raw, b = f"_zr{idx}", f"_zb{idx}"
+        work = Bucketizer(
+            splits=splits, inputCol=raw, outputCol=b,
+            handleInvalid="keep",  # NULLs -> extra last bucket
+        ).transform(work.withColumn(raw, F.col(c).cast("double")))
+        bucket_cols.append(F.col(b))
+    code = morton_interleave(bucket_cols, bits)
+    (work.withColumn("_zorder", code)
+         .repartitionByRange(n_files, "_zorder")
+         .sortWithinPartitions("_zorder")
+         .drop("_zorder",
+               *[f"_zr{i}" for i in range(len(cols))],
+               *[f"_zb{i}" for i in range(len(cols))])
+         .write.mode(mode).format(fmt).save(path))

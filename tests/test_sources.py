@@ -173,3 +173,71 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     assert n_files >= 2
     got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
     assert got == want
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """zorder_write must give every output file a small bounding box
+    in BOTH columns (the data-skipping contract), where a plain
+    one-column range layout only bounds the sort column; and it must
+    preserve rows exactly."""
+    import glob
+
+    from lisp_batch_processor_spark.sources.writers import (
+        morton_interleave, zorder_write)
+
+    n = 20_000
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % n).alias("x"),
+        ((F.col("id") * 40503) % n).alias("y"),
+        F.col("id"))
+
+    zpath = os.path.join(str(tmp_path), "zorder")
+    spath = os.path.join(str(tmp_path), "xsorted")
+    zorder_write(df, zpath, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").write.parquet(spath)
+
+    def boxes(path):
+        out = []
+        for f in sorted(glob.glob(os.path.join(path, "part-*"))):
+            r = (spark.read.parquet(f)
+                 .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+                 .collect()[0])
+            out.append((r[1] - r[0], r[3] - r[2]))
+        return out
+
+    zb, sb = boxes(zpath), boxes(spath)
+    assert len(zb) == 16
+    z_x = sum(w for w, _ in zb) / len(zb)
+    z_y = sum(h for _, h in zb) / len(zb)
+    s_y = sum(h for _, h in sb) / len(sb)
+    # Z-order bounds BOTH dims (4x4 grid of the space -> extents
+    # ~n/4; allow slack for curve boundaries)...
+    assert z_x <= 0.45 * n and z_y <= 0.45 * n, (z_x, z_y)
+    # ... while the x-sorted layout leaves y unclustered.
+    assert s_y >= 0.9 * n
+
+    # A point predicate on EITHER column touches a strict file
+    # subset under z-order (file pruning via footer min/max).
+    x0, y0 = 137, 4242
+    fx = sum(1 for f in sorted(glob.glob(os.path.join(zpath, "part-*")))
+             if (lambda r: r[0] <= x0 <= r[1])(
+                 spark.read.parquet(f).agg(F.min("x"), F.max("x"))
+                 .collect()[0]))
+    fy = sum(1 for f in sorted(glob.glob(os.path.join(zpath, "part-*")))
+             if (lambda r: r[0] <= y0 <= r[1])(
+                 spark.read.parquet(f).agg(F.min("y"), F.max("y"))
+                 .collect()[0]))
+    assert fx < 16 and fy < 16, (fx, fy)
+
+    # Rows preserved exactly.
+    got = spark.read.parquet(zpath)
+    assert got.count() == n
+    assert got.select(F.sum("id")).collect()[0][0] == n * (n - 1) // 2
+
+    # Morton interleave unit property: bits land at stride positions.
+    row = spark.range(1).select(
+        morton_interleave([F.lit(0b101), F.lit(0b011)], bits=3)
+        .alias("m")).collect()[0]
+    # x bits (101) at even positions, y bits (011) at odd:
+    # pos0=x0=1, pos1=y0=1, pos2=x1=0, pos3=y1=1, pos4=x2=1, pos5=y2=0
+    assert row.m == 0b011011
