@@ -76,6 +76,7 @@ HEADLINE = [
     # the same wrapper mechanism scale_slope.py uses).
     "q_line_dedup",
     "q_span_dedup",
+    "q_funnel",
 ]
 
 
@@ -84,6 +85,7 @@ def _extra_queries() -> dict:
     from lisp_batch_processor_spark.catalog import load
     from lisp_batch_processor_spark.operators.dedup import (
         line_dedup, span_dedup)
+    from lisp_batch_processor_spark.operators.events import funnel
     return {
         "q_line_dedup":
             lambda spark, sf_dir: line_dedup(
@@ -91,6 +93,10 @@ def _extra_queries() -> dict:
         "q_span_dedup":
             lambda spark, sf_dir: span_dedup(
                 load(spark, sf_dir, "documents")),
+        "q_funnel":
+            lambda spark, sf_dir: funnel(
+                load(spark, sf_dir, "events"),
+                ["view", "click", "purchase"], horizon_s=24 * 3600),
     }
 
 

@@ -95,3 +95,15 @@ def test_scd2_null_key_matches_itself(spark):
         (None, "x", "t", T0, T1, False),
         (None, "y", "t", T1, None, True),
     }
+
+
+def test_scd2_plan_shape(spark):
+    """scd2_apply must plan as equi-joins only — the eqNullSafe key
+    condition still hash-joins (NULL-safe equality is a valid hash
+    key); a cartesian/BNLJ here would melt on a wide dimension."""
+    from lisp_batch_processor_spark.plans import assert_no_cartesian
+
+    hist = scd2_init(_snap(spark, [(1, "a", "t")]), T0, key="k")
+    upd = _upd(spark, [(1, "b", "t")], T1)
+    assert_no_cartesian(scd2_apply(hist, upd, key="k",
+                                   attrs=["city", "tier"]))
