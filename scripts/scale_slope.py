@@ -66,6 +66,7 @@ QUERIES = {
     "q_line_dedup": "documents",
     "q_span_dedup": "documents",
     "q_funnel": "events",
+    "q_stream_funnel": "events",
     "q_similarity_ivf": "embeddings",
 }
 
@@ -111,7 +112,25 @@ def _extra_queries() -> dict:
             lambda spark, sf_dir: funnel(
                 load(spark, sf_dir, "events"),
                 ["view", "click", "purchase"], horizon_s=24 * 3600),
+        # The REAL streaming engine: per-file micro-batches through
+        # the watermark-buffered stateful walk (same harness basis
+        # as q_stream_sessions/q_stream_dedup).
+        "q_stream_funnel": _stream_funnel,
     }
+
+
+def _stream_funnel(spark, sf_dir: str):
+    from lisp_batch_processor_spark.operators.streaming_twins import (
+        _run_to_memory)
+    from lisp_batch_processor_spark.streaming.funnel import (
+        streaming_funnel)
+    from lisp_batch_processor_spark.streaming.windows import (
+        read_events_stream)
+
+    out = streaming_funnel(read_events_stream(spark, sf_dir),
+                           ["view", "click", "purchase"],
+                           horizon_s=24 * 3600)
+    return _run_to_memory(spark, out, "stream_funnel")
 
 
 def build_blowup(spark, out_dir: str,
