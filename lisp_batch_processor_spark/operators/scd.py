@@ -131,3 +131,61 @@ def scd2_as_of(history: DataFrame, at) -> DataFrame:
                     & (F.col("effective_to").isNull()
                        | (t < F.col("effective_to"))))
             .drop("effective_to", "is_current"))
+
+
+def scd2_stream_apply(update_stream: DataFrame, history_path: str,
+                      key: str | Sequence[str],
+                      attrs: Sequence[str],
+                      effective_from: str = "effective_from"):
+    """Streaming dimension maintenance: each micro-batch of updates
+    merges into the PERSISTED SCD2 history at ``history_path`` via
+    :func:`scd2_apply`, written with the staged-swap discipline (the
+    `sources.writers.compact` pattern): the new history materializes
+    to a sibling temp dir while the old one is still readable, then
+    swaps in atomically — a failed epoch leaves the previous history
+    intact, and `scd2_apply`'s idempotent no-op on replayed batches
+    makes checkpointed epoch re-delivery safe.
+
+    The per-epoch work item IS the batch operator, so batch and
+    streaming cannot drift (same contract as
+    streaming_near_dup_ingest / streaming_line_dedup_ingest). With
+    multiple updates for one key in one micro-batch, the LATEST per
+    key (by ``effective_from``, ties by attrs) is applied — a batch
+    is one merge step, matching scd2_apply's documented contract.
+
+    Returns the DataStreamWriter (caller picks trigger/start and a
+    checkpointLocation for exactly-once epoch replay).
+
+    Scale notes: per epoch this is one open-slice equi-join plus a
+    rewrite of the history — partition the persisted table by
+    ``is_current`` so the closed majority is read and rewritten
+    only as pass-through file copies... or, for very large
+    dimensions, keep the closed slice in a separate append-only
+    path and swap only the open slice (same operators, two paths).
+    """
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # Latest update per key within the micro-batch.
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(effective_from).desc(),
+            *[F.col(a).desc_nulls_last() for a in attrs])
+        latest = (batch_df
+                  .withColumn("_scd_rn", F.row_number().over(w))
+                  .filter(F.col("_scd_rn") == 1).drop("_scd_rn"))
+        history = spark.read.parquet(history_path)
+        merged = scd2_apply(history, latest, key=keys, attrs=attrs,
+                            effective_from=effective_from)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(history_path)
+        fs = jpath.getFileSystem(conf)
+        tmp = history_path.rstrip("/") + "._merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(jpath, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+
+    return update_stream.writeStream.foreachBatch(_process)

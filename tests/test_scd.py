@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.operators.scd import (
@@ -107,3 +108,54 @@ def test_scd2_plan_shape(spark):
     upd = _upd(spark, [(1, "b", "t")], T1)
     assert_no_cartesian(scd2_apply(hist, upd, key="k",
                                    attrs=["city", "tier"]))
+
+
+@pytest.mark.slow
+def test_scd2_stream_apply_matches_sequential_batches(spark, tmp_path):
+    """Two micro-batches of updates through scd2_stream_apply must
+    leave the persisted history identical to applying the same
+    batches sequentially with the batch operator — including an
+    intra-batch duplicate key resolved to its latest update."""
+    import os
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_stream_apply)
+
+    hist_path = os.path.join(str(tmp_path), "dim_history")
+    scd2_init(_snap(spark, [(1, "lyon", "gold"), (2, "oslo", "silver")]),
+              T0, key="k").write.parquet(hist_path)
+
+    ub1 = [(1, "paris", "gold"), (3, "kyiv", "gold")]
+    # Batch 2 carries TWO updates for key 1; the later (T2-stamped
+    # row carries a different city) must win.
+    src = os.path.join(str(tmp_path), "updates_in")
+    _upd(spark, ub1, T1).coalesce(1) \
+        .write.parquet(os.path.join(src, "batch=0"))
+    (_upd(spark, [(1, "nice", "gold")], T2)
+     .unionByName(_upd(spark, [(1, "paris", "platinum")],
+                       datetime(2025, 2, 15)))
+     .coalesce(1).write.parquet(os.path.join(src, "batch=1")))
+
+    schema = "k long, city string, tier string, effective_from timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    q = scd2_stream_apply(stream, hist_path, key="k",
+                          attrs=["city", "tier"]).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _hist_set(spark.read.parquet(hist_path))
+
+    want_hist = scd2_init(
+        _snap(spark, [(1, "lyon", "gold"), (2, "oslo", "silver")]),
+        T0, key="k")
+    want_hist = scd2_apply(want_hist, _upd(spark, ub1, T1),
+                           key="k", attrs=["city", "tier"])
+    want_hist = scd2_apply(want_hist, _upd(spark, [(1, "nice", "gold")], T2),
+                           key="k", attrs=["city", "tier"])
+    assert got == _hist_set(want_hist)
+    # The T2 'nice' row won over the mid-Feb 'paris platinum' one.
+    assert (1, "nice", "gold", T2, None, True) in got
+    assert not os.path.exists(hist_path + "._merging")
