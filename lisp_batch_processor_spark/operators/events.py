@@ -326,3 +326,61 @@ def funnel(events: DataFrame, steps: list[str],
                     F.element_at(step_arr, F.col("step_idx") + 1)
                      .alias("step"),
                     "n_users"))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str = "ts", by: list[str] | str = "user_id",
+              tolerance_s: int | None = None, strict: bool = True,
+              right_prefix: str = "r_") -> DataFrame:
+    """General as-of join (pandas `merge_asof`, backward direction)
+    — the reusable library form of q_join_asof's union-sort pattern:
+    each left row gains the matching right row with the greatest
+    ``on`` value ≤ (or <, when ``strict``) the left row's, among
+    rows sharing the ``by`` keys, optionally within ``tolerance_s``
+    seconds. Right columns arrive prefixed; unmatched left rows keep
+    NULLs (left-outer semantics).
+
+    ``on`` must be a timestamp column on BOTH sides. Ties among
+    right rows at one instant resolve by the greatest right-row
+    struct (a total, partitioning-independent order for orderable
+    column types — the q_join_asof tie lesson, generalized).
+
+    Plan shape — the whole point: ONE shuffle on the ``by`` keys and
+    a streaming window frame. The naive formulation
+    (``right.on < left.on`` + row_number) plans as a broadcast
+    nested loop or an exploding theta join; this is the shape that
+    survives 100 TB. Same single-shuffle basis as q_join_asof, whose
+    plan the audit pins.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    lpay = F.struct(*[F.col(c) for c in left.columns])
+    rpay = F.struct(*[F.col(c) for c in right.columns])
+    ltype = left.select(lpay.alias("p")).schema["p"].dataType
+    rtype = right.select(rpay.alias("p")).schema["p"].dataType
+    # strict: left sorts BEFORE a same-instant right row (invisible);
+    # non-strict: after (visible).
+    lside, rside = (0, 1) if strict else (1, 0)
+    lu = left.select(
+        *[F.col(k) for k in keys], F.col(on).alias("_aj_on"),
+        F.lit(lside).alias("_aj_side"), lpay.alias("_aj_l"),
+        F.lit(None).cast(rtype).alias("_aj_r"))
+    ru = right.select(
+        *[F.col(k) for k in keys], F.col(on).alias("_aj_on"),
+        F.lit(rside).alias("_aj_side"),
+        F.lit(None).cast(ltype).alias("_aj_l"), rpay.alias("_aj_r"))
+    w = (Window.partitionBy(*keys)
+         .orderBy("_aj_on", "_aj_side", "_aj_r")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (lu.unionByName(ru)
+               .withColumn("_aj_m", F.last("_aj_r", ignorenulls=True).over(w))
+               .filter(F.col("_aj_l").isNotNull()))
+    if tolerance_s is not None:
+        in_tol = (F.unix_micros(F.col("_aj_on"))
+                  - F.unix_micros(F.col("_aj_m")[on])
+                  <= int(tolerance_s) * 1_000_000)
+        carried = carried.withColumn(
+            "_aj_m", F.when(in_tol, F.col("_aj_m")))
+    return carried.select(
+        *[F.col("_aj_l")[c].alias(c) for c in left.columns],
+        *[F.col("_aj_m")[c].alias(f"{right_prefix}{c}")
+          for c in right.columns])

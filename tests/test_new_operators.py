@@ -316,3 +316,55 @@ def test_run_counters_ride_the_single_action(spark):
     assert n == 1000                      # error rows stay in the output
     got = obs.get
     assert got == {"n_rows": 1000, "n_ok": 900, "n_err": 100}
+
+
+def test_asof_join_library_matches_query_twin(spark, sf_dir):
+    """The general asof_join must reproduce q_join_asof exactly when
+    configured the same way (strict backward, no tolerance), and its
+    tolerance/strictness knobs must behave on crafted instants."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.events import (
+        asof_join, q_join_asof)
+    from lisp_batch_processor_spark.plans import assert_no_cartesian
+
+    ev = load(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    touches = (ev.filter(F.col("event_type").isin("click", "view"))
+               .select("event_id", "user_id", "ts", "event_type"))
+    joined = asof_join(errors, touches, on="ts", by="user_id")
+    assert_no_cartesian(joined)
+    got = {(r.event_id, r.user_id,
+            r.r_event_id, r.r_event_type)
+           for r in joined.filter(F.col("r_event_id").isNotNull())
+           .collect()}
+    want = {(r.event_id, r.user_id, r.touch_event_id, r.touch_type)
+            for r in q_join_asof(spark, sf_dir).collect()}
+    assert got == want and got
+
+    # Crafted: strictness and tolerance at exact instants.
+    base = datetime(2025, 6, 1)
+    L = spark.createDataFrame(
+        [(1, 7, base + timedelta(seconds=100))],
+        "event_id long, user_id long, ts timestamp")
+    R = spark.createDataFrame(
+        [(50, 7, base + timedelta(seconds=100), "same-instant"),
+         (51, 7, base + timedelta(seconds=40), "older"),
+         (52, 8, base + timedelta(seconds=99), "other-user")],
+        "event_id long, user_id long, ts timestamp, tag string")
+
+    strict = asof_join(L, R, on="ts", by="user_id").collect()[0]
+    assert strict.r_tag == "older"              # same-instant invisible
+    loose = asof_join(L, R, on="ts", by="user_id",
+                      strict=False).collect()[0]
+    assert loose.r_tag == "same-instant"
+    tol = asof_join(L, R, on="ts", by="user_id",
+                    tolerance_s=30).collect()[0]
+    assert tol.r_tag is None                    # 60s gap > 30s tolerance
+    tol2 = asof_join(L, R, on="ts", by="user_id",
+                     tolerance_s=60).collect()[0]
+    assert tol2.r_tag == "older"                # exactly at tolerance
