@@ -384,3 +384,63 @@ def asof_join(left: DataFrame, right: DataFrame,
         *[F.col("_aj_l")[c].alias(c) for c in left.columns],
         *[F.col("_aj_m")[c].alias(f"{right_prefix}{c}")
           for c in right.columns])
+
+
+def range_join(left: DataFrame, right: DataFrame,
+               on: str = "ts", by: list[str] | str = "user_id",
+               lower_s: int = -600, upper_s: int = 0,
+               right_prefix: str = "r_") -> DataFrame:
+    """General interval join — every (left, right) pair sharing the
+    ``by`` keys whose timestamps satisfy
+    ``left.on + lower_s <= right.on <= left.on + upper_s`` (defaults:
+    the preceding 10 minutes, q_join_range's shape). One row per
+    matching PAIR, right columns prefixed; aggregate downstream.
+
+    Plan shape — the reusable library form of q_join_range's
+    bucketing: a raw BETWEEN predicate has no equi-key (Spark plans
+    a broadcast nested loop — unusable at scale), so both sides
+    bucket to width-(upper−lower) epochs, the left side explodes to
+    its covering buckets (always exactly 2 for any window), and the
+    join is an equi-join on (by..., bucket) with the exact interval
+    as a residual filter: candidate volume is bounded by bucket
+    population, shuffles hash-partition evenly, and AQE still picks
+    broadcast when one side is small.
+
+    ``on`` must be a timestamp column on both sides; the window must
+    be non-empty (lower_s < upper_s... equal bounds would mean an
+    exact-instant join — use a plain equi-join on the timestamp).
+    """
+    if not lower_s < upper_s:
+        raise ValueError(
+            f"need lower_s < upper_s, got [{lower_s}, {upper_s}]")
+    keys = [by] if isinstance(by, str) else list(by)
+    width_us = (upper_s - lower_s) * 1_000_000
+    lo_us, up_us = lower_s * 1_000_000, upper_s * 1_000_000
+
+    def bucket(us_col):
+        return F.floor(us_col / F.lit(width_us)).cast("long")
+
+    lpay = F.struct(*[F.col(c) for c in left.columns])
+    rpay = F.struct(*[F.col(c) for c in right.columns])
+    l_us = F.unix_micros(F.col(on))
+    # The left row's match interval [l+lo, l+up] spans width_us, so
+    # it covers exactly the bucket of (l+lo) and the one after.
+    lu = left.select(
+        *[F.col(k).alias(f"_rj_k{i}") for i, k in enumerate(keys)],
+        l_us.alias("_rj_lus"), lpay.alias("_rj_l"),
+        F.explode(F.array(bucket(l_us + lo_us),
+                          bucket(l_us + lo_us) + 1)).alias("_rj_b"))
+    r_us = F.unix_micros(F.col(on))
+    ru = right.select(
+        *[F.col(k).alias(f"_rj_k{i}") for i, k in enumerate(keys)],
+        r_us.alias("_rj_rus"), rpay.alias("_rj_r"),
+        bucket(r_us).alias("_rj_b"))
+    joined = lu.join(ru, [f"_rj_k{i}" for i in range(len(keys))]
+                     + ["_rj_b"])
+    matched = joined.filter(
+        (F.col("_rj_rus") >= F.col("_rj_lus") + lo_us)
+        & (F.col("_rj_rus") <= F.col("_rj_lus") + up_us))
+    return matched.select(
+        *[F.col("_rj_l")[c].alias(c) for c in left.columns],
+        *[F.col("_rj_r")[c].alias(f"{right_prefix}{c}")
+          for c in right.columns])

@@ -368,3 +368,66 @@ def test_asof_join_library_matches_query_twin(spark, sf_dir):
     tol2 = asof_join(L, R, on="ts", by="user_id",
                      tolerance_s=60).collect()[0]
     assert tol2.r_tag == "older"                # exactly at tolerance
+
+
+def test_range_join_library_matches_query_twin(spark, sf_dir):
+    """The general range_join must reproduce q_join_range when
+    aggregated identically, match a Python brute-force interval
+    oracle on crafted boundary instants, and plan without cartesian
+    or nested-loop shapes."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.functions.numeric import dsum
+    from lisp_batch_processor_spark.operators.events import (
+        RANGE_JOIN_WINDOW_S, q_join_range, range_join)
+    from lisp_batch_processor_spark.plans import assert_no_cartesian
+
+    ev = load(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    touches = (ev.filter(F.col("event_type").isin("click", "view"))
+               .select("user_id", "ts", "value"))
+    pairs = range_join(errors, touches, on="ts", by="user_id",
+                       lower_s=-RANGE_JOIN_WINDOW_S, upper_s=0)
+    assert_no_cartesian(pairs)
+    # q_join_range's residual is half-open (b_us < a_us); align by
+    # dropping the same-instant pairs before aggregating.
+    got = {(r.event_id, r.user_id): (r.n, float(r.s), r.last)
+           for r in pairs
+           .filter(F.unix_micros("r_ts") < F.unix_micros("ts"))
+           .groupBy("event_id", "user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                dsum("r_value", 2).alias("s"),
+                F.max(F.unix_micros("r_ts")).alias("last"))
+           .collect()}
+    want = {(r.event_id, r.user_id):
+            (r.n_touches, float(r.sum_touch_value), r.last_touch_us)
+            for r in q_join_range(spark, sf_dir).collect()}
+    assert got == want and got
+
+    # Crafted boundary instants vs a brute-force Python oracle.
+    base = datetime(2025, 6, 1)
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    L = [(1, 7, 1000), (2, 7, 2000), (3, 8, 1000)]
+    R = [(u, s) for u in (7, 8)
+         for s in (399, 400, 700, 999, 1000, 1001, 1400, 1600, 2000)]
+    ldf = spark.createDataFrame([(e, u, t(s)) for e, u, s in L],
+                                "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame([(u, t(s), float(s)) for u, s in R],
+                                "user_id long, ts timestamp, value double")
+    lo, up = -600, 0
+    got2 = {(r.event_id, int(r.r_value))
+            for r in range_join(ldf, rdf, on="ts", by="user_id",
+                                lower_s=lo, upper_s=up).collect()}
+    want2 = {(e, s) for e, u, ls in L for (ru, s) in R
+             if ru == u and ls + lo <= s <= ls + up}
+    assert got2 == want2
+    # Inclusive at both endpoints: 400 and 1000 match event 1.
+    assert (1, 400) in got2 and (1, 1000) in got2
+    assert (1, 399) not in got2 and (1, 1001) not in got2
