@@ -444,3 +444,42 @@ def range_join(left: DataFrame, right: DataFrame,
         *[F.col("_rj_l")[c].alias(c) for c in left.columns],
         *[F.col("_rj_r")[c].alias(f"{right_prefix}{c}")
           for c in right.columns])
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_SECONDS,
+               on: str = "ts", by: list[str] | str = "user_id",
+               tie: str = "event_id",
+               session_col: str = "session_id") -> DataFrame:
+    """General gap-based sessionization as a library function — the
+    reusable form of q_event_sessionize's lag → new-session flag →
+    running-sum pattern: every input row comes back with a
+    ``session_col`` (1-based per ``by`` group — the group's first
+    row opens session 1, matching q_event_sessionize — ordered by
+    (``on``, ``tie``)), where a new session starts when the gap to
+    the previous row STRICTLY exceeds ``gap_s`` seconds. Keeping the
+    rows (rather than rolling up) lets callers aggregate whatever
+    they need per session — or feed the funnel/as-of operators with
+    a session-scoped key.
+
+    Plan shape: one shuffle on the ``by`` keys serving both window
+    functions (Catalyst reuses the exchange); frames are streaming,
+    so memory is bounded per group partition. The streaming mode of
+    this semantics is streaming/windows.streaming_sessionize
+    (session_window) and streaming/stateful.bounded_sessionize (the
+    custom capped variant).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*keys).orderBy(on, tie)
+    gap_us = int(gap_s) * 1_000_000
+    prev_us = F.unix_micros(F.lag(on).over(w))
+    new_flag = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(on)) - prev_us > gap_us), 1
+    ).otherwise(0)
+    run = (Window.partitionBy(*keys).orderBy(on, tie)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (events
+            .withColumn("_sz_new", new_flag)
+            .withColumn(session_col,
+                        F.sum("_sz_new").over(run).cast("long"))
+            .drop("_sz_new"))

@@ -431,3 +431,42 @@ def test_range_join_library_matches_query_twin(spark, sf_dir):
     # Inclusive at both endpoints: 400 and 1000 match event 1.
     assert (1, 400) in got2 and (1, 1000) in got2
     assert (1, 399) not in got2 and (1, 1001) not in got2
+
+
+def test_sessionize_library_matches_query_twin(spark, sf_dir):
+    """The general sessionize must reproduce q_event_sessionize's
+    per-session rollup when aggregated identically, and pin the
+    strict-gap boundary (exactly gap stays, gap+1us splits)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.functions.numeric import dsum
+    from lisp_batch_processor_spark.operators.events import (
+        q_event_sessionize, sessionize)
+
+    ev = load(spark, sf_dir, "events")
+    got = {(r.user_id, r.session_id): (r.n, float(r.s))
+           for r in sessionize(ev)
+           .groupBy("user_id", "session_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                dsum("value", 2).alias("s"))
+           .collect()}
+    want = {(r.user_id, r.session_id): (r.n_events, float(r.sum_value))
+            for r in q_event_sessionize(spark, sf_dir).collect()}
+    assert got == want and got
+
+    base = datetime(2025, 6, 1)
+    rows = [(1, 0), (2, 60), (3, 60 + 30 * 60),          # exactly gap
+            (4, 60 + 30 * 60 + 30 * 60), (5, 200 * 60 + 1)]
+    df = spark.createDataFrame(
+        [(e, 9, base + timedelta(seconds=s)) for e, s in rows[:4]]
+        + [(5, 9, base + timedelta(seconds=60 + 60 * 60 + 30 * 60,
+                                   microseconds=1))],
+        "event_id long, user_id long, ts timestamp")
+    sid = {r.event_id: r.session_id
+           for r in sessionize(df, gap_s=30 * 60).collect()}
+    # 1->2 (59s), 2->3 (exactly 30min: stays), 3->4 (exactly again),
+    # 4->5 (+1us over the gap: splits). Ids are 1-based.
+    assert sid == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
