@@ -163,13 +163,23 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+
+    # Per-query median/mean dicts go to STDERR: the driver records
+    # only the TAIL (~2 KB) of stdout, and round 4's single stdout
+    # line carrying all three 40-query dicts overflowed it — the
+    # artifact came back "parsed": null with the headline min dict
+    # truncated away. The final stdout line carries the min dict +
+    # scalar totals only and must stay well under the capture window.
+    print("# queries_median " + json.dumps(timings_median),
+          file=sys.stderr)
+    print("# queries_mean " + json.dumps(timings_mean),
+          file=sys.stderr)
+
+    payload = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_median": timings_median,
-        "queries_mean": timings_mean,
         "total_median": round(sum(timings_median.values()), 3),
         "total_mean": round(sum(timings_mean.values()), 3),
         "passes": n_passes,
@@ -177,7 +187,32 @@ def main() -> None:
         "consume": "noop_write",
         "stat": f"min_of_{n_passes}",
         "sf": sf_val,
-    }))
+    }
+    # Same-host cross-round series: scripts/bench_prev_head.py benches
+    # the previous round's HEAD on THIS host and writes
+    # BENCH_PREV_HEAD.json (full per-query mins). Only the compact
+    # summary rides along here — archived BENCH_r{N}.json files are
+    # cross-host incomparable, this pair is not.
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_PREV_HEAD.json")
+    if os.path.isfile(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            payload["prev_head"] = {
+                "commit": prev.get("commit"),
+                "total_min": prev.get("total_min"),
+                "sf": prev.get("sf"),
+                "detail": "BENCH_PREV_HEAD.json",
+            }
+        except (OSError, ValueError) as e:
+            print(f"# prev_head unreadable: {e}", file=sys.stderr)
+    line = json.dumps(payload)
+    if len(line) > 1800:
+        print(f"# WARNING: final JSON line is {len(line)} chars; the "
+              "driver's tail capture holds ~2000 — trim fields",
+              file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -148,7 +148,19 @@ def bloom_probe(batch: DataFrame, bloom: DataFrame,
                         .bitwiseAND(F.col("mask")) != 0)
             .groupBy(*cols)
             .agg(F.min("hit").alias(flag_col)))
-    return batch.join(hits, cols, "left")
+    # Join the flag back NULL-SAFELY: xxhash64 hashes NULL keys to a
+    # deterministic position set (build and probe agree), and groupBy
+    # keeps NULL as a group — but a name-list equi-join would never
+    # match the NULL-key group back to its batch rows, leaving their
+    # flag NULL (and silently dropping them from BOTH branches of
+    # incremental_append_bloom, breaking the bit-identical contract
+    # with the plain anti-join). Rename the grouped keys so the
+    # eqNullSafe condition is unambiguous despite shared lineage.
+    hits_r = hits.select(
+        *[F.col(c).alias(f"_bp_{c}") for c in cols], flag_col)
+    cond = [F.col(c).eqNullSafe(F.col(f"_bp_{c}")) for c in cols]
+    return (batch.join(hits_r, cond, "left")
+            .drop(*[f"_bp_{c}" for c in cols]))
 
 
 def prefilter_members(batch: DataFrame, bloom: DataFrame,

@@ -141,6 +141,35 @@ def test_incremental_append_bloom_equals_plain(spark):
             and want.exceptAll(got).count() == 0)
 
 
+def test_incremental_append_bloom_null_keys_match_plain(spark):
+    """NULL-key batch rows must survive the bloom path exactly as
+    they survive the plain path (round-4 regression: the null-unsafe
+    flag join-back left their flag NULL and BOTH branches dropped
+    them)."""
+    existing = spark.createDataFrame(
+        [("doc-1", 1), (None, 2)], "path string, payload long")
+    batch = spark.createDataFrame(
+        [("doc-1", 10),   # existing key -> skipped
+         ("doc-9", 11),   # new key -> appended
+         (None, 12)],     # NULL key: plain anti-join KEEPS it
+        "path string, payload long")
+    m, k = bloom_parameters(2, 0.01)
+    bloom = bloom_build(existing, "path", m, k)
+
+    got = incremental_append_bloom(existing, batch, "path", bloom, m, k)
+    want = incremental_append(existing, batch, "path")
+    assert (got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0)
+    # The NULL-key batch row is present (name-based anti-join never
+    # matches NULL, so the plain path keeps it — and so must we).
+    assert got.filter(F.col("path").isNull()).count() == 2
+
+    # bloom_probe itself: every NULL-key row carries a real flag.
+    flagged = bloom_probe(batch, bloom, "path", m, k)
+    assert (flagged.filter(F.col("maybe_present").isNull()).count()
+            == 0)
+
+
 # ---------------------------------------------------------------------------
 # bloom_parameters pure property suite (no SparkSession needed).
 # ---------------------------------------------------------------------------
