@@ -43,6 +43,65 @@ def scd2_init(snapshot: DataFrame, effective_from,
             .withColumn("is_current", F.lit(True)))
 
 
+def _scd2_merge_frames(open_rows: DataFrame, updates: DataFrame,
+                       keys: Sequence[str], attrs: Sequence[str],
+                       effective_from: str,
+                       share_join: bool = False
+                       ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The SCD2 merge core: one full-outer equi-join of the OPEN
+    slice against the update batch, split three ways —
+    (kept_open, now_closed, inserts). `share_join=True` lazily
+    localCheckpoints the joined frame so callers that consume the
+    three outputs in SEPARATE write jobs (the split-path layout)
+    compute the join once instead of per branch; pure-transform
+    callers leave it off to keep the full plan visible."""
+    keys = list(keys)
+    upd = updates.select(
+        *[F.col(c).alias(f"_scd_{c}") for c in keys],
+        *[F.col(c).alias(f"_scd_{c}") for c in attrs],
+        F.col(effective_from).alias("_scd_eff"))
+    cond = [open_rows[k].eqNullSafe(F.col(f"_scd_{k}")) for k in keys]
+    # full-outer: open-only rows (no update) pass through; matched
+    # rows split on changed; update-only rows are inserts. Presence
+    # on each side is decided by never-null markers (is_current /
+    # _scd_eff), not key nullability — eqNullSafe lets NULL keys
+    # match their own update.
+    joined = open_rows.join(upd, cond, "full_outer")
+    if share_join:
+        joined = joined.localCheckpoint(eager=False)
+    marker_open = joined["is_current"].isNotNull()
+    marker_upd = F.col("_scd_eff").isNotNull()
+
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~joined[a].eqNullSafe(F.col(f"_scd_{a}"))
+
+    hist_cols = list(open_rows.columns)
+
+    kept_open = (joined
+                 .filter(marker_open & (~marker_upd | ~changed))
+                 .select(*[joined[c] for c in hist_cols]))
+    # Close changed rows with the update's timestamp as the end.
+    now_closed = (joined
+                  .filter(marker_open & marker_upd & changed)
+                  .select(
+                      *[joined[c] for c in hist_cols
+                        if c not in ("effective_to", "is_current")],
+                      F.col("_scd_eff").alias("effective_to"),
+                      F.lit(False).alias("is_current"))
+                  .select(*hist_cols))
+    inserts = (joined
+               .filter(marker_upd & (~marker_open | changed))
+               .select(
+                   *[F.col(f"_scd_{k}").alias(k) for k in keys],
+                   *[F.col(f"_scd_{a}").alias(a) for a in attrs],
+                   F.col("_scd_eff").alias("effective_from"),
+                   F.lit(None).cast("timestamp").alias("effective_to"),
+                   F.lit(True).alias("is_current"))
+               .select(*hist_cols))
+    return kept_open, now_closed, inserts
+
+
 def scd2_apply(history: DataFrame, updates: DataFrame,
                key: str | Sequence[str],
                attrs: Sequence[str],
@@ -73,48 +132,8 @@ def scd2_apply(history: DataFrame, updates: DataFrame,
     keys = [key] if isinstance(key, str) else list(key)
     open_rows = history.filter(F.col("is_current"))
     closed_rows = history.filter(~F.col("is_current"))
-
-    upd = updates.select(
-        *[F.col(c).alias(f"_scd_{c}") for c in keys],
-        *[F.col(c).alias(f"_scd_{c}") for c in attrs],
-        F.col(effective_from).alias("_scd_eff"))
-    cond = [open_rows[k].eqNullSafe(F.col(f"_scd_{k}")) for k in keys]
-    # full-outer: open-only rows (no update) pass through; matched
-    # rows split on changed; update-only rows are inserts. Presence
-    # on each side is decided by never-null markers (is_current /
-    # _scd_eff), not key nullability — eqNullSafe lets NULL keys
-    # match their own update.
-    joined = open_rows.join(upd, cond, "full_outer")
-    marker_open = joined["is_current"].isNotNull()
-    marker_upd = F.col("_scd_eff").isNotNull()
-
-    changed = F.lit(False)
-    for a in attrs:
-        changed = changed | ~open_rows[a].eqNullSafe(F.col(f"_scd_{a}"))
-
-    hist_cols = list(history.columns)
-
-    kept_open = (joined
-                 .filter(marker_open & (~marker_upd | ~changed))
-                 .select(*[open_rows[c] for c in hist_cols]))
-    # Close changed rows with the update's timestamp as the end.
-    now_closed = (joined
-                  .filter(marker_open & marker_upd & changed)
-                  .select(
-                      *[open_rows[c] for c in hist_cols
-                        if c not in ("effective_to", "is_current")],
-                      F.col("_scd_eff").alias("effective_to"),
-                      F.lit(False).alias("is_current"))
-                  .select(*hist_cols))
-    inserts = (joined
-               .filter(marker_upd & (~marker_open | changed))
-               .select(
-                   *[F.col(f"_scd_{k}").alias(k) for k in keys],
-                   *[F.col(f"_scd_{a}").alias(a) for a in attrs],
-                   F.col("_scd_eff").alias("effective_from"),
-                   F.lit(None).cast("timestamp").alias("effective_to"),
-                   F.lit(True).alias("is_current"))
-               .select(*hist_cols))
+    kept_open, now_closed, inserts = _scd2_merge_frames(
+        open_rows, updates, keys, attrs, effective_from)
     return (closed_rows
             .unionByName(kept_open)
             .unionByName(now_closed)
@@ -133,18 +152,163 @@ def scd2_as_of(history: DataFrame, at) -> DataFrame:
             .drop("effective_to", "is_current"))
 
 
+# ---------------------------------------------------------------------------
+# Persisted split-path layout: closed history appends, open slice swaps.
+# ---------------------------------------------------------------------------
+#
+#   <path>/open/              the current open slice (one row per live
+#                             key), replaced per apply via the
+#                             recoverable staged swap; carries a
+#                             `_scd2_epoch` marker file = the last
+#                             applied epoch id (exactly-once replay)
+#   <path>/closed/epoch_<e>/  the rows CLOSED by epoch e, written once
+#                             and never rewritten (append-only history)
+#
+# Per-epoch bytes written = O(open slice + batch), independent of how
+# deep the closed history has grown — the single-path layout rewrote
+# the ENTIRE history every epoch, which is O(epochs) per epoch and the
+# scale-killer for long-lived dimensions (measured: SCALE.md's SCD2
+# table; the closed slice dominates a dimension's footprint ~always).
+
+
+def _marker_path(spark, open_path: str):
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, open_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        open_path.rstrip("/") + "/_scd2_epoch")
+    return jvm, fs, p
+
+
+def _write_epoch_marker(spark, open_path: str, epoch_id: int) -> None:
+    _, fs, p = _marker_path(spark, open_path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(str(int(epoch_id)).encode()))
+    finally:
+        out.close()
+
+
+def _read_epoch_marker(spark, open_path: str) -> int | None:
+    jvm, fs, p = _marker_path(spark, open_path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return int(bytes(data).decode())
+
+
+def _has_data_files(spark, path: str) -> bool:
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    _, fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
+def scd2_split_init(snapshot: DataFrame, effective_from, path: str,
+                    key: str | Sequence[str] = "key") -> None:
+    """Seed a split-path SCD2 history at ``path`` from an initial
+    snapshot: the whole snapshot becomes the open slice; the closed
+    history starts empty."""
+    spark = snapshot.sparkSession
+    root = path.rstrip("/")
+    open_path = f"{root}/open"
+    scd2_init(snapshot, effective_from, key).write.parquet(open_path)
+    _write_epoch_marker(spark, open_path, -1)
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, root)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{root}/closed"))
+
+
+def scd2_read(spark, path: str) -> DataFrame:
+    """The full history (closed ∪ open) of a split-path layout — what
+    `spark.read.parquet(history_path)` returned for the single-path
+    one. Repairs an interrupted open-slice swap first, so a reader
+    arriving after a crash still sees a complete history."""
+    from lisp_batch_processor_spark.sources.writers import recover_swap
+    root = path.rstrip("/")
+    open_path = f"{root}/open"
+    recover_swap(spark, open_path)
+    open_df = spark.read.parquet(open_path)
+    closed_root = f"{root}/closed"
+    if not _has_data_files(spark, closed_root):
+        return open_df
+    closed_df = (spark.read.option("recursiveFileLookup", "true")
+                 .parquet(closed_root))
+    return closed_df.unionByName(open_df)
+
+
+def scd2_split_apply(spark, path: str, updates: DataFrame,
+                     key: str | Sequence[str], attrs: Sequence[str],
+                     effective_from: str = "effective_from",
+                     epoch_id: int = 0) -> bool:
+    """One SCD2 merge step against the persisted split-path layout —
+    same per-key semantics as :func:`scd2_apply`, but the write is
+    O(open + batch): the rows this epoch closes APPEND (as
+    ``closed/epoch_<id>/``, written before the open slice moves) and
+    the new open slice staged-swaps in; the accumulated closed
+    history is never read or rewritten.
+
+    Exactly-once under checkpointed epoch replay, by write order:
+
+    1. repair any interrupted swap, read the epoch marker — if
+       ``marker >= epoch_id`` the epoch fully applied before the
+       crash (the marker travels inside the swapped open dir, so it
+       advances only when step 3 completed): skip, return False;
+    2. overwrite ``closed/epoch_<id>/`` — replay before the swap
+       recomputes the identical frame from the unchanged open slice,
+       so the overwrite is idempotent;
+    3. write the new open slice + marker to a hidden staging sibling,
+       then :func:`sources.writers.staged_swap` it in — a crash
+       inside the swap leaves a complete open slice at the canonical
+       or backup path (recovered in step 1 next time).
+
+    Monotonically increasing ``epoch_id`` per apply is the caller's
+    contract (foreachBatch provides it; batch callers count).
+    Returns True if the epoch was applied, False if it already was.
+    """
+    from lisp_batch_processor_spark.sources.writers import (
+        recover_swap, staged_swap, staging_path)
+
+    keys = [key] if isinstance(key, str) else list(key)
+    root = path.rstrip("/")
+    open_path = f"{root}/open"
+    recover_swap(spark, open_path)
+    marker = _read_epoch_marker(spark, open_path)
+    if marker is not None and marker >= epoch_id:
+        return False
+    open_rows = spark.read.parquet(open_path)
+    kept_open, now_closed, inserts = _scd2_merge_frames(
+        open_rows, updates, keys, attrs, effective_from,
+        share_join=True)
+    now_closed.write.mode("overwrite").parquet(
+        f"{root}/closed/epoch_{int(epoch_id)}")
+    tmp = staging_path(open_path)
+    kept_open.unionByName(inserts).write.mode("overwrite").parquet(tmp)
+    _write_epoch_marker(spark, tmp, epoch_id)
+    staged_swap(spark, tmp, open_path)
+    return True
+
+
 def scd2_stream_apply(update_stream: DataFrame, history_path: str,
                       key: str | Sequence[str],
                       attrs: Sequence[str],
                       effective_from: str = "effective_from"):
-    """Streaming dimension maintenance: each micro-batch of updates
-    merges into the PERSISTED SCD2 history at ``history_path`` via
-    :func:`scd2_apply`, written with the staged-swap discipline (the
-    `sources.writers.compact` pattern): the new history materializes
-    to a sibling temp dir while the old one is still readable, then
-    swaps in atomically — a failed epoch leaves the previous history
-    intact, and `scd2_apply`'s idempotent no-op on replayed batches
-    makes checkpointed epoch re-delivery safe.
+    """Streaming dimension maintenance over the SPLIT-PATH layout
+    (seed with :func:`scd2_split_init`, read with :func:`scd2_read`):
+    each micro-batch of updates is one :func:`scd2_split_apply` epoch,
+    so per-epoch bytes written are O(open slice + batch) while the
+    closed history grows append-only — the previous single-path form
+    rewrote the FULL history every micro-batch, O(total epochs) per
+    epoch on a long-lived dimension.
 
     The per-epoch work item IS the batch operator, so batch and
     streaming cannot drift (same contract as
@@ -154,14 +318,12 @@ def scd2_stream_apply(update_stream: DataFrame, history_path: str,
     is one merge step, matching scd2_apply's documented contract.
 
     Returns the DataStreamWriter (caller picks trigger/start and a
-    checkpointLocation for exactly-once epoch replay).
-
-    Scale notes: per epoch this is one open-slice equi-join plus a
-    rewrite of the history — partition the persisted table by
-    ``is_current`` so the closed majority is read and rewritten
-    only as pass-through file copies... or, for very large
-    dimensions, keep the closed slice in a separate append-only
-    path and swap only the open slice (same operators, two paths).
+    checkpointLocation). Epoch replay after a crash is EXACTLY-ONCE,
+    not merely idempotent-by-no-op: the epoch marker inside the open
+    slice tells a replay whether the epoch's swap completed (see
+    scd2_split_apply's ordering contract), and the swap itself is
+    the recoverable rename-aside pattern — every crash window leaves
+    a complete open slice readable at the canonical or backup path.
     """
     from pyspark.sql import Window
 
@@ -176,16 +338,8 @@ def scd2_stream_apply(update_stream: DataFrame, history_path: str,
         latest = (batch_df
                   .withColumn("_scd_rn", F.row_number().over(w))
                   .filter(F.col("_scd_rn") == 1).drop("_scd_rn"))
-        history = spark.read.parquet(history_path)
-        merged = scd2_apply(history, latest, key=keys, attrs=attrs,
-                            effective_from=effective_from)
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        jpath = jvm.org.apache.hadoop.fs.Path(history_path)
-        fs = jpath.getFileSystem(conf)
-        tmp = history_path.rstrip("/") + "._merging"
-        merged.write.mode("overwrite").parquet(tmp)
-        fs.delete(jpath, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+        scd2_split_apply(spark, history_path, latest, keys, attrs,
+                         effective_from=effective_from,
+                         epoch_id=epoch_id)
 
     return update_stream.writeStream.foreachBatch(_process)

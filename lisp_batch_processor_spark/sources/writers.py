@@ -10,9 +10,91 @@ prune and whether downstream joins shuffle.
 
 from __future__ import annotations
 
+import posixpath
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+# ---------------------------------------------------------------------------
+# Recoverable staged swap — the rewrite-in-place discipline shared by
+# `compact` and `operators.scd.scd2_stream_apply`.
+# ---------------------------------------------------------------------------
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, fs, jpath) for a path string via the JVM Hadoop FS API —
+    driver-side metadata operations only."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(conf), jpath
+
+
+def _hidden_sibling(path: str, tag: str) -> str:
+    """A dot-prefixed sibling of `path` (`parent/._<tag>_<basename>`).
+    Dot-prefixed names are invisible to Spark's file listing AND are
+    never mistaken for a hive partition directory — staging as
+    `table/date=x._compacting` (a sibling whose name extends the
+    partition value) made in-flight output discoverable and could
+    break partition-value parsing for readers of the table root."""
+    p = path.rstrip("/")
+    parent, base = posixpath.split(p)
+    return posixpath.join(parent, f"._{tag}_{base}")
+
+
+def staging_path(path: str) -> str:
+    """Where a staged rewrite of `path` materializes before the swap."""
+    return _hidden_sibling(path, "staging")
+
+
+def backup_path(path: str) -> str:
+    """Where the previous copy of `path` lives during the swap window."""
+    return _hidden_sibling(path, "old")
+
+
+def recover_swap(spark: SparkSession, dest: str) -> None:
+    """Repair an interrupted :func:`staged_swap` on `dest`:
+
+    - dest missing, backup present  -> rename the backup in (the
+      crash hit between rename-aside and rename-in);
+    - dest present, backup present  -> the crash hit after rename-in;
+      the backup is a stale previous copy — delete it.
+
+    Idempotent; call before any read or rewrite of a swap-managed
+    dataset (compact and scd2_stream_apply both do).
+    """
+    jvm, fs, jdest = _hadoop_fs(spark, dest)
+    jold = jvm.org.apache.hadoop.fs.Path(backup_path(dest))
+    if fs.exists(jold):
+        if fs.exists(jdest):
+            fs.delete(jold, True)
+        else:
+            fs.rename(jold, jdest)
+
+
+def staged_swap(spark: SparkSession, tmp: str, dest: str) -> None:
+    """Swap a fully-written staged dir into place:
+    rename dest -> backup, rename tmp -> dest, delete backup.
+
+    NOT atomic as a sequence (each HDFS rename is, the triple is
+    not), but every crash window leaves a COMPLETE copy at either
+    `dest` or :func:`backup_path`, which :func:`recover_swap`
+    restores — the previous delete-then-rename order had a window
+    with nothing readable at the canonical path. On object stores
+    directory rename is copy+delete (neither atomic nor cheap); use
+    a manifest-committing table format there instead of this.
+    """
+    jvm, fs, jdest = _hadoop_fs(spark, dest)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(backup_path(dest))
+    if fs.exists(jold):
+        fs.delete(jold, True)  # stale leftover from a repaired crash
+    if fs.exists(jdest):
+        if not fs.rename(jdest, jold):
+            raise IOError(f"rename {dest} -> {backup_path(dest)} failed")
+    if not fs.rename(jtmp, jdest):
+        raise IOError(f"rename {tmp} -> {dest} failed")
+    fs.delete(jold, True)
 
 
 def write_partitioned(df: DataFrame, path: str,
@@ -68,9 +150,15 @@ def compact(spark: SparkSession, path: str,
     only — no data pass), so the output lands near the target
     regardless of the input's compression ratio. The rewrite is one
     round-robin repartition (no key skew possible) and one write
-    through Spark's commit protocol, staged to a sibling temp dir
-    and swapped in only after the job commits — a failed compaction
-    leaves the original intact.
+    through Spark's commit protocol, staged to a HIDDEN sibling dir
+    (dot-prefixed: invisible to Spark file listing and partition
+    discovery, so readers of the table root never see in-flight
+    output) and swapped in via :func:`staged_swap` only after the
+    job commits — a failed write leaves the original untouched, and
+    a crash inside the swap itself leaves a complete copy at either
+    the canonical or the backup path, repaired by
+    :func:`recover_swap` on the next compact (or by any reader that
+    calls it).
 
     Scale notes: compact PER PARTITION DIRECTORY (pass the partition
     path) on a schedule, not the whole table at once — the rewrite
@@ -80,19 +168,15 @@ def compact(spark: SparkSession, path: str,
     count fixes file count; plain repartition would destroy bucket
     metadata).
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(conf)
+    recover_swap(spark, path)
+    _, fs, jpath = _hadoop_fs(spark, path)
     size = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-size // target_file_bytes))
     df = spark.read.format(fmt).load(path)
-    tmp = path.rstrip("/") + "._compacting"
+    tmp = staging_path(path)
     (df.repartition(n_files)
        .write.mode("overwrite").format(fmt).save(tmp))
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(jpath, True)
-    fs.rename(jtmp, jpath)
+    staged_swap(spark, tmp, path)
     return n_files
 
 

@@ -95,6 +95,106 @@ def streaming_near_dup_ingest(stream_docs: DataFrame, index_path: str,
     return stream_docs.writeStream.foreachBatch(_process)
 
 
+def line_store_init(spark, line_store_path: str) -> None:
+    """Create an empty epoch-tagged line-digest store — the persisted
+    state `streaming_line_dedup_ingest` and `line_dedup_ingest_epoch`
+    maintain. Seed corpus digests may be appended afterwards with any
+    ``epoch_id < 0``."""
+    spark.createDataFrame([], "line_key string, epoch_id long") \
+        .write.parquet(line_store_path)
+
+
+def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
+                            epoch_id: int, delim: str = "\n",
+                            min_chars: int = 1) -> DataFrame:
+    """One epoch of incremental line dedup against the persisted
+    digest store: rebuild the batch's docs with every line already in
+    the store removed, append the surviving first-occurrence digests
+    (tagged with ``epoch_id``), and return the epoch's
+    (doc_id, text, lines_total, lines_kept) rows, eagerly
+    materialized.
+
+    REPLAY-SAFE BY EPOCH TAG: the membership read filters the store
+    to ``epoch_id < this epoch``, so a replay that runs AFTER its own
+    prior append (crash between the append and the epoch commit)
+    excludes exactly that append and recomputes the identical output
+    — without the tag, the replayed docs were deduped against their
+    own lines and the durable output stripped every line to ''. The
+    re-append writes duplicate (line_key, epoch_id) rows, which a
+    membership store tolerates. Pinned by
+    tests/test_streaming_dedup.py::test_line_dedup_epoch_replay.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint(eager=True)
+    store_df = spark.read.parquet(line_store_path)
+    if "epoch_id" not in store_df.columns:
+        raise ValueError(
+            f"line store at {line_store_path} lacks the epoch_id "
+            "column; create it with line_store_init (pre-r5 stores: "
+            "rewrite once with epoch_id = -1)")
+    seen = (store_df.filter(F.col("epoch_id") < F.lit(int(epoch_id)))
+            .select("line_key"))
+    did, pos, line = (F.col("_sl_did"), F.col("_sl_pos"),
+                      F.col("_sl_line"))
+    lines = (batch.select(
+        F.col("doc_id").alias("_sl_did"),
+        F.posexplode(F.split(F.col("text"), _re.escape(delim), -1))
+         .alias("_sl_pos", "_sl_line"))
+        .withColumn("_sl_key",
+                    F.when(F.length(line) >= min_chars,
+                           F.md5(line)))
+        .localCheckpoint(eager=True))
+    keyed = lines.filter(F.col("_sl_key").isNotNull())
+    novel = keyed.join(seen,
+                       keyed["_sl_key"] == seen["line_key"],
+                       "left_anti")
+    winners = (novel.groupBy("_sl_key")
+               .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
+                     .alias("_sl_w")))
+    kept_keyed = (novel.join(winners, "_sl_key")
+                  .filter((F.col("_sl_w.d") == did)
+                          & (F.col("_sl_w.p") == pos))
+                  .select("_sl_did", "_sl_pos", "_sl_line"))
+    kept = (lines.filter(F.col("_sl_key").isNull())
+            .select("_sl_did", "_sl_pos", "_sl_line")
+            .unionByName(kept_keyed))
+    rebuilt = (kept.groupBy("_sl_did")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(pos.alias("p"),
+                                         line.alias("l")))),
+                            lambda s: s["l"]),
+                        delim).alias("_sl_text"),
+                    F.count(F.lit(1)).alias("lines_kept")))
+    totals = batch.select(
+        "doc_id", F.col("text").alias("_sl_orig"),
+        F.size(F.split(F.col("text"), _re.escape(delim), -1))
+         .alias("lines_total"))
+    out = (totals
+           .join(rebuilt, totals["doc_id"] == rebuilt["_sl_did"],
+                 "left")
+           .select("doc_id",
+                   F.when(F.col("_sl_orig").isNull(), F.lit(None))
+                    .otherwise(F.coalesce("_sl_text", F.lit("")))
+                    .alias("text"),
+                   F.when(F.col("_sl_orig").isNull(), F.lit(None))
+                    .otherwise(F.col("lines_total"))
+                    .alias("lines_total"),
+                   F.when(F.col("_sl_orig").isNull(), F.lit(None))
+                    .otherwise(F.coalesce("lines_kept", F.lit(0)))
+                    .alias("lines_kept"))
+           .localCheckpoint(eager=True))  # materialize pre-append
+    (winners.select(F.col("_sl_key").alias("line_key"),
+                    F.lit(int(epoch_id)).alias("epoch_id"))
+     .write.mode("append").parquet(line_store_path))
+    return out
+
+
 def streaming_line_dedup_ingest(stream_docs: DataFrame,
                                 line_store_path: str, sink,
                                 delim: str = "\n",
@@ -102,14 +202,15 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
     """Streaming ingest with ever-growing LINE-level boilerplate
     suppression — the streaming twin of `operators.dedup.line_dedup`
     at its default ``min_repeat=2`` (any line seen before is
-    boilerplate): each micro-batch of (doc_id, text) docs is rebuilt
-    with every line already in the PERSISTED line-digest store (or
-    earlier in the batch, by (doc_id, position)) removed, then the
-    batch's surviving first-occurrence digests append to the store,
-    so later micro-batches also dedup against them. Lines shorter
-    than ``min_chars`` are exempt, as in the batch operator.
-    ``sink(docs_df, epoch_id)`` receives each epoch's
-    (doc_id, text, lines_total, lines_kept) rows.
+    boilerplate): each micro-batch of (doc_id, text) docs is one
+    :func:`line_dedup_ingest_epoch` — rebuilt with every line already
+    in the PERSISTED digest store (or earlier in the batch, by
+    (doc_id, position)) removed, the surviving first-occurrence
+    digests appended epoch-tagged so later micro-batches dedup
+    against them. Lines shorter than ``min_chars`` are exempt, as in
+    the batch operator. ``sink(docs_df, epoch_id)`` receives each
+    epoch's (doc_id, text, lines_total, lines_kept) rows. Seed the
+    store with :func:`line_store_init`.
 
     Thresholds above 2 need corpus-wide occurrence COUNTS, which an
     append-only digest store cannot carry — run the batch operator
@@ -118,11 +219,13 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
     epochs, replaying the epochs is EXACTLY the batch operator over
     the concatenated corpus (pinned by tests/test_streaming_dedup.py).
 
-    Same foreachBatch rationale and epoch discipline as
-    `streaming_near_dup_ingest`: the rebuild materializes BEFORE the
-    store append (a doc must not be deduped against its own lines),
-    and duplicate store rows from an epoch replay are harmless — the
-    store is a membership set, append-idempotent under distinct.
+    Same foreachBatch rationale as `streaming_near_dup_ingest`;
+    checkpointed epoch REPLAY is safe in both crash windows: the
+    output materializes before the append, and the epoch-tagged
+    membership filter means a replay arriving after its own append
+    still recomputes the identical rows (see line_dedup_ingest_epoch
+    — without the tag, a replayed epoch deduped docs against their
+    own just-appended lines and durably emitted stripped text).
 
     Scale notes: per epoch this is one posexplode, one broadcast-or-
     hash left-anti-shaped membership join against the store keyed on
@@ -131,67 +234,10 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
     line text, so per-epoch cost grows with the DISTINCT-line corpus
     slowly and the join stays digest-bucketed.
     """
-    import re as _re
-
-    from pyspark.sql import functions as F
-
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint(eager=True)
-        seen = spark.read.parquet(line_store_path).select("line_key")
-        did, pos, line = (F.col("_sl_did"), F.col("_sl_pos"),
-                          F.col("_sl_line"))
-        lines = (batch.select(
-            F.col("doc_id").alias("_sl_did"),
-            F.posexplode(F.split(F.col("text"), _re.escape(delim), -1))
-             .alias("_sl_pos", "_sl_line"))
-            .withColumn("_sl_key",
-                        F.when(F.length(line) >= min_chars,
-                               F.md5(line)))
-            .localCheckpoint(eager=True))
-        keyed = lines.filter(F.col("_sl_key").isNotNull())
-        novel = keyed.join(seen,
-                           keyed["_sl_key"] == seen["line_key"],
-                           "left_anti")
-        winners = (novel.groupBy("_sl_key")
-                   .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
-                         .alias("_sl_w")))
-        kept_keyed = (novel.join(winners, "_sl_key")
-                      .filter((F.col("_sl_w.d") == did)
-                              & (F.col("_sl_w.p") == pos))
-                      .select("_sl_did", "_sl_pos", "_sl_line"))
-        kept = (lines.filter(F.col("_sl_key").isNull())
-                .select("_sl_did", "_sl_pos", "_sl_line")
-                .unionByName(kept_keyed))
-        rebuilt = (kept.groupBy("_sl_did")
-                   .agg(F.array_join(
-                            F.transform(
-                                F.array_sort(F.collect_list(
-                                    F.struct(pos.alias("p"),
-                                             line.alias("l")))),
-                                lambda s: s["l"]),
-                            delim).alias("_sl_text"),
-                        F.count(F.lit(1)).alias("lines_kept")))
-        totals = batch.select(
-            "doc_id", F.col("text").alias("_sl_orig"),
-            F.size(F.split(F.col("text"), _re.escape(delim), -1))
-             .alias("lines_total"))
-        out = (totals
-               .join(rebuilt, totals["doc_id"] == rebuilt["_sl_did"],
-                     "left")
-               .select("doc_id",
-                       F.when(F.col("_sl_orig").isNull(), F.lit(None))
-                        .otherwise(F.coalesce("_sl_text", F.lit("")))
-                        .alias("text"),
-                       F.when(F.col("_sl_orig").isNull(), F.lit(None))
-                        .otherwise(F.col("lines_total"))
-                        .alias("lines_total"),
-                       F.when(F.col("_sl_orig").isNull(), F.lit(None))
-                        .otherwise(F.coalesce("lines_kept", F.lit(0)))
-                        .alias("lines_kept"))
-               .localCheckpoint(eager=True))  # snapshot pre-append
-        (winners.select(F.col("_sl_key").alias("line_key"))
-         .write.mode("append").parquet(line_store_path))
+        out = line_dedup_ingest_epoch(batch_df, line_store_path,
+                                      epoch_id, delim=delim,
+                                      min_chars=min_chars)
         sink(out, epoch_id)
 
     return stream_docs.writeStream.foreachBatch(_process)

@@ -119,11 +119,12 @@ def test_scd2_stream_apply_matches_sequential_batches(spark, tmp_path):
     import os
 
     from lisp_batch_processor_spark.operators.scd import (
-        scd2_stream_apply)
+        scd2_read, scd2_split_init, scd2_stream_apply)
 
     hist_path = os.path.join(str(tmp_path), "dim_history")
-    scd2_init(_snap(spark, [(1, "lyon", "gold"), (2, "oslo", "silver")]),
-              T0, key="k").write.parquet(hist_path)
+    scd2_split_init(
+        _snap(spark, [(1, "lyon", "gold"), (2, "oslo", "silver")]),
+        T0, hist_path, key="k")
 
     ub1 = [(1, "paris", "gold"), (3, "kyiv", "gold")]
     # Batch 2 carries TWO updates for key 1; the later (T2-stamped
@@ -146,7 +147,7 @@ def test_scd2_stream_apply_matches_sequential_batches(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    got = _hist_set(spark.read.parquet(hist_path))
+    got = _hist_set(scd2_read(spark, hist_path))
 
     want_hist = scd2_init(
         _snap(spark, [(1, "lyon", "gold"), (2, "oslo", "silver")]),
@@ -158,4 +159,89 @@ def test_scd2_stream_apply_matches_sequential_batches(spark, tmp_path):
     assert got == _hist_set(want_hist)
     # The T2 'nice' row won over the mid-Feb 'paris platinum' one.
     assert (1, "nice", "gold", T2, None, True) in got
-    assert not os.path.exists(hist_path + "._merging")
+    # No staging/backup leftovers around the open slice.
+    from lisp_batch_processor_spark.sources.writers import (
+        backup_path, staging_path)
+    open_path = os.path.join(hist_path, "open")
+    assert not os.path.exists(staging_path(open_path))
+    assert not os.path.exists(backup_path(open_path))
+    # Closed history is append-only epoch dirs; the open slice holds
+    # exactly the current rows.
+    assert {r.k for r in spark.read.parquet(open_path).collect()} \
+        == {1, 2, 3}
+
+
+def test_scd2_split_apply_equals_batch_chain(spark, tmp_path):
+    """The split-path persisted history after N epochs must equal the
+    pure scd2_apply chain over the same batches — including a NULL
+    key and NULL attrs."""
+    import os
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_read, scd2_split_apply, scd2_split_init)
+
+    path = os.path.join(str(tmp_path), "dim")
+    snap = [(1, "lyon", "gold"), (2, "oslo", "silver"), (None, "x", "t")]
+    scd2_split_init(_snap(spark, snap), T0, path, key="k")
+
+    batches = [
+        ([(1, "paris", "gold"), (4, "kyiv", "gold"), (None, "y", "t")],
+         T1),
+        ([(1, "paris", "platinum"), (2, "oslo", "silver"),  # 2: no-op
+          (4, None, "gold")], T2),
+    ]
+    want = scd2_init(_snap(spark, snap), T0, key="k")
+    for e, (rows, eff) in enumerate(batches):
+        applied = scd2_split_apply(
+            spark, path, _upd(spark, rows, eff), key="k",
+            attrs=["city", "tier"], epoch_id=e)
+        assert applied
+        want = scd2_apply(want, _upd(spark, rows, eff), key="k",
+                          attrs=["city", "tier"])
+    assert _hist_set(scd2_read(spark, path)) == _hist_set(want)
+
+
+def test_scd2_split_apply_epoch_replay_is_exactly_once(spark, tmp_path):
+    """Replaying an already-applied epoch is a SKIP (marker check),
+    and replaying after a crash that wrote the closed dir but not the
+    swap converges to the same history."""
+    import os
+    import shutil
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_read, scd2_split_apply, scd2_split_init)
+
+    path = os.path.join(str(tmp_path), "dim")
+    scd2_split_init(_snap(spark, [(1, "lyon", "gold")]), T0, path,
+                    key="k")
+    upd = _upd(spark, [(1, "paris", "gold")], T1)
+
+    assert scd2_split_apply(spark, path, upd, key="k",
+                            attrs=["city", "tier"], epoch_id=0)
+    after_first = _hist_set(scd2_read(spark, path))
+
+    # Full replay of epoch 0 (crash after swap, before checkpoint
+    # commit): the marker says applied -> skip, history unchanged.
+    assert not scd2_split_apply(spark, path, upd, key="k",
+                                attrs=["city", "tier"], epoch_id=0)
+    assert _hist_set(scd2_read(spark, path)) == after_first
+
+    # Crash BEFORE the swap: epoch 1's closed dir exists (possibly
+    # partial) but the open slice and marker never moved. A replay
+    # must recompute from the unchanged open slice and converge.
+    upd2 = _upd(spark, [(1, "nice", "gold")], T2)
+    closed_dir = os.path.join(path, "closed", "epoch_1")
+    os.makedirs(closed_dir, exist_ok=True)  # partial garbage dir
+    assert scd2_split_apply(spark, path, upd2, key="k",
+                            attrs=["city", "tier"], epoch_id=1)
+    got = _hist_set(scd2_read(spark, path))
+    assert (1, "nice", "gold", T2, None, True) in got
+    assert (1, "paris", "gold", T1, T2, False) in got
+    assert len(got) == 3
+
+    # Closed epoch dirs never shrink the union on replay: replaying
+    # epoch 1 after completion is again a skip.
+    assert not scd2_split_apply(spark, path, upd2, key="k",
+                                attrs=["city", "tier"], epoch_id=1)
+    assert _hist_set(scd2_read(spark, path)) == got
+    shutil.rmtree(path)

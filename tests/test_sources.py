@@ -163,7 +163,10 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     assert n_after == 1
     got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
     assert got == want
-    assert not os.path.exists(path + "._compacting")
+    from lisp_batch_processor_spark.sources.writers import (
+        backup_path, staging_path)
+    assert not os.path.exists(staging_path(path))
+    assert not os.path.exists(backup_path(path))
 
     # A small target splits the rewrite into multiple files.
     src.repartition(32).write.mode("overwrite").parquet(path)
@@ -173,6 +176,78 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     assert n_files >= 2
     got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
     assert got == want
+
+
+def test_staged_swap_crash_windows_recoverable(spark, tmp_path):
+    """Kill the swap between each pair of steps: a complete copy must
+    be readable from either the canonical or the backup path, and
+    recover_swap must restore the canonical path (the pre-r5 order —
+    delete dest, then rename tmp in — had a window with NOTHING at
+    the canonical path)."""
+    import shutil
+
+    from lisp_batch_processor_spark.sources.writers import (
+        backup_path, recover_swap, staged_swap, staging_path)
+
+    dest = str(tmp_path / "ds")
+    old_rows = spark.range(0, 100).select(F.col("id"))
+    new_rows = spark.range(100, 250).select(F.col("id"))
+    old_rows.write.parquet(dest)
+
+    # Window A: crash after rename-aside, before rename-in — dest is
+    # missing but the backup holds the complete previous copy.
+    new_rows.write.parquet(staging_path(dest))
+    os.rename(dest, backup_path(dest))
+    assert spark.read.parquet(backup_path(dest)).count() == 100
+    recover_swap(spark, dest)
+    assert spark.read.parquet(dest).count() == 100
+    assert not os.path.exists(backup_path(dest))
+    shutil.rmtree(staging_path(dest))
+
+    # Window B: crash after rename-in, before backup delete — dest
+    # already holds the NEW copy; recover must drop the stale backup,
+    # not resurrect it.
+    new_rows.write.parquet(staging_path(dest))
+    os.rename(dest, backup_path(dest))
+    os.rename(staging_path(dest), dest)
+    assert spark.read.parquet(dest).count() == 150
+    recover_swap(spark, dest)
+    assert spark.read.parquet(dest).count() == 150
+    assert not os.path.exists(backup_path(dest))
+
+    # The full swap, uninterrupted, converges to the staged copy
+    # with no hidden siblings left behind.
+    older = spark.read.parquet(dest)
+    spark.range(500, 520).write.parquet(staging_path(dest))
+    older.count()  # materialize nothing; just assert readable before
+    staged_swap(spark, staging_path(dest), dest)
+    assert spark.read.parquet(dest).count() == 20
+    assert not os.path.exists(staging_path(dest))
+    assert not os.path.exists(backup_path(dest))
+
+
+def test_staging_dir_hidden_from_table_root_readers(spark, tmp_path):
+    """In-flight compaction output must be invisible to readers of
+    the TABLE ROOT while a partition directory is being compacted —
+    the staging name is dot-prefixed, so Spark's file listing skips
+    it and partition discovery never sees a malformed value."""
+    from lisp_batch_processor_spark.sources.writers import staging_path
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 200).select(
+        (F.col("id") % 2).cast("string").alias("part"), F.col("id"))
+    df.write.partitionBy("part").parquet(root)
+    part_dir = os.path.join(root, "part=0")
+
+    # Simulate an in-flight compact of partition part=0: staged data
+    # exists as a sibling inside the table root.
+    staged = staging_path(part_dir)
+    spark.read.parquet(part_dir).write.parquet(staged)
+    assert os.path.basename(staged).startswith("._")
+    assert spark.read.parquet(root).count() == 200  # not 300
+    parts = {r.part for r in
+             spark.read.parquet(root).select("part").distinct().collect()}
+    assert parts == {0, 1}  # discovery re-infers the value type
 
 
 def test_zorder_write_clusters_both_dimensions(spark, tmp_path):

@@ -114,7 +114,7 @@ def test_streaming_line_dedup_matches_batch_replay(spark, tmp_path):
     epochs ⇒ identical first-occurrence winners)."""
     from lisp_batch_processor_spark.operators.dedup import line_dedup
     from lisp_batch_processor_spark.streaming.dedup import (
-        streaming_line_dedup_ingest)
+        line_store_init, streaming_line_dedup_ingest)
 
     schema = "doc_id long, text string"
     b0 = [(0, "alpha one\nshared banner line\nbeta two"),
@@ -124,7 +124,7 @@ def test_streaming_line_dedup_matches_batch_replay(spark, tmp_path):
           (11, "delta four\nepsilon five")]
 
     store = os.path.join(str(tmp_path), "lines.parquet")
-    spark.createDataFrame([], "line_key string").write.parquet(store)
+    line_store_init(spark, store)
 
     src = os.path.join(str(tmp_path), "docs_in")
     spark.createDataFrame(b0, schema).coalesce(1) \
@@ -163,6 +163,48 @@ def test_streaming_line_dedup_matches_batch_replay(spark, tmp_path):
     assert got[10] == ("delta four", 3, 1)
     assert got[11] == ("epsilon five", 2, 1)
     # Store holds one digest per distinct line (5 from epoch 1 +
-    # 2 novel in epoch 2), append-grown.
-    n_lines = spark.read.parquet(store).distinct().count()
-    assert n_lines == spark.read.parquet(store).count() == 7
+    # 2 novel in epoch 2), append-grown and epoch-tagged.
+    store_df = spark.read.parquet(store)
+    assert store_df.select("line_key").distinct().count() \
+        == store_df.count() == 7
+    from pyspark.sql import functions as F
+    assert {r.epoch_id for r in
+            store_df.select("epoch_id").distinct().collect()} == {0, 1}
+    assert store_df.filter(F.col("epoch_id") == 0).count() == 5
+
+
+@pytest.mark.slow
+def test_line_dedup_epoch_replay(spark, tmp_path):
+    """Crash-replay safety (ADVICE r4): an epoch replayed AFTER its
+    own store append (crash between append and epoch commit) must
+    emit the identical rows — the epoch-tag filter excludes the
+    epoch's own digests from the membership read. Without it, the
+    replay deduped docs against their own lines and emitted ''."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_init)
+
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines.parquet")
+    line_store_init(spark, store)
+
+    batch = spark.createDataFrame(
+        [(0, "alpha one\nshared banner\nbeta two"),
+         (1, "gamma three\nshared banner")], schema)
+
+    first = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+             for r in line_dedup_ingest_epoch(batch, store, 0).collect()}
+    assert first[0] == ("alpha one\nshared banner\nbeta two", 3, 3)
+    assert first[1] == ("gamma three", 2, 1)
+
+    # Replay epoch 0: the store already holds epoch-0 digests, yet
+    # the output must be byte-identical, and the duplicate re-append
+    # must not change membership semantics for later epochs.
+    replay = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+              for r in line_dedup_ingest_epoch(batch, store, 0).collect()}
+    assert replay == first
+
+    later = spark.createDataFrame(
+        [(5, "shared banner\nfresh line")], schema)
+    out2 = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+            for r in line_dedup_ingest_epoch(later, store, 1).collect()}
+    assert out2[5] == ("fresh line", 2, 1)
