@@ -296,7 +296,8 @@ def main() -> None:
         results[name] = {"scales": per_scale, "slope_exponents": slopes}
 
     suffix = "" if REPLICAS == 10 else f"_x{REPLICAS}"
-    out_path = f"/root/repo/SCALE_r04{suffix}.json"
+    round_tag = os.environ.get("SPARK_GRAFT_SCALE_ROUND", "r05")
+    out_path = f"/root/repo/SCALE_{round_tag}{suffix}.json"
     # Partial runs (SPARK_GRAFT_SCALE_QUERIES) merge into the existing
     # results file instead of clobbering the queries they didn't run.
     merged = dict(results)

@@ -23,7 +23,11 @@ def _ev(eid, us, uid, et):
 
 
 @pytest.mark.slow
-def test_streaming_funnel_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("buckets", [1, 2, 256])
+def test_streaming_funnel_matches_batch(spark, tmp_path, buckets):
+    """Pinned at several bucket counts: B=1 routes every user through
+    ONE state group (the multi-user walk), B=256 gives each of the 4
+    users their own (the pre-r5 per-user shape), B=2 mixes."""
     steps = ["view", "click", "purchase"]
     horizon = 3600
 
@@ -55,7 +59,8 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     stream = (spark.readStream.schema(SCHEMA)
               .option("maxFilesPerTrigger", 1)
               .parquet(os.path.join(src, "batch=*")))
-    out = streaming_funnel(stream, steps, horizon_s=horizon)
+    out = streaming_funnel(stream, steps, horizon_s=horizon,
+                           user_buckets=buckets)
     q = (out.writeStream.outputMode("append")
          .format("memory").queryName("funnel_out").start())
     try:
@@ -92,3 +97,20 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert at[(1, 0)] == base_us and at[(1, 1)] == base_us + 10 * S
     assert at[(2, 1)] == base_us + 300 * S   # the reordered click
     assert at[(2, 2)] == base_us + 900 * S
+
+
+def test_streaming_funnel_rejects_non_integral_tie(spark):
+    """The state carries ties as longs; a string tie would order
+    '10' before '9' and silently diverge from the batch twin — it
+    must be rejected up front (ADVICE r4)."""
+    df = spark.createDataFrame(
+        [], "event_id string, ts timestamp, user_id long, "
+            "event_type string")
+    with pytest.raises(ValueError, match="integral"):
+        streaming_funnel(df, ["view", "click"], tie_col="event_id")
+    with pytest.raises(ValueError, match="user_buckets"):
+        streaming_funnel(
+            spark.createDataFrame(
+                [], "event_id long, ts timestamp, user_id long, "
+                    "event_type string"),
+            ["view", "click"], user_buckets=0)
