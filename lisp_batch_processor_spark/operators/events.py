@@ -483,3 +483,48 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_SECONDS,
             .withColumn(session_col,
                         F.sum("_sz_new").over(run).cast("long"))
             .drop("_sz_new"))
+
+
+# ---------------------------------------------------------------------------
+# Attribution join — "latest qualifying touch before each conversion"
+# (the click-attribution shape; batch twin of
+# streaming.joins.streaming_attribution_join).
+# ---------------------------------------------------------------------------
+
+def attribution_join(events: DataFrame, conv_type: str = "purchase",
+                     touch_type: str = "click",
+                     horizon_s: int = 24 * 3600,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     id_col: str = "event_id") -> DataFrame:
+    """For each ``conv_type`` event, the LATEST ``touch_type`` event
+    by the same user with ``touch_ts <= conv_ts`` and within
+    ``horizon_s`` seconds — last-touch attribution. Returns
+    (user, conversion_id, conv_ts, touch_id, touch_ts), one row per
+    ATTRIBUTED conversion (inner semantics: conversions with no
+    qualifying touch are absent — the same contract as the streaming
+    twin, which cannot emit an unmatched row before its watermark
+    closes and uses the inner stream-stream join). Ties at one
+    instant resolve to the greatest touch id (asof_join's
+    greatest-right-struct rule — partitioning-independent).
+
+    Plan shape: two filters of one scan, then `asof_join`'s single
+    shuffle on the user key + one streaming window frame — no theta
+    join, no per-conversion subquery. Pinned equal to the streaming
+    twin on replay in tests/test_streaming_joins.py.
+    """
+    convs = (events.filter(F.col(type_col) == conv_type)
+             .select(F.col(user_col),
+                     F.col(ts_col),
+                     F.col(id_col).alias("conversion_id")))
+    touches = (events.filter(F.col(type_col) == touch_type)
+               .select(F.col(user_col),
+                       F.col(ts_col),
+                       F.col(id_col).alias("touch_id")))
+    j = asof_join(convs, touches, on=ts_col, by=user_col,
+                  tolerance_s=horizon_s, strict=False)
+    return (j.filter(F.col("r_touch_id").isNotNull())
+            .select(F.col(user_col), "conversion_id",
+                    F.col(ts_col).alias("conv_ts"),
+                    F.col("r_touch_id").alias("touch_id"),
+                    F.col(f"r_{ts_col}").alias("touch_ts")))

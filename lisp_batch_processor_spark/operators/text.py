@@ -574,3 +574,159 @@ def hashed_feature_scores(docs: DataFrame, weights: DataFrame,
                      .otherwise(F.lit(1.0)
                                 / (F.lit(1.0) + F.exp(-logit)))
                      .alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — the overlapping-token-window pass every
+# embedding/RAG ingestion runs over a corpus before vectorizing.
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, window: int = 64,
+                    stride: int = 48, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping windows of whitespace
+    tokens: chunks start at 0, stride, 2*stride, ... up to the first
+    start whose window reaches the document's end, so every token is
+    covered, consecutive chunks overlap by (window - stride) tokens,
+    and no chunk is a suffix-duplicate of its predecessor. Returns
+    (id, chunk_idx, start_tok, n_tokens, chunk_text); (id, chunk_idx)
+    is the stable chunk key downstream embedding tables join on.
+
+    Tokens are ``\\s+`` splits of the trimmed text and chunk_text
+    re-joins them with single spaces — intra-document whitespace runs
+    are NOT preserved (the normalization every whitespace tokenizer
+    implies; byte-exact reconstruction needs the span representation
+    of `dedup.span_dedup` instead). NULL/whitespace-only documents
+    produce no chunks.
+
+    Scale notes: pure narrow column operations — one split, one
+    bounded sequence (ceil(n/stride) starts), one posexplode, one
+    slice per chunk; no shuffle, no UDF, fully codegen'd. Output row
+    count is ~n_tokens/stride per doc, so downstream exchanges see
+    amplification ~window/stride; chunk at the last pipeline stage
+    before embedding, never before corpus-wide dedup.
+
+    Replayed token-exactly by a pure-Python oracle in
+    tests/test_text.py (same contract, `re.split`), plus crafted
+    edges: empty, sub-window, exact-window, stride==window.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 1 <= stride <= window:
+        raise ValueError(
+            f"stride must be in [1, window={window}], got {stride}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # Last start: smallest multiple of stride with start+window >= n.
+    s_max = (F.ceil(F.greatest(n - F.lit(window), F.lit(0))
+                    / F.lit(stride)).cast("int") * stride)
+    return (docs
+            .filter(F.col(text_col).isNotNull()
+                    & (F.trim(F.col(text_col)) != ""))
+            .select(F.col(id_col), toks.alias("_ck_toks"),
+                    F.posexplode(
+                        F.sequence(F.lit(0), s_max, F.lit(stride)))
+                     .alias("chunk_idx", "start_tok"))
+            .select(id_col, "chunk_idx", "start_tok",
+                    F.slice(F.col("_ck_toks"),
+                            F.col("start_tok") + 1,
+                            F.lit(window)).alias("_ck_chunk"))
+            .select(id_col,
+                    F.col("chunk_idx").cast("long"),
+                    F.col("start_tok").cast("long"),
+                    F.size("_ck_chunk").cast("long").alias("n_tokens"),
+                    F.array_join("_ck_chunk", " ").alias("chunk_text")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring — the CCNet/KenLM-style "score documents
+# by a reference-corpus language model" filter, as pure aggregations
+# and joins.
+# ---------------------------------------------------------------------------
+
+def ngram_lm_train(corpus: DataFrame, text_col: str = "text"
+                   ) -> tuple[DataFrame, DataFrame, int]:
+    """Train a bigram language model over the reference corpus:
+    returns (bigram counts (w1, w2, c12), unigram counts (w1, c1),
+    vocab_size). Tokenization is the shared `tokens_col` (lowercased
+    alnum runs), bigrams are within-document adjacent pairs.
+
+    Persist the two count frames (bucketed by w1) and re-use across
+    scoring runs; vocab_size is the only driver-side state (one
+    count). Scale: two map-side-combined aggregations over the
+    exploded token stream — the exact q_text_analysis shape.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    bi = (corpus
+          .select(F.explode(
+              F.transform(
+                  F.slice(toks, 1, n - 1),
+                  lambda x, i: F.struct(
+                      x.alias("w1"),
+                      F.element_at(toks, i + F.lit(2)).alias("w2")))
+          ).alias("bg"))
+          .select("bg.w1", "bg.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    uni = (corpus
+           .select(F.explode(toks).alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    return bi, uni, uni.count()
+
+
+def ngram_lm_score(docs: DataFrame, bigrams: DataFrame,
+                   unigrams: DataFrame, vocab_size: int,
+                   add_k: float = 1.0, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Score each document by the reference bigram model: mean
+    add-k-smoothed log-probability of its bigrams,
+    ``log((c12 + k) / (c1 + k·V))``, plus the derived perplexity
+    ``exp(-avg_logp)`` — the quality-filter statistic (in-domain
+    fluent text scores low-perplexity; gibberish and boilerplate
+    score high). Documents with fewer than 2 tokens get NULL
+    avg_logp/ppl and n_bigrams = 0 (NULL text keeps NULL counts).
+
+    Unseen bigram -> c12 = 0; unseen w1 -> c1 = 0 (both smoothed,
+    never -inf). Replayed in Python (Counter + math.log) in
+    tests/test_text.py.
+
+    Scale notes: one explode + two equi-joins against the count
+    frames — broadcast when the model is small, hash-partitioned on
+    the token key otherwise (bucket the persisted counts by w1/(w1,
+    w2) to make scoring shuffle-free) — then one map-side-combined
+    per-doc average. No UDFs; everything stays in codegen.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    doc_bi = (docs
+              .select(F.col(id_col), F.posexplode(
+                  F.transform(
+                      F.slice(toks, 1, n - 1),
+                      lambda x, i: F.struct(
+                          x.alias("w1"),
+                          F.element_at(toks, i + F.lit(2)).alias("w2")))
+              ).alias("_lm_pos", "bg"))
+              .select(id_col, "bg.w1", "bg.w2"))
+    scored = (doc_bi
+              .join(bigrams, ["w1", "w2"], "left")
+              .join(unigrams, ["w1"], "left")
+              .withColumn("_lm_lp", F.log(
+                  (F.coalesce("c12", F.lit(0)) + F.lit(float(add_k)))
+                  / (F.coalesce("c1", F.lit(0))
+                     + F.lit(float(add_k) * vocab_size))))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.avg("_lm_lp").alias("avg_logp")))
+    base = docs.select(F.col(id_col),
+                       F.col(text_col).isNull().alias("_lm_null"))
+    return (base.join(scored, id_col, "left")
+            .select(id_col,
+                    F.when(F.col("_lm_null"), F.lit(None))
+                     .otherwise(F.coalesce("n_bigrams", F.lit(0)))
+                     .alias("n_bigrams"),
+                    F.col("avg_logp"),
+                    F.exp(-F.col("avg_logp")).alias("ppl")))

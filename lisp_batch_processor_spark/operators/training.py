@@ -478,3 +478,60 @@ def shuffle_deterministic(docs: DataFrame, salt: str = "shuffle-v1",
     parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
     return (out.repartitionByRange(parts, "shuffle_key", F.col(id_col))
             .sortWithinPartitions("shuffle_key", id_col))
+
+
+# ---------------------------------------------------------------------------
+# Exact-k stratified sampling — fixed per-stratum budgets for eval
+# sets and ablation corpora.
+# ---------------------------------------------------------------------------
+
+def stratified_sample_exact(df: DataFrame, strata: str | Sequence[str],
+                            k: int, id_col: str = "doc_id",
+                            salt: str = "strata-v1",
+                            n_buckets: int = 32) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen
+    deterministically: rows rank by the salted 60-bit md5 word of
+    their id (`_hash_word`, the repo-wide portable hash) and the k
+    smallest win. A pure function of (salt, id) — reruns,
+    repartitionings, and other engines replay the identical sample
+    (DuckDB twin: ``ROW_NUMBER() OVER (PARTITION BY strata ORDER BY
+    hash, id) <= k`` with the documented md5 construction) — unlike
+    ``df.sampleBy``, which is seed-and-partitioning dependent and
+    only approximates the fraction.
+
+    Versus `split_assign` (hash-THRESHOLD sampling): thresholds give
+    append-stable membership but only approximate counts; exact-k
+    gives a fixed budget but adding corpus rows can displace earlier
+    picks (a row's rank is relative). Pick per use case: eval split
+    -> thresholds; "exactly 10k docs per language for the ablation"
+    -> this.
+
+    Scale notes — skew-safe two-phase top-k (the `skew.py` two-phase
+    agg pattern applied to ORDER statistics): a naive per-stratum
+    window sorts every row of the largest stratum in one task. Phase
+    1 ranks within (stratum, pmod(hash, n_buckets)) — at most B
+    bounded sorts per stratum, each over ~1/B of it — and keeps
+    bucket-local top-k, which PROVABLY contains the stratum top-k
+    (any global top-k row has < k stratum rows hashed below it, so
+    at most k-1 in its own bucket). Phase 2 re-ranks the <= B*k
+    survivors per stratum exactly. Result is n_buckets-invariant
+    (pinned in tests) — B only caps the biggest single-task sort.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    keys = [strata] if isinstance(strata, str) else list(strata)
+    work = df.withColumn("_ss_h", _hash_word(salt, F.col(id_col)))
+    if n_buckets > 1:
+        w1 = Window.partitionBy(
+            *keys, F.pmod(F.col("_ss_h"), F.lit(n_buckets))
+        ).orderBy("_ss_h", id_col)
+        work = (work.withColumn("_ss_rn", F.row_number().over(w1))
+                .filter(F.col("_ss_rn") <= k).drop("_ss_rn"))
+    w2 = Window.partitionBy(*keys).orderBy("_ss_h", id_col)
+    return (work.withColumn("_ss_rn", F.row_number().over(w2))
+            .filter(F.col("_ss_rn") <= k)
+            .drop("_ss_h", "_ss_rn"))

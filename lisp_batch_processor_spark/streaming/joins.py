@@ -1,0 +1,96 @@
+"""Stream-stream time-bounded joins — the native Structured
+Streaming join class (state on BOTH sides, watermark-bounded), which
+none of the other streaming twins exercise: sessions/funnel are
+stateful aggregations, dedup is a keyed filter, the ingest loops are
+foreachBatch. This module covers the canonical shape — last-touch
+attribution: every conversion joined to the latest qualifying touch
+by the same user within a horizon.
+
+Why this is the scale-correct plan: Spark's stream-stream inner join
+with a time-range condition keeps BOTH sides' state bounded by the
+watermark + the range bound (touches older than
+max(watermark, conv_watermark - horizon) are evicted; conversions
+likewise) — state is (arrival rate × horizon) per side, never the
+full history. The downstream "latest touch per conversion" is an
+append-mode aggregation keyed by the conversion's event-time column,
+so its state also closes with the watermark. Both stateful operators
+run in ONE query (Spark's chained-stateful-operator support); the
+alternative — materialize the join and post-process in batch — would
+re-read the join output every trigger.
+
+Semantics contract (pinned against the batch twin
+`operators.events.attribution_join` by full replay + flush in
+tests/test_streaming_joins.py):
+
+- inner: conversions with no qualifying touch never emit (a
+  left-outer variant would emit them only at watermark close; the
+  batch twin filters to matched rows for the same set);
+- latest touch wins; ties at one instant resolve to the greatest
+  touch id (``max(struct(touch_ts, touch_id))`` here ==
+  asof_join's greatest-right-struct there);
+- same-instant touches qualify (``touch_ts <= conv_ts``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_attribution_join(events: DataFrame,
+                               conv_type: str = "purchase",
+                               touch_type: str = "click",
+                               horizon_s: int = 24 * 3600,
+                               watermark: str = "30 minutes",
+                               user_col: str = "user_id",
+                               ts_col: str = "ts",
+                               type_col: str = "event_type",
+                               id_col: str = "event_id") -> DataFrame:
+    """Append-mode stream of (user, conversion_id, conv_ts, touch_id,
+    touch_ts): one row per attributed conversion, emitted once the
+    watermark seals it (no earlier — a later-arriving better touch
+    inside the watermark must still be able to win).
+
+    Input may be a stream or a batch frame routed through the same
+    function for differential testing. Both sides derive from ONE
+    pre-filtered pass over `events`; non-participating event types
+    never enter join state.
+    """
+    if conv_type == touch_type:
+        raise ValueError("conv_type and touch_type must differ "
+                         f"(got {conv_type!r} for both)")
+    # Watermark placement note: each branch's watermark advances only
+    # on events of ITS participating type — Catalyst evaluates the
+    # type filter before the watermark stats collection regardless of
+    # where withWatermark sits in the chain (verified empirically: a
+    # non-participating "noise" event advances neither watermark).
+    # The global watermark is the min of the two branches, so
+    # emission progress requires BOTH touch- and conversion-type
+    # traffic; that is the honest semantics for a join between those
+    # two sub-streams. Differential tests flush with one event of
+    # each participating type.
+    touches = (events
+               .withWatermark(ts_col, watermark)
+               .filter(F.col(type_col) == touch_type)
+               .select(F.col(user_col).alias("t_user"),
+                       F.col(ts_col).alias("touch_ts"),
+                       F.col(id_col).alias("touch_id")))
+    convs = (events
+             .withWatermark(ts_col, watermark)
+             .filter(F.col(type_col) == conv_type)
+             .select(F.col(user_col).alias("c_user"),
+                     F.col(ts_col).alias("conv_ts"),
+                     F.col(id_col).alias("conversion_id")))
+    lo = F.col("conv_ts") - F.expr(f"INTERVAL {int(horizon_s)} SECOND")
+    joined = convs.join(
+        touches,
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") >= lo))
+    return (joined
+            .groupBy("c_user", "conversion_id", "conv_ts")
+            .agg(F.max(F.struct("touch_ts", "touch_id")).alias("_at"))
+            .select(F.col("c_user").alias(user_col),
+                    "conversion_id", "conv_ts",
+                    F.col("_at.touch_id").alias("touch_id"),
+                    F.col("_at.touch_ts").alias("touch_ts")))

@@ -1,0 +1,102 @@
+"""Stream-stream attribution join: multi-micro-batch replay (with an
+out-of-order touch inside the watermark) + flush must emit exactly
+the batch attribution_join's rows."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.operators.events import attribution_join
+from lisp_batch_processor_spark.streaming.joins import (
+    streaming_attribution_join)
+
+BASE = datetime(2025, 6, 1)
+S = 1_000_000  # one second in microseconds
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _ev(eid, us, uid, et):
+    return (eid, BASE + timedelta(microseconds=us), uid, et)
+
+
+@pytest.mark.slow
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    horizon = 3600
+
+    b1 = [
+        _ev(1, 0, 1, "click"),
+        _ev(2, 50 * S, 1, "click"),          # later touch, should win
+        _ev(3, 100 * S, 1, "purchase"),      # -> touch 2
+        _ev(4, 0, 2, "purchase"),            # no touch yet -> dropped
+        _ev(5, 10 * S, 3, "click"),
+        _ev(6, 7200 * S, 3, "purchase"),     # touch 5 beyond horizon
+        _ev(7, 500 * S, 4, "click"),
+    ]
+    b2 = [
+        # Out-of-order: a touch for user 5 arrives AFTER its
+        # conversion was read, inside the watermark — it must still
+        # win over touch 9 (earlier ts).
+        _ev(8, 700 * S, 5, "click"),
+        _ev(9, 600 * S, 5, "click"),
+        _ev(10, 800 * S, 5, "purchase"),     # -> touch 8
+        _ev(11, 500 * S, 4, "purchase"),     # same instant as touch 7
+        _ev(12, 500 * S, 6, "click"),        # tie ids: 12 vs 13
+        _ev(13, 500 * S, 6, "click"),
+        _ev(14, 600 * S, 6, "purchase"),     # -> max id touch 13
+    ]
+    # Flush batches carry one event of EACH participating type (the
+    # branch watermarks advance only on their own type — a noise
+    # event advances neither), for users with no counterpart so
+    # nothing extra emits. Two flush batches: the first advances the
+    # watermark past the real events, the second makes the engine
+    # apply that watermark inside a DATA batch (processAllAvailable
+    # does not wait for trailing no-data batches).
+    flush1 = [_ev(96, 864000 * S, 999, "click"),
+              _ev(97, 864000 * S, 998, "purchase")]
+    flush2 = [_ev(98, 2 * 864000 * S, 999, "click"),
+              _ev(99, 2 * 864000 * S, 998, "purchase")]
+
+    src = os.path.join(str(tmp_path), "ev_in")
+    for i, batch in enumerate((b1, b2, flush1, flush2)):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(src, f"batch={i}"))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    out = streaming_attribution_join(stream, horizon_s=horizon)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("attr_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        emitted = {(r.user_id, r.conversion_id, r.touch_id)
+                   for r in spark.sql(
+                       "SELECT * FROM attr_out").collect()}
+    finally:
+        spark.catalog.dropTempView("attr_out")
+
+    batch_df = spark.createDataFrame(b1 + b2 + flush1 + flush2, SCHEMA)
+    want = {(r.user_id, r.conversion_id, r.touch_id)
+            for r in attribution_join(batch_df,
+                                      horizon_s=horizon).collect()}
+    assert emitted == want
+    # The crafted expectations, explicitly:
+    assert want == {(1, 3, 2),    # latest of two touches
+                    (5, 10, 8),   # the out-of-order cross-batch touch
+                    (4, 11, 7),   # same-instant touch qualifies
+                    (6, 14, 13)}  # tie at one instant -> max touch id
+    # Dropped: user 2 (no touch), user 3 (touch beyond horizon).
+
+
+def test_streaming_attribution_validation(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError, match="must differ"):
+        streaming_attribution_join(df, conv_type="click",
+                                   touch_type="click")

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.operators.text import (
@@ -229,3 +230,161 @@ def test_hashed_feature_scores_matches_python_replay(spark):
     assert got[1][1] < got[0][1]
     # Token-less docs score sigmoid(bias).
     assert got[3] == got[5] == (0, round(1 / (1 + math.exp(0.5)), 12))
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+def _chunk_replay(text: str, window: int, stride: int):
+    """Pure-Python oracle for chunk_documents' contract."""
+    import math
+    import re as _re
+
+    if text is None or text.strip() == "":
+        return []
+    toks = _re.split(r"\s+", text.strip())
+    n = len(toks)
+    s_max = math.ceil(max(n - window, 0) / stride) * stride
+    out = []
+    for idx, start in enumerate(range(0, s_max + 1, stride)):
+        chunk = toks[start:start + window]
+        out.append((idx, start, len(chunk), " ".join(chunk)))
+    return out
+
+
+def test_chunk_documents_replays_python_oracle(spark, sf_dir):
+    from lisp_batch_processor_spark.operators.text import chunk_documents
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 60).select("doc_id", "text"))
+    window, stride = 16, 12
+    got = {(r.doc_id, r.chunk_idx): (r.start_tok, r.n_tokens,
+                                     r.chunk_text)
+           for r in chunk_documents(docs, window, stride).collect()}
+    want = {}
+    for r in docs.collect():
+        for idx, start, ntok, ctext in _chunk_replay(r.text, window,
+                                                     stride):
+            want[(r.doc_id, idx)] = (start, ntok, ctext)
+    assert got == want
+    assert len(got) > len({k[0] for k in got})  # some doc chunked >1
+
+
+def test_chunk_documents_crafted_edges(spark):
+    from lisp_batch_processor_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, None),                      # no chunks
+         (1, "   "),                     # whitespace-only: no chunks
+         (2, "one"),                     # single sub-window chunk
+         (3, "a b c d"),                 # exactly window -> one chunk
+         (4, "a b c d e"),               # window+1 -> two chunks
+         (5, "a  b\tc\nd e f g h")],     # whitespace runs normalize
+        "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_idx): (r.start_tok, r.n_tokens,
+                                     r.chunk_text)
+           for r in chunk_documents(docs, window=4, stride=2).collect()}
+    assert {k[0] for k in got} == {2, 3, 4, 5}
+    assert got[(2, 0)] == (0, 1, "one")
+    assert got[(3, 0)] == (0, 4, "a b c d")
+    assert (3, 1) not in got                 # no redundant tail chunk
+    assert got[(4, 0)] == (0, 4, "a b c d")
+    assert got[(4, 1)] == (2, 3, "c d e")    # covers the tail
+    # 8 tokens, window 4, stride 2 -> starts 0,2,4; overlap = 2.
+    assert got[(5, 0)] == (0, 4, "a b c d")
+    assert got[(5, 1)] == (2, 4, "c d e f")
+    assert got[(5, 2)] == (4, 4, "e f g h")
+
+    # stride == window: partition, no overlap, full coverage.
+    nv = {(r.doc_id, r.chunk_idx): r.chunk_text
+          for r in chunk_documents(docs, window=3, stride=3).collect()}
+    assert nv[(5, 0)] == "a b c" and nv[(5, 1)] == "d e f" \
+        and nv[(5, 2)] == "g h"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=4, stride=5)
+    with _pytest.raises(ValueError, match="window"):
+        chunk_documents(docs, window=0, stride=1)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+def _lm_tokens(text):
+    import re as _re
+    if text is None:
+        return []
+    lowered = "".join(
+        chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in text)
+    return [t for t in _re.split(r"[^a-z0-9]+", lowered) if t]
+
+
+def test_ngram_lm_replays_python_oracle(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from lisp_batch_processor_spark.operators.text import (
+        ngram_lm_score, ngram_lm_train)
+
+    corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .filter(F.col("doc_id") < 120).select("doc_id", "text"))
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 180))
+            .select("doc_id", "text"))
+
+    bi, uni, v = ngram_lm_train(corpus)
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp, r.ppl)
+           for r in ngram_lm_score(docs, bi, uni, v, add_k=1.0).collect()}
+
+    # Python replay.
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for r in corpus.collect():
+        toks = _lm_tokens(r.text)
+        c1.update(toks)
+        c12.update(zip(toks, toks[1:]))
+    vv = len(c1)
+    assert vv == v
+    for r in docs.collect():
+        toks = _lm_tokens(r.text)
+        bgs = list(zip(toks, toks[1:]))
+        n_bi, avg, ppl = got[r.doc_id]
+        if r.text is None:
+            assert n_bi is None and avg is None and ppl is None
+            continue
+        assert n_bi == len(bgs)
+        if not bgs:
+            assert avg is None and ppl is None
+            continue
+        lps = [math.log((c12[bg] + 1.0) / (c1[bg[0]] + vv))
+               for bg in bgs]
+        want_avg = sum(lps) / len(lps)
+        assert avg == pytest.approx(want_avg, rel=1e-9)
+        assert ppl == pytest.approx(math.exp(-want_avg), rel=1e-9)
+
+    # The filter property the operator exists for: in-domain text
+    # scores lower perplexity than shuffled-vocabulary gibberish.
+    sample = corpus.limit(1).collect()[0]
+    in_domain = sample.text
+    toks = _lm_tokens(in_domain)
+    gibberish = " ".join(sorted(set(toks))[::-1][:len(toks)] or ["zz"])
+    test_df = spark.createDataFrame(
+        [(0, in_domain), (1, gibberish * 3)], "doc_id long, text string")
+    s = {r.doc_id: r.ppl
+         for r in ngram_lm_score(test_df, bi, uni, v).collect()}
+    assert s[0] < s[1]
+
+
+def test_ngram_lm_validation(spark):
+    from lisp_batch_processor_spark.operators.text import ngram_lm_score
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    w = spark.createDataFrame([], "w1 string, w2 string, c12 long")
+    u = spark.createDataFrame([], "w1 string, c1 long")
+    with pytest.raises(ValueError, match="vocab_size"):
+        ngram_lm_score(empty, w, u, 0)
+    with pytest.raises(ValueError, match="add_k"):
+        ngram_lm_score(empty, w, u, 10, add_k=0)

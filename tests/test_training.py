@@ -437,3 +437,74 @@ def test_mix_and_epoch_rates_properties(tokens, weights):
         e2 = epoch_rates(tokens, target, budget * 3)
         for d in e2:
             assert abs(e2[d] / e1[d] - 3) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample_exact
+# ---------------------------------------------------------------------------
+
+def _md5_word(salt: str, v) -> int:
+    h = hashlib.md5(f"{salt}:{v}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def test_stratified_sample_exact_counts_and_replay(spark):
+    from lisp_batch_processor_spark.operators.training import (
+        stratified_sample_exact)
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet") \
+        .select("doc_id", "lang")
+    k = 7
+    got = stratified_sample_exact(docs, "lang", k, id_col="doc_id",
+                                  salt="s1")
+    rows = [(r.lang, r.doc_id) for r in got.collect()]
+
+    # Exact budget: min(k, |stratum|) per lang; no duplicates.
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per = {}
+    for lang, did in rows:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {lang: min(k, n) for lang, n in sizes.items()}
+    assert len(rows) == len(set(rows))
+
+    # Python hashlib replay: the k smallest (md5word, id) per lang.
+    all_rows = [(r.lang, r.doc_id) for r in docs.collect()]
+    want = set()
+    by_lang: dict = {}
+    for lang, did in all_rows:
+        by_lang.setdefault(lang, []).append((_md5_word("s1", did), did))
+    for lang, lst in by_lang.items():
+        for _, did in sorted(lst)[:k]:
+            want.add((lang, did))
+    assert set(rows) == want
+
+
+def test_stratified_sample_exact_bucket_invariance(spark):
+    """The two-phase skew-safe plan must return EXACTLY the naive
+    single-window result for every bucket count."""
+    from lisp_batch_processor_spark.operators.training import (
+        stratified_sample_exact)
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet") \
+        .select("doc_id", "lang")
+    base = {(r.lang, r.doc_id)
+            for r in stratified_sample_exact(
+                docs, "lang", 5, n_buckets=1).collect()}
+    for b in (2, 32, 101):
+        got = {(r.lang, r.doc_id)
+               for r in stratified_sample_exact(
+                   docs, "lang", 5, n_buckets=b).collect()}
+        assert got == base, f"n_buckets={b} diverged"
+
+
+def test_stratified_sample_exact_validation(spark):
+    from lisp_batch_processor_spark.operators.training import (
+        stratified_sample_exact)
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"),
+                                 F.lit("x").alias("lang"))
+    with pytest.raises(ValueError, match="k must"):
+        stratified_sample_exact(docs, "lang", 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        stratified_sample_exact(docs, "lang", 1, n_buckets=0)
