@@ -615,14 +615,19 @@ def chunk_documents(docs: DataFrame, window: int = 64,
     if not 1 <= stride <= window:
         raise ValueError(
             f"stride must be in [1, window={window}], got {stride}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Filter boundary empties rather than trim(): Spark's trim strips
+    # ASCII spaces only, so a leading tab/newline would survive and
+    # \s+ splitting would emit a spurious empty first token (fuzz-
+    # caught). Empty tokens can only arise at the boundaries, so the
+    # filter is exactly Python's strip()-then-split semantics.
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != "")
     n = F.size(toks)
     # Last start: smallest multiple of stride with start+window >= n.
     s_max = (F.ceil(F.greatest(n - F.lit(window), F.lit(0))
                     / F.lit(stride)).cast("int") * stride)
     return (docs
-            .filter(F.col(text_col).isNotNull()
-                    & (F.trim(F.col(text_col)) != ""))
+            .filter(F.col(text_col).isNotNull() & (n > 0))
             .select(F.col(id_col), toks.alias("_ck_toks"),
                     F.posexplode(
                         F.sequence(F.lit(0), s_max, F.lit(stride)))
@@ -661,7 +666,7 @@ def ngram_lm_train(corpus: DataFrame, text_col: str = "text"
     bi = (corpus
           .select(F.explode(
               F.transform(
-                  F.slice(toks, 1, n - 1),
+                  F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
                   lambda x, i: F.struct(
                       x.alias("w1"),
                       F.element_at(toks, i + F.lit(2)).alias("w2")))
@@ -705,7 +710,7 @@ def ngram_lm_score(docs: DataFrame, bigrams: DataFrame,
     doc_bi = (docs
               .select(F.col(id_col), F.posexplode(
                   F.transform(
-                      F.slice(toks, 1, n - 1),
+                      F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
                       lambda x, i: F.struct(
                           x.alias("w1"),
                           F.element_at(toks, i + F.lit(2)).alias("w2")))

@@ -1,0 +1,198 @@
+"""Randomized differential tests for the round-5 library operators:
+each one replayed on seeded-random inputs against an independent
+pure-Python implementation of its contract (the same discipline
+test_differential_fuzz.py applies to the 48 oracled registry
+queries). Seeds are fixed, so failures reproduce."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+import re
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = datetime(2025, 3, 1)
+
+
+def _md5_word(salt: str, v) -> int:
+    return int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+def test_fuzz_chunk_documents(spark):
+    from lisp_batch_processor_spark.operators.text import chunk_documents
+
+    rng = random.Random(501)
+    vocab = ["alpha", "b", "gamma7", "x"]
+    ws = [" ", "  ", "\t", "\n", " \n "]
+    rows = []
+    for did in range(120):
+        if rng.random() < 0.08:
+            rows.append((did, None))
+            continue
+        if rng.random() < 0.08:
+            rows.append((did, rng.choice(["", " ", "\t\n"])))
+            continue
+        n = rng.randint(1, 40)
+        text = ""
+        if rng.random() < 0.3:
+            text += rng.choice(ws)  # leading whitespace
+        text += rng.choice(ws).join(rng.choice(vocab) for _ in range(n))
+        if rng.random() < 0.3:
+            text += rng.choice(ws)
+        rows.append((did, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for window, stride in ((1, 1), (5, 5), (8, 3), (64, 48)):
+        got = {(r.doc_id, r.chunk_idx): (r.start_tok, r.n_tokens,
+                                         r.chunk_text)
+               for r in chunk_documents(docs, window, stride).collect()}
+        want = {}
+        for did, text in rows:
+            if text is None or text.strip() == "":
+                continue
+            toks = re.split(r"\s+", text.strip())
+            n = len(toks)
+            s_max = math.ceil(max(n - window, 0) / stride) * stride
+            for idx, start in enumerate(range(0, s_max + 1, stride)):
+                chunk = toks[start:start + window]
+                want[(did, idx)] = (start, len(chunk), " ".join(chunk))
+        assert got == want, f"window={window} stride={stride}"
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample_exact
+# ---------------------------------------------------------------------------
+
+def test_fuzz_stratified_sample_exact(spark):
+    from lisp_batch_processor_spark.operators.training import (
+        stratified_sample_exact)
+
+    rng = random.Random(502)
+    # Skewed strata: one giant, several small, one singleton; ids
+    # sparse and shuffled.
+    rows = []
+    ids = rng.sample(range(10**6), 800)
+    it = iter(ids)
+    for _ in range(600):
+        rows.append((next(it), "big"))
+    for s in ("s1", "s2", "s3"):
+        for _ in range(rng.randint(2, 30)):
+            rows.append((next(it), s))
+    rows.append((next(it), "lone"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    for k in (1, 3, 17):
+        got = {(r.lang, r.doc_id)
+               for r in stratified_sample_exact(
+                   docs, "lang", k, salt="fz", n_buckets=7).collect()}
+        by = {}
+        for did, lang in rows:
+            by.setdefault(lang, []).append((_md5_word("fz", did), did))
+        want = {(lang, did)
+                for lang, lst in by.items()
+                for _, did in sorted(lst)[:k]}
+        assert got == want, f"k={k}"
+
+
+# ---------------------------------------------------------------------------
+# attribution_join (batch twin) vs brute force
+# ---------------------------------------------------------------------------
+
+def test_fuzz_attribution_join(spark):
+    from lisp_batch_processor_spark.operators.events import (
+        attribution_join)
+
+    rng = random.Random(503)
+    horizon = 300
+    rows = []
+    eid = 0
+    for _ in range(900):
+        eid += 1
+        uid = rng.randint(1, 25)
+        # Coarse time grid forces same-instant collisions and ties.
+        us = rng.randint(0, 120) * 10_000_000
+        et = rng.choice(["click", "click", "purchase", "noise"])
+        rows.append((eid, BASE + timedelta(microseconds=us), uid, et))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+
+    got = {(r.user_id, r.conversion_id): (r.touch_id, r.touch_ts)
+           for r in attribution_join(events, horizon_s=horizon).collect()}
+
+    touches: dict = {}
+    for eid_, ts, uid, et in rows:
+        if et == "click":
+            touches.setdefault(uid, []).append((ts, eid_))
+    want = {}
+    for eid_, ts, uid, et in rows:
+        if et != "purchase":
+            continue
+        cands = [(t, i) for t, i in touches.get(uid, [])
+                 if t <= ts and (ts - t).total_seconds() <= horizon]
+        if cands:
+            bt, bi = max(cands)
+            want[(uid, eid_)] = (bi, bt)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ngram LM score vs Counter replay
+# ---------------------------------------------------------------------------
+
+def test_fuzz_ngram_lm(spark):
+    from collections import Counter
+
+    from lisp_batch_processor_spark.operators.text import (
+        ngram_lm_score, ngram_lm_train)
+
+    rng = random.Random(504)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+    def mk(n_docs, start):
+        out = []
+        for d in range(n_docs):
+            n = rng.randint(0, 25)
+            out.append((start + d,
+                        " ".join(rng.choice(vocab) for _ in range(n))
+                        if n or rng.random() < 0.5 else None))
+        return out
+
+    corpus_rows = mk(60, 0)
+    doc_rows = mk(40, 1000)
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    docs = spark.createDataFrame(doc_rows, schema)
+
+    bi, uni, v = ngram_lm_train(corpus)
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp)
+           for r in ngram_lm_score(docs, bi, uni, v, add_k=0.5).collect()}
+
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for _, text in corpus_rows:
+        toks = text.split() if text else []
+        c1.update(toks)
+        c12.update(zip(toks, toks[1:]))
+    assert v == len(c1)
+    for did, text in doc_rows:
+        n_bi, avg = got[did]
+        if text is None:
+            assert n_bi is None and avg is None
+            continue
+        bgs = list(zip(text.split(), text.split()[1:]))
+        assert n_bi == len(bgs)
+        if not bgs:
+            assert avg is None
+            continue
+        lps = [math.log((c12[bg] + 0.5) / (c1[bg[0]] + 0.5 * v))
+               for bg in bgs]
+        assert avg == pytest.approx(sum(lps) / len(lps), rel=1e-9)
