@@ -67,3 +67,119 @@ def hll_estimate(sketches: DataFrame) -> DataFrame:
     read path for already-rolled-up sketch tables."""
     return sketches.withColumn(
         "n_distinct", F.hll_sketch_estimate("sketch"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile histograms — the percentile counterpart of the
+# HLL rollups: per-batch bucket counts against FIXED trained
+# boundaries, merged by addition, quantiles answered from kilobytes.
+# ---------------------------------------------------------------------------
+#
+# Exact percentiles over a petabyte re-sort the column per question;
+# approx_percentile is one-shot (its internal GK summaries never
+# persist). The mergeable pattern: train B equi-populated bucket
+# boundaries ONCE on a reference sample (driver model: B doubles),
+# then reduce each batch/day/partition to exact per-bucket counts —
+# counts add, so daily histograms roll up to monthly to all-time with
+# no re-scan, any grouping. Rank error is bounded by the occupancy of
+# the answer bucket: ~1/B of the mass for stationary data (the
+# boundaries were equi-populated), degrading gracefully — and
+# measurably, via the returned bucket mass — under drift, never
+# wrong about which bucket holds the quantile (counts are exact).
+
+QHIST_BUCKETS = 256
+
+
+def quantile_bins_train(df: DataFrame, col: str,
+                        n_buckets: int = QHIST_BUCKETS,
+                        relative_error: float | None = None
+                        ) -> list[float]:
+    """Train the shared bucket boundaries: (n_buckets - 1) interior
+    splits at the reference data's equi-populated quantiles (the
+    zorder_write rank-bucket construction). Persist the returned
+    list alongside the sketch table — every build and every estimate
+    must use the same boundaries, or merges are meaningless."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    err = (1.0 / (4 * n_buckets) if relative_error is None
+           else relative_error)
+    return sorted(set(df.approxQuantile(col, qs, err)))
+
+
+def quantile_hist_build(df: DataFrame, keys: Sequence[str], col: str,
+                        splits: list[float]) -> DataFrame:
+    """Exact per-bucket counts of ``col`` per ``keys`` group against
+    the trained ``splits``: ``keys..., bucket, cnt`` with bucket i
+    covering [splits[i-1], splits[i]) (0 = below the first split,
+    len(splits) = at/above the last; NULLs are excluded). JVM binary
+    search via the Bucketizer pattern is overkill for a histogram —
+    a broadcast of B boundaries into `width_bucket`-style range
+    lookup compiles to one codegen'd expression; counts combine
+    map-side, so the shuffle carries <= B rows per map partition."""
+    if not splits:
+        raise ValueError("splits must be non-empty "
+                         "(train with quantile_bins_train)")
+    if sorted(splits) != list(splits):
+        raise ValueError("splits must be sorted ascending")
+    arr = F.array(*[F.lit(float(s)) for s in splits])
+    c = F.col(col).cast("double")
+    # Number of boundaries <= value == the 0-based bucket index.
+    bucket = F.size(F.filter(arr, lambda s: s <= c))
+    return (df.filter(c.isNotNull())
+            .groupBy(*keys, bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantile_hist_merge(hists: DataFrame,
+                        keys: Sequence[str]) -> DataFrame:
+    """Roll persisted histograms to a coarser grouping: counts ADD
+    (drop the finer columns first, e.g. daily -> monthly). The
+    shuffle carries <= B rows per input group."""
+    return (hists.groupBy(*keys, "bucket")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def quantile_hist_estimate(hist: DataFrame, keys: Sequence[str],
+                           splits: list[float],
+                           qs: Sequence[float]) -> DataFrame:
+    """Per-group quantile estimates from a (merged) histogram:
+    ``keys..., q, value, bucket_mass``. The estimate is the LOWER
+    boundary of the bucket containing rank ceil(q*N) (clamped to the
+    split range for the open-ended edge buckets); ``bucket_mass`` is
+    that bucket's share of the group's rows — the per-answer error
+    certificate (the true quantile lies within the reported bucket,
+    whose boundaries are adjacent splits).
+
+    Plan: one cumulative-sum window per group over <= B+1 rows, then
+    a bounded explode of the requested q's — no row data touched.
+    """
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy(*keys)
+    arr = F.array(*[F.lit(float(s)) for s in splits])
+    cum = (hist
+           .withColumn("_qh_cum", F.sum("cnt").over(w))
+           .withColumn("_qh_n", F.sum("cnt").over(tot)))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = (cum.select(*keys, "bucket", "cnt", "_qh_cum", "_qh_n", qcol)
+           # First bucket whose cumulative count reaches rank
+           # ceil(q * N): the one containing the quantile.
+           .filter(F.col("_qh_cum") >= F.ceil(F.col("q") * F.col("_qh_n")))
+           .groupBy(*keys, "q")
+           .agg(F.min(F.struct("bucket", "cnt", "_qh_n")).alias("_qh")))
+    b = F.col("_qh.bucket")
+    return hit.select(
+        *keys, "q",
+        # Lower boundary of the bucket; bucket 0 has no lower split,
+        # report the first split (the known upper bound) instead.
+        F.element_at(arr, F.greatest(b, F.lit(1)).cast("int"))
+         .alias("value"),
+        (F.col("_qh.cnt").cast("double") / F.col("_qh._qh_n"))
+         .alias("bucket_mass"))

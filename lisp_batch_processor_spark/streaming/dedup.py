@@ -67,32 +67,56 @@ def streaming_near_dup_ingest(stream_docs: DataFrame, index_path: str,
     which the min-id assignment tolerates (duplicate index rows
     produce the same candidates).
     """
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = near_dup_ingest_epoch(batch_df, index_path, store_path,
+                                    threshold_num=threshold_num,
+                                    threshold_den=threshold_den)
+        sink(out, epoch_id)
+
+    return stream_docs.writeStream.foreachBatch(_process)
+
+
+def near_dup_ingest_epoch(batch_df: DataFrame, index_path: str,
+                          store_path: str, threshold_num: int = 7,
+                          threshold_den: int = 10) -> DataFrame:
+    """One epoch of incremental near-dup ingest against the persisted
+    stores: assign the batch (eagerly materialized), then append the
+    survivors' signatures + shingle sets. The per-epoch work item of
+    `streaming_near_dup_ingest`, exposed for direct use and for the
+    replay pin.
+
+    REPLAY-SAFE WITHOUT epoch tags (unlike the line store — contrast
+    line_dedup_ingest_epoch): a replay that runs after its own append
+    finds each batch doc's own signature in the index, producing only
+    (a) self-pairs, which assignment resolves to rep = self exactly
+    as a no-neighbor doc resolves, and (b) duplicate index/store
+    rows, which change candidate multiplicity but never the min-id
+    assignment. Pinned by
+    tests/test_streaming_dedup.py::test_near_dup_epoch_replay.
+    """
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.operators.dedup import (
         banded_signatures, incremental_near_dups, minhash_signatures,
         shingle_store)
 
-    def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint(eager=True)
-        idx = spark.read.parquet(index_path)
-        store = spark.read.parquet(store_path)
-        out = (incremental_near_dups(None, batch,
-                                     corpus_index=idx,
-                                     verify_store=store,
-                                     threshold_num=threshold_num,
-                                     threshold_den=threshold_den)
-               .localCheckpoint(eager=True))  # snapshot pre-append
-        survivors = (batch.join(out.filter(~F.col("is_dup"))
-                                .select("doc_id"), "doc_id")
-                     .localCheckpoint(eager=True))
-        banded_signatures(minhash_signatures(survivors)) \
-            .write.mode("append").parquet(index_path)
-        shingle_store(survivors).write.mode("append").parquet(store_path)
-        sink(out, epoch_id)
-
-    return stream_docs.writeStream.foreachBatch(_process)
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint(eager=True)
+    idx = spark.read.parquet(index_path)
+    store = spark.read.parquet(store_path)
+    out = (incremental_near_dups(None, batch,
+                                 corpus_index=idx,
+                                 verify_store=store,
+                                 threshold_num=threshold_num,
+                                 threshold_den=threshold_den)
+           .localCheckpoint(eager=True))  # snapshot pre-append
+    survivors = (batch.join(out.filter(~F.col("is_dup"))
+                            .select("doc_id"), "doc_id")
+                 .localCheckpoint(eager=True))
+    banded_signatures(minhash_signatures(survivors)) \
+        .write.mode("append").parquet(index_path)
+    shingle_store(survivors).write.mode("append").parquet(store_path)
+    return out
 
 
 def line_store_init(spark, line_store_path: str) -> None:

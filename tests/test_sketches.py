@@ -61,3 +61,85 @@ def test_hll_rollup_matches_exact_within_bound(spark, tmp_path):
     got = {r.bucket: r.n_distinct for r in grouped.collect()}
     assert abs(got["small"] - 2000) <= 2000 * 0.065
     assert abs(got["big"] - 6000) <= 6000 * 0.065
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile histograms
+# ---------------------------------------------------------------------------
+
+def _qh_data(spark):
+    # Deterministic skewed-ish distribution, 3 groups.
+    return spark.range(0, 20000).selectExpr(
+        "id % 3 AS g",
+        "CAST((id * 37) % 10007 AS DOUBLE) AS v",
+        "id % 4 AS day")
+
+
+def test_quantile_hist_merge_equals_whole(spark):
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_hist_build, quantile_hist_merge)
+
+    df = _qh_data(spark)
+    splits = quantile_bins_train(df, "v", n_buckets=64)
+    whole = quantile_hist_build(df, ["g"], "v", splits)
+    # Per-day sketches persisted, then rolled up: counts must ADD to
+    # the single-pass result exactly.
+    daily = quantile_hist_build(df, ["g", "day"], "v", splits)
+    merged = quantile_hist_merge(daily.drop("day"), ["g"])
+    assert (merged.exceptAll(whole).count() == 0
+            and whole.exceptAll(merged).count() == 0)
+
+
+def test_quantile_hist_estimate_brackets_true_quantile(spark):
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_hist_build,
+        quantile_hist_estimate)
+
+    df = _qh_data(spark)
+    n_buckets = 64
+    splits = quantile_bins_train(df, "v", n_buckets=n_buckets)
+    hist = quantile_hist_build(df, ["g"], "v", splits)
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    est = {(r.g, r.q): (r.value, r.bucket_mass)
+           for r in quantile_hist_estimate(hist, ["g"], splits,
+                                           qs).collect()}
+
+    import math
+    rows = [(r.g, r.v) for r in df.collect()]
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        for q in qs:
+            true_v = vals[math.ceil(q * len(vals)) - 1]
+            true_bucket = sum(1 for s in splits if s <= true_v)
+            got_v, mass = est[(g, q)]
+            # The reported value is the lower boundary of the TRUE
+            # quantile's bucket (first split for the open bucket 0).
+            want_v = splits[max(true_bucket, 1) - 1]
+            assert got_v == want_v, (g, q, got_v, want_v)
+            # Equi-populated training buckets: the answer bucket
+            # holds ~1/B of the group's mass (generous 6x slack —
+            # per-group distributions differ from the pooled
+            # training distribution).
+            assert 0 < mass <= 6.0 / n_buckets, (g, q, mass)
+
+
+def test_quantile_hist_validation(spark):
+    import pytest
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_hist_build,
+        quantile_hist_estimate)
+
+    df = _qh_data(spark)
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_bins_train(df, "v", n_buckets=1)
+    with pytest.raises(ValueError, match="splits"):
+        quantile_hist_build(df, ["g"], "v", [])
+    with pytest.raises(ValueError, match="sorted"):
+        quantile_hist_build(df, ["g"], "v", [2.0, 1.0])
+    h = quantile_hist_build(df, ["g"], "v", [1.0, 2.0])
+    with pytest.raises(ValueError, match="quantiles"):
+        quantile_hist_estimate(h, ["g"], [1.0, 2.0], [0.0])

@@ -208,3 +208,52 @@ def test_line_dedup_epoch_replay(spark, tmp_path):
     out2 = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
             for r in line_dedup_ingest_epoch(later, store, 1).collect()}
     assert out2[5] == ("fresh line", 2, 1)
+
+
+@pytest.mark.slow
+def test_near_dup_epoch_replay(spark, tmp_path):
+    """Replaying a near-dup ingest epoch AFTER its own store append
+    (crash between append and commit) must produce identical
+    assignments: a doc's own just-appended signature yields only a
+    self-pair, which assignment resolves to rep = self."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        banded_signatures, minhash_signatures, shingle_store)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        near_dup_ingest_epoch)
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest to find some food for the "
+            "long winter")
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(10, base)], schema)
+    index_path = os.path.join(str(tmp_path), "index.parquet")
+    store_path = os.path.join(str(tmp_path), "store.parquet")
+    banded_signatures(minhash_signatures(corpus)).write.parquet(index_path)
+    shingle_store(corpus).write.parquet(store_path)
+
+    batch = spark.createDataFrame(
+        [(20, base.replace("winter", "summer")),  # corpus dup
+         (21, "totally novel text about mountains rivers valleys and "
+              "glaciers carving stone over ten thousand slow years")],
+        schema)
+
+    first = {(r.doc_id, r.rep_id, r.is_dup)
+             for r in near_dup_ingest_epoch(batch, index_path,
+                                            store_path).collect()}
+    assert first == {(20, 10, True), (21, 21, False)}
+
+    # Replay: index/store now already contain doc 21's rows.
+    replay = {(r.doc_id, r.rep_id, r.is_dup)
+              for r in near_dup_ingest_epoch(batch, index_path,
+                                             store_path).collect()}
+    assert replay == first
+    # And a later epoch still dedups against the (now twice-
+    # appended) survivor exactly once.
+    later = spark.createDataFrame(
+        [(30, "totally novel text about mountains rivers valleys and "
+              "glaciers carving stone over ten thousand fast years")],
+        schema)
+    out3 = {(r.doc_id, r.rep_id, r.is_dup)
+            for r in near_dup_ingest_epoch(later, index_path,
+                                           store_path).collect()}
+    assert out3 == {(30, 21, True)}
