@@ -196,3 +196,48 @@ def test_fuzz_ngram_lm(spark):
         lps = [math.log((c12[bg] + 0.5) / (c1[bg[0]] + 0.5 * v))
                for bg in bgs]
         assert avg == pytest.approx(sum(lps) / len(lps), rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# split-path SCD2 vs the pure batch chain, randomized epochs
+# ---------------------------------------------------------------------------
+
+def test_fuzz_scd2_split_equals_batch_chain(spark, tmp_path):
+    import os
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_apply, scd2_init, scd2_read, scd2_split_apply,
+        scd2_split_init)
+
+    rng = random.Random(505)
+    keys = list(range(12)) + [None]          # includes a NULL key
+    cities = ["lyon", "oslo", "kyiv", None]  # includes NULL attrs
+    tiers = ["gold", "silver", None]
+
+    def snap_rows():
+        return [(k, rng.choice(cities), rng.choice(tiers))
+                for k in rng.sample(keys, 6)]
+
+    schema = "k long, city string, tier string"
+    upd_schema = schema + ", effective_from timestamp"
+    snap = snap_rows()
+    path = os.path.join(str(tmp_path), "dim_fuzz")
+    t0 = BASE
+    scd2_split_init(spark.createDataFrame(snap, schema), t0, path,
+                    key="k")
+    want = scd2_init(spark.createDataFrame(snap, schema), t0, key="k")
+
+    for e in range(6):
+        eff = BASE + timedelta(days=e + 1)
+        batch_keys = rng.sample(keys, rng.randint(1, 8))
+        rows = [(k, rng.choice(cities), rng.choice(tiers), eff)
+                for k in batch_keys]  # unique per key: caller contract
+        upd = spark.createDataFrame(rows, upd_schema)
+        assert scd2_split_apply(spark, path, upd, key="k",
+                                attrs=["city", "tier"], epoch_id=e)
+        want = scd2_apply(want, upd, key="k", attrs=["city", "tier"])
+
+    got = {tuple(r) for r in scd2_read(spark, path).collect()}
+    exp = {tuple(r) for r in want.collect()}
+    assert got == exp
+    assert len(got) == len(scd2_read(spark, path).collect())  # no dups
