@@ -496,17 +496,18 @@ def attribution_join(events: DataFrame, conv_type: str = "purchase",
                      horizon_s: int = 24 * 3600,
                      user_col: str = "user_id", ts_col: str = "ts",
                      type_col: str = "event_type",
-                     id_col: str = "event_id") -> DataFrame:
+                     id_col: str = "event_id",
+                     emit_unmatched: bool = False) -> DataFrame:
     """For each ``conv_type`` event, the LATEST ``touch_type`` event
     by the same user with ``touch_ts <= conv_ts`` and within
     ``horizon_s`` seconds — last-touch attribution. Returns
     (user, conversion_id, conv_ts, touch_id, touch_ts), one row per
-    ATTRIBUTED conversion (inner semantics: conversions with no
-    qualifying touch are absent — the same contract as the streaming
-    twin, which cannot emit an unmatched row before its watermark
-    closes and uses the inner stream-stream join). Ties at one
-    instant resolve to the greatest touch id (asof_join's
-    greatest-right-struct rule — partitioning-independent).
+    ATTRIBUTED conversion; with ``emit_unmatched`` every conversion
+    appears and unattributed ones carry NULL touch columns (the
+    funnel-drop report). Ties at one instant resolve to the greatest
+    touch id (asof_join's greatest-right-struct rule —
+    partitioning-independent). Same contracts as the streaming twin
+    (inner vs left-outer stream-stream join).
 
     Plan shape: two filters of one scan, then `asof_join`'s single
     shuffle on the user key + one streaming window frame — no theta
@@ -523,8 +524,9 @@ def attribution_join(events: DataFrame, conv_type: str = "purchase",
                        F.col(id_col).alias("touch_id")))
     j = asof_join(convs, touches, on=ts_col, by=user_col,
                   tolerance_s=horizon_s, strict=False)
-    return (j.filter(F.col("r_touch_id").isNotNull())
-            .select(F.col(user_col), "conversion_id",
-                    F.col(ts_col).alias("conv_ts"),
-                    F.col("r_touch_id").alias("touch_id"),
-                    F.col(f"r_{ts_col}").alias("touch_ts")))
+    if not emit_unmatched:
+        j = j.filter(F.col("r_touch_id").isNotNull())
+    return (j.select(F.col(user_col), "conversion_id",
+                     F.col(ts_col).alias("conv_ts"),
+                     F.col("r_touch_id").alias("touch_id"),
+                     F.col(f"r_{ts_col}").alias("touch_ts")))

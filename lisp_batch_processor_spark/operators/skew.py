@@ -165,3 +165,39 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag", "n_items",
         F.round(F.col("sum_qty_dec"), 2).cast("double").alias("sum_qty"))
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics — measure before you salt.
+# ---------------------------------------------------------------------------
+
+def skew_stats(df: DataFrame, keys: Sequence[str],
+               top_k: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/aggregation key:
+    the ``top_k`` key values by row count with each one's absolute
+    count, share of all rows, and ratio to the MEAN per-key count
+    (``x_mean`` — the task-imbalance factor a hash partitioner would
+    suffer). Feed the result to a human or a salting policy:
+    ``x_mean`` near 1 ⇒ don't salt; a single key holding >> 1/tasks
+    of the rows ⇒ `salted_join`/`two_phase_agg` territory, with
+    n_salts ≈ ceil(hot-key share × desired tasks).
+
+    Plan: one map-side-combined count per key, one global aggregate
+    of the (small) per-key counts, one top-k — no row data beyond
+    the first count ever shuffles. Rows with NULL keys count as a
+    key like any other (NULL is a classic hot key).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_sk_rows"),
+        F.count(F.lit(1)).alias("_sk_keys")).localCheckpoint(eager=False)
+    return (counts.crossJoin(F.broadcast(totals))
+            .select(*keys, "cnt",
+                    (F.col("cnt") / F.col("_sk_rows")).alias("share"),
+                    (F.col("cnt") * F.col("_sk_keys")
+                     / F.col("_sk_rows")).alias("x_mean"))
+            .orderBy(F.col("cnt").desc(), *keys)
+            .limit(top_k))

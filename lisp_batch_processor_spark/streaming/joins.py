@@ -22,9 +22,11 @@ Semantics contract (pinned against the batch twin
 `operators.events.attribution_join` by full replay + flush in
 tests/test_streaming_joins.py):
 
-- inner: conversions with no qualifying touch never emit (a
-  left-outer variant would emit them only at watermark close; the
-  batch twin filters to matched rows for the same set);
+- inner (default): conversions with no qualifying touch never emit;
+  ``emit_unmatched`` switches both twins to left-outer — the
+  streaming side emits the NULL-touch row only at watermark close
+  (when no touch can still arrive), the batch side keeps
+  asof_join's left-outer rows;
 - latest touch wins; ties at one instant resolve to the greatest
   touch id (``max(struct(touch_ts, touch_id))`` here ==
   asof_join's greatest-right-struct there);
@@ -45,11 +47,18 @@ def streaming_attribution_join(events: DataFrame,
                                user_col: str = "user_id",
                                ts_col: str = "ts",
                                type_col: str = "event_type",
-                               id_col: str = "event_id") -> DataFrame:
+                               id_col: str = "event_id",
+                               emit_unmatched: bool = False
+                               ) -> DataFrame:
     """Append-mode stream of (user, conversion_id, conv_ts, touch_id,
     touch_ts): one row per attributed conversion, emitted once the
     watermark seals it (no earlier — a later-arriving better touch
-    inside the watermark must still be able to win).
+    inside the watermark must still be able to win). With
+    ``emit_unmatched`` the join is LEFT-OUTER: a conversion with no
+    qualifying touch emits once with NULL touch columns after the
+    watermark proves no touch can still arrive — the null-extended
+    row is the group's only row, so the latest-touch aggregation
+    passes it through unchanged.
 
     Input may be a stream or a batch frame routed through the same
     function for differential testing. Both sides derive from ONE
@@ -86,7 +95,8 @@ def streaming_attribution_join(events: DataFrame,
         touches,
         (F.col("c_user") == F.col("t_user"))
         & (F.col("touch_ts") <= F.col("conv_ts"))
-        & (F.col("touch_ts") >= lo))
+        & (F.col("touch_ts") >= lo),
+        "leftOuter" if emit_unmatched else "inner")
     return (joined
             .groupBy("c_user", "conversion_id", "conv_ts")
             .agg(F.max(F.struct("touch_ts", "touch_id")).alias("_at"))

@@ -46,3 +46,25 @@ def test_two_phase_agg_matches_plain_agg(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.select("k", "sv", "cv", "mn", "mx").collect()))
     assert a == b
+
+
+def test_skew_stats_profiles_hot_keys(spark):
+    from lisp_batch_processor_spark.operators.skew import skew_stats
+
+    # 1000 rows on the hot key, 10 keys with 10 rows, one NULL key
+    # with 50 — mean per key = 1150/12.
+    df = (spark.range(1000).selectExpr("'hot' AS k")
+          .unionByName(spark.range(100).selectExpr(
+              "CAST(id % 10 AS STRING) AS k"))
+          .unionByName(spark.range(50).selectExpr(
+              "CAST(NULL AS STRING) AS k")))
+    rows = skew_stats(df, ["k"], top_k=3).collect()
+    assert [r.k for r in rows] == ["hot", None, "0"]
+    hot = rows[0]
+    assert hot.cnt == 1000
+    assert hot.share == 1000 / 1150
+    assert abs(hot.x_mean - 1000 * 12 / 1150) < 1e-9
+    assert rows[1].cnt == 50  # NULL counts as a key
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top_k"):
+        skew_stats(df, ["k"], top_k=0)

@@ -95,6 +95,61 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     # Dropped: user 2 (no touch), user 3 (touch beyond horizon).
 
 
+@pytest.mark.slow
+def test_streaming_attribution_left_outer_matches_batch(spark, tmp_path):
+    """emit_unmatched: conversions with no qualifying touch emit
+    exactly once with NULL touch columns, at watermark close."""
+    horizon = 3600
+    b1 = [
+        _ev(1, 0, 1, "click"),
+        _ev(2, 100 * S, 1, "purchase"),      # attributed -> touch 1
+        _ev(3, 50 * S, 2, "purchase"),       # no touch -> NULL row
+        _ev(4, 10 * S, 3, "click"),
+        _ev(5, 7200 * S, 3, "purchase"),     # expired touch -> NULL row
+    ]
+    flush1 = [_ev(96, 864000 * S, 999, "click"),
+              _ev(97, 864000 * S, 998, "purchase")]
+    flush2 = [_ev(98, 2 * 864000 * S, 999, "click"),
+              _ev(99, 2 * 864000 * S, 998, "purchase")]
+
+    src = os.path.join(str(tmp_path), "ev_in")
+    for i, batch in enumerate((b1, flush1, flush2)):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(src, f"batch={i}"))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    out = streaming_attribution_join(stream, horizon_s=horizon,
+                                     emit_unmatched=True)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("attr_outer").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        emitted = {(r.user_id, r.conversion_id, r.touch_id)
+                   for r in spark.sql(
+                       "SELECT * FROM attr_outer").collect()}
+    finally:
+        spark.catalog.dropTempView("attr_outer")
+
+    batch_df = spark.createDataFrame(b1 + flush1 + flush2, SCHEMA)
+    want = {(r.user_id, r.conversion_id, r.touch_id)
+            for r in attribution_join(batch_df, horizon_s=horizon,
+                                      emit_unmatched=True).collect()}
+    # The FINAL flush conversion (99) is never watermark-sealed, so
+    # append mode cannot emit it — inherent to any unmatched-row
+    # emission, which must wait out the full horizon+watermark.
+    want -= {(998, 99, None)}
+    assert emitted == want
+    assert (2, 3, None) in emitted       # no touch at all
+    assert (3, 5, None) in emitted       # only an expired touch
+    assert (1, 2, 1) in emitted          # the attributed one
+    assert (998, 97, None) in emitted    # flush conv sealed by flush2
+
+
 def test_streaming_attribution_validation(spark):
     df = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="must differ"):
