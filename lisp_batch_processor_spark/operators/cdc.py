@@ -1,0 +1,181 @@
+"""Type-1 CDC materialization — "latest value wins, no history" —
+the upsert companion to `operators.scd`'s type-2 history, persisted
+with BUCKETED dynamic overwrite so per-epoch writes are
+O(touched buckets), not O(table).
+
+Layout at ``path``::
+
+    current/_ub=<b>/...   the materialized table, hash-partitioned on
+                          pmod(xxhash64(key), n_buckets)
+    current/_cdc_epoch    last fully-applied epoch id (exactly-once)
+    _upsert_meta.json     n_buckets + key columns, written at init —
+                          every apply validates against it (a bucket
+                          count change would scatter keys)
+
+Why type-1 can use in-place dynamic overwrite where type-2 cannot:
+an SCD2 epoch derives NEW rows (the closed versions) from the
+PRE-epoch state, so replaying from a half-applied state would lose
+them — scd2_split_apply therefore stages and swaps the whole open
+slice. A type-1 upsert's post-state per key is a pure function of
+(pre-state key row, update row) where the update row simply WINS:
+recomputing any bucket from a half-applied state converges to the
+same result (already-applied keys are overwritten with the identical
+update row). So a crash mid-overwrite needs no rollback — the epoch
+replay re-derives and rewrites the touched buckets idempotently, and
+the epoch marker (written only after every bucket committed) makes a
+completed epoch's replay a pure skip. Spark's dynamic partition
+overwrite commits each partition directory via the normal staging
+protocol, so individual buckets are never left half-written — the
+crash unit is "some buckets new, some old", exactly the state the
+convergence argument covers.
+
+Scale notes: per epoch this reads the touched buckets once (bucket
+pruning via the ``_ub`` partition filter), anti-joins them against
+the batch on the key (null-safe — NULL is a valid key), unions the
+batch, and rewrites ONLY those bucket directories. With B sized so
+a bucket ≈ a few HDFS blocks, a small batch against a huge table
+writes a small constant share of it. Compact buckets on a schedule
+(`sources.writers.compact` per bucket dir) as epochs accrete files.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.sources.writers import (
+    _hadoop_fs, read_epoch_marker, write_epoch_marker,
+)
+
+_MARKER = "_cdc_epoch"
+BUCKET_COL = "_ub"
+
+
+def _bucket_col(keys: Sequence[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
+                  F.lit(n_buckets))
+
+
+def _meta_path(path: str) -> str:
+    return path.rstrip("/") + "/_upsert_meta.json"
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_meta_path(path))
+    if not fs.exists(p):
+        raise ValueError(f"no upsert table at {path} "
+                         "(create with upsert_init)")
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode())
+
+
+def upsert_init(snapshot: DataFrame, path: str,
+                key: str | Sequence[str],
+                n_buckets: int = 64) -> None:
+    """Materialize the initial table state, hash-bucketed on the key."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = snapshot.sparkSession
+    root = path.rstrip("/")
+    cur = f"{root}/current"
+    (snapshot.withColumn(BUCKET_COL, _bucket_col(keys, n_buckets))
+     .write.partitionBy(BUCKET_COL).parquet(cur))
+    write_epoch_marker(spark, cur, -1, name=_MARKER)
+    jvm, fs, _ = _hadoop_fs(spark, root)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(_meta_path(root)), True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"n_buckets": n_buckets, "key": keys}).encode()))
+    finally:
+        out.close()
+
+
+def upsert_read(spark: SparkSession, path: str) -> DataFrame:
+    """The current table state (bucket column dropped)."""
+    _read_meta(spark, path)  # existence check with a clear error
+    return (spark.read.parquet(path.rstrip("/") + "/current")
+            .drop(BUCKET_COL))
+
+
+def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
+                 epoch_id: int = 0) -> bool:
+    """One upsert epoch: every update row replaces the current row
+    with its key (or inserts). ``updates`` carries the table schema
+    with AT MOST one row per key (resolve intra-batch order upstream,
+    as in scd2_stream_apply's latest-per-key window). Returns True if
+    applied, False if the epoch marker shows it already was.
+
+    Exactly-once per the module docstring: marker skip for completed
+    epochs, convergent idempotent rewrite for interrupted ones.
+    """
+    meta = _read_meta(spark, path)
+    keys, n_buckets = meta["key"], meta["n_buckets"]
+    root = path.rstrip("/")
+    cur = f"{root}/current"
+    marker = read_epoch_marker(spark, cur, name=_MARKER)
+    if marker is not None and marker >= int(epoch_id):
+        return False
+
+    upd = (updates.withColumn(BUCKET_COL,
+                              _bucket_col(keys, n_buckets))
+           .localCheckpoint(eager=True))  # snapshot: feeds 3 plans
+    touched = [r[BUCKET_COL]
+               for r in upd.select(BUCKET_COL).distinct().collect()]
+    if touched:
+        current = spark.read.parquet(cur)
+        tcur = current.filter(F.col(BUCKET_COL).isin(touched))
+        # Null-safe anti-join: a NULL key is a real key and its row
+        # must be REPLACED, not duplicated.
+        upd_keys = upd.select(
+            *[F.col(k).alias(f"_cdc_{k}") for k in keys])
+        cond = [F.col(k).eqNullSafe(F.col(f"_cdc_{k}")) for k in keys]
+        kept = tcur.join(upd_keys, cond, "left_anti")
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (kept.unionByName(upd.select(*kept.columns))
+             .write.mode("overwrite").partitionBy(BUCKET_COL)
+             .parquet(cur))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev_mode)
+    # Marker LAST: it becomes durable only after every touched
+    # bucket committed, so a crash anywhere above replays the epoch.
+    write_epoch_marker(spark, cur, int(epoch_id), name=_MARKER)
+    return True
+
+
+def upsert_stream_apply(update_stream: DataFrame, path: str,
+                        order_col: str,
+                        tiebreak: Sequence[str] = ()):
+    """Streaming type-1 maintenance: each micro-batch upserts into
+    the persisted table, latest-per-key within the batch decided by
+    ``order_col`` (desc, NULLs last) then ``tiebreak``. Returns the
+    DataStreamWriter; use a checkpointLocation — epoch replay is a
+    marker skip or a convergent rewrite (see upsert_apply).
+    """
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        keys = _read_meta(spark, path)["key"]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc_nulls_last(),
+            *[F.col(t).desc_nulls_last() for t in tiebreak])
+        latest = (batch_df
+                  .withColumn("_cdc_rn", F.row_number().over(w))
+                  .filter(F.col("_cdc_rn") == 1).drop("_cdc_rn"))
+        upsert_apply(spark, path, latest, epoch_id=epoch_id)
+
+    return update_stream.writeStream.foreachBatch(_process)

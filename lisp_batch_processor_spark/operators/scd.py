@@ -171,33 +171,16 @@ def scd2_as_of(history: DataFrame, at) -> DataFrame:
 # table; the closed slice dominates a dimension's footprint ~always).
 
 
-def _marker_path(spark, open_path: str):
-    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
-    jvm, fs, _ = _hadoop_fs(spark, open_path)
-    p = jvm.org.apache.hadoop.fs.Path(
-        open_path.rstrip("/") + "/_scd2_epoch")
-    return jvm, fs, p
-
-
 def _write_epoch_marker(spark, open_path: str, epoch_id: int) -> None:
-    _, fs, p = _marker_path(spark, open_path)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(str(int(epoch_id)).encode()))
-    finally:
-        out.close()
+    from lisp_batch_processor_spark.sources.writers import (
+        write_epoch_marker)
+    write_epoch_marker(spark, open_path, epoch_id, name="_scd2_epoch")
 
 
 def _read_epoch_marker(spark, open_path: str) -> int | None:
-    jvm, fs, p = _marker_path(spark, open_path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-    finally:
-        stream.close()
-    return int(bytes(data).decode())
+    from lisp_batch_processor_spark.sources.writers import (
+        read_epoch_marker)
+    return read_epoch_marker(spark, open_path, name="_scd2_epoch")
 
 
 def _has_data_files(spark, path: str) -> bool:

@@ -52,6 +52,39 @@ def backup_path(path: str) -> str:
     return _hidden_sibling(path, "old")
 
 
+def write_epoch_marker(spark: SparkSession, dir_path: str,
+                       epoch_id: int,
+                       name: str = "_epoch") -> None:
+    """Persist the last-applied epoch id as a tiny underscore-file
+    inside ``dir_path`` (invisible to Spark's readers) — the
+    exactly-once token for epoch-replayed maintenance loops: a
+    replay reads it first and skips epochs whose effects are already
+    durable. Callers decide WHERE it lives so the marker's
+    durability is atomic with the data it describes (e.g. written
+    into a staged dir BEFORE the swap that publishes both)."""
+    jvm, fs, _ = _hadoop_fs(spark, dir_path)
+    p = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/" + name)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(str(int(epoch_id)).encode()))
+    finally:
+        out.close()
+
+
+def read_epoch_marker(spark: SparkSession, dir_path: str,
+                      name: str = "_epoch") -> int | None:
+    jvm, fs, _ = _hadoop_fs(spark, dir_path)
+    p = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/" + name)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return int(bytes(data).decode())
+
+
 def recover_swap(spark: SparkSession, dest: str) -> None:
     """Repair an interrupted :func:`staged_swap` on `dest`:
 

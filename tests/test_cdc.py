@@ -1,0 +1,146 @@
+"""Type-1 CDC upsert materialization: dict-oracle replay, NULL keys,
+exactly-once epoch markers, crash-replay convergence, and the
+O(touched-buckets) write guarantee."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.operators.cdc import (
+    BUCKET_COL, upsert_apply, upsert_init, upsert_read,
+)
+
+SCHEMA = "k long, city string, tier string"
+
+
+def _state(spark, path):
+    return {r.k: (r.city, r.tier)
+            for r in upsert_read(spark, path).collect()}
+
+
+def test_upsert_chain_matches_dict_oracle(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t1")
+    snap = [(1, "lyon", "gold"), (2, "oslo", "silver"),
+            (None, "x", "t")]
+    upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
+                n_buckets=8)
+    oracle = {k: (c, t) for k, c, t in snap}
+    assert _state(spark, path) == oracle
+
+    batches = [
+        [(1, "paris", "gold"),            # change
+         (4, "kyiv", "gold"),             # insert
+         (None, "y", "t")],               # NULL key REPLACED, not dup
+        [(2, "oslo", "silver"),           # no-op overwrite
+         (4, None, "gold")],              # change to NULL attr
+    ]
+    for e, rows in enumerate(batches):
+        assert upsert_apply(spark, path,
+                            spark.createDataFrame(rows, SCHEMA),
+                            epoch_id=e)
+        for k, c, t in rows:
+            oracle[k] = (c, t)
+        assert _state(spark, path) == oracle
+
+    # One row per key — the NULL key did not duplicate.
+    df = upsert_read(spark, path)
+    assert df.count() == df.select("k").distinct().count() == 4
+
+
+def test_upsert_epoch_replay_and_crash_convergence(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t1")
+    upsert_init(spark.createDataFrame([(1, "a", "t")], SCHEMA), path,
+                key="k", n_buckets=4)
+    upd = spark.createDataFrame([(1, "b", "t"), (2, "c", "u")], SCHEMA)
+
+    assert upsert_apply(spark, path, upd, epoch_id=0)
+    after = _state(spark, path)
+    # Completed-epoch replay: marker skip, nothing changes.
+    assert not upsert_apply(spark, path, upd, epoch_id=0)
+    assert _state(spark, path) == after
+
+    # Crash after the bucket rewrites but BEFORE the marker: delete
+    # the marker and replay — the rewrite is convergent, the state
+    # identical.
+    os.remove(os.path.join(path, "current", "_cdc_epoch"))
+    assert upsert_apply(spark, path, upd, epoch_id=0)
+    assert _state(spark, path) == after
+
+
+def test_upsert_writes_only_touched_buckets(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t1")
+    snap = [(i, f"c{i}", "t") for i in range(200)]
+    upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
+                n_buckets=16)
+    cur = os.path.join(path, "current")
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(cur):
+            if d.startswith(f"{BUCKET_COL}="):
+                files = {}
+                for f in os.listdir(os.path.join(cur, d)):
+                    fp = os.path.join(cur, d, f)
+                    files[f] = (os.path.getsize(fp),
+                                os.path.getmtime(fp))
+                out[d] = files
+        return out
+
+    before = bucket_files()
+    upd = spark.createDataFrame([(7, "new", "t")], SCHEMA)
+    assert upsert_apply(spark, path, upd, epoch_id=0)
+    after = bucket_files()
+
+    touched = spark.createDataFrame([(7, "x", "y")], SCHEMA).select(
+        F.pmod(F.xxhash64("k"), F.lit(16)).alias("b")).collect()[0].b
+    touched_dir = f"{BUCKET_COL}={touched}"
+    assert after[touched_dir] != before[touched_dir]
+    for d in before:
+        if d != touched_dir:
+            assert after[d] == before[d], f"untouched {d} was rewritten"
+    assert _state(spark, path)[7] == ("new", "t")
+
+
+@pytest.mark.slow
+def test_upsert_stream_apply_matches_sequential(spark, tmp_path):
+    from lisp_batch_processor_spark.operators.cdc import (
+        upsert_stream_apply)
+
+    path = os.path.join(str(tmp_path), "t1")
+    up_schema = SCHEMA + ", seq long"
+    upsert_init(spark.createDataFrame([(1, "lyon", "gold", 0)],
+                                      up_schema),
+                path, key="k", n_buckets=4)
+    src = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame(
+        [(1, "paris", "gold", 10), (3, "kyiv", "gold", 11)],
+        up_schema).coalesce(1).write.parquet(os.path.join(src, "b=0"))
+    # Batch 2: duplicate key 1 — the higher-seq row must win.
+    spark.createDataFrame(
+        [(1, "nice", "gold", 21), (1, "bad", "gold", 20)],
+        up_schema).coalesce(1).write.parquet(os.path.join(src, "b=1"))
+
+    stream = (spark.readStream.schema(up_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "b=*")))
+    q = upsert_stream_apply(stream, path, order_col="seq").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.k: (r.city, r.tier, r.seq)
+           for r in upsert_read(spark, path).collect()}
+    assert got == {1: ("nice", "gold", 21),
+                   3: ("kyiv", "gold", 11)}
+
+
+def test_upsert_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="upsert_init"):
+        upsert_read(spark, os.path.join(str(tmp_path), "nope"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        upsert_init(spark.createDataFrame([], SCHEMA),
+                    os.path.join(str(tmp_path), "t"), key="k",
+                    n_buckets=0)
