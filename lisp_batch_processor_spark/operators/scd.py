@@ -214,18 +214,39 @@ def scd2_split_init(snapshot: DataFrame, effective_from, path: str,
 def scd2_read(spark, path: str) -> DataFrame:
     """The full history (closed ∪ open) of a split-path layout — what
     `spark.read.parquet(history_path)` returned for the single-path
-    one. Repairs an interrupted open-slice swap first, so a reader
-    arriving after a crash still sees a complete history."""
+    one. Repairs an interrupted open-slice (or closed-tree
+    compaction) swap first, so a reader arriving after a crash still
+    sees a complete history.
+
+    Closed rows carry the epoch that closed them (``_scd2_epoch``)
+    and the read keeps only ``epoch <= marker``: an epoch that
+    crashed AFTER writing its closed dir but BEFORE swapping the
+    open slice leaves rows for keys that are still open — without
+    the filter a reader in that window saw a key both open and
+    closed at once. The residue is invisible until the replay
+    completes, at which point the marker admits it.
+    """
     from lisp_batch_processor_spark.sources.writers import recover_swap
     root = path.rstrip("/")
     open_path = f"{root}/open"
-    recover_swap(spark, open_path)
-    open_df = spark.read.parquet(open_path)
     closed_root = f"{root}/closed"
+    recover_swap(spark, open_path)
+    recover_swap(spark, closed_root)
+    open_df = spark.read.parquet(open_path)
     if not _has_data_files(spark, closed_root):
         return open_df
+    marker = _read_epoch_marker(spark, open_path)
+    marker = -1 if marker is None else marker
     closed_df = (spark.read.option("recursiveFileLookup", "true")
+                 .option("mergeSchema", "true")
                  .parquet(closed_root))
+    if "_scd2_epoch" in closed_df.columns:
+        closed_df = (closed_df
+                     # NULL = rows written before epoch tagging (or
+                     # by scd2_apply-era layouts): always visible.
+                     .filter(F.col("_scd2_epoch").isNull()
+                             | (F.col("_scd2_epoch") <= F.lit(marker)))
+                     .drop("_scd2_epoch"))
     return closed_df.unionByName(open_df)
 
 
@@ -268,17 +289,95 @@ def scd2_split_apply(spark, path: str, updates: DataFrame,
     marker = _read_epoch_marker(spark, open_path)
     if marker is not None and marker >= epoch_id:
         return False
+    from lisp_batch_processor_spark.sources.writers import recover_swap
+    recover_swap(spark, f"{root}/closed")  # crashed compaction swap
     open_rows = spark.read.parquet(open_path)
     kept_open, now_closed, inserts = _scd2_merge_frames(
         open_rows, updates, keys, attrs, effective_from,
         share_join=True)
-    now_closed.write.mode("overwrite").parquet(
-        f"{root}/closed/epoch_{int(epoch_id)}")
+    (now_closed
+     # Epoch tag: scd2_read shows a closed row only once its epoch's
+     # marker is durable (see scd2_read), and scd2_compact_closed
+     # folds dirs by it.
+     .withColumn("_scd2_epoch", F.lit(int(epoch_id)))
+     .write.mode("overwrite").parquet(
+         f"{root}/closed/epoch_{int(epoch_id)}"))
     tmp = staging_path(open_path)
     kept_open.unionByName(inserts).write.mode("overwrite").parquet(tmp)
     _write_epoch_marker(spark, tmp, epoch_id)
     staged_swap(spark, tmp, open_path)
     return True
+
+
+def scd2_compact_closed(spark, path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024
+                        ) -> int:
+    """Fold the accreted ``closed/epoch_<e>/`` dirs into one
+    size-targeted dir — the maintenance pass the append-only layout
+    needs (one dir per epoch is exactly the small-file accretion
+    `sources.writers.compact` exists for, at the directory grain).
+    Returns the number of dirs folded. Run from the single writer's
+    maintenance window — never concurrently with an apply.
+
+    Only dirs whose epochs are fully applied fold (epoch <= the open
+    slice's marker; ``compact_*`` dirs from earlier passes always
+    qualify). A dir from an in-flight/crashed epoch (> marker) is
+    carried into the new tree UNCHANGED via rename, so the epoch's
+    replay still overwrites it at the same path. The new closed tree
+    builds in a hidden staging sibling and swaps in via
+    `staged_swap` — every crash window leaves a complete tree at the
+    canonical or backup path, repaired by the recover_swap calls in
+    scd2_read / scd2_split_apply. Rows keep their ``_scd2_epoch``
+    tag, so the marker-filtered read is unaffected.
+    """
+    import re as _re
+
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, recover_swap, staged_swap, staging_path)
+
+    root = path.rstrip("/")
+    open_path = f"{root}/open"
+    closed_root = f"{root}/closed"
+    recover_swap(spark, closed_root)
+    marker = _read_epoch_marker(spark, open_path)
+    marker = -1 if marker is None else marker
+
+    jvm, fs, jclosed = _hadoop_fs(spark, closed_root)
+    foldable, carry = [], []
+    for st in fs.listStatus(jclosed):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        m = _re.fullmatch(r"epoch_(-?\d+)", name)
+        if name.startswith("compact_") or (
+                m and int(m.group(1)) <= marker):
+            if _has_data_files(spark, f"{closed_root}/{name}"):
+                foldable.append(name)
+        else:
+            carry.append(name)
+    if len(foldable) < 2:
+        return 0  # nothing worth folding
+
+    tmp = staging_path(closed_root)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+    folded = (spark.read.option("recursiveFileLookup", "true")
+              .option("mergeSchema", "true")
+              .parquet(*[f"{closed_root}/{n}" for n in foldable]))
+    size = sum(fs.getContentSummary(
+        jvm.org.apache.hadoop.fs.Path(f"{closed_root}/{n}"))
+        .getLength() for n in foldable)
+    n_files = max(1, -(-size // target_file_bytes))
+    (folded.repartition(n_files)
+     .write.parquet(f"{tmp}/compact_{int(marker)}"))
+    for name in carry:
+        # Unapplied residue rides along unchanged; invisible to
+        # readers either way (marker filter).
+        fs.rename(jvm.org.apache.hadoop.fs.Path(f"{closed_root}/{name}"),
+                  jvm.org.apache.hadoop.fs.Path(f"{tmp}/{name}"))
+    staged_swap(spark, tmp, closed_root)
+    return len(foldable)
 
 
 def scd2_stream_apply(update_stream: DataFrame, history_path: str,

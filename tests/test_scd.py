@@ -245,3 +245,103 @@ def test_scd2_split_apply_epoch_replay_is_exactly_once(spark, tmp_path):
                                 attrs=["city", "tier"], epoch_id=1)
     assert _hist_set(scd2_read(spark, path)) == got
     shutil.rmtree(path)
+
+
+def test_scd2_crashed_epoch_residue_invisible(spark, tmp_path):
+    """An epoch that crashed AFTER writing its closed dir but BEFORE
+    the open-slice swap must leave NO trace in scd2_read: without
+    the epoch-tag filter a reader in that window saw the same key
+    open and closed at once."""
+    import os
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_read, scd2_split_apply, scd2_split_init)
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "dim")
+    scd2_split_init(_snap(spark, [(1, "lyon", "gold")]), T0, path,
+                    key="k")
+    assert scd2_split_apply(spark, path,
+                            _upd(spark, [(1, "paris", "gold")], T1),
+                            key="k", attrs=["city", "tier"],
+                            epoch_id=0)
+    clean = _hist_set(scd2_read(spark, path))
+
+    # Simulate epoch 1 crashing between its closed write and the
+    # swap: write the closed dir it would have written, marker
+    # still at 0.
+    residue = (spark.createDataFrame(
+        [(1, "paris", "gold", T1, T2, False)],
+        "k long, city string, tier string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean")
+        .withColumn("_scd2_epoch", F.lit(1)))
+    residue.write.parquet(os.path.join(path, "closed", "epoch_1"))
+
+    # Invisible: the read equals the pre-crash history exactly.
+    assert _hist_set(scd2_read(spark, path)) == clean
+
+    # The replay completes epoch 1 -> its rows become visible.
+    assert scd2_split_apply(spark, path,
+                            _upd(spark, [(1, "nice", "gold")], T2),
+                            key="k", attrs=["city", "tier"],
+                            epoch_id=1)
+    got = _hist_set(scd2_read(spark, path))
+    assert (1, "paris", "gold", T1, T2, False) in got
+    assert (1, "nice", "gold", T2, None, True) in got
+
+
+def test_scd2_compact_closed_folds_epoch_dirs(spark, tmp_path):
+    """Compaction folds the applied epoch dirs into one, preserves
+    the history bit-for-bit, carries unapplied residue unchanged,
+    and later applies + replays still work."""
+    import os
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_compact_closed, scd2_read, scd2_split_apply,
+        scd2_split_init)
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "dim")
+    scd2_split_init(_snap(spark, [(1, "a", "t"), (2, "b", "t")]), T0,
+                    path, key="k")
+    effs = [T1, datetime(2025, 2, 15), T2, datetime(2025, 3, 15)]
+    for e, eff in enumerate(effs):
+        scd2_split_apply(spark, path,
+                         _upd(spark, [(1, f"c{e}", "t")], eff),
+                         key="k", attrs=["city", "tier"], epoch_id=e)
+    before = _hist_set(scd2_read(spark, path))
+    closed = os.path.join(path, "closed")
+    assert len([d for d in os.listdir(closed)
+                if d.startswith("epoch_")]) == 4
+
+    # Unapplied residue (epoch 9 > marker 3) must be carried, not
+    # folded.
+    (spark.createDataFrame([(2, "zz", "t", T2, None, False)],
+                           "k long, city string, tier string, "
+                           "effective_from timestamp, effective_to "
+                           "timestamp, is_current boolean")
+     .withColumn("_scd2_epoch", F.lit(9))
+     .write.parquet(os.path.join(closed, "epoch_9")))
+
+    assert scd2_compact_closed(spark, path) == 4
+    dirs = sorted(d for d in os.listdir(closed)
+                  if not d.startswith("."))
+    assert dirs == ["compact_3", "epoch_9"]
+    assert _hist_set(scd2_read(spark, path)) == before
+
+    # A second compaction folds the compact dir itself only when a
+    # partner exists; alone (epoch_9 still > marker) it is a no-op.
+    assert scd2_compact_closed(spark, path) == 0
+
+    # Post-compaction applies write fresh epoch dirs and read stays
+    # consistent; the epoch-9 replay overwrites its carried dir.
+    assert scd2_split_apply(spark, path,
+                            _upd(spark, [(2, "b2", "t")],
+                                 datetime(2025, 4, 1)),
+                            key="k", attrs=["city", "tier"],
+                            epoch_id=9)
+    got = _hist_set(scd2_read(spark, path))
+    assert (2, "b2", "t", datetime(2025, 4, 1), None, True) in got
+    assert (2, "zz", "t", T2, None, False) not in got  # residue gone
+    assert scd2_compact_closed(spark, path) == 2  # compact_3 + epoch_9
+    assert _hist_set(scd2_read(spark, path)) == got
