@@ -241,3 +241,55 @@ def test_fuzz_scd2_split_equals_batch_chain(spark, tmp_path):
     exp = {tuple(r) for r in want.collect()}
     assert got == exp
     assert len(got) == len(scd2_read(spark, path).collect())  # no dups
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile histogram vs Python replay
+# ---------------------------------------------------------------------------
+
+def test_fuzz_quantile_hist(spark):
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_hist_build, quantile_hist_estimate,
+        quantile_hist_merge)
+
+    rng = random.Random(506)
+    # Heavy repetition + a long tail; arbitrary hand-picked splits
+    # (NOT trained) so bucket occupancy is wildly uneven.
+    rows = [(rng.choice(["a", "b"]),
+             float(rng.choice([1, 1, 1, 5, rng.randint(0, 1000)])),
+             rng.randint(0, 3))
+            for _ in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double, day long")
+    splits = [1.0, 2.0, 50.0, 500.0]
+
+    # Build/merge exactness vs a Python count replay.
+    got = {(r.g, r.bucket): r.cnt
+           for r in quantile_hist_build(df, ["g"], "v", splits).collect()}
+    want: dict = {}
+    for g, v, _ in rows:
+        b = sum(1 for s in splits if s <= v)
+        want[(g, b)] = want.get((g, b), 0) + 1
+    assert got == want
+
+    daily = quantile_hist_build(df, ["g", "day"], "v", splits)
+    merged = {(r.g, r.bucket): r.cnt
+              for r in quantile_hist_merge(daily.drop("day"),
+                                           ["g"]).collect()}
+    assert merged == want
+
+    # Estimate: reported bucket boundary equals the Python-rank
+    # bucket's boundary for every group and q.
+    hist = quantile_hist_build(df, ["g"], "v", splits)
+    qs = [0.05, 0.4, 0.5, 0.95, 1.0]
+    est = {(r.g, r.q): r.value
+           for r in quantile_hist_estimate(hist, ["g"], splits,
+                                           qs).collect()}
+    by_g: dict = {}
+    for g, v, _ in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        for q in qs:
+            true_v = vals[math.ceil(q * len(vals)) - 1]
+            tb = sum(1 for s in splits if s <= true_v)
+            assert est[(g, q)] == splits[max(tb, 1) - 1], (g, q)
