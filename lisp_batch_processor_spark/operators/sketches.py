@@ -183,3 +183,43 @@ def quantile_hist_estimate(hist: DataFrame, keys: Sequence[str],
          .alias("value"),
         (F.col("_qh.cnt").cast("double") / F.col("_qh._qh_n"))
          .alias("bucket_mass"))
+
+
+def quantile_hist_store_read(spark, store_path: str,
+                             keys: Sequence[str]) -> DataFrame:
+    """Merge a persisted stream-maintained histogram store down to
+    ``keys..., bucket, cnt``. Exact-once under epoch replay WITHOUT
+    coordination: per-epoch rows are deterministic, so a replayed
+    append writes byte-identical rows and the
+    (keys, bucket, epoch_id) dropDuplicates collapses them before
+    counts sum — the membership-set trick adapted to additive state.
+    """
+    df = spark.read.parquet(store_path)
+    return quantile_hist_merge(
+        df.dropDuplicates([*keys, "bucket", "epoch_id"])
+          .drop("epoch_id"), keys)
+
+
+def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
+                               keys: Sequence[str], col: str,
+                               splits: list[float]):
+    """Streaming percentile maintenance: each micro-batch reduces to
+    its exact per-bucket counts (<= B rows per group) which append
+    EPOCH-TAGGED to the store — row data is touched once, at arrival;
+    every later quantile question reads only kilobyte histogram rows
+    via :func:`quantile_hist_store_read` +
+    :func:`quantile_hist_estimate`. Returns the DataStreamWriter
+    (use a checkpointLocation; replay safety per store_read).
+
+    The additive-sketch analog of the HLL rollups, with the same
+    trained-boundaries contract as every quantile_hist_* operator:
+    one `splits` list per store, forever.
+    """
+    splits = list(splits)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        (quantile_hist_build(batch_df, keys, col, splits)
+         .withColumn("epoch_id", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(store_path))
+
+    return stream_df.writeStream.foreachBatch(_process)

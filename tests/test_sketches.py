@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.operators.sketches import (
@@ -143,3 +144,54 @@ def test_quantile_hist_validation(spark):
     h = quantile_hist_build(df, ["g"], "v", [1.0, 2.0])
     with pytest.raises(ValueError, match="quantiles"):
         quantile_hist_estimate(h, ["g"], [1.0, 2.0], [0.0])
+
+
+@pytest.mark.slow
+def test_quantile_hist_stream_store_matches_batch(spark, tmp_path):
+    """Two micro-batches append epoch-tagged histograms; the merged
+    store equals the single-pass histogram over all rows, and a
+    replayed epoch append (crash before commit) changes nothing."""
+    import os
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_hist_build, quantile_hist_store_read,
+        quantile_hist_stream_apply)
+    from pyspark.sql import functions as F
+
+    splits = [100.0, 500.0, 2000.0]
+    src = os.path.join(str(tmp_path), "in")
+    b0 = spark.range(0, 1000).selectExpr(
+        "id % 2 AS g", "CAST((id * 7) % 3000 AS DOUBLE) AS v")
+    b1 = spark.range(1000, 2500).selectExpr(
+        "id % 2 AS g", "CAST((id * 7) % 3000 AS DOUBLE) AS v")
+    b0.coalesce(1).write.parquet(os.path.join(src, "b=0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "b=1"))
+
+    store = os.path.join(str(tmp_path), "hist_store")
+    stream = (spark.readStream.schema("g long, v double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "b=*")))
+    q = quantile_hist_stream_apply(stream, store, ["g"], "v",
+                                   splits).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    whole = {(r.g, r.bucket): r.cnt
+             for r in quantile_hist_build(
+                 b0.unionByName(b1), ["g"], "v", splits).collect()}
+    got = {(r.g, r.bucket): r.cnt
+           for r in quantile_hist_store_read(spark, store,
+                                             ["g"]).collect()}
+    assert got == whole
+
+    # Replay epoch 0's append (crash between append and commit):
+    # identical rows re-append; the store read must not double-count.
+    (quantile_hist_build(b0, ["g"], "v", splits)
+     .withColumn("epoch_id", F.lit(0))
+     .write.mode("append").parquet(store))
+    again = {(r.g, r.bucket): r.cnt
+             for r in quantile_hist_store_read(spark, store,
+                                               ["g"]).collect()}
+    assert again == whole
