@@ -223,3 +223,30 @@ def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
          .write.mode("append").parquet(store_path))
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def hll_stream_apply(stream_df: DataFrame, store_path: str,
+                     keys: Sequence[str], col: str,
+                     lg_k: int = LG_K):
+    """Streaming distinct-count maintenance: each micro-batch reduces
+    to one HLL sketch per group (kilobytes) appended to the store;
+    answer any later rollup with :func:`hll_rollup` over the store.
+    Returns the DataStreamWriter (use a checkpointLocation).
+
+    Epoch replay is safe WITHOUT epoch tags, by a different mechanism
+    than the quantile store: a replayed epoch re-runs the identical
+    deterministic build over the identical checkpointed batch, and
+    HLL union is idempotent over a sketch's value set (per-value
+    coupons/registers are hash-deterministic), so the duplicate
+    append cannot move the rollup. Pinned in tests/test_sketches.py.
+    Caveat kept honest: two sketches of the same rows built under
+    DIFFERENT partitionings may serialize in different modes (exact
+    coupon list vs dense registers) and estimate a few counts apart
+    — the store's accuracy contract is the published error bound,
+    not cross-build byte equality.
+    """
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        (hll_build(batch_df, keys, col, lg_k=lg_k)
+         .write.mode("append").parquet(store_path))
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -69,3 +69,54 @@ def with_ingest_metadata(df: DataFrame) -> DataFrame:
     knows which input file produced it.
     """
     return df.withColumn("_source_file", F.input_file_name())
+
+
+def read_json_with_error_channel(
+        spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSONL with malformed lines routed to an ERROR CHANNEL
+    instead of silently dropped (DROPMALFORMED) or poisoning the
+    batch (FAILFAST) — the reference's per-element fault tolerance
+    (R19-R21: an element's failure is recorded and the batch
+    continues) applied to ingestion. Returns (good, bad): `good`
+    carries the caller's schema for rows that parsed; `bad` carries
+    (raw_line, _source_file) for quarantine/replay — the audit trail
+    R26 keeps.
+
+    Implementation: one splittable TEXT scan + `from_json` per line —
+    NOT the json source's corrupt-record column, which Spark refuses
+    to query on its own (QUERY_ONLY_CORRUPT_RECORD_COLUMN: the
+    documented workaround is caching the parsed frame, a non-starter
+    at corpus scale). The corrupt-record field is declared inside
+    the from_json struct instead, so "bad" is a narrow per-row
+    predicate and both frames are projections of the same
+    single-pass plan — no cache, no second scan, no shuffle. A
+    half-parsed row (valid JSON missing fields) is GOOD
+    with nulls — schema presence, not completeness, is the parse
+    contract (stack `quality.q_quality_audit`-style rules for
+    semantic validation); a non-object line (a bare number, a blank
+    line) is bad, visibly, rather than silently dropped.
+
+    Quarantine `bad` with its source file for targeted re-ingestion
+    once the producer is fixed.
+    """
+    raw = (spark.read.text(path)
+           .withColumn("_source_file", F.input_file_name()))
+    # Malformed detection: from_json's PERMISSIVE mode can yield an
+    # all-null struct (indistinguishable from a legitimately-null
+    # record) for some malformed shapes, so the corrupt-record field
+    # is declared IN the struct schema — a malformed line sets it to
+    # the raw text; a wholly unparseable/blank line yields a NULL
+    # struct. Either routes to `bad`.
+    parsed = raw.withColumn(
+        "_parsed",
+        F.from_json(F.col("value"), f"{schema}, _ec_corrupt STRING",
+                    {"mode": "PERMISSIVE",
+                     "columnNameOfCorruptRecord": "_ec_corrupt"}))
+    is_bad = (F.col("_parsed").isNull()
+              | F.col("_parsed._ec_corrupt").isNotNull())
+    good = (parsed.filter(~is_bad)
+            .select("_parsed.*").drop("_ec_corrupt"))
+    bad = (parsed.filter(is_bad)
+           .select(F.col("value").alias("raw_line"), "_source_file"))
+    return good, bad

@@ -195,3 +195,60 @@ def test_quantile_hist_stream_store_matches_batch(spark, tmp_path):
              for r in quantile_hist_store_read(spark, store,
                                                ["g"]).collect()}
     assert again == whole
+
+
+@pytest.mark.slow
+def test_hll_stream_store_matches_batch_and_replay(spark, tmp_path):
+    """Stream-maintained HLL store rolls up to the single-pass
+    estimate, and a replayed epoch append cannot move it (HLL union
+    is idempotent per register)."""
+    import os
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        hll_build, hll_rollup, hll_stream_apply)
+
+    src = os.path.join(str(tmp_path), "in")
+    b0 = spark.range(0, 3000).selectExpr(
+        "id % 2 AS g", "CAST(id % 700 AS STRING) AS u")
+    b1 = spark.range(0, 4000).selectExpr(
+        "id % 2 AS g", "CAST(id % 900 AS STRING) AS u")
+    b0.coalesce(1).write.parquet(os.path.join(src, "b=0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "b=1"))
+
+    store = os.path.join(str(tmp_path), "hll_store")
+    stream = (spark.readStream.schema("g long, u string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "b=*")))
+    q = hll_stream_apply(stream, store, ["g"], "u").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # The store's rollup lands inside the published error bound of
+    # the exact distinct counts. (No cross-path byte equality claim:
+    # a sketch's serialized mode — exact coupon list vs dense
+    # registers, HIP vs composite estimator — depends on how the
+    # build was partitioned, so sketch(b0)-built-in-stream and
+    # sketch(b0)-built-in-batch may estimate a few counts apart while
+    # both honor the bound.)
+    got = {r.g: r.n_distinct
+           for r in hll_rollup(spark.read.parquet(store),
+                               ["g"]).collect()}
+    exact = {r.g: r.d for r in
+             b0.unionByName(b1).groupBy("g")
+             .agg(F.countDistinct("u").alias("d")).collect()}
+    assert set(got) == set(exact)
+    for g, d in exact.items():
+        assert abs(got[g] - d) <= d * 0.065, (g, got[g], d)
+
+    # Replay epoch 0 exactly as the stream would run it (same
+    # single-partition batch): the duplicate sketch appends, and the
+    # rollup estimate must be unchanged — distinct-value coupons are
+    # deterministic, so re-merging the same value set is a no-op.
+    hll_build(b0.coalesce(1), ["g"], "u") \
+        .write.mode("append").parquet(store)
+    again = {r.g: r.n_distinct
+             for r in hll_rollup(spark.read.parquet(store),
+                                 ["g"]).collect()}
+    assert again == got

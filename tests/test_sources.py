@@ -316,3 +316,34 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     # x bits (101) at even positions, y bits (011) at odd:
     # pos0=x0=1, pos1=y0=1, pos2=x1=0, pos3=y1=1, pos4=x2=1, pos5=y2=0
     assert row.m == 0b011011
+
+
+def test_read_json_with_error_channel(spark, tmp_path):
+    """Malformed JSONL lines route to the error channel with their
+    source file; parsed rows keep the declared schema; half-parsed
+    (schema-subset) rows are good-with-nulls."""
+    from lisp_batch_processor_spark.sources.readers import (
+        read_json_with_error_channel)
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join([
+        '{"doc_id": 1, "text": "alpha", "lang": "en"}',
+        'this is not json at all',
+        '{"doc_id": 2, "text": "beta"}',          # missing lang -> null
+        '{"doc_id": 3, "text": "gamma", "lang": "de"',  # truncated
+        '{"doc_id": 4, "text": null, "lang": "fr"}',
+    ]))
+    good, bad = read_json_with_error_channel(
+        spark, str(p), "doc_id LONG, text STRING, lang STRING")
+
+    rows = {r.doc_id: (r.text, r.lang) for r in good.collect()}
+    assert rows == {1: ("alpha", "en"), 2: ("beta", None),
+                    4: (None, "fr")}
+    assert good.columns == ["doc_id", "text", "lang"]
+
+    bad_rows = bad.collect()
+    assert {r.raw_line for r in bad_rows} == {
+        "this is not json at all",
+        '{"doc_id": 3, "text": "gamma", "lang": "de"'}
+    assert all(r._source_file.endswith("docs.jsonl")
+               for r in bad_rows)
