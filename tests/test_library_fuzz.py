@@ -293,3 +293,48 @@ def test_fuzz_quantile_hist(spark):
             true_v = vals[math.ceil(q * len(vals)) - 1]
             tb = sum(1 for s in splits if s <= true_v)
             assert est[(g, q)] == splits[max(tb, 1) - 1], (g, q)
+
+
+# ---------------------------------------------------------------------------
+# type-1 upsert vs a dict replay, randomized epochs
+# ---------------------------------------------------------------------------
+
+def test_fuzz_upsert_equals_dict_replay(spark, tmp_path):
+    import os
+
+    from lisp_batch_processor_spark.operators.cdc import (
+        upsert_apply, upsert_init, upsert_read)
+
+    rng = random.Random(507)
+    keys = list(range(30)) + [None]
+    cities = ["lyon", "oslo", "kyiv", None]
+    schema = "k long, city string, tier string"
+
+    snap = [(k, rng.choice(cities), "t0")
+            for k in rng.sample(keys, 12)]
+    path = os.path.join(str(tmp_path), "t_fuzz")
+    upsert_init(spark.createDataFrame(snap, schema), path, key="k",
+                n_buckets=8)
+    oracle = {k: (c, t) for k, c, t in snap}
+
+    for e in range(7):
+        batch_keys = rng.sample(keys, rng.randint(1, 10))
+        rows = [(k, rng.choice(cities), f"t{e + 1}")
+                for k in batch_keys]
+        assert upsert_apply(spark, path,
+                            spark.createDataFrame(rows, schema),
+                            epoch_id=e)
+        for k, c, t in rows:
+            oracle[k] = (c, t)
+        # Occasionally replay the epoch (crash-before-commit):
+        # marker skip must hold state fixed.
+        if rng.random() < 0.4:
+            assert not upsert_apply(
+                spark, path, spark.createDataFrame(rows, schema),
+                epoch_id=e)
+        got = {r.k: (r.city, r.tier)
+               for r in upsert_read(spark, path).collect()}
+        assert got == oracle, f"epoch {e}"
+
+    df = upsert_read(spark, path)
+    assert df.count() == df.select("k").distinct().count()
