@@ -68,6 +68,11 @@ QUERIES = {
     "q_funnel": "events",
     "q_stream_funnel": "events",
     "q_similarity_ivf": "embeddings",
+    # Round 5 library operators.
+    "q_chunk": "documents",
+    "q_ngram_lm": "documents",
+    "q_stratified": "documents",
+    "q_attribution": "events",
 }
 
 
@@ -116,7 +121,34 @@ def _extra_queries() -> dict:
         # the watermark-buffered stateful walk (same harness basis
         # as q_stream_sessions/q_stream_dedup).
         "q_stream_funnel": _stream_funnel,
+        # Round 5: chunking, LM scoring (whole train+score
+        # lifecycle, the q_similarity_ivf convention), exact-k
+        # stratified sampling, attribution join.
+        "q_chunk": lambda spark, sf_dir: __import__(
+            "lisp_batch_processor_spark.operators.text",
+            fromlist=["chunk_documents"]).chunk_documents(
+                load(spark, sf_dir, "documents")),
+        "q_ngram_lm": _ngram_lm_lifecycle,
+        "q_stratified": lambda spark, sf_dir: __import__(
+            "lisp_batch_processor_spark.operators.training",
+            fromlist=["stratified_sample_exact"]
+        ).stratified_sample_exact(
+            load(spark, sf_dir, "documents"), "lang", 100),
+        "q_attribution": lambda spark, sf_dir: __import__(
+            "lisp_batch_processor_spark.operators.events",
+            fromlist=["attribution_join"]).attribution_join(
+                load(spark, sf_dir, "events")),
     }
+
+
+def _ngram_lm_lifecycle(spark, sf_dir: str):
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.text import (
+        ngram_lm_score, ngram_lm_train)
+
+    docs = load(spark, sf_dir, "documents")
+    bi, uni, v = ngram_lm_train(docs)
+    return ngram_lm_score(docs, bi, uni, v)
 
 
 def _stream_funnel(spark, sf_dir: str):
