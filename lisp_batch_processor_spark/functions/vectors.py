@@ -24,10 +24,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def unit(a: Column) -> Column:
+def unit(a: Column, norm: Column | None = None) -> Column:
     """a / ||a|| — pre-normalize once so cosine becomes a plain dot;
-    at scale this halves the arithmetic in any all-pairs stage."""
-    n = l2_norm(a)
+    at scale this halves the arithmetic in any all-pairs stage.
+
+    On hot paths MATERIALIZE the norm first and pass it in
+    (``withColumn("nrm", l2_norm(e))`` then ``unit(e, F.col("nrm"))``):
+    a lambda-captured outer expression re-evaluates per element, so
+    the default recomputes the O(d) norm fold for each of the d
+    components — O(d²) per vector (the ngram_lm_train lesson,
+    text.py:_bigrams_col)."""
+    n = l2_norm(a) if norm is None else norm
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
