@@ -12,22 +12,34 @@ Layout at ``path``::
                           every apply validates against it (a bucket
                           count change would scatter keys)
 
-Why type-1 can use in-place dynamic overwrite where type-2 cannot:
-an SCD2 epoch derives NEW rows (the closed versions) from the
+Why type-1 can rewrite buckets in place where type-2 cannot: an
+SCD2 epoch derives NEW rows (the closed versions) from the
 PRE-epoch state, so replaying from a half-applied state would lose
 them — scd2_split_apply therefore stages and swaps the whole open
 slice. A type-1 upsert's post-state per key is a pure function of
 (pre-state key row, update row) where the update row simply WINS:
 recomputing any bucket from a half-applied state converges to the
 same result (already-applied keys are overwritten with the identical
-update row). So a crash mid-overwrite needs no rollback — the epoch
+update row). So a crash mid-apply needs no rollback — the epoch
 replay re-derives and rewrites the touched buckets idempotently, and
 the epoch marker (written only after every bucket committed) makes a
-completed epoch's replay a pure skip. Spark's dynamic partition
-overwrite commits each partition directory via the normal staging
-protocol, so individual buckets are never left half-written — the
-crash unit is "some buckets new, some old", exactly the state the
-convergence argument covers.
+completed epoch's replay a pure skip.
+
+The bucket rewrite itself goes through the recoverable staged swap
+(`sources.writers.staged_swap`), one swap per touched bucket dir:
+the new contents of every touched bucket materialize in a hidden
+staging sibling FIRST, then each bucket dir renames in. Dynamic
+partition overwrite would be the built-in alternative, but its
+commit deletes each target dir and then renames the staged one
+non-atomically (driver-side, per partition) — a crash between the
+two leaves that bucket EMPTY, and the marker-less replay would
+rebuild it from the update rows alone, silently dropping every
+non-updated key in the bucket. With per-bucket swaps every crash
+window leaves each touched bucket complete at its canonical or
+backup path; the replay repairs it (`recover_swap` over the same
+touched set, which is a pure function of the checkpointed batch)
+before re-deriving, so the crash unit really is "some buckets new,
+some old" — exactly the state the convergence argument covers.
 
 Scale notes: per epoch this reads the touched buckets once (bucket
 pruning via the ``_ub`` partition filter), anti-joins them against
@@ -47,11 +59,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.sources.writers import (
-    _hadoop_fs, read_epoch_marker, write_epoch_marker,
+    _hadoop_fs, backup_path, read_epoch_marker, recover_swap,
+    staged_swap, staging_path, write_epoch_marker,
 )
 
 _MARKER = "_cdc_epoch"
 BUCKET_COL = "_ub"
+
+
+def _recover_bucket_swaps(spark: SparkSession, cur: str) -> None:
+    """Repair any bucket-dir swap a crashed apply left half-done:
+    every ``._old_<bucket>`` sibling under ``cur`` is a backup from
+    an interrupted :func:`sources.writers.staged_swap` — recover its
+    destination. Driver-side listing of one directory (O(n_buckets)
+    entries max); idempotent."""
+    jvm, fs, jcur = _hadoop_fs(spark, cur)
+    if not fs.exists(jcur):
+        return
+    prefix = backup_path(f"{cur}/x").rsplit("/", 1)[1][:-1]  # "._old_"
+    for st in fs.listStatus(jcur):
+        name = st.getPath().getName()
+        if name.startswith(prefix):
+            recover_swap(spark, f"{cur}/{name[len(prefix):]}")
 
 
 def _bucket_col(keys: Sequence[str], n_buckets: int):
@@ -100,10 +129,13 @@ def upsert_init(snapshot: DataFrame, path: str,
 
 
 def upsert_read(spark: SparkSession, path: str) -> DataFrame:
-    """The current table state (bucket column dropped)."""
+    """The current table state (bucket column dropped). Repairs any
+    bucket swap a crashed apply left mid-flight first, so a reader
+    arriving inside the crash window still sees every bucket."""
     _read_meta(spark, path)  # existence check with a clear error
-    return (spark.read.parquet(path.rstrip("/") + "/current")
-            .drop(BUCKET_COL))
+    cur = path.rstrip("/") + "/current"
+    _recover_bucket_swaps(spark, cur)
+    return spark.read.parquet(cur).drop(BUCKET_COL)
 
 
 def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
@@ -115,7 +147,20 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
     applied, False if the epoch marker shows it already was.
 
     Exactly-once per the module docstring: marker skip for completed
-    epochs, convergent idempotent rewrite for interrupted ones.
+    epochs, convergent idempotent rewrite for interrupted ones —
+    the touched buckets' new contents stage to a hidden sibling and
+    swap in dir-by-dir via the recoverable staged swap, so no crash
+    window ever leaves a bucket empty or half-written.
+
+    Durability note (cluster deployments): the ``localCheckpoint``
+    below snapshots the update batch to EXECUTOR-LOCAL storage so
+    the three downstream plans (touched-bucket collect, anti-join,
+    union) share one computation. Losing an executor mid-epoch then
+    fails the write job — an availability cost, not a correctness
+    one: the epoch marker hasn't advanced, so the caller's replay
+    re-applies convergently. Pipelines that can't afford the retry
+    should swap in a reliable ``df.checkpoint()`` (HDFS-backed via
+    ``sparkContext.setCheckpointDir``) at a latency cost.
     """
     meta = _read_meta(spark, path)
     keys, n_buckets = meta["key"], meta["n_buckets"]
@@ -131,6 +176,9 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
     touched = [r[BUCKET_COL]
                for r in upd.select(BUCKET_COL).distinct().collect()]
     if touched:
+        # Repair bucket swaps a crashed replay of this (or any prior
+        # uncommitted) epoch left half-done, BEFORE reading state.
+        _recover_bucket_swaps(spark, cur)
         current = spark.read.parquet(cur)
         tcur = current.filter(F.col(BUCKET_COL).isin(touched))
         # Null-safe anti-join: a NULL key is a real key and its row
@@ -139,17 +187,19 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
             *[F.col(k).alias(f"_cdc_{k}") for k in keys])
         cond = [F.col(k).eqNullSafe(F.col(f"_cdc_{k}")) for k in keys]
         kept = tcur.join(upd_keys, cond, "left_anti")
-        prev_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            (kept.unionByName(upd.select(*kept.columns))
-             .write.mode("overwrite").partitionBy(BUCKET_COL)
-             .parquet(cur))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           prev_mode)
+        # Stage the touched buckets' full new contents to a hidden
+        # sibling (one partitioned write; every touched bucket gets a
+        # dir — each has >= 1 update row), then swap each bucket dir
+        # in. A stale stage from a crashed attempt is overwritten.
+        stage = staging_path(cur)
+        jvm, fs, _ = _hadoop_fs(spark, cur)
+        (kept.unionByName(upd.select(*kept.columns))
+         .write.mode("overwrite").partitionBy(BUCKET_COL)
+         .parquet(stage))
+        for b in touched:  # pmod(xxhash64(...)) is never NULL
+            bucket = f"{BUCKET_COL}={b}"
+            staged_swap(spark, f"{stage}/{bucket}", f"{cur}/{bucket}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
     # Marker LAST: it becomes durable only after every touched
     # bucket committed, so a crash anywhere above replays the epoch.
     write_epoch_marker(spark, cur, int(epoch_id), name=_MARKER)

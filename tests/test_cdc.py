@@ -137,6 +137,49 @@ def test_upsert_stream_apply_matches_sequential(spark, tmp_path):
                    3: ("kyiv", "gold", 11)}
 
 
+def test_upsert_crash_window_inside_bucket_swap(spark, tmp_path):
+    """The dynamic-overwrite hazard this layout exists to avoid: a
+    crash mid-publish must never lose a bucket's non-updated keys.
+    Simulate both staged_swap crash windows on a touched bucket and
+    assert (a) a reader still sees every key, (b) the marker-less
+    replay converges to the same state."""
+    import shutil
+
+    from lisp_batch_processor_spark.sources.writers import backup_path
+
+    path = os.path.join(str(tmp_path), "t1")
+    # Keys 0..49 with 1 bucket: every key shares the updated row's
+    # bucket, so a lost bucket would lose 49 innocent keys.
+    snap = [(i, f"c{i}", "t") for i in range(50)]
+    upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
+                n_buckets=1)
+    upd = spark.createDataFrame([(7, "new", "t")], SCHEMA)
+    assert upsert_apply(spark, path, upd, epoch_id=0)
+    want = _state(spark, path)
+    assert want[7] == ("new", "t") and len(want) == 50
+
+    bucket_dir = os.path.join(path, "current", f"{BUCKET_COL}=0")
+    bak = backup_path(bucket_dir)
+
+    # Window 1: crash between rename-aside and rename-in — the
+    # canonical dir is MISSING, the complete previous copy sits at
+    # the backup path. (Under dynamic overwrite this window left the
+    # bucket empty with no backup at all.)
+    os.rename(bucket_dir, bak)
+    os.remove(os.path.join(path, "current", "_cdc_epoch"))
+    assert _state(spark, path) == want          # reader repairs
+    assert upsert_apply(spark, path, upd, epoch_id=0)  # replay
+    assert _state(spark, path) == want
+
+    # Window 2: crash between rename-in and delete-backup — new dir
+    # in place, stale backup still present.
+    shutil.copytree(bucket_dir, bak)
+    os.remove(os.path.join(path, "current", "_cdc_epoch"))
+    assert upsert_apply(spark, path, upd, epoch_id=0)
+    assert _state(spark, path) == want
+    assert not os.path.exists(bak)
+
+
 def test_upsert_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="upsert_init"):
         upsert_read(spark, os.path.join(str(tmp_path), "nope"))
