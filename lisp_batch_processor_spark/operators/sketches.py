@@ -193,7 +193,13 @@ def quantile_hist_store_read(spark, store_path: str,
     append writes byte-identical rows and the
     (keys, bucket, epoch_id) dropDuplicates collapses them before
     counts sum — the membership-set trick adapted to additive state.
+    Compacted base rows (:func:`sketch_store_compact`) carry the
+    sentinel epoch and are unique per (keys, bucket), so the same
+    read serves compacted and raw stores; repairs an interrupted
+    compaction swap first.
     """
+    from lisp_batch_processor_spark.sources.writers import recover_swap
+    recover_swap(spark, store_path.rstrip("/"))
     df = spark.read.parquet(store_path)
     return quantile_hist_merge(
         df.dropDuplicates([*keys, "bucket", "epoch_id"])
@@ -250,3 +256,126 @@ def hll_stream_apply(stream_df: DataFrame, store_path: str,
          .write.mode("append").parquet(store_path))
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def hll_store_read(spark, store_path: str) -> DataFrame:
+    """The persisted sketch rows of a stream-maintained HLL store
+    (feed to :func:`hll_rollup`). Repairs an interrupted
+    :func:`sketch_store_compact` swap first, so a reader arriving
+    after a crash still sees a complete store."""
+    from lisp_batch_processor_spark.sources.writers import recover_swap
+    recover_swap(spark, store_path.rstrip("/"))
+    return spark.read.parquet(store_path)
+
+
+# Epoch tag on compacted quantile-histogram base rows: strictly below
+# any live foreachBatch epoch (those are >= 0), so a base row can
+# never collide with a replayed epoch's rows in the store read's
+# (keys, bucket, epoch_id) dedup.
+COMPACT_EPOCH = -1
+
+
+def sketch_store_compact(spark, store_path: str, keep_live: int = 1,
+                         target_file_bytes: int = 128 * 1024 * 1024
+                         ) -> int:
+    """Fold a stream-maintained sketch store's accreted per-epoch
+    appends into a bounded base — the maintenance pass that keeps
+    per-question read cost flat over stream lifetime (each
+    micro-batch of :func:`quantile_hist_stream_apply` /
+    :func:`hll_stream_apply` appends one file-set forever; without
+    this, every ``store_read`` re-lists and re-reads them all).
+    Returns the number of units folded (0 = nothing worth folding).
+    Run from the single writer's maintenance window — never
+    concurrently with the stream's own appends (same contract as
+    ``scd2_compact_closed``).
+
+    Store type is detected from the schema:
+
+    - **HLL store** (``..., sketch``): every group's sketches union
+      into ONE row. Folding even the newest epoch is replay-safe —
+      a replayed append re-unions the same value set, which cannot
+      move any register (the store's existing replay argument) —
+      so the fold is total. Returns the number of data files folded.
+    - **Quantile-histogram store** (``..., bucket, cnt, epoch_id``):
+      counts are NOT idempotent under replay, so only epochs that
+      can no longer replay fold: everything except the
+      ``keep_live`` highest epoch ids (Spark commits epoch N's
+      offsets before running N+1, so once epoch N+1 has appended,
+      N is committed; ``keep_live=1`` is therefore sufficient —
+      raise it only for exotic checkpoint surgery). Folded rows
+      dedup exactly as the store read does, then sum into one base
+      row per (keys, bucket) tagged :data:`COMPACT_EPOCH`; live
+      epochs' rows ride along unchanged, so a post-compaction
+      replay still collapses against them. Returns the number of
+      epochs folded.
+
+    The new store builds in a hidden staging sibling and swaps in
+    via the recoverable ``staged_swap`` — every crash window leaves
+    a complete store at the canonical or backup path, repaired by
+    the ``recover_swap`` in the store reads and at the top of this
+    function. Output file count is sized from the store's on-disk
+    bytes (an upper bound on the folded result) against
+    ``target_file_bytes``.
+    """
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, recover_swap, staged_swap, staging_path)
+
+    if keep_live < 1:
+        raise ValueError(f"keep_live must be >= 1, got {keep_live}")
+    root = store_path.rstrip("/")
+    recover_swap(spark, root)
+    df = spark.read.parquet(root)
+    cols = df.columns
+    jvm, fs, jroot = _hadoop_fs(spark, root)
+    size = fs.getContentSummary(jroot).getLength()
+    n_files = max(1, -(-size // target_file_bytes))
+
+    if "sketch" in cols:
+        it = fs.listFiles(jroot, True)
+        n_data = 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n_data += 1
+        if n_data < 2:
+            return 0
+        keys = [c for c in cols if c != "sketch"]
+        folded = (df.groupBy(*keys)
+                  .agg(F.hll_union_agg("sketch").alias("sketch"))
+                  .select(*cols))
+        n_folded = n_data
+    elif {"bucket", "cnt", "epoch_id"} <= set(cols):
+        keys = [c for c in cols
+                if c not in ("bucket", "cnt", "epoch_id")]
+        # Driver state: one long per distinct epoch in the store —
+        # the very quantity compaction bounds.
+        epochs = sorted(r[0] for r in
+                        df.select("epoch_id").distinct().collect())
+        live = set(epochs[-keep_live:])
+        foldable = [e for e in epochs if e not in live]
+        if len(foldable) < 2:
+            return 0
+        deduped = df.dropDuplicates([*keys, "bucket", "epoch_id"])
+        base = (deduped.filter(F.col("epoch_id").isin(foldable))
+                .groupBy(*keys, "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+                .withColumn("epoch_id", F.lit(COMPACT_EPOCH)
+                            .cast(dict(df.dtypes)["epoch_id"])))
+        folded = (base.select(*cols)
+                  .unionByName(
+                      deduped.filter(~F.col("epoch_id").isin(foldable))
+                      .select(*cols)))
+        n_folded = len(foldable)
+    else:
+        raise ValueError(
+            f"unrecognized sketch store schema at {root}: {cols} "
+            "(expected an HLL store with a 'sketch' column or a "
+            "quantile-histogram store with bucket/cnt/epoch_id)")
+
+    tmp = staging_path(root)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+    folded.repartition(n_files).write.parquet(tmp)
+    staged_swap(spark, tmp, root)
+    return n_folded

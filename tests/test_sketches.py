@@ -197,6 +197,147 @@ def test_quantile_hist_stream_store_matches_batch(spark, tmp_path):
     assert again == whole
 
 
+def _qh_epoch_append(df, store, splits, epoch):
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_hist_build)
+    (quantile_hist_build(df, ["g"], "v", splits)
+     .withColumn("epoch_id", F.lit(epoch))
+     .write.mode("append").parquet(store))
+
+
+def _data_files(root):
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames
+                       if not d.startswith((".", "_"))]
+        out += [os.path.join(dirpath, f) for f in filenames
+                if not f.startswith((".", "_"))]
+    return out
+
+
+def test_quantile_store_compact_read_equal_and_bounded(spark,
+                                                       tmp_path):
+    """Folding committed epochs into the sentinel base leaves every
+    read answer hash-equal, bounds the file count, and keeps the
+    replay-dedup contract for the live epoch."""
+    from lisp_batch_processor_spark.operators.sketches import (
+        COMPACT_EPOCH, quantile_hist_store_read, sketch_store_compact)
+
+    splits = [100.0, 500.0, 2000.0]
+    store = os.path.join(str(tmp_path), "qh_store")
+    batches = [spark.range(i * 500, (i + 1) * 500).selectExpr(
+        "id % 2 AS g", "CAST((id * 7) % 3000 AS DOUBLE) AS v")
+        for i in range(5)]
+    for e, b in enumerate(batches):
+        _qh_epoch_append(b, store, splits, e)
+    # A pre-compaction replay duplicate of a committed epoch: the
+    # fold must dedup it before summing, exactly as the read does.
+    _qh_epoch_append(batches[2], store, splits, 2)
+
+    def read():
+        return {(r.g, r.bucket): r.cnt
+                for r in quantile_hist_store_read(
+                    spark, store, ["g"]).collect()}
+
+    before = read()
+    files_before = len(_data_files(store))
+    assert sketch_store_compact(spark, store) == 4  # distinct epochs 0-3
+    assert read() == before
+    assert len(_data_files(store)) < files_before
+    epochs = {r[0] for r in spark.read.parquet(store)
+              .select("epoch_id").distinct().collect()}
+    assert epochs == {COMPACT_EPOCH, 4}
+
+    # Replay of the LIVE epoch after compaction: dedup still holds.
+    _qh_epoch_append(batches[4], store, splits, 4)
+    assert read() == before
+
+    # Nothing foldable besides the base -> no-op.
+    assert sketch_store_compact(spark, store) == 0
+
+    # Another epoch arrives; the next fold absorbs base + epoch 4.
+    b5 = spark.range(9000, 9800).selectExpr(
+        "id % 2 AS g", "CAST((id * 7) % 3000 AS DOUBLE) AS v")
+    _qh_epoch_append(b5, store, splits, 5)
+    want = read()
+    assert sketch_store_compact(spark, store) == 2
+    assert read() == want
+
+
+def test_hll_store_compact_estimate_equal(spark, tmp_path):
+    """The HLL fold is total (union idempotence): one row per group
+    afterwards, every rollup estimate unchanged, replay-safe."""
+    from lisp_batch_processor_spark.operators.sketches import (
+        hll_build, hll_rollup, hll_store_read, sketch_store_compact)
+
+    store = os.path.join(str(tmp_path), "hll_store")
+    batches = [spark.range(i * 400, i * 400 + 1000).selectExpr(
+        "id % 2 AS g", "CAST(id % 900 AS STRING) AS u")
+        for i in range(4)]
+    for b in batches:
+        hll_build(b, ["g"], "u").write.mode("append").parquet(store)
+
+    def roll():
+        return {r.g: r.n_distinct for r in hll_rollup(
+            hll_store_read(spark, store), ["g"]).collect()}
+
+    before = roll()
+    assert sketch_store_compact(spark, store) > 0
+    assert roll() == before
+    assert hll_store_read(spark, store).count() == 2  # 1 row/group
+    # Replayed append of the last epoch cannot move the estimates.
+    hll_build(batches[-1], ["g"], "u") \
+        .write.mode("append").parquet(store)
+    assert roll() == before
+
+
+def test_sketch_store_compact_crash_windows(spark, tmp_path):
+    """Both staged_swap crash windows leave a readable store: the
+    reads repair window 1 (store missing, backup complete); the next
+    compact clears window 2 (store new, stale backup)."""
+    import shutil
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_hist_store_read, sketch_store_compact)
+    from lisp_batch_processor_spark.sources.writers import backup_path
+
+    splits = [100.0, 500.0]
+    store = os.path.join(str(tmp_path), "qh_store")
+    for e in range(3):
+        _qh_epoch_append(
+            spark.range(e * 300, (e + 1) * 300).selectExpr(
+                "id % 2 AS g", "CAST(id AS DOUBLE) AS v"),
+            store, splits, e)
+
+    def read():
+        return {(r.g, r.bucket): r.cnt
+                for r in quantile_hist_store_read(
+                    spark, store, ["g"]).collect()}
+
+    want = read()
+    bak = backup_path(store)
+    # Window 1: crash between rename-aside and rename-in.
+    os.rename(store, bak)
+    assert read() == want
+    # Window 2: crash between rename-in and delete-backup.
+    shutil.copytree(store, bak)
+    assert sketch_store_compact(spark, store) == 2
+    assert read() == want
+    assert not os.path.exists(bak)
+
+
+def test_sketch_store_compact_validation(spark, tmp_path):
+    from lisp_batch_processor_spark.operators.sketches import (
+        sketch_store_compact)
+
+    bad = os.path.join(str(tmp_path), "not_a_store")
+    spark.range(3).write.parquet(bad)
+    with pytest.raises(ValueError, match="schema"):
+        sketch_store_compact(spark, bad)
+    with pytest.raises(ValueError, match="keep_live"):
+        sketch_store_compact(spark, bad, keep_live=0)
+
+
 @pytest.mark.slow
 def test_hll_stream_store_matches_batch_and_replay(spark, tmp_path):
     """Stream-maintained HLL store rolls up to the single-pass
