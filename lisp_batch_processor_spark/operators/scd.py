@@ -196,6 +196,31 @@ def _has_data_files(spark, path: str) -> bool:
     return False
 
 
+def _require_split_layout(spark, root: str) -> None:
+    """Raise a clear migration error when ``root`` holds a legacy
+    SINGLE-PATH history (data files at the root, no ``open/`` dir —
+    the layout scd2_apply callers persisted before the split-path
+    store) instead of an opaque 'path does not exist' parquet error
+    from deep inside the apply. Same versioned-store discipline as
+    the line-dedup store's layout check."""
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, root)
+    has_open = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/open"))
+    if not has_open and _has_data_files(spark, root):
+        raise ValueError(
+            f"legacy single-path SCD2 history at {root}: the "
+            "split-path operators need an open/ + closed/ layout. "
+            "Migrate once with scd2_split_init(open_slice, ...) on "
+            "the is_current rows plus an append of the closed rows "
+            "to <path>/closed/epoch_-1, or keep using scd2_apply "
+            "on the old layout.")
+    if not has_open:
+        raise ValueError(
+            f"no split-path SCD2 history at {root} "
+            "(seed with scd2_split_init)")
+
+
 def scd2_split_init(snapshot: DataFrame, effective_from, path: str,
                     key: str | Sequence[str] = "key") -> None:
     """Seed a split-path SCD2 history at ``path`` from an initial
@@ -232,6 +257,7 @@ def scd2_read(spark, path: str) -> DataFrame:
     closed_root = f"{root}/closed"
     recover_swap(spark, open_path)
     recover_swap(spark, closed_root)
+    _require_split_layout(spark, root)
     open_df = spark.read.parquet(open_path)
     if not _has_data_files(spark, closed_root):
         return open_df
@@ -286,10 +312,10 @@ def scd2_split_apply(spark, path: str, updates: DataFrame,
     root = path.rstrip("/")
     open_path = f"{root}/open"
     recover_swap(spark, open_path)
+    _require_split_layout(spark, root)
     marker = _read_epoch_marker(spark, open_path)
     if marker is not None and marker >= epoch_id:
         return False
-    from lisp_batch_processor_spark.sources.writers import recover_swap
     recover_swap(spark, f"{root}/closed")  # crashed compaction swap
     open_rows = spark.read.parquet(open_path)
     kept_open, now_closed, inserts = _scd2_merge_frames(

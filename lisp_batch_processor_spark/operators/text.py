@@ -664,6 +664,15 @@ def ngram_lm_train(corpus: DataFrame, text_col: str = "text"
     materializes the unigram agg, and without the checkpoint every
     scoring join would re-run BOTH corpus aggregations from the raw
     text (measured 15 s → 3.5 s on the sf0.1 lifecycle).
+
+    Durability note (cluster deployments): ``localCheckpoint``
+    snapshots to EXECUTOR-LOCAL storage — losing an executor
+    invalidates the model frames and fails the next scoring job
+    (an availability cost only; retrain is deterministic). For
+    long-lived models, write the two count frames to a bucketed
+    table (`sources.writers.write_bucketed` on w1) and read them
+    back instead — that is the persist-and-reuse path the first
+    paragraph recommends anyway.
     """
     toked = corpus.withColumn("_lm_toks", tokens_col(F.col(text_col)))
     bi = (toked

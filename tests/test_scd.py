@@ -345,3 +345,29 @@ def test_scd2_compact_closed_folds_epoch_dirs(spark, tmp_path):
     assert (2, "zz", "t", T2, None, False) not in got  # residue gone
     assert scd2_compact_closed(spark, path) == 2  # compact_3 + epoch_9
     assert _hist_set(scd2_read(spark, path)) == got
+
+
+def test_scd2_split_rejects_legacy_single_path_layout(spark, tmp_path):
+    """A pre-split-path history (data files at the root, no open/
+    dir) must fail with a migration message, not an opaque parquet
+    path error — and a missing store gets its own clear error."""
+    import os
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_read, scd2_split_apply)
+
+    legacy = os.path.join(str(tmp_path), "old_hist")
+    scd2_init(_snap(spark, [(1, "lyon", "gold")]), T0) \
+        .write.parquet(legacy)
+    upd = _upd(spark, [(1, "paris", "gold")], T1)
+    with pytest.raises(ValueError, match="legacy single-path"):
+        scd2_split_apply(spark, legacy, upd, key="k",
+                         attrs=["city", "tier"], epoch_id=0)
+    with pytest.raises(ValueError, match="legacy single-path"):
+        scd2_read(spark, legacy)
+
+    empty = os.path.join(str(tmp_path), "nothing")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="scd2_split_init"):
+        scd2_split_apply(spark, empty, upd, key="k",
+                         attrs=["city", "tier"], epoch_id=0)
