@@ -331,34 +331,44 @@ def funnel(events: DataFrame, steps: list[str],
 def asof_join(left: DataFrame, right: DataFrame,
               on: str = "ts", by: list[str] | str = "user_id",
               tolerance_s: int | None = None, strict: bool = True,
-              right_prefix: str = "r_") -> DataFrame:
-    """General as-of join (pandas `merge_asof`, backward direction)
-    — the reusable library form of q_join_asof's union-sort pattern:
-    each left row gains the matching right row with the greatest
-    ``on`` value ≤ (or <, when ``strict``) the left row's, among
-    rows sharing the ``by`` keys, optionally within ``tolerance_s``
-    seconds. Right columns arrive prefixed; unmatched left rows keep
-    NULLs (left-outer semantics).
+              right_prefix: str = "r_",
+              direction: str = "backward") -> DataFrame:
+    """General as-of join (pandas `merge_asof`) — the reusable
+    library form of q_join_asof's union-sort pattern: each left row
+    gains the NEAREST matching right row among rows sharing the
+    ``by`` keys, optionally within ``tolerance_s`` seconds —
+    ``backward`` (default): the greatest right ``on`` ≤ (or <, when
+    ``strict``) the left row's; ``forward``: the smallest right
+    ``on`` ≥ (or >) it. Right columns arrive prefixed; unmatched
+    left rows keep NULLs (left-outer semantics).
 
     ``on`` must be a timestamp column on BOTH sides. Ties among
-    right rows at one instant resolve by the greatest right-row
-    struct (a total, partitioning-independent order for orderable
-    column types — the q_join_asof tie lesson, generalized).
+    right rows at the matched instant resolve by the greatest
+    right-row struct for ``backward`` and the SMALLEST for
+    ``forward`` — forward is exactly backward under time negation,
+    which flips the struct order too, so the rule stays a total,
+    partitioning-independent order (the q_join_asof tie lesson,
+    generalized).
 
     Plan shape — the whole point: ONE shuffle on the ``by`` keys and
-    a streaming window frame. The naive formulation
-    (``right.on < left.on`` + row_number) plans as a broadcast
-    nested loop or an exploding theta join; this is the shape that
-    survives 100 TB. Same single-shuffle basis as q_join_asof, whose
-    plan the audit pins.
+    a streaming window frame in either direction. The naive
+    formulation (``right.on < left.on`` + row_number) plans as a
+    broadcast nested loop or an exploding theta join; this is the
+    shape that survives 100 TB. Same single-shuffle basis as
+    q_join_asof, whose plan the audit pins.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or "
+                         f"'forward', got {direction!r}")
     keys = [by] if isinstance(by, str) else list(by)
     lpay = F.struct(*[F.col(c) for c in left.columns])
     rpay = F.struct(*[F.col(c) for c in right.columns])
     ltype = left.select(lpay.alias("p")).schema["p"].dataType
     rtype = right.select(rpay.alias("p")).schema["p"].dataType
-    # strict: left sorts BEFORE a same-instant right row (invisible);
-    # non-strict: after (visible).
+    # strict: left sorts BEFORE a same-instant right row in scan
+    # order (invisible); non-strict: after (visible). The side
+    # assignment is direction-independent because the scan reverses
+    # WITH the ``on`` order below.
     lside, rside = (0, 1) if strict else (1, 0)
     lu = left.select(
         *[F.col(k) for k in keys], F.col(on).alias("_aj_on"),
@@ -368,15 +378,25 @@ def asof_join(left: DataFrame, right: DataFrame,
         *[F.col(k) for k in keys], F.col(on).alias("_aj_on"),
         F.lit(rside).alias("_aj_side"),
         F.lit(None).cast(ltype).alias("_aj_l"), rpay.alias("_aj_r"))
+    if direction == "backward":
+        order = [F.col("_aj_on").asc(), F.col("_aj_side").asc(),
+                 F.col("_aj_r").asc()]
+    else:
+        # Time-negated scan: largest ``on`` first, so the last right
+        # seen before a left row is the smallest ``on`` at/after it;
+        # struct desc makes the instant's SMALLEST struct win.
+        order = [F.col("_aj_on").desc(), F.col("_aj_side").asc(),
+                 F.col("_aj_r").desc()]
     w = (Window.partitionBy(*keys)
-         .orderBy("_aj_on", "_aj_side", "_aj_r")
+         .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = (lu.unionByName(ru)
                .withColumn("_aj_m", F.last("_aj_r", ignorenulls=True).over(w))
                .filter(F.col("_aj_l").isNotNull()))
     if tolerance_s is not None:
-        in_tol = (F.unix_micros(F.col("_aj_on"))
-                  - F.unix_micros(F.col("_aj_m")[on])
+        gap = (F.unix_micros(F.col("_aj_on"))
+               - F.unix_micros(F.col("_aj_m")[on]))
+        in_tol = ((gap if direction == "backward" else -gap)
                   <= int(tolerance_s) * 1_000_000)
         carried = carried.withColumn(
             "_aj_m", F.when(in_tol, F.col("_aj_m")))
@@ -491,42 +511,96 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_SECONDS,
 # streaming.joins.streaming_attribution_join).
 # ---------------------------------------------------------------------------
 
+ATTRIBUTION_MODELS = ("last_touch", "first_touch", "all_touches")
+
+
 def attribution_join(events: DataFrame, conv_type: str = "purchase",
                      touch_type: str = "click",
                      horizon_s: int = 24 * 3600,
                      user_col: str = "user_id", ts_col: str = "ts",
                      type_col: str = "event_type",
                      id_col: str = "event_id",
-                     emit_unmatched: bool = False) -> DataFrame:
-    """For each ``conv_type`` event, the LATEST ``touch_type`` event
-    by the same user with ``touch_ts <= conv_ts`` and within
-    ``horizon_s`` seconds — last-touch attribution. Returns
-    (user, conversion_id, conv_ts, touch_id, touch_ts), one row per
-    ATTRIBUTED conversion; with ``emit_unmatched`` every conversion
-    appears and unattributed ones carry NULL touch columns (the
-    funnel-drop report). Ties at one instant resolve to the greatest
-    touch id (asof_join's greatest-right-struct rule —
-    partitioning-independent). Same contracts as the streaming twin
-    (inner vs left-outer stream-stream join).
+                     emit_unmatched: bool = False,
+                     model: str = "last_touch") -> DataFrame:
+    """Attribute each ``conv_type`` event to the ``touch_type``
+    events by the same user with ``conv_ts - horizon_s <= touch_ts
+    <= conv_ts``. Returns (user, conversion_id, conv_ts, touch_id,
+    touch_ts); with ``emit_unmatched`` every conversion appears and
+    unattributed ones carry NULL touch columns (the funnel-drop
+    report). Three models, each mirrored by the streaming twin
+    (`streaming.joins.streaming_attribution_join`, pinned equal on
+    replay in tests/test_streaming_joins.py):
 
-    Plan shape: two filters of one scan, then `asof_join`'s single
-    shuffle on the user key + one streaming window frame — no theta
-    join, no per-conversion subquery. Pinned equal to the streaming
-    twin on replay in tests/test_streaming_joins.py.
+    - ``last_touch`` (default): the LATEST qualifying touch, one row
+      per attributed conversion; ties at one instant resolve to the
+      greatest touch id (asof_join's greatest-right-struct rule).
+    - ``first_touch``: the EARLIEST qualifying touch; ties at one
+      instant resolve to the SMALLEST touch id (the forward
+      direction's mirrored tie rule).
+    - ``all_touches``: every qualifying (conversion, touch) pair,
+      one row each — the raw material for positional/linear credit
+      weighting downstream.
+
+    Plan shape: two filters of one scan, then one shuffle on the
+    user key — `asof_join`'s union-sort window for last/first touch
+    (first touch is the forward as-of from ``conv_ts - horizon``
+    with the same tolerance), `range_join`'s bucketed equi-join for
+    all_touches. No theta join, no per-conversion subquery.
     """
-    convs = (events.filter(F.col(type_col) == conv_type)
-             .select(F.col(user_col),
-                     F.col(ts_col),
-                     F.col(id_col).alias("conversion_id")))
+    if model not in ATTRIBUTION_MODELS:
+        raise ValueError(f"model must be one of "
+                         f"{ATTRIBUTION_MODELS}, got {model!r}")
     touches = (events.filter(F.col(type_col) == touch_type)
                .select(F.col(user_col),
                        F.col(ts_col),
                        F.col(id_col).alias("touch_id")))
-    j = asof_join(convs, touches, on=ts_col, by=user_col,
-                  tolerance_s=horizon_s, strict=False)
+    if model == "all_touches":
+        convs = (events.filter(F.col(type_col) == conv_type)
+                 .select(F.col(user_col),
+                         F.col(ts_col),
+                         F.col(id_col).alias("conversion_id")))
+        pairs = range_join(convs, touches, on=ts_col, by=user_col,
+                           lower_s=-int(horizon_s), upper_s=0)
+        out = pairs.select(
+            F.col(user_col), "conversion_id",
+            F.col(ts_col).alias("conv_ts"),
+            F.col("r_touch_id").alias("touch_id"),
+            F.col(f"r_{ts_col}").alias("touch_ts"))
+        if emit_unmatched:
+            unmatched = (convs.join(out.select("conversion_id"),
+                                    "conversion_id", "left_anti")
+                         .select(F.col(user_col), "conversion_id",
+                                 F.col(ts_col).alias("conv_ts"),
+                                 F.lit(None).cast(
+                                     dict(out.dtypes)["touch_id"])
+                                 .alias("touch_id"),
+                                 F.lit(None).cast("timestamp")
+                                 .alias("touch_ts")))
+            out = out.unionByName(unmatched)
+        return out
+    if model == "last_touch":
+        convs = (events.filter(F.col(type_col) == conv_type)
+                 .select(F.col(user_col),
+                         F.col(ts_col),
+                         F.col(id_col).alias("conversion_id")))
+        j = asof_join(convs, touches, on=ts_col, by=user_col,
+                      tolerance_s=horizon_s, strict=False)
+        conv_ts = F.col(ts_col)
+    else:  # first_touch: forward as-of from the window's left edge
+        convs = (events.filter(F.col(type_col) == conv_type)
+                 .select(F.col(user_col),
+                         (F.col(ts_col) - F.expr(
+                             f"INTERVAL {int(horizon_s)} SECOND"))
+                         .alias(ts_col),
+                         F.col(ts_col).alias("_at_conv_ts"),
+                         F.col(id_col).alias("conversion_id")))
+        j = asof_join(convs, touches, on=ts_col, by=user_col,
+                      tolerance_s=horizon_s, strict=False,
+                      direction="forward")
+        conv_ts = F.col("_at_conv_ts")
     if not emit_unmatched:
         j = j.filter(F.col("r_touch_id").isNotNull())
     return (j.select(F.col(user_col), "conversion_id",
-                     F.col(ts_col).alias("conv_ts"),
+                     conv_ts.alias("conv_ts"),
                      F.col("r_touch_id").alias("touch_id"),
                      F.col(f"r_{ts_col}").alias("touch_ts")))

@@ -48,26 +48,43 @@ def streaming_attribution_join(events: DataFrame,
                                ts_col: str = "ts",
                                type_col: str = "event_type",
                                id_col: str = "event_id",
-                               emit_unmatched: bool = False
+                               emit_unmatched: bool = False,
+                               model: str = "last_touch"
                                ) -> DataFrame:
     """Append-mode stream of (user, conversion_id, conv_ts, touch_id,
-    touch_ts): one row per attributed conversion, emitted once the
-    watermark seals it (no earlier — a later-arriving better touch
-    inside the watermark must still be able to win). With
-    ``emit_unmatched`` the join is LEFT-OUTER: a conversion with no
-    qualifying touch emits once with NULL touch columns after the
-    watermark proves no touch can still arrive — the null-extended
-    row is the group's only row, so the latest-touch aggregation
-    passes it through unchanged.
+    touch_ts), mirroring the batch twin's three models:
+
+    - ``last_touch`` / ``first_touch``: one row per attributed
+      conversion, emitted once the watermark seals it (no earlier —
+      a later-arriving better/earlier touch inside the watermark
+      must still be able to win). The only difference is the final
+      per-conversion aggregate: ``max(struct(touch_ts, touch_id))``
+      vs ``min`` — the same tie rules as the batch twin (greatest
+      touch id for last, smallest for first).
+    - ``all_touches``: every qualifying pair, emitted as soon as
+      both sides have arrived (no sealing aggregate needed — a pair
+      is a pair regardless of later events).
+
+    With ``emit_unmatched`` the join is LEFT-OUTER: a conversion
+    with no qualifying touch emits once with NULL touch columns
+    after the watermark proves no touch can still arrive — for the
+    single-touch models the null-extended row is the group's only
+    row, so the aggregation passes it through unchanged.
 
     Input may be a stream or a batch frame routed through the same
     function for differential testing. Both sides derive from ONE
     pre-filtered pass over `events`; non-participating event types
     never enter join state.
     """
+    from lisp_batch_processor_spark.operators.events import (
+        ATTRIBUTION_MODELS)
+
     if conv_type == touch_type:
         raise ValueError("conv_type and touch_type must differ "
                          f"(got {conv_type!r} for both)")
+    if model not in ATTRIBUTION_MODELS:
+        raise ValueError(f"model must be one of "
+                         f"{ATTRIBUTION_MODELS}, got {model!r}")
     # Watermark placement note: each branch's watermark advances only
     # on events of ITS participating type — Catalyst evaluates the
     # type filter before the watermark stats collection regardless of
@@ -97,9 +114,14 @@ def streaming_attribution_join(events: DataFrame,
         & (F.col("touch_ts") <= F.col("conv_ts"))
         & (F.col("touch_ts") >= lo),
         "leftOuter" if emit_unmatched else "inner")
+    if model == "all_touches":
+        return joined.select(F.col("c_user").alias(user_col),
+                             "conversion_id", "conv_ts",
+                             "touch_id", "touch_ts")
+    pick = F.max if model == "last_touch" else F.min
     return (joined
             .groupBy("c_user", "conversion_id", "conv_ts")
-            .agg(F.max(F.struct("touch_ts", "touch_id")).alias("_at"))
+            .agg(pick(F.struct("touch_ts", "touch_id")).alias("_at"))
             .select(F.col("c_user").alias(user_col),
                     "conversion_id", "conv_ts",
                     F.col("_at.touch_id").alias("touch_id"),

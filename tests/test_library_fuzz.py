@@ -125,23 +125,58 @@ def test_fuzz_attribution_join(spark):
         rows, "event_id long, ts timestamp, user_id long, "
               "event_type string")
 
-    got = {(r.user_id, r.conversion_id): (r.touch_id, r.touch_ts)
-           for r in attribution_join(events, horizon_s=horizon).collect()}
-
     touches: dict = {}
     for eid_, ts, uid, et in rows:
         if et == "click":
             touches.setdefault(uid, []).append((ts, eid_))
-    want = {}
-    for eid_, ts, uid, et in rows:
-        if et != "purchase":
-            continue
-        cands = [(t, i) for t, i in touches.get(uid, [])
-                 if t <= ts and (ts - t).total_seconds() <= horizon]
-        if cands:
-            bt, bi = max(cands)
-            want[(uid, eid_)] = (bi, bt)
-    assert got == want
+
+    def cands_for(uid, ts):
+        return [(t, i) for t, i in touches.get(uid, [])
+                if t <= ts and (ts - t).total_seconds() <= horizon]
+
+    # last/first touch: (ts, id) max/min encode both tie rules —
+    # greatest id at the latest instant, smallest at the earliest.
+    for model, pick in (("last_touch", max), ("first_touch", min)):
+        got = {(r.user_id, r.conversion_id): (r.touch_id, r.touch_ts)
+               for r in attribution_join(events, horizon_s=horizon,
+                                         model=model).collect()}
+        want = {}
+        for eid_, ts, uid, et in rows:
+            if et != "purchase":
+                continue
+            cands = cands_for(uid, ts)
+            if cands:
+                bt, bi = pick(cands)
+                want[(uid, eid_)] = (bi, bt)
+        assert got == want, model
+
+    got_all = {(r.user_id, r.conversion_id, r.touch_id)
+               for r in attribution_join(events, horizon_s=horizon,
+                                         model="all_touches").collect()}
+    want_all = {(uid, eid_, i)
+                for eid_, ts, uid, et in rows if et == "purchase"
+                for _, i in cands_for(uid, ts)}
+    assert got_all == want_all
+
+    # emit_unmatched parity across models: every conversion appears
+    # exactly as often as its matches, or once with a NULL touch.
+    n_convs = sum(1 for *_, et in rows if et == "purchase")
+    for model, expect in (("last_touch", n_convs),
+                          ("first_touch", n_convs),
+                          ("all_touches",
+                           len(want_all) + sum(
+                               1 for eid_, ts, uid, et in rows
+                               if et == "purchase"
+                               and not cands_for(uid, ts)))):
+        out = attribution_join(events, horizon_s=horizon, model=model,
+                               emit_unmatched=True).collect()
+        assert len(out) == expect, model
+        assert ({r.conversion_id for r in out}
+                == {e for e, _, _, et in rows if et == "purchase"})
+
+    import pytest
+    with pytest.raises(ValueError, match="model"):
+        attribution_join(events, model="u_shaped")
 
 
 # ---------------------------------------------------------------------------

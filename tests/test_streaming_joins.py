@@ -150,8 +150,82 @@ def test_streaming_attribution_left_outer_matches_batch(spark, tmp_path):
     assert (998, 97, None) in emitted    # flush conv sealed by flush2
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["first_touch", "all_touches"])
+def test_streaming_attribution_models_match_batch(spark, tmp_path,
+                                                  model):
+    """The round-5 scenario replayed under the other two models:
+    first_touch flips the winning touch (earliest qualifying;
+    same-instant ties -> SMALLEST id), all_touches emits every
+    qualifying pair."""
+    horizon = 3600
+    b1 = [
+        _ev(1, 0, 1, "click"),
+        _ev(2, 50 * S, 1, "click"),
+        _ev(3, 100 * S, 1, "purchase"),      # first: 1, pairs: {1,2}
+        _ev(4, 0, 2, "purchase"),            # no touch
+        _ev(5, 10 * S, 3, "click"),
+        _ev(6, 7200 * S, 3, "purchase"),     # touch beyond horizon
+        _ev(7, 500 * S, 4, "click"),
+    ]
+    b2 = [
+        _ev(8, 700 * S, 5, "click"),         # out-of-order arrival
+        _ev(9, 600 * S, 5, "click"),
+        _ev(10, 800 * S, 5, "purchase"),     # first: 9 (earlier ts)
+        _ev(11, 500 * S, 4, "purchase"),     # same instant: 7
+        _ev(12, 500 * S, 6, "click"),
+        _ev(13, 500 * S, 6, "click"),
+        _ev(14, 600 * S, 6, "purchase"),     # tie -> MIN id 12
+    ]
+    flush1 = [_ev(96, 864000 * S, 999, "click"),
+              _ev(97, 864000 * S, 998, "purchase")]
+    flush2 = [_ev(98, 2 * 864000 * S, 999, "click"),
+              _ev(99, 2 * 864000 * S, 998, "purchase")]
+
+    src = os.path.join(str(tmp_path), "ev_in")
+    for i, batch in enumerate((b1, b2, flush1, flush2)):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(src, f"batch={i}"))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    out = streaming_attribution_join(stream, horizon_s=horizon,
+                                     model=model)
+    name = f"attr_{model}"
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        emitted = [(r.user_id, r.conversion_id, r.touch_id)
+                   for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    finally:
+        spark.catalog.dropTempView(name)
+
+    batch_df = spark.createDataFrame(b1 + b2 + flush1 + flush2, SCHEMA)
+    want = [(r.user_id, r.conversion_id, r.touch_id)
+            for r in attribution_join(batch_df, horizon_s=horizon,
+                                      model=model).collect()]
+    assert sorted(emitted) == sorted(want)
+    if model == "first_touch":
+        assert set(want) == {(1, 3, 1),   # earliest of two touches
+                             (5, 10, 9),  # earlier-ts out-of-order touch
+                             (4, 11, 7),  # same-instant qualifies
+                             (6, 14, 12)}  # tie -> min touch id
+    else:
+        assert sorted(want) == sorted([
+            (1, 3, 1), (1, 3, 2), (5, 10, 8), (5, 10, 9),
+            (4, 11, 7), (6, 14, 12), (6, 14, 13)])
+        assert len(emitted) == len(set(emitted))  # one row per pair
+
+
 def test_streaming_attribution_validation(spark):
     df = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="must differ"):
         streaming_attribution_join(df, conv_type="click",
                                    touch_type="click")
+    with pytest.raises(ValueError, match="model"):
+        streaming_attribution_join(df, model="linear")
