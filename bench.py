@@ -207,6 +207,25 @@ def main() -> None:
             }
         except (OSError, ValueError) as e:
             print(f"# prev_head unreadable: {e}", file=sys.stderr)
+    # Measured noise band (scripts/bench_noise_band.py, interleaved
+    # same-host A/B passes): the yardstick for reading any per-query
+    # delta in this artifact — a delta inside the band is run noise.
+    nb_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "NOISE_BAND.json")
+    if os.path.isfile(nb_path):
+        try:
+            with open(nb_path) as f:
+                nb = json.load(f)["summary"]
+            payload["noise_band"] = {
+                "per_query_p50": nb.get("per_query_band_p50"),
+                "per_query_p90": nb.get("per_query_band_p90"),
+                "total": max(nb.get("total_band_a", 0),
+                             nb.get("total_band_b", 0)),
+                "pairs": nb.get("pairs"),
+                "detail": "NOISE_BAND.json",
+            }
+        except (OSError, ValueError, KeyError) as e:
+            print(f"# noise_band unreadable: {e}", file=sys.stderr)
     line = json.dumps(payload)
     if len(line) > 1800:
         print(f"# WARNING: final JSON line is {len(line)} chars; the "

@@ -1,0 +1,136 @@
+"""Measured per-query noise band for the bench series: interleave
+A/B bench passes (current HEAD vs a reference commit, alternating
+subprocesses in one session on one host, >= 5 pairs) and record how
+much a query's single-pass timing moves when the CODE DOES NOT
+CHANGE. Rounds 4-5 judged cross-HEAD deltas (+3.5 % total, +21 % on
+an untouched query) as noise by inference; this makes the band
+measured.
+
+Interleaving matters: host speed drifts over minutes (shared VM), so
+A A A A B B B B would fold drift into the A-vs-B delta. A B A B ...
+places every A next to a B under the same conditions.
+
+Writes NOISE_BAND.json:
+  - per-query timing lists for both sides,
+  - per-query relative band  (max-min)/median  within each side,
+  - the cross-side delta of per-query MINs, comparable against the
+    band (a delta inside the band is noise, not regression),
+and BENCH_PREV_HEAD.json (per-query mins over the B passes — the
+same artifact bench_prev_head.py produces, from more passes).
+
+Usage: python scripts/bench_noise_band.py <ref_commit> [n_pairs]
+Env: SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as bench.py. Run alone —
+never concurrently with pytest or another bench (contamination
+inflates timings 2-4x; see SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _median(v):
+    s = sorted(v)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_bench(cwd: str) -> dict:
+    """One bench subprocess with a single timed pass (plus the
+    standard warmup pass); returns the per-query timing dict."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_PASSES"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=cwd, env=env,
+        capture_output=True, text=True, check=True)
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)["queries"]
+
+
+def main() -> None:
+    if len(sys.argv) not in (2, 3):
+        sys.exit("usage: bench_noise_band.py <ref_commit> [n_pairs]")
+    ref = sys.argv[1]
+    n_pairs = int(sys.argv[2]) if len(sys.argv) == 3 else 5
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wt = f"/tmp/noise_ref_{ref[:12]}"
+    subprocess.run(["git", "-C", repo, "worktree", "add", "--force",
+                    wt, ref], check=True)
+    a_runs: list[dict] = []
+    b_runs: list[dict] = []
+    try:
+        for i in range(n_pairs):
+            print(f"# pair {i + 1}/{n_pairs}: A (HEAD)",
+                  file=sys.stderr, flush=True)
+            a_runs.append(run_bench(repo))
+            print(f"# pair {i + 1}/{n_pairs}: B ({ref[:12]})",
+                  file=sys.stderr, flush=True)
+            b_runs.append(run_bench(wt))
+    finally:
+        subprocess.run(["git", "-C", repo, "worktree", "remove",
+                        "--force", wt], check=False)
+
+    names = sorted(set(a_runs[0]) & set(b_runs[0]))
+    per_query = {}
+    for q in names:
+        a = [r[q] for r in a_runs]
+        b = [r[q] for r in b_runs]
+        band_a = (max(a) - min(a)) / _median(a) if _median(a) else 0.0
+        band_b = (max(b) - min(b)) / _median(b) if _median(b) else 0.0
+        delta = ((min(a) - min(b)) / min(b)) if min(b) else 0.0
+        per_query[q] = {
+            "a": [round(x, 3) for x in a],
+            "b": [round(x, 3) for x in b],
+            "band_a": round(band_a, 3),
+            "band_b": round(band_b, 3),
+            "min_delta_rel": round(delta, 3),
+        }
+    bands = sorted(max(v["band_a"], v["band_b"])
+                   for v in per_query.values())
+    totals_a = [sum(r[q] for q in names) for r in a_runs]
+    totals_b = [sum(r[q] for q in names) for r in b_runs]
+    summary = {
+        "pairs": n_pairs,
+        "ref_commit": ref,
+        "stat": "single-pass timings, interleaved A/B",
+        # Per-query relative band (same-code max-min over median):
+        # the yardstick for judging any cross-round per-query delta.
+        "per_query_band_p50": round(_median(bands), 3),
+        "per_query_band_p90": round(
+            bands[min(len(bands) - 1, int(0.9 * len(bands)))], 3),
+        "total_band_a": round(
+            (max(totals_a) - min(totals_a)) / _median(totals_a), 3),
+        "total_band_b": round(
+            (max(totals_b) - min(totals_b)) / _median(totals_b), 3),
+        "total_min_a": round(min(totals_a), 3),
+        "total_min_b": round(min(totals_b), 3),
+        "total_delta_rel": round(
+            (min(totals_a) - min(totals_b)) / min(totals_b), 3),
+    }
+    with open(os.path.join(repo, "NOISE_BAND.json"), "w") as f:
+        json.dump({"summary": summary, "queries": per_query}, f,
+                  indent=1)
+    # The B side doubles as the same-host prev-HEAD artifact (min
+    # over n_pairs passes instead of bench_prev_head.py's min-of-3).
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                            "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    prev = {
+        "commit": ref,
+        "total_min": summary["total_min_b"],
+        "sf": float(sf),
+        "stat": f"min_of_{n_pairs}_interleaved",
+        "consume": "noop_write",
+        "queries": {q: min(v["b"]) for q, v in per_query.items()},
+    }
+    with open(os.path.join(repo, "BENCH_PREV_HEAD.json"), "w") as f:
+        json.dump(prev, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

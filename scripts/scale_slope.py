@@ -73,6 +73,10 @@ QUERIES = {
     "q_ngram_lm": "documents",
     "q_stratified": "documents",
     "q_attribution": "events",
+    # Round 6 model variants: first_touch (forward as-of) and
+    # all_touches (bucketed range_join pairs).
+    "q_attribution_first": "events",
+    "q_attribution_all": "events",
 }
 
 
@@ -138,6 +142,14 @@ def _extra_queries() -> dict:
             "lisp_batch_processor_spark.operators.events",
             fromlist=["attribution_join"]).attribution_join(
                 load(spark, sf_dir, "events")),
+        "q_attribution_first": lambda spark, sf_dir: __import__(
+            "lisp_batch_processor_spark.operators.events",
+            fromlist=["attribution_join"]).attribution_join(
+                load(spark, sf_dir, "events"), model="first_touch"),
+        "q_attribution_all": lambda spark, sf_dir: __import__(
+            "lisp_batch_processor_spark.operators.events",
+            fromlist=["attribution_join"]).attribution_join(
+                load(spark, sf_dir, "events"), model="all_touches"),
     }
 
 
