@@ -63,10 +63,11 @@ def timed(fn, passes: int = 3) -> float:
 
 
 def main() -> None:
-    epochs = int(os.environ.get("SKETCH_EPOCHS", "100"))
+    epochs = int(os.environ.get("SKETCH_EPOCHS", "200"))
     rows = int(os.environ.get("SKETCH_ROWS", "20000"))
+    groups = int(os.environ.get("SKETCH_GROUPS", "128"))
     out_path = os.environ.get("SKETCH_OUT", "SCALE_SKETCH_r06.json")
-    report_at = sorted({10, 25, 50, epochs} & set(
+    report_at = sorted({10, 25, 50, 100, epochs} & set(
         range(1, epochs + 1))) or [epochs]
 
     spark = get_spark("scale-sketch", cpus=8, shuffle_partitions=8)
@@ -77,8 +78,11 @@ def main() -> None:
     splits = [float(s) for s in range(500, 10000, 500)]
 
     def batch(e: int):
+        # Enough groups that the raw store accretes real row volume
+        # (groups x buckets rows per epoch): the linear read-cost
+        # term must be visible above job fixed overhead.
         return spark.range(e * rows, (e + 1) * rows).selectExpr(
-            "id % 8 AS g",
+            f"id % {groups} AS g",
             "CAST((id * 37) % 10007 AS DOUBLE) AS v",
             "CAST(id % 4096 AS STRING) AS u")
 
@@ -138,6 +142,7 @@ def main() -> None:
     first, last = checkpoints[0], checkpoints[-1]
     summary = {
         "epochs": epochs, "rows_per_epoch": rows,
+        "groups": groups,
         "qh_read_raw_growth":
             round(last["qh_read_raw_sec"] / first["qh_read_raw_sec"], 2),
         "qh_read_compacted_growth":
