@@ -220,9 +220,19 @@ def overwrite_partitions_dynamic(spark: SparkSession, df: DataFrame,
     partition overwrite) — the idempotent re-run primitive for
     incremental pipelines: reprocessing one day replaces that day's
     directory and touches nothing else.
+
+    The mode is set per-write (the DataFrameWriter option overrides
+    the session conf), so no session-global state mutates — a
+    concurrent partitioned overwrite elsewhere in the session keeps
+    its own semantics. Note the dynamic-overwrite commit deletes
+    each target partition dir before renaming the staged one in
+    (non-atomic, driver-side): idempotent re-runs tolerate that
+    window, but for state whose replay derives from the PRE-write
+    contents, use per-bucket staged swaps as
+    `operators.cdc.upsert_apply` does.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (df.write.mode("overwrite").format("parquet")
+     .option("partitionOverwriteMode", "dynamic")
      .partitionBy(*partition_by).save(path))
 
 

@@ -79,18 +79,30 @@ def main() -> None:
     for q in names:
         a = [r[q] for r in a_runs]
         b = [r[q] for r in b_runs]
-        band_a = (max(a) - min(a)) / _median(a) if _median(a) else 0.0
-        band_b = (max(b) - min(b)) / _median(b) if _median(b) else 0.0
+
+        def band(v):
+            return (max(v) - min(v)) / _median(v) if _median(v) else 0.0
+
+        # Trimmed band drops each side's single worst pass: the host
+        # stalls for multi-second windows (a 1 s query can read 19 s
+        # once in 5 passes), and one stall otherwise IS the band.
+        # The trimmed figure is the noise floor min-of-N actually
+        # competes against; the raw figure documents the stalls.
+        ta, tb = sorted(a)[:-1], sorted(b)[:-1]
         delta = ((min(a) - min(b)) / min(b)) if min(b) else 0.0
         per_query[q] = {
             "a": [round(x, 3) for x in a],
             "b": [round(x, 3) for x in b],
-            "band_a": round(band_a, 3),
-            "band_b": round(band_b, 3),
+            "band_a": round(band(a), 3),
+            "band_b": round(band(b), 3),
+            "trimmed_band_a": round(band(ta), 3),
+            "trimmed_band_b": round(band(tb), 3),
             "min_delta_rel": round(delta, 3),
         }
     bands = sorted(max(v["band_a"], v["band_b"])
                    for v in per_query.values())
+    tbands = sorted(max(v["trimmed_band_a"], v["trimmed_band_b"])
+                    for v in per_query.values())
     totals_a = [sum(r[q] for q in names) for r in a_runs]
     totals_b = [sum(r[q] for q in names) for r in b_runs]
     summary = {
@@ -102,6 +114,9 @@ def main() -> None:
         "per_query_band_p50": round(_median(bands), 3),
         "per_query_band_p90": round(
             bands[min(len(bands) - 1, int(0.9 * len(bands)))], 3),
+        "per_query_trimmed_band_p50": round(_median(tbands), 3),
+        "per_query_trimmed_band_p90": round(
+            tbands[min(len(tbands) - 1, int(0.9 * len(tbands)))], 3),
         "total_band_a": round(
             (max(totals_a) - min(totals_a)) / _median(totals_a), 3),
         "total_band_b": round(
