@@ -217,10 +217,12 @@ def main() -> None:
             with open(nb_path) as f:
                 nb = json.load(f)["summary"]
             payload["noise_band"] = {
-                "per_query_p50": nb.get("per_query_band_p50"),
-                "per_query_p90": nb.get("per_query_band_p90"),
-                "total": max(nb.get("total_band_a", 0),
-                             nb.get("total_band_b", 0)),
+                # Single-pass same-code spread (raw / worst-pass
+                # trimmed) and the same-code min-of-N total delta —
+                # the yardstick for this artifact's min statistics.
+                "single_pass_p50": nb.get("per_query_band_p50"),
+                "trimmed_p50": nb.get("per_query_trimmed_band_p50"),
+                "same_code_total_delta": nb.get("total_delta_rel"),
                 "pairs": nb.get("pairs"),
                 "detail": "NOISE_BAND.json",
             }
