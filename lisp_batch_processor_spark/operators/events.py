@@ -604,3 +604,67 @@ def attribution_join(events: DataFrame, conv_type: str = "purchase",
                      conv_ts.alias("conv_ts"),
                      F.col("r_touch_id").alias("touch_id"),
                      F.col(f"r_{ts_col}").alias("touch_ts")))
+
+
+CREDIT_MODELS = ("linear", "position_based", "time_decay")
+
+
+def attribution_credit(pairs: DataFrame, model: str = "linear",
+                       u_weight: float = 0.4,
+                       half_life_s: int = 7 * 24 * 3600) -> DataFrame:
+    """Fractional-credit weighting over an ``all_touches`` pair set
+    (the output of ``attribution_join(model="all_touches")``): every
+    (conversion, touch) row gains a ``credit`` column and each
+    conversion's credits sum to exactly 1 — the multi-touch models
+    marketing analytics layers over the raw pair expansion:
+
+    - ``linear``: 1/n to each of the conversion's n touches;
+    - ``position_based`` (U-shaped): ``u_weight`` to the FIRST and
+      to the LAST touch, the remaining 1 − 2·u_weight split evenly
+      across the middle touches; one touch → 1.0, two touches →
+      0.5/0.5 (the standard degenerate-case convention);
+    - ``time_decay``: weight 2^(−age/half_life) where age =
+      conv_ts − touch_ts, normalized per conversion — recent
+      touches dominate smoothly instead of winner-take-all.
+
+    Touch order within a conversion is the total (touch_ts,
+    touch_id) order, consistent with the single-touch models' tie
+    rules (first = smallest id at the earliest instant, last =
+    greatest at the latest). NULL-touch rows (an ``emit_unmatched``
+    pair set) keep a NULL credit — unattributed conversions carry
+    no credit to distribute.
+
+    Plan shape: ONE shuffle on conversion_id serving both window
+    frames (count + row_number reuse the exchange; Catalyst
+    collapses them into one Window node chain) — no join back to
+    the pair set, no per-conversion subquery. Skew-safe: a
+    conversion's pair count is bounded by touches-per-user in the
+    horizon, the same bound as the pair expansion itself.
+    """
+    if model not in CREDIT_MODELS:
+        raise ValueError(f"model must be one of {CREDIT_MODELS}, "
+                         f"got {model!r}")
+    if model == "position_based" and not 0.0 <= 2 * u_weight <= 1.0:
+        raise ValueError(f"need 0 <= 2*u_weight <= 1, got {u_weight}")
+    w = Window.partitionBy("conversion_id")
+    matched = F.col("touch_id").isNotNull()
+    n = F.count(F.when(matched, 1)).over(w)
+    if model == "linear":
+        credit = 1.0 / n
+    elif model == "position_based":
+        pos = F.row_number().over(
+            w.orderBy(F.col("touch_ts").asc_nulls_last(),
+                      F.col("touch_id").asc_nulls_last()))
+        uw = F.lit(float(u_weight))
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when((pos == 1) | (pos == n), uw)
+            .otherwise((1.0 - 2 * uw) / (n - 2)))
+    else:  # time_decay
+        age_s = (F.unix_micros("conv_ts")
+                 - F.unix_micros("touch_ts")) / 1e6
+        weight = F.pow(F.lit(2.0), -age_s / F.lit(float(half_life_s)))
+        credit = weight / F.sum(F.when(matched, weight)).over(w)
+    return pairs.withColumn(
+        "credit", F.when(matched, credit).cast("double"))

@@ -178,6 +178,66 @@ def test_fuzz_attribution_join(spark):
     with pytest.raises(ValueError, match="model"):
         attribution_join(events, model="u_shaped")
 
+    # Credit weighting over the pair set vs a Python oracle.
+    import math
+
+    from lisp_batch_processor_spark.operators.events import (
+        attribution_credit)
+
+    pairs = attribution_join(events, horizon_s=horizon,
+                             model="all_touches")
+    by_conv: dict = {}
+    for eid_, ts, uid, et in rows:
+        if et == "purchase":
+            # (touch_ts, touch_id) sort = the operator's total order.
+            by_conv[eid_] = (ts, sorted(cands_for(uid, ts)))
+    half_life = 600.0
+    for model in ("linear", "position_based", "time_decay"):
+        got = {(r.conversion_id, r.touch_id): r.credit
+               for r in attribution_credit(
+                   pairs, model=model,
+                   half_life_s=int(half_life)).collect()}
+        want = {}
+        for cid, (cts, touches) in by_conv.items():
+            ncand = len(touches)
+            if not ncand:
+                continue
+            if model == "linear":
+                for t, i in touches:
+                    want[(cid, i)] = 1.0 / ncand
+            elif model == "position_based":
+                for k, (t, i) in enumerate(touches):
+                    if ncand == 1:
+                        c = 1.0
+                    elif ncand == 2:
+                        c = 0.5
+                    elif k in (0, ncand - 1):
+                        c = 0.4
+                    else:
+                        c = 0.2 / (ncand - 2)
+                    want[(cid, i)] = c
+            else:
+                ws = [2 ** (-(cts - t).total_seconds() / half_life)
+                      for t, _ in touches]
+                tot = sum(ws)
+                for (t, i), wgt in zip(touches, ws):
+                    want[(cid, i)] = wgt / tot
+        assert set(got) == set(want), model
+        for k in want:
+            assert math.isclose(got[k], want[k],
+                                rel_tol=1e-9), (model, k)
+        # Per-conversion credits sum to 1 exactly.
+        sums: dict = {}
+        for (cid, _), c in got.items():
+            sums[cid] = sums.get(cid, 0.0) + c
+        assert all(math.isclose(s, 1.0, rel_tol=1e-9)
+                   for s in sums.values()), model
+    with pytest.raises(ValueError, match="model"):
+        attribution_credit(pairs, model="u_shaped")
+    with pytest.raises(ValueError, match="u_weight"):
+        attribution_credit(pairs, model="position_based",
+                           u_weight=0.7)
+
 
 # ---------------------------------------------------------------------------
 # ngram LM score vs Counter replay
