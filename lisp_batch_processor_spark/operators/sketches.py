@@ -208,7 +208,8 @@ def quantile_hist_store_read(spark, store_path: str,
 
 def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
                                keys: Sequence[str], col: str,
-                               splits: list[float]):
+                               splits: list[float],
+                               compact_every: int | None = None):
     """Streaming percentile maintenance: each micro-batch reduces to
     its exact per-bucket counts (<= B rows per group) which append
     EPOCH-TAGGED to the store — row data is touched once, at arrival;
@@ -217,23 +218,42 @@ def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
     :func:`quantile_hist_estimate`. Returns the DataStreamWriter
     (use a checkpointLocation; replay safety per store_read).
 
+    ``compact_every=N`` folds the store via
+    :func:`sketch_store_compact` after every Nth epoch's append —
+    inside foreachBatch IS the single-writer maintenance window the
+    compactor requires, so the store stays bounded with no external
+    scheduler. Replay-safe in both orders: a replayed epoch's
+    re-append lands AFTER the fold and dedups against the kept live
+    rows, and a replayed fold re-folds the already-compacted base
+    (idempotent; the live tail is preserved by keep_live).
+
     The additive-sketch analog of the HLL rollups, with the same
     trained-boundaries contract as every quantile_hist_* operator:
     one `splits` list per store, forever.
     """
     splits = list(splits)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, "
+                         f"got {compact_every}")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from lisp_batch_processor_spark.sources.writers import (
+            recover_swap)
+        recover_swap(spark, store_path.rstrip("/"))
         (quantile_hist_build(batch_df, keys, col, splits)
          .withColumn("epoch_id", F.lit(int(epoch_id)))
          .write.mode("append").parquet(store_path))
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            sketch_store_compact(spark, store_path)
 
     return stream_df.writeStream.foreachBatch(_process)
 
 
 def hll_stream_apply(stream_df: DataFrame, store_path: str,
                      keys: Sequence[str], col: str,
-                     lg_k: int = LG_K):
+                     lg_k: int = LG_K,
+                     compact_every: int | None = None):
     """Streaming distinct-count maintenance: each micro-batch reduces
     to one HLL sketch per group (kilobytes) appended to the store;
     answer any later rollup with :func:`hll_rollup` over the store.
@@ -250,10 +270,25 @@ def hll_stream_apply(stream_df: DataFrame, store_path: str,
     coupon list vs dense registers) and estimate a few counts apart
     — the store's accuracy contract is the published error bound,
     not cross-build byte equality.
+
+    ``compact_every=N`` folds the store after every Nth epoch's
+    append (see quantile_hist_stream_apply — same single-writer
+    window argument; the HLL fold is total and replay-safe by union
+    idempotence).
     """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, "
+                         f"got {compact_every}")
+
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from lisp_batch_processor_spark.sources.writers import (
+            recover_swap)
+        recover_swap(spark, store_path.rstrip("/"))
         (hll_build(batch_df, keys, col, lg_k=lg_k)
          .write.mode("append").parquet(store_path))
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            sketch_store_compact(spark, store_path)
 
     return stream_df.writeStream.foreachBatch(_process)
 

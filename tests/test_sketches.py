@@ -330,12 +330,76 @@ def test_sketch_store_compact_validation(spark, tmp_path):
     from lisp_batch_processor_spark.operators.sketches import (
         sketch_store_compact)
 
+    from lisp_batch_processor_spark.operators.sketches import (
+        hll_stream_apply)
+
     bad = os.path.join(str(tmp_path), "not_a_store")
     spark.range(3).write.parquet(bad)
     with pytest.raises(ValueError, match="schema"):
         sketch_store_compact(spark, bad)
     with pytest.raises(ValueError, match="keep_live"):
         sketch_store_compact(spark, bad, keep_live=0)
+    with pytest.raises(ValueError, match="compact_every"):
+        hll_stream_apply(spark.readStream.format("rate").load(),
+                         bad, ["value"], "value", compact_every=-1)
+
+
+@pytest.mark.slow
+def test_stream_apply_with_inline_compaction(spark, tmp_path):
+    """compact_every: the stream folds its own store every N epochs
+    inside foreachBatch — read equals the single-pass batch result,
+    file count stays bounded, and a replayed last-epoch append after
+    the fold still dedups."""
+    from lisp_batch_processor_spark.operators.sketches import (
+        COMPACT_EPOCH, quantile_hist_build, quantile_hist_store_read,
+        quantile_hist_stream_apply)
+
+    splits = [100.0, 500.0, 2000.0]
+    src = os.path.join(str(tmp_path), "in")
+    batches = [spark.range(i * 600, (i + 1) * 600).selectExpr(
+        "id % 2 AS g", "CAST((id * 7) % 3000 AS DOUBLE) AS v")
+        for i in range(4)]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(os.path.join(src, f"b={i}"))
+
+    store = os.path.join(str(tmp_path), "hist_store")
+    stream = (spark.readStream.schema("g long, v double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "b=*")))
+    q = quantile_hist_stream_apply(stream, store, ["g"], "v", splits,
+                                   compact_every=2).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    whole = batches[0]
+    for b in batches[1:]:
+        whole = whole.unionByName(b)
+    want = {(r.g, r.bucket): r.cnt
+            for r in quantile_hist_build(whole, ["g"], "v",
+                                         splits).collect()}
+    got = {(r.g, r.bucket): r.cnt
+           for r in quantile_hist_store_read(spark, store,
+                                             ["g"]).collect()}
+    assert got == want
+    # Folds ran: epochs 0-2 are folded into the base, epoch 3 live.
+    epochs = {r[0] for r in spark.read.parquet(store)
+              .select("epoch_id").distinct().collect()}
+    assert epochs == {COMPACT_EPOCH, 3}
+    assert len(_data_files(store)) <= 2
+    # Replay of the live epoch after the inline fold: still dedups.
+    (quantile_hist_build(batches[3], ["g"], "v", splits)
+     .withColumn("epoch_id", F.lit(3))
+     .write.mode("append").parquet(store))
+    again = {(r.g, r.bucket): r.cnt
+             for r in quantile_hist_store_read(spark, store,
+                                               ["g"]).collect()}
+    assert again == want
+
+    with pytest.raises(ValueError, match="compact_every"):
+        quantile_hist_stream_apply(stream, store, ["g"], "v", splits,
+                                   compact_every=0)
 
 
 @pytest.mark.slow
