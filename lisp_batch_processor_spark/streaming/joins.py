@@ -79,12 +79,36 @@ def streaming_attribution_join(events: DataFrame,
     from lisp_batch_processor_spark.operators.events import (
         ATTRIBUTION_MODELS)
 
-    if conv_type == touch_type:
-        raise ValueError("conv_type and touch_type must differ "
-                         f"(got {conv_type!r} for both)")
     if model not in ATTRIBUTION_MODELS:
         raise ValueError(f"model must be one of "
                          f"{ATTRIBUTION_MODELS}, got {model!r}")
+    joined = _attribution_joined(
+        events, conv_type, touch_type, horizon_s, watermark,
+        user_col, ts_col, type_col, id_col, emit_unmatched)
+    if model == "all_touches":
+        return joined.select(F.col("c_user").alias(user_col),
+                             "conversion_id", "conv_ts",
+                             "touch_id", "touch_ts")
+    pick = F.max if model == "last_touch" else F.min
+    return (joined
+            .groupBy("c_user", "conversion_id", "conv_ts")
+            .agg(pick(F.struct("touch_ts", "touch_id")).alias("_at"))
+            .select(F.col("c_user").alias(user_col),
+                    "conversion_id", "conv_ts",
+                    F.col("_at.touch_id").alias("touch_id"),
+                    F.col("_at.touch_ts").alias("touch_ts")))
+
+
+def _attribution_joined(events, conv_type, touch_type, horizon_s,
+                        watermark, user_col, ts_col, type_col,
+                        id_col, emit_unmatched) -> DataFrame:
+    """The shared stream-stream time-bounded join core: one
+    pre-filtered pass over `events` split into watermarked touch and
+    conversion branches, joined on (user, conv−horizon ≤ touch ≤
+    conv) — inner, or left-outer when ``emit_unmatched``."""
+    if conv_type == touch_type:
+        raise ValueError("conv_type and touch_type must differ "
+                         f"(got {conv_type!r} for both)")
     # Watermark placement note: each branch's watermark advances only
     # on events of ITS participating type — Catalyst evaluates the
     # type filter before the watermark stats collection regardless of
@@ -108,21 +132,111 @@ def streaming_attribution_join(events: DataFrame,
                      F.col(ts_col).alias("conv_ts"),
                      F.col(id_col).alias("conversion_id")))
     lo = F.col("conv_ts") - F.expr(f"INTERVAL {int(horizon_s)} SECOND")
-    joined = convs.join(
+    return convs.join(
         touches,
         (F.col("c_user") == F.col("t_user"))
         & (F.col("touch_ts") <= F.col("conv_ts"))
         & (F.col("touch_ts") >= lo),
         "leftOuter" if emit_unmatched else "inner")
-    if model == "all_touches":
-        return joined.select(F.col("c_user").alias(user_col),
-                             "conversion_id", "conv_ts",
-                             "touch_id", "touch_ts")
-    pick = F.max if model == "last_touch" else F.min
-    return (joined
-            .groupBy("c_user", "conversion_id", "conv_ts")
-            .agg(pick(F.struct("touch_ts", "touch_id")).alias("_at"))
+
+
+def streaming_attribution_credit(events: DataFrame,
+                                 credit_model: str = "linear",
+                                 u_weight: float = 0.4,
+                                 half_life_s: int = 7 * 24 * 3600,
+                                 conv_type: str = "purchase",
+                                 touch_type: str = "click",
+                                 horizon_s: int = 24 * 3600,
+                                 watermark: str = "30 minutes",
+                                 user_col: str = "user_id",
+                                 ts_col: str = "ts",
+                                 type_col: str = "event_type",
+                                 id_col: str = "event_id",
+                                 emit_unmatched: bool = False
+                                 ) -> DataFrame:
+    """The streaming twin of ``attribution_credit(attribution_join(
+    model="all_touches"))``: an append-mode stream of (user,
+    conversion_id, conv_ts, touch_id, touch_ts, credit) with each
+    conversion's credits summing to 1 (see
+    `operators.events.attribution_credit` for the three models and
+    their conventions; with ``emit_unmatched``, a touchless
+    conversion emits once with NULL touch columns and NULL credit).
+
+    Why this needs its own shape: credit depends on the FULL touch
+    set of a conversion (n for linear, positions for U-shaped, the
+    weight total for time_decay), so pairs cannot stream out as they
+    match — the conversion's touch set is sealed by ONE
+    watermark-closed aggregation (``collect_list`` keyed by the
+    conversion's event-time column) and the per-touch credits are
+    then pure array arithmetic over the sorted set: ``transform`` /
+    ``aggregate`` with an index, one posexplode — no second shuffle,
+    no Python. Per-conversion state is its in-horizon touch set,
+    the same bound as the join state itself. Touch order is the
+    (touch_ts, touch_id) total order — the batch twin's.
+
+    Pinned equal (per-credit isclose) to the batch composition on
+    replay in tests/test_streaming_joins.py.
+    """
+    from lisp_batch_processor_spark.operators.events import (
+        CREDIT_MODELS)
+
+    if credit_model not in CREDIT_MODELS:
+        raise ValueError(f"credit_model must be one of "
+                         f"{CREDIT_MODELS}, got {credit_model!r}")
+    if credit_model == "position_based" and not 0 <= 2 * u_weight <= 1:
+        raise ValueError(f"need 0 <= 2*u_weight <= 1, got {u_weight}")
+    joined = _attribution_joined(
+        events, conv_type, touch_type, horizon_s, watermark,
+        user_col, ts_col, type_col, id_col, emit_unmatched)
+    sealed = (joined
+              .groupBy("c_user", "conversion_id", "conv_ts")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("touch_ts", "touch_id"))).alias("_tc")))
+    # The left-outer null-extended row arrives as struct(NULL, NULL);
+    # strip it so n counts real touches only.
+    touches = F.filter("_tc", lambda s: s["touch_id"].isNotNull())
+    sealed = sealed.withColumn("_tc", touches)
+    n = F.size("_tc")
+    if credit_model == "time_decay":
+        half = F.lit(float(half_life_s))
+
+        def wgt(s):
+            age_s = (F.unix_micros("conv_ts")
+                     - F.unix_micros(s["touch_ts"])) / 1e6
+            return F.pow(F.lit(2.0), -age_s / half)
+
+        sealed = sealed.withColumn(
+            "_tot", F.aggregate("_tc", F.lit(0.0),
+                                lambda acc, s: acc + wgt(s)))
+        credit = lambda s, i: wgt(s) / F.col("_tot")  # noqa: E731
+    elif credit_model == "linear":
+        credit = lambda s, i: F.lit(1.0) / n  # noqa: E731
+    else:  # position_based
+        uw = F.lit(float(u_weight))
+        credit = (lambda s, i: (  # noqa: E731
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when((i == 0) | (i == n - 1), uw)
+            .otherwise((1.0 - 2 * uw) / (n - 2))))
+    out_arr = F.transform(
+        "_tc", lambda s, i: F.struct(
+            s["touch_ts"].alias("touch_ts"),
+            s["touch_id"].alias("touch_id"),
+            credit(s, i).cast("double").alias("credit")))
+    null_row = F.array(F.struct(
+        F.lit(None).cast(dict(sealed.select(
+            F.col("_tc")[0]["touch_ts"].alias("t")).dtypes)["t"])
+        .alias("touch_ts"),
+        F.lit(None).cast(dict(sealed.select(
+            F.col("_tc")[0]["touch_id"].alias("t")).dtypes)["t"])
+        .alias("touch_id"),
+        F.lit(None).cast("double").alias("credit")))
+    return (sealed
+            .select("c_user", "conversion_id", "conv_ts",
+                    F.explode(F.when(n == 0, null_row)
+                              .otherwise(out_arr)).alias("_e"))
             .select(F.col("c_user").alias(user_col),
                     "conversion_id", "conv_ts",
-                    F.col("_at.touch_id").alias("touch_id"),
-                    F.col("_at.touch_ts").alias("touch_ts")))
+                    F.col("_e.touch_id").alias("touch_id"),
+                    F.col("_e.touch_ts").alias("touch_ts"),
+                    F.col("_e.credit").alias("credit")))

@@ -222,6 +222,92 @@ def test_streaming_attribution_models_match_batch(spark, tmp_path,
         assert len(emitted) == len(set(emitted))  # one row per pair
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("credit_model",
+                         ["linear", "position_based", "time_decay"])
+def test_streaming_attribution_credit_matches_batch(spark, tmp_path,
+                                                    credit_model):
+    """streaming_attribution_credit replay == attribution_credit over
+    the batch all_touches pair set, per-credit, and credits sum to 1
+    per emitted conversion."""
+    import math
+
+    from lisp_batch_processor_spark.operators.events import (
+        attribution_credit)
+    from lisp_batch_processor_spark.streaming.joins import (
+        streaming_attribution_credit)
+
+    horizon = 3600
+    b1 = [
+        _ev(1, 0, 1, "click"),
+        _ev(2, 50 * S, 1, "click"),
+        _ev(3, 100 * S, 1, "purchase"),      # two touches
+        _ev(5, 10 * S, 3, "click"),
+        _ev(6, 7200 * S, 3, "purchase"),     # touch beyond horizon
+        _ev(7, 500 * S, 4, "click"),
+    ]
+    b2 = [
+        _ev(8, 700 * S, 5, "click"),
+        _ev(9, 600 * S, 5, "click"),
+        _ev(15, 650 * S, 5, "click"),
+        _ev(10, 800 * S, 5, "purchase"),     # three touches (middle!)
+        _ev(11, 500 * S, 4, "purchase"),     # one touch, same instant
+        _ev(12, 500 * S, 6, "click"),        # tie instants
+        _ev(13, 500 * S, 6, "click"),
+        _ev(14, 600 * S, 6, "purchase"),
+    ]
+    flush1 = [_ev(96, 864000 * S, 999, "click"),
+              _ev(97, 864000 * S, 998, "purchase")]
+    flush2 = [_ev(98, 2 * 864000 * S, 999, "click"),
+              _ev(99, 2 * 864000 * S, 998, "purchase")]
+
+    src = os.path.join(str(tmp_path), "ev_in")
+    for i, batch in enumerate((b1, b2, flush1, flush2)):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(src, f"batch={i}"))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    out = streaming_attribution_credit(stream, horizon_s=horizon,
+                                       credit_model=credit_model,
+                                       half_life_s=600)
+    name = f"attr_credit_{credit_model}"
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        emitted = {(r.user_id, r.conversion_id, r.touch_id): r.credit
+                   for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        spark.catalog.dropTempView(name)
+
+    batch_df = spark.createDataFrame(b1 + b2 + flush1 + flush2, SCHEMA)
+    pairs = attribution_join(batch_df, horizon_s=horizon,
+                             model="all_touches")
+    want = {(r.user_id, r.conversion_id, r.touch_id): r.credit
+            for r in attribution_credit(pairs, model=credit_model,
+                                        half_life_s=600).collect()}
+    assert set(emitted) == set(want)
+    for k in want:
+        assert math.isclose(emitted[k], want[k],
+                            rel_tol=1e-9), (k, emitted[k], want[k])
+    sums: dict = {}
+    for (_, cid, _t), c in emitted.items():
+        sums[cid] = sums.get(cid, 0.0) + c
+    assert all(math.isclose(s, 1.0, rel_tol=1e-9)
+               for s in sums.values())
+    if credit_model == "position_based":
+        # User 5's three touches: 9 (first, 0.4), 15 (middle, 0.2),
+        # 8 (last, 0.4) — order is touch TS, not arrival/id order.
+        assert math.isclose(emitted[(5, 10, 9)], 0.4)
+        assert math.isclose(emitted[(5, 10, 15)], 0.2)
+        assert math.isclose(emitted[(5, 10, 8)], 0.4)
+
+
 def test_streaming_attribution_validation(spark):
     df = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="must differ"):
