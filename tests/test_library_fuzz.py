@@ -433,3 +433,67 @@ def test_fuzz_upsert_equals_dict_replay(spark, tmp_path):
 
     df = upsert_read(spark, path)
     assert df.count() == df.select("k").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# asof_join (both directions) vs pandas merge_asof
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_fuzz_asof_join_vs_pandas(spark, direction):
+    """asof_join against pandas.merge_asof on random inputs, both
+    directions x strict x tolerance. Timestamps are unique per
+    (user, side) so the engines' differing TIE conventions (ours:
+    extreme right struct; pandas: input order) never engage — tie
+    behavior has its own crafted pins in test_streaming_joins."""
+    import pandas as pd
+
+    from lisp_batch_processor_spark.operators.events import asof_join
+
+    rng = random.Random(611 if direction == "backward" else 612)
+    schema = "user_id long, ts timestamp, payload long"
+
+    def side(n, salt):
+        rows, used = [], set()
+        for _ in range(n):
+            uid = rng.randint(1, 12)
+            while True:
+                us = rng.randint(0, 5000) * 1_000_000
+                if (uid, us) not in used:
+                    used.add((uid, us))
+                    break
+            rows.append((uid, BASE + timedelta(microseconds=us),
+                         rng.randint(0, 10**6)))
+        return rows
+
+    lrows, rrows = side(400, "l"), side(300, "r")
+    left = spark.createDataFrame(lrows, schema)
+    right = spark.createDataFrame(rrows, schema)
+
+    for strict in (False, True):
+        for tol in (None, 600):
+            got = {(r.user_id, r.ts): (r.r_ts, r.r_payload)
+                   for r in asof_join(left, right, on="ts",
+                                      by="user_id",
+                                      tolerance_s=tol, strict=strict,
+                                      direction=direction).collect()}
+            lpd = pd.DataFrame(lrows, columns=["user_id", "ts",
+                                               "payload"]
+                               ).sort_values("ts")
+            rpd = pd.DataFrame(rrows, columns=["user_id", "r_ts",
+                                               "r_payload"]
+                               ).sort_values("r_ts")
+            m = pd.merge_asof(
+                lpd, rpd, left_on="ts", right_on="r_ts",
+                left_by="user_id", right_by="user_id",
+                direction=direction,
+                allow_exact_matches=not strict,
+                tolerance=(None if tol is None
+                           else pd.Timedelta(seconds=tol)))
+            want = {}
+            for row in m.itertuples(index=False):
+                matched = pd.notna(row.r_ts)
+                want[(row.user_id, row.ts.to_pydatetime())] = (
+                    (row.r_ts.to_pydatetime(), int(row.r_payload))
+                    if matched else (None, None))
+            assert got == want, (direction, strict, tol)
