@@ -102,6 +102,13 @@ def near_dup_ingest_epoch(batch_df: DataFrame, index_path: str,
 
     spark = batch_df.sparkSession
     batch = batch_df.localCheckpoint(eager=True)
+    # Repair a crashed `sources.writers.compact` swap on either
+    # store first (both are safe to compact from the maintenance
+    # window: duplicate rows are tolerated per this docstring, so a
+    # plain size-targeted rewrite preserves semantics).
+    from lisp_batch_processor_spark.sources.writers import recover_swap
+    recover_swap(spark, index_path.rstrip("/"))
+    recover_swap(spark, store_path.rstrip("/"))
     idx = spark.read.parquet(index_path)
     store = spark.read.parquet(store_path)
     out = (incremental_near_dups(None, batch,
@@ -126,6 +133,66 @@ def line_store_init(spark, line_store_path: str) -> None:
     ``epoch_id < 0``."""
     spark.createDataFrame([], "line_key string, epoch_id long") \
         .write.parquet(line_store_path)
+
+
+def line_store_compact(spark, line_store_path: str,
+                       keep_live: int = 1,
+                       target_file_bytes: int = 128 * 1024 * 1024
+                       ) -> int:
+    """Fold the line store's per-epoch appends into a bounded base —
+    the maintenance pass for the ingest loop's file accretion (one
+    appended file-set per micro-batch forever; the membership join
+    re-reads them all each epoch). Same epoch discipline as
+    `operators.sketches.sketch_store_compact`: everything except the
+    ``keep_live`` highest epoch ids folds to DISTINCT line keys
+    tagged epoch −1 (< any live epoch, so every later epoch's
+    ``epoch_id < e`` membership filter still admits the base, and a
+    replay of the live epoch still EXCLUDES its own re-appended rows
+    — the exactly-once mechanism is untouched). Seed rows (epoch
+    < 0) fold too; membership is all that matters below the live
+    tail. Duplicate (line_key, epoch) rows from past replays
+    collapse in the fold's distinct. Returns the number of epochs
+    folded; staged-swap published, single-writer window required.
+    """
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, recover_swap, staged_swap, staging_path)
+
+    if keep_live < 1:
+        raise ValueError(f"keep_live must be >= 1, got {keep_live}")
+    root = line_store_path.rstrip("/")
+    recover_swap(spark, root)
+    if "epoch_id" not in spark.read.parquet(root).columns:
+        raise ValueError(
+            f"line store at {root} lacks the epoch_id column "
+            "(create with line_store_init)")
+    # Declared-long read upcasts pre-r6 int32 epoch files; the
+    # rewrite below then makes the whole store int64.
+    df = spark.read.schema("line_key string, epoch_id long") \
+        .parquet(root)
+    epochs = sorted(r[0] for r in
+                    df.select("epoch_id").distinct().collect())
+    live = set(epochs[-keep_live:])
+    foldable = [e for e in epochs if e not in live]
+    if len(foldable) < 2:
+        return 0
+    base = (df.filter(F.col("epoch_id").isin(foldable))
+            .select("line_key").distinct()
+            .withColumn("epoch_id", F.lit(-1).cast("long")))
+    folded = base.unionByName(
+        df.filter(~F.col("epoch_id").isin(foldable))
+          .dropDuplicates(["line_key", "epoch_id"]))
+    jvm, fs, jroot = _hadoop_fs(spark, root)
+    size = fs.getContentSummary(jroot).getLength()
+    n_files = max(1, -(-size // target_file_bytes))
+    tmp = staging_path(root)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+    folded.repartition(n_files).write.parquet(tmp)
+    staged_swap(spark, tmp, root)
+    return len(foldable)
 
 
 def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
@@ -154,7 +221,13 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
 
     spark = batch_df.sparkSession
     batch = batch_df.localCheckpoint(eager=True)
-    store_df = spark.read.parquet(line_store_path)
+    from lisp_batch_processor_spark.sources.writers import recover_swap
+    recover_swap(spark, line_store_path.rstrip("/"))  # crashed compact
+    # Explicit schema: epochs written before round 6 landed as int32
+    # (F.lit of a small Python int) while init/compact write int64 —
+    # the declared-long read upcasts the legacy files.
+    store_df = spark.read.schema("line_key string, epoch_id long") \
+        .parquet(line_store_path)
     if "epoch_id" not in store_df.columns:
         raise ValueError(
             f"line store at {line_store_path} lacks the epoch_id "
@@ -214,7 +287,7 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
                     .alias("lines_kept"))
            .localCheckpoint(eager=True))  # materialize pre-append
     (winners.select(F.col("_sl_key").alias("line_key"),
-                    F.lit(int(epoch_id)).alias("epoch_id"))
+                    F.lit(int(epoch_id)).cast("long").alias("epoch_id"))
      .write.mode("append").parquet(line_store_path))
     return out
 

@@ -257,3 +257,93 @@ def test_near_dup_epoch_replay(spark, tmp_path):
             for r in near_dup_ingest_epoch(later, index_path,
                                            store_path).collect()}
     assert out3 == {(30, 21, True)}
+
+
+def test_line_store_compact_preserves_membership_and_replay(
+        spark, tmp_path):
+    """Folding committed epochs into the epoch −1 base changes no
+    future epoch's output and keeps the live epoch's replay
+    exactly-once; file count folds; crash windows repair."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.sources.writers import backup_path
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_compact, line_store_init)
+
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines.parquet")
+    line_store_init(spark, store)
+    # Seed digests (epoch < 0) fold too.
+    spark.createDataFrame([("seedkey", -7)],
+                          "line_key string, epoch_id long") \
+        .write.mode("append").parquet(store)
+
+    batches = [
+        spark.createDataFrame(
+            [(0, "alpha one\nshared banner\nbeta two")], schema),
+        spark.createDataFrame(
+            [(1, "gamma three\nshared banner\ndelta four")], schema),
+        spark.createDataFrame(
+            [(2, "beta two\nepsilon five")], schema),
+    ]
+    for e, b in enumerate(batches):
+        line_dedup_ingest_epoch(b, store, e)
+    # A replay duplicate of epoch 1's append (crash pre-commit).
+    line_dedup_ingest_epoch(batches[1], store, 1)
+
+    # Uncompacted twin decides the expected future behavior.
+    twin = os.path.join(str(tmp_path), "lines_twin.parquet")
+    shutil.copytree(store, twin)
+
+    def files(root):
+        return sum(1 for dp, dn, fn in os.walk(root)
+                   for f in fn if not f.startswith((".", "_")))
+
+    before_files = files(store)
+    assert line_store_compact(spark, store) == 3  # epochs -7, 0, 1
+    epochs = {r[0] for r in spark.read.parquet(store)
+              .select("epoch_id").distinct().collect()}
+    assert epochs == {-1, 2}
+    assert files(store) < before_files
+
+    # Future epoch: identical output on compacted vs twin store.
+    nxt = spark.createDataFrame(
+        [(9, "shared banner\nepsilon five\nzeta six\nseed line")],
+        schema)
+    got = {r.doc_id: (r.text, r.lines_kept)
+           for r in line_dedup_ingest_epoch(nxt, store, 3).collect()}
+    want = {r.doc_id: (r.text, r.lines_kept)
+            for r in line_dedup_ingest_epoch(nxt, twin, 3).collect()}
+    assert got == want
+
+    # Replay of the LIVE epoch (2) against the compacted store must
+    # still exclude its own digests: byte-identical output.
+    replay = {r.doc_id: (r.text, r.lines_kept)
+              for r in line_dedup_ingest_epoch(batches[2], store,
+                                               2).collect()}
+    assert replay[2] == ("epsilon five", 1)
+
+    # Crash windows on the swap.
+    bak = backup_path(store)
+    os.rename(store, bak)  # window 1: dest missing
+    out = {r.doc_id: r.text
+           for r in line_dedup_ingest_epoch(
+               spark.createDataFrame([(20, "zeta six\nnew tail")],
+                                     schema), store, 4).collect()}
+    assert out[20] == "new tail"
+    shutil.copytree(store, bak)  # window 2: stale backup
+    spark.createDataFrame([("k2", 10)],
+                          "line_key string, epoch_id long") \
+        .write.mode("append").parquet(store)
+    assert line_store_compact(spark, store) > 0
+    assert not os.path.exists(bak)
+
+    with pytest.raises(ValueError, match="keep_live"):
+        line_store_compact(spark, store, keep_live=0)
+    bad = os.path.join(str(tmp_path), "bad.parquet")
+    spark.createDataFrame([("x",)], "line_key string") \
+        .write.parquet(bad)
+    with pytest.raises(ValueError, match="epoch_id"):
+        line_store_compact(spark, bad)
