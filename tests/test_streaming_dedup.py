@@ -347,3 +347,55 @@ def test_line_store_compact_preserves_membership_and_replay(
         .write.parquet(bad)
     with pytest.raises(ValueError, match="epoch_id"):
         line_store_compact(spark, bad)
+
+
+@pytest.mark.slow
+def test_near_dup_stores_tolerate_compaction(spark, tmp_path):
+    """sources.writers.compact on the signature index and shingle
+    store between epochs changes no later assignment (duplicate rows
+    are tolerated, so a plain size-targeted rewrite is semantics-
+    preserving — the docstring claim, pinned)."""
+    import shutil
+
+    from lisp_batch_processor_spark.operators.dedup import (
+        banded_signatures, minhash_signatures, shingle_store)
+    from lisp_batch_processor_spark.sources.writers import compact
+    from lisp_batch_processor_spark.streaming.dedup import (
+        near_dup_ingest_epoch)
+
+    base_a = ("the quick brown fox jumps over the lazy dog and runs "
+              "far away into the deep dark forest to find some food "
+              "for the long winter")
+    novel = ("totally novel text about mountains rivers valleys and "
+             "glaciers carving stone over ten thousand slow years")
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(10, base_a)], schema)
+
+    idx = os.path.join(str(tmp_path), "index.parquet")
+    store = os.path.join(str(tmp_path), "store.parquet")
+    banded_signatures(minhash_signatures(corpus)).write.parquet(idx)
+    shingle_store(corpus).write.parquet(store)
+
+    b1 = spark.createDataFrame(
+        [(20, base_a.replace("winter", "summer")), (21, novel)], schema)
+    near_dup_ingest_epoch(b1, idx, store)
+
+    # Twin stores WITHOUT compaction decide the expected output.
+    idx2 = os.path.join(str(tmp_path), "index2.parquet")
+    store2 = os.path.join(str(tmp_path), "store2.parquet")
+    shutil.copytree(idx, idx2)
+    shutil.copytree(store, store2)
+    compact(spark, idx)
+    compact(spark, store)
+
+    b2 = spark.createDataFrame(
+        [(30, novel.replace("slow", "fast")),
+         (31, "entirely fresh content on tide pools barnacles kelp "
+              "anemones urchins and the patient rhythm of the moon")],
+        schema)
+    got = {(r.doc_id, r.rep_id, r.is_dup)
+           for r in near_dup_ingest_epoch(b2, idx, store).collect()}
+    want = {(r.doc_id, r.rep_id, r.is_dup)
+            for r in near_dup_ingest_epoch(b2, idx2, store2).collect()}
+    assert got == want
+    assert got == {(30, 21, True), (31, 31, False)}
