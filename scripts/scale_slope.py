@@ -77,6 +77,7 @@ QUERIES = {
     # all_touches (bucketed range_join pairs).
     "q_attribution_first": "events",
     "q_attribution_all": "events",
+    "q_attribution_credit": "events",
 }
 
 
@@ -150,7 +151,20 @@ def _extra_queries() -> dict:
             "lisp_batch_processor_spark.operators.events",
             fromlist=["attribution_join"]).attribution_join(
                 load(spark, sf_dir, "events"), model="all_touches"),
+        # Credit weighting composed over the pair expansion (the
+        # whole-lifecycle convention, like q_similarity_ivf).
+        "q_attribution_credit": _attribution_credit_lifecycle,
     }
+
+
+def _attribution_credit_lifecycle(spark, sf_dir: str):
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.events import (
+        attribution_credit, attribution_join)
+
+    pairs = attribution_join(load(spark, sf_dir, "events"),
+                             model="all_touches")
+    return attribution_credit(pairs, model="position_based")
 
 
 def _ngram_lm_lifecycle(spark, sf_dir: str):
