@@ -470,3 +470,28 @@ def test_sessionize_library_matches_query_twin(spark, sf_dir):
     # 1->2 (59s), 2->3 (exactly 30min: stays), 3->4 (exactly again),
     # 4->5 (+1us over the gap: splits). Ids are 1-based.
     assert sid == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_attribution_models_plan_shapes(spark):
+    """Every attribution model and the credit layer plan without a
+    cartesian product or broadcast nested loop — the two shapes that
+    melt at 100 TB (the audit discipline, extended to the round-6
+    library surface)."""
+    from datetime import datetime
+
+    from lisp_batch_processor_spark.operators.events import (
+        attribution_credit, attribution_join)
+    from lisp_batch_processor_spark.plans import assert_no_cartesian
+
+    events = spark.createDataFrame(
+        [(1, datetime(2025, 6, 1), 1, "click"),
+         (2, datetime(2025, 6, 1, 0, 5), 1, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    for model in ("last_touch", "first_touch", "all_touches"):
+        for unmatched in (False, True):
+            assert_no_cartesian(attribution_join(
+                events, model=model, emit_unmatched=unmatched))
+    pairs = attribution_join(events, model="all_touches")
+    for credit_model in ("linear", "position_based", "time_decay"):
+        assert_no_cartesian(attribution_credit(pairs,
+                                               model=credit_model))
