@@ -303,6 +303,53 @@ def hll_store_read(spark, store_path: str) -> DataFrame:
     return spark.read.parquet(store_path)
 
 
+def quantile_hist_drift(hist: DataFrame, keys: Sequence[str],
+                        n_splits: int) -> DataFrame:
+    """Per-group drift score of a (merged) histogram against its
+    trained equi-populated expectation: ``keys..., n, drift,
+    max_bucket_mass``. The boundaries were trained so every bucket
+    holds ~1/B of the REFERENCE mass; on stationary data the
+    observed masses stay near that, under drift they concentrate.
+    ``drift`` is the total variation distance between the observed
+    bucket-mass vector and uniform (0 = exactly the training
+    distribution, → 1 as the mass collapses into few buckets) —
+    with B buckets, TVD = ½ Σ |mass_i − 1/B|, counting trained
+    buckets with no rows. ``max_bucket_mass`` is the per-answer
+    error bound quantile_hist_estimate reports, summarized at the
+    group grain — when it grows past a few multiples of 1/B,
+    retrain the splits (`quantile_bins_train`) and open a new
+    store.
+
+    Plan: one groupBy over the histogram rows (≤ B+1 per group) —
+    kilobyte work regardless of the row corpus; the empty-bucket
+    correction is arithmetic on the aggregates, no explode.
+    """
+    from pyspark.sql import Window
+
+    if n_splits < 1:
+        raise ValueError(f"n_splits must be >= 1, got {n_splits}")
+    keys = list(keys)
+    # B trained buckets = n_splits + 1 cells (below-first ... at/above
+    # -last). Buckets absent from the histogram hold zero mass and
+    # contribute |0 - 1/B| each to the TVD sum.
+    b = n_splits + 1
+    w = Window.partitionBy(*keys)
+    mass = (F.col("cnt").cast("double")
+            / F.sum("cnt").over(w))
+    agg = (hist.withColumn("_qd_mass", mass)
+           .groupBy(*keys)
+           .agg(F.sum("cnt").alias("n"),
+                F.count(F.lit(1)).alias("_present"),
+                F.sum(F.abs(F.col("_qd_mass") - 1.0 / b))
+                 .alias("_tvd_present"),
+                F.max("_qd_mass").alias("max_bucket_mass")))
+    return agg.select(
+        *keys, "n",
+        ((F.col("_tvd_present")
+          + (b - F.col("_present")) * (1.0 / b)) / 2.0).alias("drift"),
+        "max_bucket_mass")
+
+
 # Epoch tag on compacted quantile-histogram base rows: strictly below
 # any live foreachBatch epoch (those are >= 0), so a base row can
 # never collide with a replayed epoch's rows in the store read's

@@ -326,6 +326,53 @@ def test_sketch_store_compact_crash_windows(spark, tmp_path):
     assert not os.path.exists(bak)
 
 
+def test_quantile_hist_drift_scores(spark):
+    """Stationary data scores near 0 against its own trained splits;
+    shifted data concentrates mass and the TVD rises; the exact TVD
+    (incl. empty trained buckets) matches a Python replay."""
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_hist_build, quantile_hist_drift)
+
+    ref = _qh_data(spark)
+    n_buckets = 32
+    splits = quantile_bins_train(ref, "v", n_buckets=n_buckets)
+    b = len(splits) + 1
+
+    # Stationary: the same distribution it was trained on.
+    h_same = quantile_hist_build(ref, ["g"], "v", splits)
+    same = {r.g: (r.drift, r.max_bucket_mass)
+            for r in quantile_hist_drift(h_same, ["g"],
+                                         len(splits)).collect()}
+    for g, (d, m) in same.items():
+        assert 0.0 <= d < 0.15, (g, d)
+        assert m < 4.0 / b, (g, m)
+
+    # Drifted: everything collapses into the top value range.
+    drifted = spark.range(0, 6000).selectExpr(
+        "id % 3 AS g", "CAST(9900 + id % 100 AS DOUBLE) AS v")
+    h_drift = quantile_hist_build(drifted, ["g"], "v", splits)
+    moved = {r.g: (r.drift, r.max_bucket_mass)
+             for r in quantile_hist_drift(h_drift, ["g"],
+                                          len(splits)).collect()}
+    for g, (d, m) in moved.items():
+        assert d > 0.8, (g, d)
+        assert m > 0.5, (g, m)
+
+    # Exact replay of the TVD for one group, empty buckets included.
+    rows = {r.bucket: r.cnt
+            for r in h_same.filter(F.col("g") == 0).collect()}
+    n = sum(rows.values())
+    tvd = (sum(abs(c / n - 1 / b) for c in rows.values())
+           + (b - len(rows)) / b) / 2
+    got = [r.drift for r in quantile_hist_drift(
+        h_same, ["g"], len(splits)).filter(F.col("g") == 0).collect()]
+    import math
+    assert math.isclose(got[0], tvd, rel_tol=1e-9)
+
+    with pytest.raises(ValueError, match="n_splits"):
+        quantile_hist_drift(h_same, ["g"], 0)
+
+
 def test_sketch_store_compact_validation(spark, tmp_path):
     from lisp_batch_processor_spark.operators.sketches import (
         sketch_store_compact)
