@@ -115,6 +115,7 @@ def staged_swap(spark: SparkSession, tmp: str, dest: str) -> None:
     restores — the previous delete-then-rename order had a window
     with nothing readable at the canonical path. On object stores
     directory rename is copy+delete (neither atomic nor cheap); use
+    :func:`versioned_publish` (rename-free pointer-file commits) or
     a manifest-committing table format there instead of this.
     """
     jvm, fs, jdest = _hadoop_fs(spark, dest)
@@ -128,6 +129,113 @@ def staged_swap(spark: SparkSession, tmp: str, dest: str) -> None:
     if not fs.rename(jtmp, jdest):
         raise IOError(f"rename {tmp} -> {dest} failed")
     fs.delete(jold, True)
+
+
+# ---------------------------------------------------------------------------
+# Versioned publication — the object-store-safe alternative to
+# staged_swap. HDFS renames are atomic; object-store "renames" are
+# copy+delete, so every rename-based swap has a non-atomic window
+# there (the staged_swap docstring's caveat). This primitive uses NO
+# renames: each publish writes a fresh immutable version dir and then
+# creates one pointer file, and readers resolve the highest pointer.
+# A single-object PUT is atomic on every store.
+#
+#   <table>/v_<n>/        immutable data of version n
+#   <table>/_v_<n>.ptr    created only after version n's write
+#                         committed — the existence of the pointer IS
+#                         the commit record
+#
+# Crash windows: during the data write -> no pointer, invisible;
+# between data commit and pointer create -> an orphaned version dir,
+# invisible to readers, reclaimed by vacuum. Readers never see a
+# partial table and never need repair calls.
+# ---------------------------------------------------------------------------
+
+import re as _re_mod
+
+
+def _versions(fs, jvm, root: str, pointed_only: bool) -> list[int]:
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        m = (_re_mod.fullmatch(r"_v_(\d+)\.ptr", name)
+             if pointed_only else
+             _re_mod.fullmatch(r"v_(\d+)", name))
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def versioned_publish(spark: SparkSession, df: DataFrame, path: str,
+                      fmt: str = "parquet") -> int:
+    """Publish `df` as the next version of the table at `path` and
+    return the version number. The version becomes visible to
+    :func:`versioned_read` only when the pointer file lands — after
+    Spark's job commit — so a crash mid-write leaves readers on the
+    previous version with no repair step. Single-writer discipline
+    per table (same contract as every maintenance writer here);
+    concurrent READERS are always safe.
+    """
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    root = path.rstrip("/")
+    seen = _versions(fs, jvm, root, pointed_only=False)
+    n = (seen[-1] if seen else -1) + 1
+    df.write.format(fmt).save(f"{root}/v_{n}")
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        f"{root}/_v_{n}.ptr"), True)
+    try:
+        out.write(bytearray(str(n).encode()))
+    finally:
+        out.close()
+    return n
+
+
+def versioned_read(spark: SparkSession, path: str,
+                   fmt: str = "parquet") -> DataFrame:
+    """The latest COMMITTED version (highest pointer file). Raises a
+    clear error when nothing has been published."""
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    root = path.rstrip("/")
+    committed = _versions(fs, jvm, root, pointed_only=True)
+    if not committed:
+        raise ValueError(f"no published version at {root} "
+                         "(publish with versioned_publish)")
+    return spark.read.format(fmt).load(f"{root}/v_{committed[-1]}")
+
+
+def versioned_vacuum(spark: SparkSession, path: str,
+                     keep: int = 2) -> int:
+    """Reclaim old and orphaned versions: keeps the ``keep`` highest
+    committed versions (always including the current one) and
+    deletes everything else — superseded versions AND orphaned dirs
+    from crashed publishes (version < current with no pointer; a
+    dir ABOVE the highest pointer is an in-flight publish and is
+    left alone). Returns the number of versions deleted. Run from
+    the single writer; readers racing a vacuum can only lose
+    versions older than the ``keep`` window — pin ``keep`` to cover
+    the longest reader."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    root = path.rstrip("/")
+    committed = _versions(fs, jvm, root, pointed_only=True)
+    if not committed:
+        return 0
+    current = committed[-1]
+    keep_set = set(committed[-keep:])
+    removed = 0
+    for n in _versions(fs, jvm, root, pointed_only=False):
+        if n in keep_set or n > current:
+            continue
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{root}/_v_{n}.ptr"), False)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v_{n}"),
+                  True)
+        removed += 1
+    return removed
 
 
 def write_partitioned(df: DataFrame, path: str,

@@ -347,3 +347,47 @@ def test_read_json_with_error_channel(spark, tmp_path):
         '{"doc_id": 3, "text": "gamma", "lang": "de"'}
     assert all(r._source_file.endswith("docs.jsonl")
                for r in bad_rows)
+
+
+def test_versioned_publish_read_vacuum(spark, tmp_path):
+    """Rename-free versioned publication: readers see only committed
+    versions, a crashed publish (data dir, no pointer) is invisible
+    and later reclaimed, vacuum keeps the live window."""
+    import pytest
+
+    from lisp_batch_processor_spark.sources.writers import (
+        versioned_publish, versioned_read, versioned_vacuum)
+
+    path = os.path.join(str(tmp_path), "vtable")
+    with pytest.raises(ValueError, match="versioned_publish"):
+        versioned_read(spark, path)
+
+    assert versioned_publish(spark, spark.range(0, 5), path) == 0
+    assert versioned_read(spark, path).count() == 5
+    assert versioned_publish(spark, spark.range(0, 9), path) == 1
+    assert versioned_read(spark, path).count() == 9
+
+    # Crashed publish: data committed but the pointer never landed.
+    spark.range(0, 99).write.parquet(os.path.join(path, "v_2"))
+    assert versioned_read(spark, path).count() == 9  # still v_1
+    # The next publish does NOT reuse the orphaned number.
+    assert versioned_publish(spark, spark.range(0, 3), path) == 3
+    assert versioned_read(spark, path).count() == 3
+
+    # Vacuum: keep the 2 highest committed (1 and 3), reclaim v_0
+    # and the orphan v_2; the in-flight case (dir above the highest
+    # pointer) is exercised separately below.
+    assert versioned_vacuum(spark, path, keep=2) == 2
+    assert sorted(d for d in os.listdir(path)
+                  if d.startswith("v_")) == ["v_1", "v_3"]
+    assert versioned_read(spark, path).count() == 3
+
+    # An in-flight publish above the current pointer survives vacuum.
+    spark.range(0, 7).write.parquet(os.path.join(path, "v_4"))
+    assert versioned_vacuum(spark, path, keep=1) == 1  # reclaims v_1
+    assert sorted(d for d in os.listdir(path)
+                  if d.startswith("v_")) == ["v_3", "v_4"]
+    assert versioned_read(spark, path).count() == 3
+
+    with pytest.raises(ValueError, match="keep"):
+        versioned_vacuum(spark, path, keep=0)
