@@ -504,3 +504,69 @@ def test_hll_stream_store_matches_batch_and_replay(spark, tmp_path):
              for r in hll_rollup(spark.read.parquet(store),
                                  ["g"]).collect()}
     assert again == got
+
+
+def test_fuzz_quantile_store_lifecycle(spark, tmp_path):
+    """Randomized store lifecycle: interleaved epoch appends,
+    duplicate replays of the latest epoch, and compactions at random
+    points — the store read must equal a Python dict oracle after
+    every compaction and at the end. Exercises interleavings the
+    crafted tests don't (compact-after-replay, back-to-back folds,
+    fold-then-immediately-append)."""
+    import random
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_hist_build, quantile_hist_store_read,
+        sketch_store_compact)
+
+    rng = random.Random(613)
+    splits = [50.0, 200.0, 800.0]
+    store = os.path.join(str(tmp_path), "qh_fuzz")
+
+    def build_batch(e):
+        n = rng.randint(50, 300)
+        lo = rng.randint(0, 500)
+        return spark.range(lo, lo + n).selectExpr(
+            "id % 3 AS g", f"CAST((id * 13 + {e}) % 1000 AS DOUBLE) AS v")
+
+    oracle: dict = {}   # (g, bucket) -> cnt, from APPLIED epochs only
+    applied = []        # epoch ids in order
+    last_batch = None
+
+    def apply_epoch(e, batch):
+        rows = {(r.g, r.bucket): r.cnt
+                for r in quantile_hist_build(batch, ["g"], "v",
+                                             splits).collect()}
+        for k, c in rows.items():
+            oracle[k] = oracle.get(k, 0) + c
+        (quantile_hist_build(batch, ["g"], "v", splits)
+         .withColumn("epoch_id", F.lit(e))
+         .write.mode("append").parquet(store))
+
+    def read():
+        return {(r.g, r.bucket): r.cnt
+                for r in quantile_hist_store_read(spark, store,
+                                                  ["g"]).collect()}
+
+    e = 0
+    for _ in range(18):
+        op = rng.random()
+        if not applied or op < 0.55:
+            b = build_batch(e).localCheckpoint(eager=True)
+            apply_epoch(e, b)
+            applied.append(e)
+            last_batch = (e, b)
+            e += 1
+        elif op < 0.8 and last_batch is not None:
+            # Replay the LATEST epoch's append (the only epoch Spark
+            # can ever replay): oracle unchanged.
+            le, lb = last_batch
+            (quantile_hist_build(lb, ["g"], "v", splits)
+             .withColumn("epoch_id", F.lit(le))
+             .write.mode("append").parquet(store))
+        else:
+            sketch_store_compact(spark, store)
+            assert read() == oracle, f"after compact at epoch {e}"
+    assert read() == oracle
+    sketch_store_compact(spark, store)
+    assert read() == oracle
