@@ -187,3 +187,70 @@ def test_upsert_validation(spark, tmp_path):
         upsert_init(spark.createDataFrame([], SCHEMA),
                     os.path.join(str(tmp_path), "t"), key="k",
                     n_buckets=0)
+
+
+def test_fuzz_upsert_lifecycle_with_crashes(spark, tmp_path):
+    """Randomized upsert chain with injected crash windows — marker
+    loss, bucket swap window 1 (dest renamed aside), window 2 (stale
+    backup) — replaying after every crash; the table must equal a
+    dict oracle after every epoch. Covers crash+replay interleavings
+    the crafted tests don't."""
+    import random
+    import shutil
+
+    from lisp_batch_processor_spark.sources.writers import backup_path
+
+    rng = random.Random(617)
+    path = os.path.join(str(tmp_path), "t1")
+    n_buckets = 4
+    snap = [(k, f"c{k}", "t") for k in range(20)] + [(None, "n", "t")]
+    upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
+                n_buckets=n_buckets)
+    oracle = {k: (c, t) for k, c, t in snap}
+
+    def touched_buckets(rows):
+        df = spark.createDataFrame(rows, SCHEMA).select(
+            F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b"))
+        return sorted({r.b for r in df.distinct().collect()})
+
+    for epoch in range(8):
+        rows, seen = [], set()
+        for _ in range(rng.randint(1, 6)):
+            k = rng.choice([None] + list(range(30)))
+            if k in seen:
+                continue
+            seen.add(k)
+            rows.append((k, f"v{epoch}_{rng.randint(0, 99)}",
+                         rng.choice(["t", "u"])))
+        upd = spark.createDataFrame(rows, SCHEMA)
+        assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        for k, c, t in rows:
+            oracle[k] = (c, t)
+
+        crash = rng.random()
+        marker = os.path.join(path, "current", "_cdc_epoch")
+        if crash < 0.3:
+            # Crash before the marker: plain replay, converges.
+            os.remove(marker)
+            assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        elif crash < 0.6 and rows:
+            # Swap window 1 on a touched bucket: dest missing,
+            # complete copy at the backup path; replay repairs.
+            b = rng.choice(touched_buckets(rows))
+            bdir = os.path.join(path, "current", f"{BUCKET_COL}={b}")
+            os.rename(bdir, backup_path(bdir))
+            os.remove(marker)
+            assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        elif crash < 0.8 and rows:
+            # Swap window 2: stale backup beside the new dir.
+            b = rng.choice(touched_buckets(rows))
+            bdir = os.path.join(path, "current", f"{BUCKET_COL}={b}")
+            shutil.copytree(bdir, backup_path(bdir))
+            os.remove(marker)
+            assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        # else: clean epoch.
+
+        got = _state(spark, path)
+        assert got == oracle, f"epoch {epoch}"
+        # Completed-epoch replay is always a pure skip.
+        assert not upsert_apply(spark, path, upd, epoch_id=epoch)
