@@ -497,3 +497,100 @@ def test_fuzz_asof_join_vs_pandas(spark, direction):
                     (row.r_ts.to_pydatetime(), int(row.r_payload))
                     if matched else (None, None))
             assert got == want, (direction, strict, tol)
+
+
+def test_fuzz_scd2_split_lifecycle_with_crashes(spark, tmp_path):
+    """Randomized split-path SCD2 chain with injected crash states —
+    crash after the closed-dir write but before the open-slice swap
+    (the residue window), both staged_swap windows on the open
+    slice, and interleaved closed-tree compactions — replaying after
+    every crash; the full history must equal the scd2_apply batch
+    chain after every epoch, and the residue window must be
+    invisible to readers until its replay completes."""
+    import os
+    import shutil
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_apply, scd2_compact_closed, scd2_init, scd2_read,
+        scd2_split_apply, scd2_split_init)
+    from lisp_batch_processor_spark.sources.writers import backup_path
+
+    rng = random.Random(619)
+    keys = list(range(10)) + [None]
+    cities = ["lyon", "oslo", None]
+    tiers = ["gold", None]
+    schema = "k long, city string, tier string"
+    upd_schema = schema + ", effective_from timestamp"
+
+    snap = [(k, rng.choice(cities), rng.choice(tiers))
+            for k in rng.sample(keys, 5)]
+    path = os.path.join(str(tmp_path), "dim_crash_fuzz")
+    open_dir = os.path.join(path, "open")
+    scd2_split_init(spark.createDataFrame(snap, schema), BASE, path,
+                    key="k")
+    want_df = scd2_init(spark.createDataFrame(snap, schema), BASE,
+                        key="k")
+
+    def read_set():
+        return {tuple(r) for r in scd2_read(spark, path).collect()}
+
+    def want_set():
+        return {tuple(r) for r in want_df.collect()}
+
+    for e in range(7):
+        eff = BASE + timedelta(days=e + 1)
+        rows = [(k, rng.choice(cities), rng.choice(tiers), eff)
+                for k in rng.sample(keys, rng.randint(1, 6))]
+        upd = spark.createDataFrame(rows, upd_schema)
+        pre = want_set()
+        mode = rng.random()
+        if mode < 0.3:
+            # Residue window: epoch fully applies, then the open
+            # slice is rolled back to its pre-epoch copy (crash
+            # between the closed write and the swap). The closed
+            # epoch-e rows must stay INVISIBLE until replay.
+            snap_dir = os.path.join(str(tmp_path), f"open_snap_{e}")
+            shutil.copytree(open_dir, snap_dir)
+            assert scd2_split_apply(spark, path, upd, key="k",
+                                    attrs=["city", "tier"],
+                                    epoch_id=e)
+            shutil.rmtree(open_dir)
+            shutil.move(snap_dir, open_dir)
+            assert read_set() == pre, f"residue visible at epoch {e}"
+            assert scd2_split_apply(spark, path, upd, key="k",
+                                    attrs=["city", "tier"],
+                                    epoch_id=e)  # replay
+        elif mode < 0.5:
+            # Swap window 1 AFTER a completed epoch: open renamed
+            # aside; the replay repairs and marker-skips.
+            assert scd2_split_apply(spark, path, upd, key="k",
+                                    attrs=["city", "tier"],
+                                    epoch_id=e)
+            os.rename(open_dir, backup_path(open_dir))
+            assert not scd2_split_apply(spark, path, upd, key="k",
+                                        attrs=["city", "tier"],
+                                        epoch_id=e)
+        elif mode < 0.7:
+            # Swap window 2: stale backup beside the new open slice.
+            assert scd2_split_apply(spark, path, upd, key="k",
+                                    attrs=["city", "tier"],
+                                    epoch_id=e)
+            shutil.copytree(open_dir, backup_path(open_dir))
+            assert not scd2_split_apply(spark, path, upd, key="k",
+                                        attrs=["city", "tier"],
+                                        epoch_id=e)
+            assert not os.path.exists(backup_path(open_dir))
+        else:
+            assert scd2_split_apply(spark, path, upd, key="k",
+                                    attrs=["city", "tier"],
+                                    epoch_id=e)
+        # Truncate the oracle chain's lineage — without this the
+        # recomputed scd2_apply stack grows superlinearly and the
+        # fuzz takes minutes instead of seconds.
+        want_df = scd2_apply(want_df, upd, key="k",
+                             attrs=["city", "tier"]
+                             ).localCheckpoint(eager=True)
+        if rng.random() < 0.4:
+            scd2_compact_closed(spark, path)
+        got = read_set()
+        assert got == want_set(), f"epoch {e}"
