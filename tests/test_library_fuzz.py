@@ -594,3 +594,102 @@ def test_fuzz_scd2_split_lifecycle_with_crashes(spark, tmp_path):
             scd2_compact_closed(spark, path)
         got = read_set()
         assert got == want_set(), f"epoch {e}"
+
+
+def test_fuzz_line_store_lifecycle_with_compaction(spark, tmp_path):
+    """Randomized line-dedup ingest chain — epoch appends, replay of
+    the latest epoch (which must exclude its OWN digests), and
+    compactions at random points — against a pure-Python oracle of
+    the store's membership semantics (key visible to epoch e iff
+    recorded under any epoch < e; compaction folds all but the
+    keep_live highest epochs to sentinel −1). Every epoch's rebuilt
+    docs must match the oracle's replay."""
+    import hashlib as _hl
+    import os
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_compact, line_store_init)
+
+    rng = random.Random(621)
+    vocab = ["alpha beta", "shared banner", "gamma", "delta four",
+             "epsilon", "zeta six", "eta", "theta eight", ""]
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines_fuzz")
+    line_store_init(spark, store)
+
+    # Oracle store state: line_key -> set of epochs it is recorded
+    # under (replay re-appends are set-idempotent, like the real
+    # store's duplicate rows are dedup'd by the reader's semantics).
+    okeys: dict = {}
+
+    def key(line):
+        return _hl.md5(line.encode()).hexdigest()
+
+    def visible_before(e):
+        return {k for k, eps in okeys.items()
+                if any(x < e for x in eps)}
+
+    def oracle_epoch(batch_rows, e, commit):
+        seen = visible_before(e)
+        winners = {}
+        for did, text in sorted(batch_rows):
+            for pos, line in enumerate(text.split("\n")):
+                if len(line) < 1:
+                    continue
+                k = key(line)
+                if k in seen:
+                    continue
+                if k not in winners or (did, pos) < winners[k]:
+                    winners[k] = (did, pos)
+        out = {}
+        for did, text in batch_rows:
+            kept = []
+            for pos, line in enumerate(text.split("\n")):
+                if len(line) < 1:
+                    kept.append(line)
+                    continue
+                k = key(line)
+                if k not in seen and winners.get(k) == (did, pos):
+                    kept.append(line)
+            out[did] = "\n".join(kept)
+        if commit:
+            for k in winners:
+                okeys.setdefault(k, set()).add(e)
+        return out
+
+    next_doc = 100
+    last = None
+    for e in range(10):
+        rows = []
+        for _ in range(rng.randint(1, 3)):
+            n = rng.randint(1, 4)
+            rows.append((next_doc,
+                         "\n".join(rng.choice(vocab)
+                                   for _ in range(n))))
+            next_doc += 1
+        batch = spark.createDataFrame(rows, schema)
+        want = oracle_epoch(rows, e, commit=True)
+        got = {r.doc_id: r.text
+               for r in line_dedup_ingest_epoch(batch, store,
+                                                e).collect()}
+        assert got == want, f"epoch {e}"
+        last = (e, rows, batch, want)
+
+        if rng.random() < 0.4:
+            # Replay the latest epoch (its own digests excluded).
+            le, lrows, lbatch, lwant = last
+            again = {r.doc_id: r.text
+                     for r in line_dedup_ingest_epoch(lbatch, store,
+                                                      le).collect()}
+            assert again == lwant, f"replay at epoch {le}"
+        if rng.random() < 0.4:
+            folded = line_store_compact(spark, store)
+            if folded:
+                # Oracle mirror: all but the highest epoch fold to -1.
+                eps = sorted({x for s in okeys.values() for x in s})
+                live = set(eps[-1:])
+                for k, s in okeys.items():
+                    below = {x for x in s if x not in live}
+                    if below:
+                        s.difference_update(below)
+                        s.add(-1)
