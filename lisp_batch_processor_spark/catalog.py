@@ -43,6 +43,36 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df                          # already TimestampType
 
 
+def read_parquet_nanos_ok(spark: SparkSession, *paths: str) -> DataFrame:
+    """``spark.read.parquet`` that also accepts legacy TIMESTAMP(NANOS)
+    files (read as raw-nanos BIGINT, the
+    ``spark.sql.legacy.parquet.nanosAsLong`` behavior) WITHOUT mutating
+    session state: the plain read is tried first — current fixtures are
+    TIMESTAMP(MICROS) and never enter the fallback — and only when it
+    fails with PARQUET_TYPE_ILLEGAL is the legacy conf set around the
+    one read call and restored to its previous value immediately after.
+    The illegal-type check is analysis-time only (the resolved LongType
+    schema is captured in the plan; execution after the restore
+    verified in tests), so the restore cannot break the returned
+    frame's later execution, and no concurrent reader in the session
+    ever observes the conf flipped."""
+    try:
+        return spark.read.parquet(*paths)
+    except Exception as e:  # AnalysisException: nanos without the conf
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.read.parquet(*paths)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; parquet gives pushdown + pruning for
     free. `events.ts` is normalized via normalize_event_ts (fixture
@@ -50,8 +80,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_parquet_nanos_ok(spark, f"{sf_dir}/{name}.parquet")
         return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -131,7 +131,16 @@ def upsert_init(snapshot: DataFrame, path: str,
 def upsert_read(spark: SparkSession, path: str) -> DataFrame:
     """The current table state (bucket column dropped). Repairs any
     bucket swap a crashed apply left mid-flight first, so a reader
-    arriving inside the crash window still sees every bucket."""
+    arriving inside the crash window still sees every bucket.
+
+    Do NOT call concurrently with a live apply/compact: the repair
+    step can race an in-flight staged_swap and invisibly nest the
+    staged dir (silent loss of that bucket's epoch — see
+    `sources.writers.recover_swap`'s concurrency contract). Repair
+    is for post-crash reads, when no writer is live by definition;
+    deployments needing reads during maintenance should init the
+    store with ``backend="versioned"`` (reads resolve a pointer and
+    never repair)."""
     _read_meta(spark, path)  # existence check with a clear error
     cur = path.rstrip("/") + "/current"
     _recover_bucket_swaps(spark, cur)

@@ -550,6 +550,9 @@ def attribution_join(events: DataFrame, conv_type: str = "purchase",
     if model not in ATTRIBUTION_MODELS:
         raise ValueError(f"model must be one of "
                          f"{ATTRIBUTION_MODELS}, got {model!r}")
+    if int(horizon_s) < 0:
+        raise ValueError(f"horizon_s must be >= 0, got {horizon_s} "
+                         "(0 = same-instant attribution)")
     touches = (events.filter(F.col(type_col) == touch_type)
                .select(F.col(user_col),
                        F.col(ts_col),
@@ -559,8 +562,23 @@ def attribution_join(events: DataFrame, conv_type: str = "purchase",
                  .select(F.col(user_col),
                          F.col(ts_col),
                          F.col(id_col).alias("conversion_id")))
-        pairs = range_join(convs, touches, on=ts_col, by=user_col,
-                           lower_s=-int(horizon_s), upper_s=0)
+        if int(horizon_s) == 0:
+            # Degenerate window [conv_ts, conv_ts]: an exact-instant
+            # equi-join on (user, ts) — range_join's bucketing needs
+            # a non-empty interval, but the semantics here are plain
+            # equality, and last/first touch already accept
+            # horizon_s=0 (same-instant attribution); all three
+            # models now agree on the parameter.
+            t = touches.select(
+                F.col(user_col).alias(f"_at_{user_col}"),
+                F.col(ts_col).alias(f"r_{ts_col}"),
+                F.col("touch_id").alias("r_touch_id"))
+            pairs = convs.join(
+                t, (F.col(user_col) == F.col(f"_at_{user_col}"))
+                & (F.col(ts_col) == F.col(f"r_{ts_col}")))
+        else:
+            pairs = range_join(convs, touches, on=ts_col, by=user_col,
+                               lower_s=-int(horizon_s), upper_s=0)
         out = pairs.select(
             F.col(user_col), "conversion_id",
             F.col(ts_col).alias("conv_ts"),

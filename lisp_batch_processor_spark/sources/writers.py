@@ -95,6 +95,21 @@ def recover_swap(spark: SparkSession, dest: str) -> None:
 
     Idempotent; call before any read or rewrite of a swap-managed
     dataset (compact and scd2_stream_apply both do).
+
+    CONCURRENCY CONTRACT: repair is only safe when no writer is
+    live. A reader's recover_swap racing a LIVE writer's staged_swap
+    can restore the backup between the writer's rename-aside and
+    rename-in; the writer's rename then moves the staged dir INSIDE
+    the restored dest (Hadoop rename-into-existing-dir semantics,
+    returns true) — invisible nesting, and the epoch's data is
+    silently lost while the marker advances. So: reads of a
+    swap-managed store must not run concurrently with an in-flight
+    apply/compact on it (the single-writer maintenance window also
+    excludes reader-side repair); after a CRASH, repair from
+    anywhere is safe because no writer is live by definition.
+    Stores that need concurrent readers during maintenance should
+    use the versioned backend (:func:`versioned_publish` — readers
+    never repair, so there is no race to have).
     """
     jvm, fs, jdest = _hadoop_fs(spark, dest)
     jold = jvm.org.apache.hadoop.fs.Path(backup_path(dest))

@@ -223,16 +223,21 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
     batch = batch_df.localCheckpoint(eager=True)
     from lisp_batch_processor_spark.sources.writers import recover_swap
     recover_swap(spark, line_store_path.rstrip("/"))  # crashed compact
+    # Layout check against the FILE-INFERRED schema — the declared
+    # read below always yields an epoch_id column (a legacy store
+    # without one reads all-NULL epochs; the `epoch_id < e` filter
+    # then drops every row and silently re-admits seen lines), so
+    # the guard must probe the files, as line_store_compact does.
+    if "epoch_id" not in spark.read.parquet(line_store_path).columns:
+        raise ValueError(
+            f"line store at {line_store_path} lacks the epoch_id "
+            "column; create it with line_store_init (pre-r5 stores: "
+            "rewrite once with epoch_id = -1)")
     # Explicit schema: epochs written before round 6 landed as int32
     # (F.lit of a small Python int) while init/compact write int64 —
     # the declared-long read upcasts the legacy files.
     store_df = spark.read.schema("line_key string, epoch_id long") \
         .parquet(line_store_path)
-    if "epoch_id" not in store_df.columns:
-        raise ValueError(
-            f"line store at {line_store_path} lacks the epoch_id "
-            "column; create it with line_store_init (pre-r5 stores: "
-            "rewrite once with epoch_id = -1)")
     seen = (store_df.filter(F.col("epoch_id") < F.lit(int(epoch_id)))
             .select("line_key"))
     did, pos, line = (F.col("_sl_did"), F.col("_sl_pos"),

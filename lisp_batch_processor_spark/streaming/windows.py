@@ -54,14 +54,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     whichever shape exists, so the same reader under test feeds both
     the correctness fixtures and the multi-file scale corpora.
     """
-    from lisp_batch_processor_spark.catalog import normalize_event_ts
+    from lisp_batch_processor_spark.catalog import (
+        normalize_event_ts, read_parquet_nanos_ok)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Streams need a declared schema; probe ts's physical type from
     # the batch footer (metadata-only read) so one code path serves
-    # every fixture vintage.
+    # every fixture vintage. The probe tolerates legacy
+    # TIMESTAMP(NANOS) fixtures without mutating session state (see
+    # read_parquet_nanos_ok — set-and-restore around the probe only;
+    # the stream itself runs under the DECLARED schema, so execution
+    # never consults the legacy conf).
     path = f"{sf_dir}/events.parquet"
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    ts_type = read_parquet_nanos_ok(spark, path).schema["ts"].dataType
     schema = T.StructType([_EVENTS_FIELDS[0],
                            T.StructField("ts", ts_type),
                            *_EVENTS_FIELDS[1:]])

@@ -129,18 +129,26 @@ def main() -> None:
     with open(os.path.join(repo, "NOISE_BAND.json"), "w") as f:
         json.dump({"summary": summary, "queries": per_query}, f,
                   indent=1)
-    # The B side doubles as the same-host prev-HEAD artifact (min
-    # over n_pairs passes instead of bench_prev_head.py's min-of-3).
+    # The B side doubles as the same-host prev-HEAD artifact. EQUAL
+    # SAMPLE COUNTS with bench.py's headline statistic (round-6
+    # verdict nit: a min-of-5 baseline vs a min-of-3 headline makes
+    # per-query deltas look worse than the same-code spread): only
+    # the first `n_prev` B passes feed the prev artifact, matching
+    # SPARK_GRAFT_BENCH_PASSES (bench.py's default 3).
+    n_prev = min(n_pairs,
+                 int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    prev_queries = {q: min(v["b"][:n_prev])
+                    for q, v in per_query.items()}
     prev = {
         "commit": ref,
-        "total_min": summary["total_min_b"],
+        "total_min": round(sum(prev_queries.values()), 3),
         "sf": float(sf),
-        "stat": f"min_of_{n_pairs}_interleaved",
+        "stat": f"min_of_{n_prev}_interleaved",
         "consume": "noop_write",
-        "queries": {q: min(v["b"]) for q, v in per_query.items()},
+        "queries": prev_queries,
     }
     with open(os.path.join(repo, "BENCH_PREV_HEAD.json"), "w") as f:
         json.dump(prev, f, indent=1)

@@ -693,3 +693,41 @@ def test_fuzz_line_store_lifecycle_with_compaction(spark, tmp_path):
                     if below:
                         s.difference_update(below)
                         s.add(-1)
+
+
+def test_attribution_zero_horizon_consistent_across_models(spark):
+    """horizon_s=0 means same-instant attribution for ALL models
+    (round-6 advice: all_touches raised range_join's generic bound
+    error while last/first accepted 0): at a shared instant the pair
+    set is the equi-match, last resolves to the greatest touch id,
+    first to the smallest; negative horizons raise everywhere."""
+    from lisp_batch_processor_spark.operators.events import (
+        attribution_join)
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, BASE, 1, "click"),
+        (2, BASE, 1, "click"),
+        (3, BASE, 1, "purchase"),
+        (4, BASE + timedelta(seconds=5), 1, "purchase"),  # no match
+        (5, BASE, 2, "purchase"),                          # no match
+        (6, BASE + timedelta(seconds=1), 2, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got_all = {(r.conversion_id, r.touch_id)
+               for r in attribution_join(
+                   events, horizon_s=0, model="all_touches").collect()}
+    assert got_all == {(3, 1), (3, 2)}
+    got_last = {(r.conversion_id, r.touch_id)
+                for r in attribution_join(
+                    events, horizon_s=0, model="last_touch").collect()}
+    assert got_last == {(3, 2)}
+    got_first = {(r.conversion_id, r.touch_id)
+                 for r in attribution_join(
+                     events, horizon_s=0, model="first_touch").collect()}
+    assert got_first == {(3, 1)}
+    for model in ("last_touch", "first_touch", "all_touches"):
+        with pytest.raises(ValueError, match="horizon_s"):
+            attribution_join(events, horizon_s=-1, model=model)

@@ -391,3 +391,48 @@ def test_versioned_publish_read_vacuum(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep"):
         versioned_vacuum(spark, path, keep=0)
+
+
+def test_read_parquet_nanos_ok_restores_conf(spark, tmp_path):
+    """Legacy TIMESTAMP(NANOS) fixtures read as raw-nanos BIGINT via a
+    set-and-restore around the one probe read — no session-global conf
+    mutation survives the call, and the returned frame still executes
+    after the restore (the illegal-type check is analysis-time only)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lisp_batch_processor_spark.catalog import read_parquet_nanos_ok
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    nanos = os.path.join(str(tmp_path), "nanos.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(
+            [datetime.datetime(2024, 1, 1),
+             datetime.datetime(2024, 1, 2)], type=pa.timestamp("ns")),
+            "x": [1, 2]}),
+        nanos, coerce_timestamps=None, version="2.6")
+
+    assert spark.conf.get(key, None) is None
+    df = read_parquet_nanos_ok(spark, nanos)
+    # Conf restored immediately — no concurrent reader ever inherits it.
+    assert spark.conf.get(key, None) is None
+    assert dict(df.dtypes)["ts"] == "bigint"
+    assert [r.ts for r in df.orderBy("x").collect()] == [
+        1704067200000000000, 1704153600000000000]
+
+    # Modern MICROS files never enter the fallback.
+    micros = os.path.join(str(tmp_path), "micros.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([datetime.datetime(2024, 1, 1)],
+                                 type=pa.timestamp("us")), "x": [1]}),
+        micros, version="2.6")
+    assert "timestamp" in dict(
+        read_parquet_nanos_ok(spark, micros).dtypes)["ts"]
+
+    # Non-nanos failures still surface.
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="(?i)path|exist"):
+        read_parquet_nanos_ok(
+            spark, os.path.join(str(tmp_path), "missing.parquet"))

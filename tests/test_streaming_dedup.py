@@ -399,3 +399,21 @@ def test_near_dup_stores_tolerate_compaction(spark, tmp_path):
             for r in near_dup_ingest_epoch(b2, idx2, store2).collect()}
     assert got == want
     assert got == {(30, 21, True), (31, 31, False)}
+
+
+def test_line_dedup_legacy_store_raises(spark, tmp_path):
+    """A pre-epoch line store (no epoch_id column) raises the
+    migration error instead of silently re-admitting seen lines: the
+    guard probes the FILE schema, because the declared-schema read
+    the membership join uses fills a missing column with NULLs and
+    the `epoch_id < e` filter would drop every row (round-6 advice:
+    the old post-read guard was dead code)."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch)
+
+    store = os.path.join(str(tmp_path), "legacy_lines")
+    spark.createDataFrame([("k1",)], "line_key string") \
+        .write.parquet(store)
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="epoch_id"):
+        line_dedup_ingest_epoch(docs, store, epoch_id=0)
