@@ -106,24 +106,103 @@ def _read_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(bytes(data).decode())
 
 
+def _bucket_root(cur: str, b: int) -> str:
+    """A versioned-backend bucket's own versioned root. Plain `b=`
+    naming (not the hive `_ub=` syntax): the bucket id travels as a
+    DATA column in this layout and reads resolve explicit version
+    paths, so partition discovery never walks these dirs."""
+    return f"{cur}/b={int(b)}"
+
+
+def _stage_bucketed(df: DataFrame, stage: str) -> None:
+    """One partitioned write splitting `df` by bucket into
+    ``stage/_pb=<b>/`` dirs, with :data:`BUCKET_COL` kept as a DATA
+    column (partitionBy drops its column from the files, so the
+    split key is a shadow copy)."""
+    (df.withColumn("_pb", F.col(BUCKET_COL))
+     .write.mode("overwrite").partitionBy("_pb").parquet(stage))
+
+
+def _versioned_bucket_paths(spark: SparkSession, cur: str,
+                            buckets=None) -> list[str]:
+    """Current committed version dir of each (requested) bucket —
+    one driver-side listing per bucket, O(n_buckets) total."""
+    from lisp_batch_processor_spark.sources.writers import (
+        store_data_path)
+    jvm, fs, jcur = _hadoop_fs(spark, cur)
+    if not fs.exists(jcur):
+        return []
+    want = None if buckets is None else {int(b) for b in buckets}
+    out = []
+    for st in fs.listStatus(jcur):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("b=")):
+            continue
+        if want is not None and int(name[2:]) not in want:
+            continue
+        dp = store_data_path(spark, f"{cur}/{name}")
+        if dp is not None:
+            out.append(dp)
+    return out
+
+
 def upsert_init(snapshot: DataFrame, path: str,
                 key: str | Sequence[str],
-                n_buckets: int = 64) -> None:
-    """Materialize the initial table state, hash-bucketed on the key."""
+                n_buckets: int = 64,
+                backend: str = "swap") -> None:
+    """Materialize the initial table state, hash-bucketed on the key.
+
+    ``backend`` picks the publication mechanics (recorded in the
+    store meta; every later apply/read routes by it):
+
+    - ``"swap"`` (default): hive-partitioned ``current/_ub=<b>``
+      dirs rewritten through per-bucket recoverable staged swaps —
+      HDFS/local-FS correct; reads must not race a live writer
+      (see upsert_read).
+    - ``"versioned"``: each bucket is its own pointer-committed
+      versioned root ``current/b=<n>/v_<k>`` with the bucket id as
+      a data column. An apply stages all touched buckets in ONE
+      partitioned write, then commits each bucket dir under a
+      single pointer PUT (`sources.writers.versioned_commit`) — no
+      rename atomicity load-bearing, so this is the object-store
+      mode, and readers resolve pointers without repair (safe
+      concurrently with a live apply).
+    """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if backend not in ("swap", "versioned"):
+        raise ValueError(f"backend must be 'swap' or 'versioned', "
+                         f"got {backend!r}")
     keys = [key] if isinstance(key, str) else list(key)
     spark = snapshot.sparkSession
     root = path.rstrip("/")
     cur = f"{root}/current"
-    (snapshot.withColumn(BUCKET_COL, _bucket_col(keys, n_buckets))
-     .write.partitionBy(BUCKET_COL).parquet(cur))
-    write_epoch_marker(spark, cur, -1, name=_MARKER)
+    bucketed = snapshot.withColumn(BUCKET_COL,
+                                   _bucket_col(keys, n_buckets))
     jvm, fs, _ = _hadoop_fs(spark, root)
+    if backend == "versioned":
+        from lisp_batch_processor_spark.sources.writers import (
+            versioned_commit, versioned_store_init)
+        stage = staging_path(cur)
+        _stage_bucketed(bucketed, stage)
+        jstage = jvm.org.apache.hadoop.fs.Path(stage)
+        for st in fs.listStatus(jstage):
+            name = st.getPath().getName()
+            if not name.startswith("_pb="):
+                continue
+            b = int(name[len("_pb="):])
+            versioned_store_init(spark, _bucket_root(cur, b))
+            versioned_commit(spark, _bucket_root(cur, b),
+                             f"{stage}/{name}")
+        fs.delete(jstage, True)
+    else:
+        bucketed.write.partitionBy(BUCKET_COL).parquet(cur)
+    write_epoch_marker(spark, cur, -1, name=_MARKER)
     out = fs.create(jvm.org.apache.hadoop.fs.Path(_meta_path(root)), True)
     try:
         out.write(bytearray(json.dumps(
-            {"n_buckets": n_buckets, "key": keys}).encode()))
+            {"n_buckets": n_buckets, "key": keys,
+             "backend": backend}).encode()))
     finally:
         out.close()
 
@@ -133,16 +212,19 @@ def upsert_read(spark: SparkSession, path: str) -> DataFrame:
     bucket swap a crashed apply left mid-flight first, so a reader
     arriving inside the crash window still sees every bucket.
 
-    Do NOT call concurrently with a live apply/compact: the repair
-    step can race an in-flight staged_swap and invisibly nest the
-    staged dir (silent loss of that bucket's epoch — see
-    `sources.writers.recover_swap`'s concurrency contract). Repair
-    is for post-crash reads, when no writer is live by definition;
-    deployments needing reads during maintenance should init the
-    store with ``backend="versioned"`` (reads resolve a pointer and
-    never repair)."""
-    _read_meta(spark, path)  # existence check with a clear error
+    SWAP backend: do NOT call concurrently with a live
+    apply/compact — the repair step can race an in-flight
+    staged_swap and invisibly nest the staged dir (silent loss of
+    that bucket's epoch; see `sources.writers.recover_swap`'s
+    concurrency contract). Repair is for post-crash reads, when no
+    writer is live by definition. VERSIONED backend: reads resolve
+    each bucket's committed pointer and never repair — safe
+    concurrently with a live apply."""
+    meta = _read_meta(spark, path)  # existence check, clear error
     cur = path.rstrip("/") + "/current"
+    if meta.get("backend", "swap") == "versioned":
+        paths = _versioned_bucket_paths(spark, cur)
+        return spark.read.parquet(*paths).drop(BUCKET_COL)
     _recover_bucket_swaps(spark, cur)
     return spark.read.parquet(cur).drop(BUCKET_COL)
 
@@ -173,6 +255,7 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
     """
     meta = _read_meta(spark, path)
     keys, n_buckets = meta["key"], meta["n_buckets"]
+    versioned = meta.get("backend", "swap") == "versioned"
     root = path.rstrip("/")
     cur = f"{root}/current"
     marker = read_epoch_marker(spark, cur, name=_MARKER)
@@ -184,7 +267,37 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
            .localCheckpoint(eager=True))  # snapshot: feeds 3 plans
     touched = [r[BUCKET_COL]
                for r in upd.select(BUCKET_COL).distinct().collect()]
-    if touched:
+    if touched and versioned:
+        # Read the touched buckets' CURRENT committed versions (a
+        # bucket first touched this epoch has no dir yet — it simply
+        # contributes no kept rows). A crashed prior attempt of this
+        # epoch left only orphaned uncommitted version dirs, which
+        # the pointer resolution never sees — no repair step.
+        paths = _versioned_bucket_paths(spark, cur, buckets=touched)
+        upd_keys = upd.select(
+            *[F.col(k).alias(f"_cdc_{k}") for k in keys])
+        cond = [F.col(k).eqNullSafe(F.col(f"_cdc_{k}")) for k in keys]
+        if paths:
+            tcur = spark.read.parquet(*paths)
+            kept = tcur.join(upd_keys, cond, "left_anti")
+            new = kept.unionByName(upd.select(*kept.columns))
+        else:
+            new = upd
+        stage = staging_path(cur)
+        jvm, fs, _ = _hadoop_fs(spark, cur)
+        _stage_bucketed(new, stage)
+        from lisp_batch_processor_spark.sources.writers import (
+            versioned_commit, versioned_store_init, versioned_vacuum)
+        for b in touched:  # pmod(xxhash64(...)) is never NULL
+            broot = _bucket_root(cur, b)
+            versioned_store_init(spark, broot)  # no-op if present
+            versioned_commit(spark, broot, f"{stage}/_pb={b}")
+            # Keep 2 committed versions per bucket: the new one plus
+            # the previous, covering a reader that resolved its
+            # pointer just before this commit.
+            versioned_vacuum(spark, broot, keep=2)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+    elif touched:
         # Repair bucket swaps a crashed replay of this (or any prior
         # uncommitted) epoch left half-done, BEFORE reading state.
         _recover_bucket_swaps(spark, cur)

@@ -221,18 +221,72 @@ def _require_split_layout(spark, root: str) -> None:
             "(seed with scd2_split_init)")
 
 
+def _scd2_is_versioned(spark, root: str) -> bool:
+    from lisp_batch_processor_spark.sources.writers import (
+        store_is_versioned)
+    return store_is_versioned(spark, f"{root.rstrip('/')}/open")
+
+
+def _scd2_data_paths(spark, root: str) -> tuple[str, str]:
+    """(open_data_path, closed_data_path) through the layout's
+    backend: committed version dirs for a versioned history (no
+    repair — readers resolve pointers), the plain dirs after swap
+    repair otherwise. The epoch marker lives INSIDE the open data
+    path either way (for a versioned history it therefore commits
+    atomically with the slice, under the one pointer PUT)."""
+    from lisp_batch_processor_spark.sources.writers import (
+        store_data_path)
+    r = root.rstrip("/")
+    open_dp = store_data_path(spark, f"{r}/open")
+    closed_dp = store_data_path(spark, f"{r}/closed")
+    if open_dp is None or closed_dp is None:
+        raise ValueError(f"versioned SCD2 history at {r} has no "
+                         "committed open/closed data "
+                         "(seed with scd2_split_init)")
+    return open_dp, closed_dp
+
+
 def scd2_split_init(snapshot: DataFrame, effective_from, path: str,
-                    key: str | Sequence[str] = "key") -> None:
+                    key: str | Sequence[str] = "key",
+                    backend: str = "swap") -> None:
     """Seed a split-path SCD2 history at ``path`` from an initial
     snapshot: the whole snapshot becomes the open slice; the closed
-    history starts empty."""
+    history starts empty.
+
+    ``backend="versioned"`` publishes the open slice and the closed
+    tree through pointer-committed version dirs
+    (`sources.writers` store backends) instead of plain dirs + the
+    recoverable staged swap: each apply's new open slice (with its
+    epoch marker inside) becomes visible under ONE pointer PUT, so
+    no rename atomicity is load-bearing — the object-store-safe
+    mode, and reads never repair (safe concurrently with a live
+    apply). ``"swap"`` (default) keeps the HDFS/local-FS layout.
+    """
+    if backend not in ("swap", "versioned"):
+        raise ValueError(f"backend must be 'swap' or 'versioned', "
+                         f"got {backend!r}")
     spark = snapshot.sparkSession
     root = path.rstrip("/")
     open_path = f"{root}/open"
-    scd2_init(snapshot, effective_from, key).write.parquet(open_path)
-    _write_epoch_marker(spark, open_path, -1)
+    opened = scd2_init(snapshot, effective_from, key)
     from lisp_batch_processor_spark.sources.writers import _hadoop_fs
     jvm, fs, _ = _hadoop_fs(spark, root)
+    if backend == "versioned":
+        from lisp_batch_processor_spark.sources.writers import (
+            versioned_commit, versioned_publish, versioned_store_init)
+        versioned_store_init(spark, open_path)
+        versioned_publish(
+            spark, opened, open_path,
+            finalize=lambda d: _write_epoch_marker(spark, d, -1))
+        # The closed tree starts as an EMPTY committed version (epoch
+        # dirs append inside the current version between compactions).
+        versioned_store_init(spark, f"{root}/closed")
+        tmp = f"{root}/._closed_init"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(tmp))
+        versioned_commit(spark, f"{root}/closed", tmp)
+        return
+    opened.write.parquet(open_path)
+    _write_epoch_marker(spark, open_path, -1)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{root}/closed"))
 
 
@@ -251,12 +305,13 @@ def scd2_read(spark, path: str) -> DataFrame:
     closed at once. The residue is invisible until the replay
     completes, at which point the marker admits it.
     """
-    from lisp_batch_processor_spark.sources.writers import recover_swap
     root = path.rstrip("/")
-    open_path = f"{root}/open"
-    closed_root = f"{root}/closed"
-    recover_swap(spark, open_path)
-    recover_swap(spark, closed_root)
+    # Backend-routed: swap repairs crashed swaps and reads the plain
+    # dirs; versioned resolves each side's committed pointer (no
+    # repair — safe concurrently with a live apply). Repair runs
+    # BEFORE the layout check: mid-crash, `open/` may sit at the
+    # backup path and the check would misread the store as legacy.
+    open_path, closed_root = _scd2_data_paths(spark, root)
     _require_split_layout(spark, root)
     open_df = spark.read.parquet(open_path)
     if not _has_data_files(spark, closed_root):
@@ -306,30 +361,45 @@ def scd2_split_apply(spark, path: str, updates: DataFrame,
     Returns True if the epoch was applied, False if it already was.
     """
     from lisp_batch_processor_spark.sources.writers import (
-        recover_swap, staged_swap, staging_path)
+        staged_swap, staging_path, versioned_publish, versioned_vacuum)
 
     keys = [key] if isinstance(key, str) else list(key)
     root = path.rstrip("/")
     open_path = f"{root}/open"
-    recover_swap(spark, open_path)
+    versioned = _scd2_is_versioned(spark, root)
+    # Resolves both data paths (and, for a swap layout, repairs any
+    # crashed open-slice or closed-tree compaction swap first).
+    open_dp, closed_dp = _scd2_data_paths(spark, root)
     _require_split_layout(spark, root)
-    marker = _read_epoch_marker(spark, open_path)
+    marker = _read_epoch_marker(spark, open_dp)
     if marker is not None and marker >= epoch_id:
         return False
-    recover_swap(spark, f"{root}/closed")  # crashed compaction swap
-    open_rows = spark.read.parquet(open_path)
+    open_rows = spark.read.parquet(open_dp)
     kept_open, now_closed, inserts = _scd2_merge_frames(
         open_rows, updates, keys, attrs, effective_from,
         share_join=True)
     (now_closed
      # Epoch tag: scd2_read shows a closed row only once its epoch's
      # marker is durable (see scd2_read), and scd2_compact_closed
-     # folds dirs by it.
+     # folds dirs by it. For a versioned layout the epoch dir lands
+     # INSIDE the current closed version (append-only mutation of a
+     # committed version — readers see a grow-only set, and the
+     # marker filter hides the rows until the open slice commits).
      .withColumn("_scd2_epoch", F.lit(int(epoch_id)))
      .write.mode("overwrite").parquet(
-         f"{root}/closed/epoch_{int(epoch_id)}"))
+         f"{closed_dp}/epoch_{int(epoch_id)}"))
+    new_open = kept_open.unionByName(inserts)
+    if versioned:
+        # Slice + marker commit together under the one pointer PUT;
+        # a crash anywhere before it leaves an orphaned invisible
+        # version and the replay re-derives from the previous one.
+        versioned_publish(
+            spark, new_open, open_path,
+            finalize=lambda d: _write_epoch_marker(spark, d, epoch_id))
+        versioned_vacuum(spark, open_path, keep=2)
+        return True
     tmp = staging_path(open_path)
-    kept_open.unionByName(inserts).write.mode("overwrite").parquet(tmp)
+    new_open.write.mode("overwrite").parquet(tmp)
     _write_epoch_marker(spark, tmp, epoch_id)
     staged_swap(spark, tmp, open_path)
     return True
@@ -359,16 +429,18 @@ def scd2_compact_closed(spark, path: str,
     import re as _re
 
     from lisp_batch_processor_spark.sources.writers import (
-        _hadoop_fs, recover_swap, staged_swap, staging_path)
+        _hadoop_fs, staged_swap, staging_path, versioned_commit,
+        versioned_vacuum)
 
     root = path.rstrip("/")
-    open_path = f"{root}/open"
     closed_root = f"{root}/closed"
-    recover_swap(spark, closed_root)
-    marker = _read_epoch_marker(spark, open_path)
+    versioned = _scd2_is_versioned(spark, root)
+    open_dp, closed_dp = _scd2_data_paths(spark, root)
+    marker = _read_epoch_marker(spark, open_dp)
     marker = -1 if marker is None else marker
 
-    jvm, fs, jclosed = _hadoop_fs(spark, closed_root)
+    jvm, fs, _ = _hadoop_fs(spark, closed_root)
+    jclosed = jvm.org.apache.hadoop.fs.Path(closed_dp)
     foldable, carry = [], []
     for st in fs.listStatus(jclosed):
         if not st.isDirectory():
@@ -377,7 +449,7 @@ def scd2_compact_closed(spark, path: str,
         m = _re.fullmatch(r"epoch_(-?\d+)", name)
         if name.startswith("compact_") or (
                 m and int(m.group(1)) <= marker):
-            if _has_data_files(spark, f"{closed_root}/{name}"):
+            if _has_data_files(spark, f"{closed_dp}/{name}"):
                 foldable.append(name)
         else:
             carry.append(name)
@@ -390,19 +462,32 @@ def scd2_compact_closed(spark, path: str,
         fs.delete(jtmp, True)
     folded = (spark.read.option("recursiveFileLookup", "true")
               .option("mergeSchema", "true")
-              .parquet(*[f"{closed_root}/{n}" for n in foldable]))
+              .parquet(*[f"{closed_dp}/{n}" for n in foldable]))
     size = sum(fs.getContentSummary(
-        jvm.org.apache.hadoop.fs.Path(f"{closed_root}/{n}"))
+        jvm.org.apache.hadoop.fs.Path(f"{closed_dp}/{n}"))
         .getLength() for n in foldable)
     n_files = max(1, -(-size // target_file_bytes))
     (folded.repartition(n_files)
      .write.parquet(f"{tmp}/compact_{int(marker)}"))
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     for name in carry:
         # Unapplied residue rides along unchanged; invisible to
-        # readers either way (marker filter).
-        fs.rename(jvm.org.apache.hadoop.fs.Path(f"{closed_root}/{name}"),
-                  jvm.org.apache.hadoop.fs.Path(f"{tmp}/{name}"))
-    staged_swap(spark, tmp, closed_root)
+        # readers either way (marker filter). Versioned: COPY, not
+        # rename — the committed version must stay complete until
+        # the new tree's pointer lands (a crash after a rename-out
+        # would otherwise have mutilated the current version).
+        src = jvm.org.apache.hadoop.fs.Path(f"{closed_dp}/{name}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{name}")
+        if versioned:
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, src, fs, dst, False, conf)
+        else:
+            fs.rename(src, dst)
+    if versioned:
+        versioned_commit(spark, closed_root, tmp)
+        versioned_vacuum(spark, closed_root, keep=2)
+    else:
+        staged_swap(spark, tmp, closed_root)
     return len(foldable)
 
 

@@ -185,6 +185,39 @@ def quantile_hist_estimate(hist: DataFrame, keys: Sequence[str],
          .alias("bucket_mass"))
 
 
+def sketch_store_init(spark, store_path: str,
+                      backend: str = "swap") -> None:
+    """Declare a stream-maintained sketch store's publication backend
+    BEFORE the first append. ``"swap"`` (the default, and what an
+    un-inited store gets implicitly): data at the root, compactions
+    via the recoverable staged swap — HDFS/local-FS correct,
+    documented-unsafe on object stores. ``"versioned"``: pointer-
+    committed version dirs (`sources.writers` store backends) —
+    appends land as new objects in the current version, compactions
+    publish the next version under one pointer PUT, readers resolve
+    the pointer and never repair, so this is the object-store-safe
+    and concurrent-reader-safe mode. Same store semantics (epoch
+    replay, folds, reads) either way — the backend only decides how
+    bytes become visible."""
+    if backend not in ("swap", "versioned"):
+        raise ValueError(f"backend must be 'swap' or 'versioned', "
+                         f"got {backend!r}")
+    if backend == "versioned":
+        from lisp_batch_processor_spark.sources.writers import (
+            versioned_store_init)
+        versioned_store_init(spark, store_path)
+
+
+def _store_data_path_strict(spark, store_path: str) -> str:
+    from lisp_batch_processor_spark.sources.writers import (
+        store_data_path)
+    dp = store_data_path(spark, store_path.rstrip("/"))
+    if dp is None:
+        raise ValueError(f"sketch store at {store_path} has no "
+                         "committed data yet (append first)")
+    return dp
+
+
 def quantile_hist_store_read(spark, store_path: str,
                              keys: Sequence[str]) -> DataFrame:
     """Merge a persisted stream-maintained histogram store down to
@@ -195,12 +228,11 @@ def quantile_hist_store_read(spark, store_path: str,
     counts sum — the membership-set trick adapted to additive state.
     Compacted base rows (:func:`sketch_store_compact`) carry the
     sentinel epoch and are unique per (keys, bucket), so the same
-    read serves compacted and raw stores; repairs an interrupted
-    compaction swap first.
+    read serves compacted and raw stores. Backend-routed: a swap
+    store repairs an interrupted compaction first; a versioned store
+    resolves the committed pointer and never repairs.
     """
-    from lisp_batch_processor_spark.sources.writers import recover_swap
-    recover_swap(spark, store_path.rstrip("/"))
-    df = spark.read.parquet(store_path)
+    df = spark.read.parquet(_store_data_path_strict(spark, store_path))
     return quantile_hist_merge(
         df.dropDuplicates([*keys, "bucket", "epoch_id"])
           .drop("epoch_id"), keys)
@@ -239,11 +271,11 @@ def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         from lisp_batch_processor_spark.sources.writers import (
-            recover_swap)
-        recover_swap(spark, store_path.rstrip("/"))
-        (quantile_hist_build(batch_df, keys, col, splits)
-         .withColumn("epoch_id", F.lit(int(epoch_id)))
-         .write.mode("append").parquet(store_path))
+            store_append)
+        store_append(
+            quantile_hist_build(batch_df, keys, col, splits)
+            .withColumn("epoch_id", F.lit(int(epoch_id))),
+            store_path)
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             sketch_store_compact(spark, store_path)
 
@@ -283,10 +315,9 @@ def hll_stream_apply(stream_df: DataFrame, store_path: str,
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         from lisp_batch_processor_spark.sources.writers import (
-            recover_swap)
-        recover_swap(spark, store_path.rstrip("/"))
-        (hll_build(batch_df, keys, col, lg_k=lg_k)
-         .write.mode("append").parquet(store_path))
+            store_append)
+        store_append(hll_build(batch_df, keys, col, lg_k=lg_k),
+                     store_path)
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             sketch_store_compact(spark, store_path)
 
@@ -295,12 +326,12 @@ def hll_stream_apply(stream_df: DataFrame, store_path: str,
 
 def hll_store_read(spark, store_path: str) -> DataFrame:
     """The persisted sketch rows of a stream-maintained HLL store
-    (feed to :func:`hll_rollup`). Repairs an interrupted
-    :func:`sketch_store_compact` swap first, so a reader arriving
-    after a crash still sees a complete store."""
-    from lisp_batch_processor_spark.sources.writers import recover_swap
-    recover_swap(spark, store_path.rstrip("/"))
-    return spark.read.parquet(store_path)
+    (feed to :func:`hll_rollup`). Backend-routed: a swap store
+    repairs an interrupted :func:`sketch_store_compact` first, so a
+    post-crash reader still sees a complete store; a versioned store
+    resolves the committed pointer (no repair, concurrent-read
+    safe)."""
+    return spark.read.parquet(_store_data_path_strict(spark, store_path))
 
 
 def quantile_hist_drift(hist: DataFrame, keys: Sequence[str],
@@ -391,29 +422,33 @@ def sketch_store_compact(spark, store_path: str, keep_live: int = 1,
       replay still collapses against them. Returns the number of
       epochs folded.
 
-    The new store builds in a hidden staging sibling and swaps in
-    via the recoverable ``staged_swap`` — every crash window leaves
-    a complete store at the canonical or backup path, repaired by
-    the ``recover_swap`` in the store reads and at the top of this
-    function. Output file count is sized from the store's on-disk
-    bytes (an upper bound on the folded result) against
+    The rewrite publishes through the store's backend
+    (`sources.writers.store_publish_rewrite`): a swap store builds
+    in a hidden staging sibling and swaps in via the recoverable
+    ``staged_swap`` (every crash window leaves a complete store at
+    the canonical or backup path, repaired by the store reads); a
+    versioned store publishes the fold as the next pointer-committed
+    version and vacuums superseded ones — no renames load-bearing,
+    object-store safe. Output file count is sized from the store's
+    on-disk bytes (an upper bound on the folded result) against
     ``target_file_bytes``.
     """
     from lisp_batch_processor_spark.sources.writers import (
-        _hadoop_fs, recover_swap, staged_swap, staging_path)
+        _hadoop_fs, store_publish_rewrite)
 
     if keep_live < 1:
         raise ValueError(f"keep_live must be >= 1, got {keep_live}")
     root = store_path.rstrip("/")
-    recover_swap(spark, root)
-    df = spark.read.parquet(root)
+    data_path = _store_data_path_strict(spark, root)
+    df = spark.read.parquet(data_path)
     cols = df.columns
-    jvm, fs, jroot = _hadoop_fs(spark, root)
-    size = fs.getContentSummary(jroot).getLength()
+    jvm, fs, _ = _hadoop_fs(spark, root)
+    jdata = jvm.org.apache.hadoop.fs.Path(data_path)
+    size = fs.getContentSummary(jdata).getLength()
     n_files = max(1, -(-size // target_file_bytes))
 
     if "sketch" in cols:
-        it = fs.listFiles(jroot, True)
+        it = fs.listFiles(jdata, True)
         n_data = 0
         while it.hasNext():
             name = it.next().getPath().getName()
@@ -454,10 +489,5 @@ def sketch_store_compact(spark, store_path: str, keep_live: int = 1,
             "(expected an HLL store with a 'sketch' column or a "
             "quantile-histogram store with bucket/cnt/epoch_id)")
 
-    tmp = staging_path(root)
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(jtmp):
-        fs.delete(jtmp, True)
-    folded.repartition(n_files).write.parquet(tmp)
-    staged_swap(spark, tmp, root)
+    store_publish_rewrite(spark, folded, root, n_files)
     return n_folded

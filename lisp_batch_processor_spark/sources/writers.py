@@ -185,7 +185,7 @@ def _versions(fs, jvm, root: str, pointed_only: bool) -> list[int]:
 
 
 def versioned_publish(spark: SparkSession, df: DataFrame, path: str,
-                      fmt: str = "parquet") -> int:
+                      fmt: str = "parquet", finalize=None) -> int:
     """Publish `df` as the next version of the table at `path` and
     return the version number. The version becomes visible to
     :func:`versioned_read` only when the pointer file lands — after
@@ -193,14 +193,60 @@ def versioned_publish(spark: SparkSession, df: DataFrame, path: str,
     previous version with no repair step. Single-writer discipline
     per table (same contract as every maintenance writer here);
     concurrent READERS are always safe.
+
+    ``finalize(version_dir)``, if given, runs after the data write
+    and BEFORE the pointer lands — anything it places inside the
+    version dir (e.g. an epoch-marker file) commits atomically WITH
+    the data under the one pointer PUT. A crash inside finalize
+    leaves an orphaned, invisible version dir, same as a crash in
+    the data write.
     """
     jvm, fs, _ = _hadoop_fs(spark, path)
     root = path.rstrip("/")
     seen = _versions(fs, jvm, root, pointed_only=False)
     n = (seen[-1] if seen else -1) + 1
     df.write.format(fmt).save(f"{root}/v_{n}")
+    if finalize is not None:
+        finalize(f"{root}/v_{n}")
     out = fs.create(jvm.org.apache.hadoop.fs.Path(
         f"{root}/_v_{n}.ptr"), True)
+    try:
+        out.write(bytearray(str(n).encode()))
+    finally:
+        out.close()
+    return n
+
+
+def versioned_commit(spark: SparkSession, root: str, src_dir: str,
+                     finalize=None) -> int:
+    """Commit an ALREADY-WRITTEN directory as the next version of the
+    table at ``root``: move ``src_dir`` to ``v_<n>``, run ``finalize``
+    (if any), PUT the pointer. The staged-dir counterpart of
+    :func:`versioned_publish`, for writers that materialize several
+    tables in one partitioned Spark job (e.g. the CDC upsert's
+    per-bucket staging) and then commit each dir separately.
+
+    The move uses a Hadoop rename, but its ATOMICITY is not
+    load-bearing — on an object store a dir "rename" is copy+delete,
+    and that's fine here: nothing under ``v_<n>`` is visible until
+    the single pointer PUT, and a crash mid-move leaves an orphaned
+    partial version dir that readers never resolve and vacuum
+    reclaims. Contrast :func:`staged_swap`, whose crash-safety
+    argument DOES depend on each rename being atomic.
+    """
+    jvm, fs, _ = _hadoop_fs(spark, root)
+    r = root.rstrip("/")
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(r)):
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(r))
+    seen = _versions(fs, jvm, r, pointed_only=False)
+    n = (seen[-1] if seen else -1) + 1
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(src_dir),
+                     jvm.org.apache.hadoop.fs.Path(f"{r}/v_{n}")):
+        raise IOError(f"rename {src_dir} -> {r}/v_{n} failed")
+    if finalize is not None:
+        finalize(f"{r}/v_{n}")
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        f"{r}/_v_{n}.ptr"), True)
     try:
         out.write(bytearray(str(n).encode()))
     finally:
@@ -251,6 +297,105 @@ def versioned_vacuum(spark: SparkSession, path: str,
                   True)
         removed += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Store backends — one switch for every persisted maintenance store
+# (sketch stores, line store, CDC upsert, split-path SCD2).
+#
+# "swap" (default): data lives at the store root; rewrites go through
+# the recoverable staged_swap. Correct on HDFS/local FS, where dir
+# renames are atomic; documented-unsafe on object stores, and
+# reader-side repair must not race a live writer (recover_swap's
+# concurrency contract).
+#
+# "versioned": the root is tagged with a `_versioned_store` file and
+# data lives in pointer-committed `v_<n>` dirs. Appends land as new
+# files inside the CURRENT version (object-store safe: new objects
+# only); rewrites publish the NEXT version under a single pointer
+# PUT; readers resolve the highest pointer and never repair, so
+# concurrent reads during maintenance are safe. The tag makes stores
+# self-describing — every reader/writer routes through
+# store_data_path/store_append/store_publish_rewrite and existing
+# swap-backed stores keep working unchanged.
+# ---------------------------------------------------------------------------
+
+_VERSIONED_TAG = "_versioned_store"
+
+
+def versioned_store_init(spark: SparkSession, root: str) -> None:
+    """Mark the store at ``root`` as versioned-backend (creates the
+    dir and the tag file; data arrives via store_append /
+    store_publish_rewrite)."""
+    jvm, fs, _ = _hadoop_fs(spark, root)
+    r = root.rstrip("/")
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(r))
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        f"{r}/{_VERSIONED_TAG}"), True)
+    out.close()
+
+
+def store_is_versioned(spark: SparkSession, root: str) -> bool:
+    jvm, fs, _ = _hadoop_fs(spark, root)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(
+        root.rstrip("/") + "/" + _VERSIONED_TAG))
+
+
+def store_data_path(spark: SparkSession, root: str) -> str | None:
+    """Where the store's data currently lives: the highest committed
+    version dir for a versioned store (None when nothing is committed
+    yet), else the root itself after repairing any crashed swap."""
+    r = root.rstrip("/")
+    if store_is_versioned(spark, r):
+        jvm, fs, _ = _hadoop_fs(spark, r)
+        committed = _versions(fs, jvm, r, pointed_only=True)
+        return f"{r}/v_{committed[-1]}" if committed else None
+    recover_swap(spark, r)
+    return r
+
+
+def store_append(df: DataFrame, root: str,
+                 fmt: str = "parquet") -> None:
+    """Append a batch of rows to a maintenance store through its
+    backend. Versioned: new files into the current version dir (the
+    dir stays append-only-mutable between rewrites — readers see a
+    grow-only file set, exactly the plain store's contract); the
+    FIRST append publishes v_0. Swap: plain append to the root
+    (repairing a crashed rewrite first)."""
+    spark = df.sparkSession
+    r = root.rstrip("/")
+    if store_is_versioned(spark, r):
+        cur = store_data_path(spark, r)
+        if cur is None:
+            versioned_publish(spark, df, r, fmt=fmt)
+        else:
+            df.write.mode("append").format(fmt).save(cur)
+        return
+    recover_swap(spark, r)
+    df.write.mode("append").format(fmt).save(r)
+
+
+def store_publish_rewrite(spark: SparkSession, df: DataFrame,
+                          root: str, n_files: int,
+                          fmt: str = "parquet",
+                          vacuum_keep: int = 2) -> None:
+    """Replace a store's contents with ``df`` (a compaction/fold
+    result) through its backend. Versioned: publish as the next
+    version + vacuum old ones (``vacuum_keep`` pins how far back a
+    concurrent reader may lag). Swap: staged write + recoverable
+    staged_swap."""
+    r = root.rstrip("/")
+    if store_is_versioned(spark, r):
+        versioned_publish(spark, df.repartition(n_files), r, fmt=fmt)
+        versioned_vacuum(spark, r, keep=vacuum_keep)
+        return
+    jvm, fs, _ = _hadoop_fs(spark, r)
+    tmp = staging_path(r)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+    df.repartition(n_files).write.format(fmt).save(tmp)
+    staged_swap(spark, tmp, r)
 
 
 def write_partitioned(df: DataFrame, path: str,
@@ -323,16 +468,21 @@ def compact(spark: SparkSession, path: str,
     bucketed tables, compact via write_bucketed instead (bucket
     count fixes file count; plain repartition would destroy bucket
     metadata).
+
+    Backend-routed: a dataset living under a versioned store root
+    (`versioned_store_init` tag) publishes the rewrite as the next
+    pointer-committed version instead of swapping — object-store
+    safe; a plain path keeps the staged-swap behavior above.
     """
-    recover_swap(spark, path)
-    _, fs, jpath = _hadoop_fs(spark, path)
-    size = fs.getContentSummary(jpath).getLength()
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    data_path = store_data_path(spark, path)
+    if data_path is None:
+        return 0  # versioned store with nothing committed yet
+    size = fs.getContentSummary(
+        jvm.org.apache.hadoop.fs.Path(data_path)).getLength()
     n_files = max(1, -(-size // target_file_bytes))
-    df = spark.read.format(fmt).load(path)
-    tmp = staging_path(path)
-    (df.repartition(n_files)
-       .write.mode("overwrite").format(fmt).save(tmp))
-    staged_swap(spark, tmp, path)
+    df = spark.read.format(fmt).load(data_path)
+    store_publish_rewrite(spark, df, path, n_files, fmt=fmt)
     return n_files
 
 

@@ -102,15 +102,21 @@ def near_dup_ingest_epoch(batch_df: DataFrame, index_path: str,
 
     spark = batch_df.sparkSession
     batch = batch_df.localCheckpoint(eager=True)
-    # Repair a crashed `sources.writers.compact` swap on either
-    # store first (both are safe to compact from the maintenance
-    # window: duplicate rows are tolerated per this docstring, so a
-    # plain size-targeted rewrite preserves semantics).
-    from lisp_batch_processor_spark.sources.writers import recover_swap
-    recover_swap(spark, index_path.rstrip("/"))
-    recover_swap(spark, store_path.rstrip("/"))
-    idx = spark.read.parquet(index_path)
-    store = spark.read.parquet(store_path)
+    # Resolve both stores through their backend: a swap store gets a
+    # crashed `sources.writers.compact` repaired first (both are safe
+    # to compact from the maintenance window: duplicate rows are
+    # tolerated per this docstring, so a plain size-targeted rewrite
+    # preserves semantics); a versioned store resolves its pointer.
+    from lisp_batch_processor_spark.sources.writers import (
+        store_data_path)
+    idx_dp = store_data_path(spark, index_path.rstrip("/"))
+    st_dp = store_data_path(spark, store_path.rstrip("/"))
+    if idx_dp is None or st_dp is None:
+        raise ValueError("near-dup stores have no committed data "
+                         f"(index={index_path}, store={store_path}); "
+                         "seed them from the initial corpus first")
+    idx = spark.read.parquet(idx_dp)
+    store = spark.read.parquet(st_dp)
     out = (incremental_near_dups(None, batch,
                                  corpus_index=idx,
                                  verify_store=store,
@@ -120,19 +126,42 @@ def near_dup_ingest_epoch(batch_df: DataFrame, index_path: str,
     survivors = (batch.join(out.filter(~F.col("is_dup"))
                             .select("doc_id"), "doc_id")
                  .localCheckpoint(eager=True))
-    banded_signatures(minhash_signatures(survivors)) \
-        .write.mode("append").parquet(index_path)
-    shingle_store(survivors).write.mode("append").parquet(store_path)
+    from lisp_batch_processor_spark.sources.writers import store_append
+    store_append(banded_signatures(minhash_signatures(survivors)),
+                 index_path)
+    store_append(shingle_store(survivors), store_path)
     return out
 
 
-def line_store_init(spark, line_store_path: str) -> None:
+def line_store_init(spark, line_store_path: str,
+                    backend: str = "swap") -> None:
     """Create an empty epoch-tagged line-digest store — the persisted
     state `streaming_line_dedup_ingest` and `line_dedup_ingest_epoch`
     maintain. Seed corpus digests may be appended afterwards with any
-    ``epoch_id < 0``."""
-    spark.createDataFrame([], "line_key string, epoch_id long") \
-        .write.parquet(line_store_path)
+    ``epoch_id < 0``. ``backend="versioned"`` publishes through
+    pointer-committed version dirs instead of the root + staged swap
+    (`sources.writers` store backends) — the object-store-safe mode;
+    all ingest/compact/read semantics are identical."""
+    from lisp_batch_processor_spark.sources.writers import (
+        store_append, versioned_store_init)
+
+    if backend not in ("swap", "versioned"):
+        raise ValueError(f"backend must be 'swap' or 'versioned', "
+                         f"got {backend!r}")
+    if backend == "versioned":
+        versioned_store_init(spark, line_store_path)
+    empty = spark.createDataFrame([], "line_key string, epoch_id long")
+    store_append(empty, line_store_path)
+
+
+def _line_store_data_path(spark, line_store_path: str) -> str:
+    from lisp_batch_processor_spark.sources.writers import (
+        store_data_path)
+    dp = store_data_path(spark, line_store_path.rstrip("/"))
+    if dp is None:
+        raise ValueError(f"line store at {line_store_path} has no "
+                         "committed data (create with line_store_init)")
+    return dp
 
 
 def line_store_compact(spark, line_store_path: str,
@@ -152,25 +181,27 @@ def line_store_compact(spark, line_store_path: str,
     < 0) fold too; membership is all that matters below the live
     tail. Duplicate (line_key, epoch) rows from past replays
     collapse in the fold's distinct. Returns the number of epochs
-    folded; staged-swap published, single-writer window required.
+    folded; published through the store's backend (staged swap, or
+    the next pointer-committed version for a versioned store);
+    single-writer window required.
     """
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.sources.writers import (
-        _hadoop_fs, recover_swap, staged_swap, staging_path)
+        _hadoop_fs, store_publish_rewrite)
 
     if keep_live < 1:
         raise ValueError(f"keep_live must be >= 1, got {keep_live}")
     root = line_store_path.rstrip("/")
-    recover_swap(spark, root)
-    if "epoch_id" not in spark.read.parquet(root).columns:
+    data_path = _line_store_data_path(spark, root)
+    if "epoch_id" not in spark.read.parquet(data_path).columns:
         raise ValueError(
             f"line store at {root} lacks the epoch_id column "
             "(create with line_store_init)")
     # Declared-long read upcasts pre-r6 int32 epoch files; the
     # rewrite below then makes the whole store int64.
     df = spark.read.schema("line_key string, epoch_id long") \
-        .parquet(root)
+        .parquet(data_path)
     epochs = sorted(r[0] for r in
                     df.select("epoch_id").distinct().collect())
     live = set(epochs[-keep_live:])
@@ -183,15 +214,11 @@ def line_store_compact(spark, line_store_path: str,
     folded = base.unionByName(
         df.filter(~F.col("epoch_id").isin(foldable))
           .dropDuplicates(["line_key", "epoch_id"]))
-    jvm, fs, jroot = _hadoop_fs(spark, root)
-    size = fs.getContentSummary(jroot).getLength()
+    jvm, fs, _ = _hadoop_fs(spark, root)
+    size = fs.getContentSummary(
+        jvm.org.apache.hadoop.fs.Path(data_path)).getLength()
     n_files = max(1, -(-size // target_file_bytes))
-    tmp = staging_path(root)
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(jtmp):
-        fs.delete(jtmp, True)
-    folded.repartition(n_files).write.parquet(tmp)
-    staged_swap(spark, tmp, root)
+    store_publish_rewrite(spark, folded, root, n_files)
     return len(foldable)
 
 
@@ -221,14 +248,16 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
 
     spark = batch_df.sparkSession
     batch = batch_df.localCheckpoint(eager=True)
-    from lisp_batch_processor_spark.sources.writers import recover_swap
-    recover_swap(spark, line_store_path.rstrip("/"))  # crashed compact
+    # Resolve the store's data through its backend (repairs a crashed
+    # compact on a swap store; resolves the committed pointer on a
+    # versioned one).
+    data_path = _line_store_data_path(spark, line_store_path)
     # Layout check against the FILE-INFERRED schema — the declared
     # read below always yields an epoch_id column (a legacy store
     # without one reads all-NULL epochs; the `epoch_id < e` filter
     # then drops every row and silently re-admits seen lines), so
     # the guard must probe the files, as line_store_compact does.
-    if "epoch_id" not in spark.read.parquet(line_store_path).columns:
+    if "epoch_id" not in spark.read.parquet(data_path).columns:
         raise ValueError(
             f"line store at {line_store_path} lacks the epoch_id "
             "column; create it with line_store_init (pre-r5 stores: "
@@ -237,7 +266,7 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
     # (F.lit of a small Python int) while init/compact write int64 —
     # the declared-long read upcasts the legacy files.
     store_df = spark.read.schema("line_key string, epoch_id long") \
-        .parquet(line_store_path)
+        .parquet(data_path)
     seen = (store_df.filter(F.col("epoch_id") < F.lit(int(epoch_id)))
             .select("line_key"))
     did, pos, line = (F.col("_sl_did"), F.col("_sl_pos"),
@@ -291,9 +320,12 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
                     .otherwise(F.coalesce("lines_kept", F.lit(0)))
                     .alias("lines_kept"))
            .localCheckpoint(eager=True))  # materialize pre-append
-    (winners.select(F.col("_sl_key").alias("line_key"),
-                    F.lit(int(epoch_id)).cast("long").alias("epoch_id"))
-     .write.mode("append").parquet(line_store_path))
+    from lisp_batch_processor_spark.sources.writers import store_append
+    store_append(
+        winners.select(F.col("_sl_key").alias("line_key"),
+                       F.lit(int(epoch_id)).cast("long")
+                        .alias("epoch_id")),
+        line_store_path)
     return out
 
 

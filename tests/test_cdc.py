@@ -254,3 +254,151 @@ def test_fuzz_upsert_lifecycle_with_crashes(spark, tmp_path):
         assert got == oracle, f"epoch {epoch}"
         # Completed-epoch replay is always a pure skip.
         assert not upsert_apply(spark, path, upd, epoch_id=epoch)
+
+
+def test_upsert_versioned_backend_lifecycle(spark, tmp_path):
+    """The versioned backend (per-bucket pointer-committed version
+    dirs, bucket id as a data column) matches the swap backend state
+    for state, epoch-skip, and crash-replay convergence — with no
+    rename atomicity load-bearing: an orphaned bucket version (crash
+    between the staged commit-move and the pointer PUT) is invisible,
+    and only touched buckets gain a new version."""
+    import shutil
+
+    swap = os.path.join(str(tmp_path), "swap")
+    ver = os.path.join(str(tmp_path), "ver")
+    snap = [(1, "lyon", "gold"), (2, "oslo", "silver"), (None, "x", "t")]
+    for p, backend in ((swap, "swap"), (ver, "versioned")):
+        upsert_init(spark.createDataFrame(snap, SCHEMA), p, key="k",
+                    n_buckets=8, backend=backend)
+    assert _state(spark, ver) == _state(spark, swap)
+
+    batches = [
+        [(1, "paris", "gold"), (4, "kyiv", "gold"), (None, "y", "t")],
+        [(2, "oslo", "silver"), (4, None, "gold")],
+    ]
+    for e, rows in enumerate(batches):
+        upd = spark.createDataFrame(rows, SCHEMA)
+        assert upsert_apply(spark, swap, upd, epoch_id=e)
+        assert upsert_apply(spark, ver, upd, epoch_id=e)
+        assert _state(spark, ver) == _state(spark, swap)
+
+    after = _state(spark, ver)
+    upd = spark.createDataFrame(batches[1], SCHEMA)
+    # Completed-epoch replay: marker skip.
+    assert not upsert_apply(spark, ver, upd, epoch_id=1)
+    assert _state(spark, ver) == after
+
+    # Crash before the marker: replay converges (each touched bucket
+    # publishes ANOTHER version with identical content).
+    os.remove(os.path.join(ver, "current", "_cdc_epoch"))
+    assert upsert_apply(spark, ver, upd, epoch_id=1)
+    assert _state(spark, ver) == after
+
+    # Vacuum bounds versions per bucket: every bucket root holds at
+    # most 2 committed versions.
+    cur = os.path.join(ver, "current")
+    buckets = [d for d in os.listdir(cur) if d.startswith("b=")]
+    assert buckets
+    for b in buckets:
+        vs = [d for d in os.listdir(os.path.join(cur, b))
+              if d.startswith("v_")]
+        assert len(vs) <= 2, (b, vs)
+
+    # Orphaned version dir (crash between commit-move and pointer):
+    # clone a bucket's current version under the next number with no
+    # pointer — reads are unaffected.
+    b0 = os.path.join(cur, buckets[0])
+    committed = sorted(int(d[2:]) for d in os.listdir(b0)
+                       if d.startswith("v_"))
+    shutil.copytree(os.path.join(b0, f"v_{committed[-1]}"),
+                    os.path.join(b0, f"v_{committed[-1] + 1}"))
+    assert _state(spark, ver) == after
+
+    # Touched-bucket isolation: an update hitting one bucket must not
+    # advance any other bucket's pointer.
+    def ptrs():
+        out = {}
+        for b in os.listdir(cur):
+            if b.startswith("b="):
+                out[b] = sorted(f for f in os.listdir(
+                    os.path.join(cur, b)) if f.endswith(".ptr"))
+        return out
+    before_ptrs = ptrs()
+    assert upsert_apply(spark, ver,
+                        spark.createDataFrame([(1, "nice", "gold")],
+                                              SCHEMA), epoch_id=2)
+    after_ptrs = ptrs()
+    changed = [b for b in after_ptrs
+               if after_ptrs[b] != before_ptrs.get(b)]
+    assert len(changed) == 1
+    assert _state(spark, ver)[1] == ("nice", "gold")
+
+
+def test_fuzz_upsert_versioned_lifecycle_with_crashes(spark, tmp_path):
+    """Randomized upsert chain on the VERSIONED backend with its own
+    crash grammar — marker loss (replay re-publishes convergently),
+    orphaned bucket versions (data moved in, pointer never PUT), and
+    stale staging leftovers — replaying after every crash; the table
+    must equal a dict oracle after every epoch."""
+    import random
+    import shutil
+
+    rng = random.Random(719)
+    path = os.path.join(str(tmp_path), "t1")
+    n_buckets = 4
+    snap = [(k, f"c{k}", "t") for k in range(20)] + [(None, "n", "t")]
+    upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
+                n_buckets=n_buckets, backend="versioned")
+    oracle = {k: (c, t) for k, c, t in snap}
+    cur = os.path.join(path, "current")
+
+    def bucket_dirs():
+        return [d for d in os.listdir(cur) if d.startswith("b=")]
+
+    for epoch in range(8):
+        rows, seen = [], set()
+        for _ in range(rng.randint(1, 6)):
+            k = rng.choice([None] + list(range(30)))
+            if k in seen:
+                continue
+            seen.add(k)
+            rows.append((k, f"v{epoch}_{rng.randint(0, 99)}",
+                         rng.choice(["t", "u"])))
+        upd = spark.createDataFrame(rows, SCHEMA)
+        assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        for k, c, t in rows:
+            oracle[k] = (c, t)
+
+        crash = rng.random()
+        marker = os.path.join(cur, "_cdc_epoch")
+        if crash < 0.35:
+            # Crash before the marker: replay publishes another
+            # version per touched bucket with identical content.
+            os.remove(marker)
+            assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        elif crash < 0.6:
+            # Orphaned version: a bucket's current version cloned to
+            # the next number with NO pointer (crash between the
+            # commit-move and the pointer PUT) + marker loss.
+            b = rng.choice(bucket_dirs())
+            broot = os.path.join(cur, b)
+            vs = sorted(int(d[2:]) for d in os.listdir(broot)
+                        if d.startswith("v_"))
+            shutil.copytree(os.path.join(broot, f"v_{vs[-1]}"),
+                            os.path.join(broot, f"v_{vs[-1] + 1}"))
+            os.remove(marker)
+            assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        elif crash < 0.8:
+            # Stale staging dir from a crashed attempt: the replay's
+            # overwrite stage must not be confused by it.
+            stage = os.path.join(path, "._staging_current", "_pb=0")
+            os.makedirs(stage, exist_ok=True)
+            with open(os.path.join(stage, "junk"), "w") as f:
+                f.write("stale")
+            os.remove(marker)
+            assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        # else: clean epoch.
+
+        assert _state(spark, path) == oracle, f"epoch {epoch}"
+        assert not upsert_apply(spark, path, upd, epoch_id=epoch)

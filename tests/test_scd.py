@@ -371,3 +371,79 @@ def test_scd2_split_rejects_legacy_single_path_layout(spark, tmp_path):
     with pytest.raises(ValueError, match="scd2_split_init"):
         scd2_split_apply(spark, empty, upd, key="k",
                          attrs=["city", "tier"], epoch_id=0)
+
+
+def test_scd2_versioned_backend_matches_swap(spark, tmp_path):
+    """The versioned split-path layout (pointer-committed open-slice
+    versions with the epoch marker INSIDE the version dir; closed
+    tree versioned across compactions) matches the swap layout at
+    every step — applies, replays, compaction, and crash windows
+    where no pointer landed."""
+    import os
+    import shutil
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_compact_closed, scd2_read, scd2_split_apply,
+        scd2_split_init)
+
+    swap = os.path.join(str(tmp_path), "swap")
+    ver = os.path.join(str(tmp_path), "ver")
+    snap = _snap(spark, [(1, "lyon", "gold"), (2, "oslo", "silver")])
+    scd2_split_init(snap, T0, swap, key="k")
+    scd2_split_init(snap, T0, ver, key="k", backend="versioned")
+    assert _hist_set(scd2_read(spark, ver)) == \
+        _hist_set(scd2_read(spark, swap))
+
+    batches = [
+        _upd(spark, [(1, "paris", "gold"), (3, "kyiv", "gold")], T1),
+        _upd(spark, [(2, "bern", "silver"), (3, "kyiv", "gold")], T2),
+    ]
+    for e, upd in enumerate(batches):
+        assert scd2_split_apply(spark, swap, upd, key="k",
+                                attrs=["city", "tier"], epoch_id=e)
+        assert scd2_split_apply(spark, ver, upd, key="k",
+                                attrs=["city", "tier"], epoch_id=e)
+        assert _hist_set(scd2_read(spark, ver)) == \
+            _hist_set(scd2_read(spark, swap))
+
+    after = _hist_set(scd2_read(spark, ver))
+    # Completed-epoch replay: marker (inside the committed open
+    # version) skips.
+    assert not scd2_split_apply(spark, ver, batches[1], key="k",
+                                attrs=["city", "tier"], epoch_id=1)
+    assert _hist_set(scd2_read(spark, ver)) == after
+
+    # Crash window: an open-slice version written WITHOUT its pointer
+    # (clone the current version as the next number) is invisible —
+    # reads and the marker stay on the committed version.
+    committed = sorted(int(d[2:]) for d in os.listdir(
+        os.path.join(ver, "open")) if d.startswith("v_"))
+    shutil.copytree(
+        os.path.join(ver, "open", f"v_{committed[-1]}"),
+        os.path.join(ver, "open", f"v_{committed[-1] + 1}"))
+    assert _hist_set(scd2_read(spark, ver)) == after
+
+    # Compaction of the closed tree: versioned commit, read equality.
+    assert scd2_compact_closed(spark, swap,
+                               target_file_bytes=1) > 0
+    assert scd2_compact_closed(spark, ver,
+                               target_file_bytes=1) > 0
+    assert _hist_set(scd2_read(spark, ver)) == \
+        _hist_set(scd2_read(spark, swap)) == after
+
+    # Post-compaction epochs keep flowing into the new closed version.
+    upd3 = _upd(spark, [(1, "nice", "gold")],
+                datetime(2025, 4, 1))
+    assert scd2_split_apply(spark, ver, upd3, key="k",
+                            attrs=["city", "tier"], epoch_id=2)
+    assert scd2_split_apply(spark, swap, upd3, key="k",
+                            attrs=["city", "tier"], epoch_id=2)
+    assert _hist_set(scd2_read(spark, ver)) == \
+        _hist_set(scd2_read(spark, swap))
+
+    # Version bound: open/ and closed/ each hold <= 2 committed
+    # versions after vacuum.
+    for side in ("open", "closed"):
+        vs = [d for d in os.listdir(os.path.join(ver, side))
+              if d.startswith("v_")]
+        assert len(vs) <= 2, (side, vs)

@@ -570,3 +570,68 @@ def test_fuzz_quantile_store_lifecycle(spark, tmp_path):
     assert read() == oracle
     sketch_store_compact(spark, store)
     assert read() == oracle
+
+
+def test_sketch_store_versioned_backend_lifecycle(spark, tmp_path):
+    """A versioned-backend sketch store answers identically to the
+    swap-backed one across append → replay-dup → compact → append:
+    appends land inside the current pointer-committed version, folds
+    publish the next version (no renames load-bearing), and an
+    orphaned version dir from a crashed fold is invisible to reads."""
+    import shutil
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_hist_build, quantile_hist_store_read,
+        sketch_store_compact, sketch_store_init)
+    from lisp_batch_processor_spark.sources.writers import store_append
+
+    splits = [100.0, 500.0, 2000.0]
+    swap = os.path.join(str(tmp_path), "qh_swap")
+    ver = os.path.join(str(tmp_path), "qh_ver")
+    sketch_store_init(spark, ver, backend="versioned")
+    batches = [spark.range(i * 500, (i + 1) * 500).selectExpr(
+        "id % 2 AS g", "CAST((id * 7) % 3000 AS DOUBLE) AS v")
+        for i in range(4)]
+    for e, b in enumerate(batches):
+        hist = (quantile_hist_build(b, ["g"], "v", splits)
+                .withColumn("epoch_id", F.lit(e)))
+        store_append(hist, swap)
+        store_append(hist, ver)
+    # Replay duplicate of a committed epoch on both.
+    dup = (quantile_hist_build(batches[1], ["g"], "v", splits)
+           .withColumn("epoch_id", F.lit(1)))
+    store_append(dup, swap)
+    store_append(dup, ver)
+
+    def read(store):
+        return {(r.g, r.bucket): r.cnt
+                for r in quantile_hist_store_read(
+                    spark, store, ["g"]).collect()}
+
+    want = read(swap)
+    assert read(ver) == want
+
+    # Orphaned version dir (crash between fold write and pointer
+    # PUT): clone v_0 as v_1 with no pointer — reads stay on v_0.
+    shutil.copytree(os.path.join(ver, "v_0"), os.path.join(ver, "v_1"))
+    assert read(ver) == want
+
+    # Fold: publishes the NEXT version (skipping the orphan's
+    # number), read unchanged, store bounded to vacuum_keep versions.
+    assert sketch_store_compact(spark, ver) == 3  # epochs 0-2 fold
+    assert read(ver) == want
+    vdirs = sorted(d for d in os.listdir(ver) if d.startswith("v_"))
+    ptrs = sorted(d for d in os.listdir(ver) if d.endswith(".ptr"))
+    assert vdirs == ["v_0", "v_2"] and ptrs == ["_v_0.ptr", "_v_2.ptr"]
+
+    # Post-fold appends land in the new current version; a replay of
+    # the live epoch (identical rows, per the determinism contract)
+    # still dedups.
+    replay3 = (quantile_hist_build(batches[3], ["g"], "v", splits)
+               .withColumn("epoch_id", F.lit(3)))
+    b4 = (quantile_hist_build(batches[0], ["g"], "v", splits)
+          .withColumn("epoch_id", F.lit(4)))
+    for st in (ver, swap):
+        store_append(replay3, st)
+        store_append(b4, st)
+    assert read(ver) == read(swap)

@@ -417,3 +417,53 @@ def test_line_dedup_legacy_store_raises(spark, tmp_path):
     docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
     with pytest.raises(ValueError, match="epoch_id"):
         line_dedup_ingest_epoch(docs, store, epoch_id=0)
+
+
+def test_line_store_versioned_backend_matches_swap(spark, tmp_path):
+    """A versioned-backend line store yields identical epoch outputs
+    and identical membership across ingest → compact → ingest: the
+    digests append inside the current pointer-committed version, the
+    fold publishes the next version, and an orphaned fold (no
+    pointer) is invisible."""
+    import shutil
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_compact, line_store_init)
+
+    swap = os.path.join(str(tmp_path), "lines_swap")
+    ver = os.path.join(str(tmp_path), "lines_ver")
+    line_store_init(spark, swap)
+    line_store_init(spark, ver, backend="versioned")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    epochs = [
+        docs([(1, "alpha\nbeta"), (2, "beta\ngamma")]),
+        docs([(3, "alpha\ndelta"), (4, "delta\nepsilon")]),
+        docs([(5, "gamma\nzeta")]),
+        docs([(6, "zeta\nalpha\neta")]),
+    ]
+
+    def run(store, e, batch):
+        return {(r.doc_id, r.text, r.lines_total, r.lines_kept)
+                for r in line_dedup_ingest_epoch(
+                    batch, store, epoch_id=e).collect()}
+
+    for e, b in enumerate(epochs[:3]):
+        assert run(swap, e, b) == run(ver, e, b)
+
+    # Orphaned fold: clone the current version with no pointer.
+    committed = sorted(int(d[2:]) for d in os.listdir(ver)
+                       if d.startswith("v_"))
+    shutil.copytree(os.path.join(ver, f"v_{committed[-1]}"),
+                    os.path.join(ver, f"v_{committed[-1] + 1}"))
+
+    assert line_store_compact(spark, ver) == \
+        line_store_compact(spark, swap) > 0
+    # Membership identical post-fold: the next epoch dedups the same.
+    assert run(swap, 3, epochs[3]) == run(ver, 3, epochs[3])
+
+    # Bounded: at most 2 committed versions remain.
+    vs = [d for d in os.listdir(ver) if d.startswith("v_")]
+    assert len(vs) <= 2
