@@ -328,15 +328,88 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
     return True
 
 
+def _bucket_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Every bucket directory ROOT of the table (backend-appropriate
+    naming): ``current/_ub=<b>`` for the swap layout, ``current/b=<n>``
+    (each its own versioned store root) for the versioned one. One
+    driver-side listing, O(n_buckets) entries."""
+    meta = _read_meta(spark, path)
+    cur = path.rstrip("/") + "/current"
+    prefix = ("b=" if meta.get("backend", "swap") == "versioned"
+              else f"{BUCKET_COL}=")
+    jvm, fs, jcur = _hadoop_fs(spark, cur)
+    if not fs.exists(jcur):
+        return []
+    out = []
+    for st in fs.listStatus(jcur):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out.append(f"{cur}/{name}")
+    return out
+
+
+def upsert_compact(spark: SparkSession, path: str,
+                   target_file_bytes: int = 128 * 1024 * 1024,
+                   min_files: int = 2) -> int:
+    """Fold each bucket of the upsert table into size-targeted files
+    — the maintenance pass the module docstring schedules ("compact
+    buckets as epochs accrete files"): every apply rewrites its
+    touched buckets as one file PER WRITE TASK, so a bucket touched
+    by wide shuffles carries up to `spark.sql.shuffle.partitions`
+    small files until compacted. Each bucket routes through
+    `sources.writers.compact`, which resolves the bucket's backend
+    itself (plain swap dir vs pointer-committed versioned root), so
+    the crash-safety story is the backend's own. Buckets whose data
+    path already holds fewer than ``min_files`` data files are
+    skipped — repeated maintenance passes over a quiet table cost
+    one listing, not a rewrite. Returns the number of buckets
+    rewritten. Single-writer window only (same contract as
+    upsert_apply; the stream applier's ``compact_every`` hook runs
+    it inside its own foreachBatch, which IS that window).
+    """
+    from lisp_batch_processor_spark.sources.writers import (
+        compact, store_data_path)
+
+    done = 0
+    for broot in _bucket_dirs(spark, path):
+        dp = store_data_path(spark, broot)
+        if dp is None:
+            continue
+        jvm, fs, jdp = _hadoop_fs(spark, dp)
+        n_data = 0
+        for st in fs.listStatus(jdp):
+            if not st.getPath().getName().startswith(("_", ".")):
+                n_data += 1
+        if n_data < min_files:
+            continue
+        compact(spark, broot, target_file_bytes=target_file_bytes)
+        done += 1
+    return done
+
+
 def upsert_stream_apply(update_stream: DataFrame, path: str,
                         order_col: str,
-                        tiebreak: Sequence[str] = ()):
+                        tiebreak: Sequence[str] = (),
+                        compact_every: int | None = None):
     """Streaming type-1 maintenance: each micro-batch upserts into
     the persisted table, latest-per-key within the batch decided by
     ``order_col`` (desc, NULLs last) then ``tiebreak``. Returns the
     DataStreamWriter; use a checkpointLocation — epoch replay is a
     marker skip or a convergent rewrite (see upsert_apply).
+
+    ``compact_every=N`` runs :func:`upsert_compact` after every Nth
+    epoch — inside foreachBatch IS the single-writer maintenance
+    window the compactor requires (the same self-scheduling hook as
+    the sketch/line stores), so per-bucket file counts stay bounded
+    over stream lifetime with no external scheduler. Replay-safe:
+    compaction rewrites identical rows, and a replayed epoch whose
+    marker already advanced skips the apply but may re-compact —
+    a no-op rewrite at worst.
     """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, "
+                         f"got {compact_every}")
+
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window
 
@@ -349,5 +422,7 @@ def upsert_stream_apply(update_stream: DataFrame, path: str,
                   .withColumn("_cdc_rn", F.row_number().over(w))
                   .filter(F.col("_cdc_rn") == 1).drop("_cdc_rn"))
         upsert_apply(spark, path, latest, epoch_id=epoch_id)
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            upsert_compact(spark, path)
 
     return update_stream.writeStream.foreachBatch(_process)

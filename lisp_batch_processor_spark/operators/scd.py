@@ -494,7 +494,8 @@ def scd2_compact_closed(spark, path: str,
 def scd2_stream_apply(update_stream: DataFrame, history_path: str,
                       key: str | Sequence[str],
                       attrs: Sequence[str],
-                      effective_from: str = "effective_from"):
+                      effective_from: str = "effective_from",
+                      compact_every: int | None = None):
     """Streaming dimension maintenance over the SPLIT-PATH layout
     (seed with :func:`scd2_split_init`, read with :func:`scd2_read`):
     each micro-batch of updates is one :func:`scd2_split_apply` epoch,
@@ -517,10 +518,22 @@ def scd2_stream_apply(update_stream: DataFrame, history_path: str,
     scd2_split_apply's ordering contract), and the swap itself is
     the recoverable rename-aside pattern — every crash window leaves
     a complete open slice readable at the canonical or backup path.
+
+    ``compact_every=N`` runs :func:`scd2_compact_closed` after every
+    Nth epoch — inside foreachBatch IS the single-writer maintenance
+    window the compactor requires (the same self-scheduling hook as
+    the sketch/line stores and the CDC applier), so the closed tree's
+    one-dir-per-epoch accretion stays bounded over stream lifetime.
+    Replay-safe: only fully-applied epochs fold (epoch <= the open
+    slice's marker) and unapplied residue is carried unchanged, so a
+    replayed epoch still finds or overwrites its own dir.
     """
     from pyspark.sql import Window
 
     keys = [key] if isinstance(key, str) else list(key)
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, "
+                         f"got {compact_every}")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -534,5 +547,7 @@ def scd2_stream_apply(update_stream: DataFrame, history_path: str,
         scd2_split_apply(spark, history_path, latest, keys, attrs,
                          effective_from=effective_from,
                          epoch_id=epoch_id)
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            scd2_compact_closed(spark, history_path)
 
     return update_stream.writeStream.foreachBatch(_process)

@@ -402,3 +402,99 @@ def test_fuzz_upsert_versioned_lifecycle_with_crashes(spark, tmp_path):
 
         assert _state(spark, path) == oracle, f"epoch {epoch}"
         assert not upsert_apply(spark, path, upd, epoch_id=epoch)
+
+
+def _bucket_file_counts(spark, path):
+    """Data files currently visible per bucket, through the backend's
+    own path resolution."""
+    from lisp_batch_processor_spark.operators.cdc import _bucket_dirs
+    from lisp_batch_processor_spark.sources.writers import store_data_path
+
+    out = {}
+    for broot in _bucket_dirs(spark, path):
+        dp = store_data_path(spark, broot)
+        out[broot.rsplit("/", 1)[1]] = (
+            0 if dp is None else
+            len([f for f in os.listdir(dp)
+                 if not f.startswith(("_", "."))]))
+    return out
+
+
+@pytest.mark.parametrize("backend", ["swap", "versioned"])
+def test_upsert_compact_folds_bucket_files(spark, tmp_path, backend):
+    """upsert_compact folds every accreted bucket to size-targeted
+    files (one, at test scale), preserves the table state exactly,
+    and skips already-compact buckets on the next pass."""
+    from lisp_batch_processor_spark.operators.cdc import upsert_compact
+
+    path = os.path.join(str(tmp_path), "t")
+    upsert_init(spark.createDataFrame([(0, "seed", "t")], SCHEMA),
+                path, key="k", n_buckets=2, backend=backend)
+    # A many-partition update: the staged partitionBy write emits one
+    # file per task per bucket, so buckets accrete several files.
+    upd = spark.createDataFrame(
+        [(k, f"c{k}", "t") for k in range(1, 25)], SCHEMA).repartition(8)
+    assert upsert_apply(spark, path, upd, epoch_id=0)
+    before_state = _state(spark, path)
+    before_files = _bucket_file_counts(spark, path)
+    assert max(before_files.values()) > 1, before_files
+
+    assert upsert_compact(spark, path) >= 1
+    after_files = _bucket_file_counts(spark, path)
+    assert all(n == 1 for n in after_files.values()), after_files
+    assert _state(spark, path) == before_state
+
+    # Second pass: nothing left to fold (min_files gate).
+    assert upsert_compact(spark, path) == 0
+    # And the table still applies + reads normally afterwards.
+    assert upsert_apply(spark, path,
+                        spark.createDataFrame([(1, "new", "t")], SCHEMA),
+                        epoch_id=1)
+    assert _state(spark, path)[1] == ("new", "t")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backend", ["swap", "versioned"])
+def test_upsert_stream_compact_every_bounds_files(spark, tmp_path,
+                                                  backend):
+    """The compact_every hook self-schedules upsert_compact inside
+    the stream's own foreachBatch: the final state matches a plain
+    sequential run and every bucket ends at one data file."""
+    from lisp_batch_processor_spark.operators.cdc import (
+        upsert_stream_apply)
+
+    up_schema = SCHEMA + ", seq long"
+    hooked = os.path.join(str(tmp_path), "hooked")
+    plain = os.path.join(str(tmp_path), "plain")
+    seed = spark.createDataFrame([(1, "lyon", "gold", 0)], up_schema)
+    for p in (hooked, plain):
+        upsert_init(seed, p, key="k", n_buckets=2, backend=backend)
+
+    src = os.path.join(str(tmp_path), "in")
+    batches = [
+        spark.createDataFrame(
+            [(k, f"c{e}_{k}", "gold", 10 * e + k) for k in range(5)],
+            up_schema)
+        for e in range(4)]
+    for e, b in enumerate(batches):
+        b.coalesce(1).write.parquet(os.path.join(src, f"b={e}"))
+        upsert_apply(spark, plain, b, epoch_id=e)
+
+    stream = (spark.readStream.schema(up_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "b=*")))
+    q = upsert_stream_apply(stream, hooked, order_col="seq",
+                            compact_every=2).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {r.k: (r.city, r.tier, r.seq)
+            for r in upsert_read(spark, plain).collect()}
+    got = {r.k: (r.city, r.tier, r.seq)
+           for r in upsert_read(spark, hooked).collect()}
+    assert got == want
+    # Epoch 3 triggered the final compaction: every bucket is one file.
+    files = _bucket_file_counts(spark, hooked)
+    assert all(n == 1 for n in files.values()), files

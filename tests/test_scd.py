@@ -447,3 +447,52 @@ def test_scd2_versioned_backend_matches_swap(spark, tmp_path):
         vs = [d for d in os.listdir(os.path.join(ver, side))
               if d.startswith("v_")]
         assert len(vs) <= 2, (side, vs)
+
+
+@pytest.mark.slow
+def test_scd2_stream_compact_every_bounds_closed_dirs(spark, tmp_path):
+    """The compact_every hook self-schedules scd2_compact_closed
+    inside the stream's own foreachBatch: after N epochs the closed
+    tree is a bounded dir set while the history matches an un-hooked
+    sequential chain (which accretes one dir per epoch)."""
+    import os
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_read, scd2_split_apply, scd2_split_init, scd2_stream_apply)
+
+    plain = os.path.join(str(tmp_path), "plain")
+    hooked = os.path.join(str(tmp_path), "hooked")
+    seed = [(1, "lyon", "gold"), (2, "oslo", "silver")]
+    for p in (plain, hooked):
+        scd2_split_init(_snap(spark, seed), T0, p, key="k")
+
+    src = os.path.join(str(tmp_path), "in")
+    for e in range(6):
+        upd = _upd(spark, [(1, f"c{e}", "gold")], datetime(2025, 2, 1 + e))
+        upd.coalesce(1).write.parquet(os.path.join(src, f"batch={e}"))
+        scd2_split_apply(spark, plain, upd, key="k",
+                         attrs=["city", "tier"], epoch_id=e)
+
+    schema = "k long, city string, tier string, effective_from timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    q = scd2_stream_apply(stream, hooked, key="k",
+                          attrs=["city", "tier"],
+                          compact_every=2).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _hist_set(scd2_read(spark, hooked)) == \
+        _hist_set(scd2_read(spark, plain))
+    plain_dirs = [d for d in os.listdir(os.path.join(plain, "closed"))
+                  if not d.startswith((".", "_"))]
+    hooked_dirs = [d for d in os.listdir(os.path.join(hooked, "closed"))
+                   if not d.startswith((".", "_"))]
+    # Un-hooked: one closed dir per epoch that closed a row. Hooked:
+    # the final fold (after epoch 5, marker 5) left one compact base
+    # plus at most compact_every not-yet-folded epoch dirs.
+    assert len(plain_dirs) >= 6
+    assert len(hooked_dirs) <= 3, sorted(hooked_dirs)

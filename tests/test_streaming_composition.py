@@ -210,3 +210,14 @@ def test_composed_maintenance_loop_equals_isolated_runs(spark,
     after = _store_states(spark, comp_paths)
     assert after["qhist"] == comp_state["qhist"]
     assert after["hll"] == comp_state["hll"]
+
+    # Same for the dimension: per-bucket compaction bounds the file
+    # count and the table state is untouched.
+    from lisp_batch_processor_spark.operators.cdc import (
+        _bucket_dirs, upsert_compact)
+    upsert_compact(spark, comp_paths["dim"], min_files=1)
+    for broot in _bucket_dirs(spark, comp_paths["dim"]):
+        n = len([f for f in os.listdir(broot)
+                 if not f.startswith(("_", "."))])
+        assert n == 1, (broot, n)
+    assert _store_states(spark, comp_paths)["dim"] == comp_state["dim"]
