@@ -231,17 +231,218 @@ def quantile_hist_store_read(spark, store_path: str,
     read serves compacted and raw stores. Backend-routed: a swap
     store repairs an interrupted compaction first; a versioned store
     resolves the committed pointer and never repairs.
+
+    Drift-aware stores (a ``gen`` column from
+    :func:`quantile_hist_retrain_epoch`) restrict to the highest
+    generation present — counts measured against different
+    boundaries must never sum (prefer
+    :func:`quantile_store_estimate`, which also pairs the splits).
     """
     df = spark.read.parquet(_store_data_path_strict(spark, store_path))
+    if "gen" in df.columns:
+        top = df.agg(F.max("gen")).collect()[0][0]
+        df = df.filter(F.col("gen") == top).drop("gen")
     return quantile_hist_merge(
         df.dropDuplicates([*keys, "bucket", "epoch_id"])
           .drop("epoch_id"), keys)
 
 
+# ---------------------------------------------------------------------------
+# Drift-triggered boundary retraining — the loop that keeps a
+# long-lived quantile store accurate under distribution shift.
+#
+# Boundaries are trained once, so a shifted stream concentrates its
+# mass into few buckets and the estimate's error bound
+# (max_bucket_mass) degrades. quantile_hist_drift computes the
+# retrain signal; the generational store CONSUMES it: boundaries live
+# in a sibling backend-routed store as (gen, idx, value,
+# trained_epoch) rows, count rows carry the gen they were built
+# under, and a retrain opens the next generation — counts never mix
+# across generations (they are measured against different splits).
+#
+# Atomic (boundaries, counts) pairing is by WRITE ORDER, not a
+# transaction: gen g's boundary rows commit BEFORE any gen-g count
+# row exists, and generations only grow — so any gen a reader finds
+# in the count store already has its boundaries readable. Exactly-
+# once retrain under epoch replay: the boundary rows record the
+# epoch that trained them, and a replayed epoch finds its own
+# trained_epoch tag and reuses that generation instead of training
+# another.
+# ---------------------------------------------------------------------------
+
+def _bounds_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "__bounds"
+
+
+def _bounds_append(spark, store_path: str, gen: int,
+                   splits: Sequence[float],
+                   trained_epoch: int) -> None:
+    df = spark.createDataFrame(
+        [(int(gen), i, float(v), int(trained_epoch))
+         for i, v in enumerate(splits)],
+        "gen int, idx int, value double, trained_epoch long")
+    from lisp_batch_processor_spark.sources.writers import store_append
+    store_append(df.coalesce(1), _bounds_path(store_path))
+
+
+def quantile_bounds_read(spark, store_path: str
+                         ) -> dict[int, tuple[list[float], int]]:
+    """Every generation's trained boundaries for the store at
+    ``store_path``: ``{gen: (splits, trained_epoch)}`` (empty dict =
+    no generational bounds — a fixed-splits store). Driver-side
+    state is O(generations x n_splits) floats — kilobytes."""
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, store_data_path)
+    bp = _bounds_path(store_path)
+    dp = store_data_path(spark, bp)
+    if dp is None:
+        return {}
+    jvm, fs, jdp = _hadoop_fs(spark, dp)
+    if not fs.exists(jdp):
+        return {}
+    # A replayed bootstrap/retrain may have double-appended identical
+    # rows; (gen, idx) is the identity.
+    rows = (spark.read.parquet(dp)
+            .dropDuplicates(["gen", "idx"]).collect())
+    out: dict[int, tuple[list[float], int]] = {}
+    for gen in {r.gen for r in rows}:
+        g = sorted((r for r in rows if r.gen == gen),
+                   key=lambda r: r.idx)
+        out[gen] = ([r.value for r in g], g[0].trained_epoch)
+    return out
+
+
+def quantile_hist_retrain_epoch(batch_df: DataFrame, store_path: str,
+                                keys: Sequence[str], col: str,
+                                splits: list[float],
+                                retrain_tvd: float,
+                                retrain_min_rows: int,
+                                epoch_id: int) -> int:
+    """One epoch of drift-aware histogram maintenance — the per-epoch
+    work item :func:`quantile_hist_stream_apply` runs when retraining
+    is enabled (public so batch replays and tests share the exact
+    streaming semantics, the near_dup_ingest_epoch convention).
+    Returns the generation the epoch's counts were appended under.
+
+    Steps: (1) bootstrap gen 0 from the caller's ``splits`` if no
+    bounds exist; (2) if a generation already records THIS epoch as
+    its trainer, the epoch is a replay of a retrain — reuse it,
+    train nothing (exactly-once); (3) otherwise build the batch's
+    histogram under the current generation's splits and compute its
+    GLOBAL drift (TVD vs the trained equi-populated expectation,
+    :func:`quantile_hist_drift` with no keys — group-level retrain
+    policies can layer on top); (4) when drift exceeds
+    ``retrain_tvd`` and the batch has at least ``retrain_min_rows``
+    rows (small flush batches must not trigger), train fresh
+    boundaries FROM THE BATCH (the data exhibiting the shift),
+    publish them as the next generation tagged with this epoch, and
+    rebuild the batch's histogram against them; (5) append the
+    counts gen-tagged. Boundary rows commit before any count row of
+    their generation (the ordering that makes (boundaries, counts)
+    pairs atomic for readers); a crash between the two leaves an
+    orphan generation whose replay finds the tag and fills it.
+
+    Scale notes: the drift check aggregates the batch's histogram
+    rows (<= B per group — kilobytes); a retrain is one extra
+    approxQuantile pass over the batch only, never the store.
+    """
+    from lisp_batch_processor_spark.sources.writers import (
+        store_append, store_is_versioned)
+
+    spark = batch_df.sparkSession
+    e = int(epoch_id)
+    gens = quantile_bounds_read(spark, store_path)
+    if not gens:
+        if store_is_versioned(spark, store_path.rstrip("/")):
+            from lisp_batch_processor_spark.sources.writers import (
+                versioned_store_init)
+            versioned_store_init(spark, _bounds_path(store_path))
+        _bounds_append(spark, store_path, 0, splits, -1)
+        gens = {0: (list(splits), -1)}
+
+    replayed = [g for g, (_, te) in gens.items() if te == e]
+    if replayed:
+        # Exactly-once: this epoch already trained a generation on a
+        # previous (crashed) attempt — reuse its splits, train nothing.
+        gen = replayed[0]
+        hist = quantile_hist_build(batch_df, keys, col, gens[gen][0])
+    else:
+        gen = max(gens)
+        cur = gens[gen][0]
+        # The batch histogram feeds two actions (drift collect +
+        # append) — persist so the batch is scanned once on the
+        # no-retrain path.
+        probe = quantile_hist_build(batch_df, keys, col, cur).persist()
+        try:
+            row = (quantile_hist_drift(
+                quantile_hist_merge(probe, []), [], len(cur))
+                .collect())[0]
+            n, drift = row["n"], row["drift"]
+            hist = probe
+            if (drift is not None and drift > retrain_tvd
+                    and n is not None and n >= retrain_min_rows):
+                new_splits = quantile_bins_train(
+                    batch_df, col, n_buckets=len(cur) + 1)
+                gen += 1
+                _bounds_append(spark, store_path, gen, new_splits, e)
+                hist = quantile_hist_build(batch_df, keys, col,
+                                           new_splits)
+            store_append(
+                hist.withColumn("epoch_id", F.lit(e))
+                    .withColumn("gen", F.lit(int(gen))), store_path)
+        finally:
+            probe.unpersist()
+        return gen
+    store_append(hist.withColumn("epoch_id", F.lit(e))
+                 .withColumn("gen", F.lit(int(gen))), store_path)
+    return gen
+
+
+def quantile_store_current(spark, store_path: str,
+                           keys: Sequence[str]
+                           ) -> tuple[int, list[float], DataFrame]:
+    """The latest generation's ``(gen, splits, merged histogram)`` of
+    a drift-aware store — the read side of the retrain loop. The
+    generation is the highest one present in the COUNT store (any
+    such gen's boundaries are already committed, by the write-order
+    contract), so a crash that published boundaries but no counts
+    yet leaves readers on the previous, populated generation."""
+    gens = quantile_bounds_read(spark, store_path)
+    if not gens:
+        raise ValueError(
+            f"no generational bounds at {_bounds_path(store_path)} "
+            "(maintained by quantile_hist_retrain_epoch; for "
+            "fixed-splits stores use quantile_hist_store_read)")
+    df = spark.read.parquet(_store_data_path_strict(spark, store_path))
+    if "gen" in df.columns:
+        gen = df.agg(F.max("gen")).collect()[0][0]
+        gen = max(gens) if gen is None else int(gen)
+        df = df.filter(F.col("gen") == gen).drop("gen")
+    else:
+        gen = max(gens)
+    hist = quantile_hist_merge(
+        df.dropDuplicates([*keys, "bucket", "epoch_id"])
+          .drop("epoch_id"), keys)
+    return gen, gens[gen][0], hist
+
+
+def quantile_store_estimate(spark, store_path: str,
+                            keys: Sequence[str],
+                            qs: Sequence[float]) -> DataFrame:
+    """Per-group quantile estimates from a drift-aware store's latest
+    generation — :func:`quantile_hist_estimate` over the atomic
+    (boundaries, counts) pair :func:`quantile_store_current`
+    resolves."""
+    _, splits, hist = quantile_store_current(spark, store_path, keys)
+    return quantile_hist_estimate(hist, keys, splits, qs)
+
+
 def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
                                keys: Sequence[str], col: str,
                                splits: list[float],
-                               compact_every: int | None = None):
+                               compact_every: int | None = None,
+                               retrain_tvd: float | None = None,
+                               retrain_min_rows: int = 1000):
     """Streaming percentile maintenance: each micro-batch reduces to
     its exact per-bucket counts (<= B rows per group) which append
     EPOCH-TAGGED to the store — row data is touched once, at arrival;
@@ -261,21 +462,40 @@ def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
 
     The additive-sketch analog of the HLL rollups, with the same
     trained-boundaries contract as every quantile_hist_* operator:
-    one `splits` list per store, forever.
+    one `splits` list per store, forever — UNLESS ``retrain_tvd`` is
+    set, which closes the drift loop: each epoch runs
+    :func:`quantile_hist_retrain_epoch` instead, so when the batch's
+    global TVD against the current boundaries exceeds the trigger
+    (and the batch has >= ``retrain_min_rows`` rows), fresh
+    boundaries train from the batch and publish as the next
+    generation in the sibling bounds store; ``splits`` then only
+    seeds generation 0. Read a retraining store with
+    :func:`quantile_store_estimate` (generation-paired boundaries +
+    counts), not the fixed-splits reader.
     """
     splits = list(splits)
     if compact_every is not None and compact_every < 1:
         raise ValueError(f"compact_every must be >= 1, "
                          f"got {compact_every}")
+    if retrain_tvd is not None and not 0.0 < retrain_tvd < 1.0:
+        raise ValueError(f"retrain_tvd must be in (0, 1), "
+                         f"got {retrain_tvd}")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         from lisp_batch_processor_spark.sources.writers import (
             store_append)
-        store_append(
-            quantile_hist_build(batch_df, keys, col, splits)
-            .withColumn("epoch_id", F.lit(int(epoch_id))),
-            store_path)
+        if retrain_tvd is not None:
+            quantile_hist_retrain_epoch(
+                batch_df, store_path, keys, col, splits,
+                retrain_tvd=retrain_tvd,
+                retrain_min_rows=retrain_min_rows,
+                epoch_id=int(epoch_id))
+        else:
+            store_append(
+                quantile_hist_build(batch_df, keys, col, splits)
+                .withColumn("epoch_id", F.lit(int(epoch_id))),
+                store_path)
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             sketch_store_compact(spark, store_path)
 

@@ -635,3 +635,135 @@ def test_sketch_store_versioned_backend_lifecycle(spark, tmp_path):
         store_append(replay3, st)
         store_append(b4, st)
     assert read(ver) == read(swap)
+
+
+def _drift_batch(spark, lo, n=2000, width=3000):
+    return spark.range(0, n).selectExpr(
+        "id % 2 AS g",
+        f"CAST({lo} + (id * 7) % {width} AS DOUBLE) AS v")
+
+
+@pytest.mark.slow
+def test_quantile_drift_retrain_loop(spark, tmp_path):
+    """The closed drift loop: a distribution shift triggers EXACTLY
+    one retrain across three shifted epochs, estimates after the
+    switch bracket the true quantile under the new boundaries, and
+    compaction preserves the generational read."""
+    import os
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_bounds_read,
+        quantile_hist_stream_apply, quantile_store_estimate,
+        sketch_store_compact)
+
+    splits = quantile_bins_train(_drift_batch(spark, 0), "v",
+                                 n_buckets=8)
+    src = os.path.join(str(tmp_path), "in")
+    batches = [_drift_batch(spark, 0), _drift_batch(spark, 0)] + [
+        _drift_batch(spark, 100000) for _ in range(3)]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(os.path.join(src, f"b={i}"))
+
+    store = os.path.join(str(tmp_path), "store")
+    stream = (spark.readStream.schema("g long, v double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "b=*")))
+    q = quantile_hist_stream_apply(stream, store, ["g"], "v", splits,
+                                   retrain_tvd=0.5,
+                                   retrain_min_rows=100).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    gens = quantile_bounds_read(spark, store)
+    # Exactly ONE retrain: the first shifted epoch (2) trained gen 1;
+    # epochs 3-4, drawn from the same shifted distribution, did not.
+    assert set(gens) == {0, 1}
+    assert gens[1][1] == 2
+    assert gens[0][0] == splits
+
+    est = {(r.g, r.q): (r.value, r.bucket_mass)
+           for r in quantile_store_estimate(
+               spark, store, ["g"], [0.5]).collect()}
+    # True p50 of the shifted stream is ~101497 (lo + median of
+    # (id*7)%3000). The estimate is the containing bucket's lower
+    # boundary under gen-1 splits (bucket width ~375), and the
+    # adapted boundaries keep the error certificate near 1/8 — a
+    # pre-retrain read would have all mass in one bucket (mass 1.0).
+    for (g, _), (value, mass) in est.items():
+        assert 100000 <= value <= 103000
+        assert abs(value - 101497) < 1000
+        assert mass < 0.3
+
+    # Compaction folds the gen-tagged store without mixing
+    # generations: estimates are unchanged.
+    assert sketch_store_compact(spark, store) >= 2
+    est2 = {(r.g, r.q): (r.value, r.bucket_mass)
+            for r in quantile_store_estimate(
+                spark, store, ["g"], [0.5]).collect()}
+    assert est2 == est
+
+
+def test_quantile_retrain_replay_and_crash_windows(spark, tmp_path):
+    """Exactly-once retrain under epoch replay, and the orphan-bounds
+    crash window: boundaries committed without counts leave readers
+    on the previous populated generation until the replay fills it."""
+    import os
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        _bounds_append, quantile_bins_train, quantile_bounds_read,
+        quantile_hist_retrain_epoch, quantile_store_current,
+        quantile_store_estimate)
+
+    store = os.path.join(str(tmp_path), "store")
+    b0 = _drift_batch(spark, 0)
+    b1 = _drift_batch(spark, 100000)
+    splits = quantile_bins_train(b0, "v", n_buckets=8)
+
+    assert quantile_hist_retrain_epoch(
+        b0, store, ["g"], "v", splits, retrain_tvd=0.5,
+        retrain_min_rows=100, epoch_id=0) == 0
+    est0 = {(r.g, r.q): r.value
+            for r in quantile_store_estimate(
+                spark, store, ["g"], [0.5]).collect()}
+
+    # Crash window: epoch 1's retrain published gen-1 bounds but died
+    # before any gen-1 count row. Readers stay on gen 0.
+    crash_splits = quantile_bins_train(b1, "v", n_buckets=8)
+    _bounds_append(spark, store, 1, crash_splits, 1)
+    gen, cur, _ = quantile_store_current(spark, store, ["g"])
+    assert gen == 0 and cur == splits
+    assert {(r.g, r.q): r.value
+            for r in quantile_store_estimate(
+                spark, store, ["g"], [0.5]).collect()} == est0
+
+    # The replay of epoch 1 finds its own trained_epoch tag: it
+    # REUSES gen 1 instead of training gen 2, and fills its counts.
+    assert quantile_hist_retrain_epoch(
+        b1, store, ["g"], "v", splits, retrain_tvd=0.5,
+        retrain_min_rows=100, epoch_id=1) == 1
+    assert set(quantile_bounds_read(spark, store)) == {0, 1}
+    gen, cur, _ = quantile_store_current(spark, store, ["g"])
+    assert gen == 1 and cur == crash_splits
+
+    # A SECOND replay of the completed epoch appends identical rows;
+    # the (keys, bucket, epoch_id) dedup keeps estimates fixed.
+    est1 = {(r.g, r.q): r.value
+            for r in quantile_store_estimate(
+                spark, store, ["g"], [0.5]).collect()}
+    assert quantile_hist_retrain_epoch(
+        b1, store, ["g"], "v", splits, retrain_tvd=0.5,
+        retrain_min_rows=100, epoch_id=1) == 1
+    assert set(quantile_bounds_read(spark, store)) == {0, 1}
+    assert {(r.g, r.q): r.value
+            for r in quantile_store_estimate(
+                spark, store, ["g"], [0.5]).collect()} == est1
+
+    # Small batches never trigger: a 20-row flush from yet another
+    # distribution stays on gen 1.
+    tiny = _drift_batch(spark, 500000, n=20)
+    assert quantile_hist_retrain_epoch(
+        tiny, store, ["g"], "v", splits, retrain_tvd=0.5,
+        retrain_min_rows=100, epoch_id=2) == 1
+    assert set(quantile_bounds_read(spark, store)) == {0, 1}
