@@ -452,7 +452,8 @@ def domain_upsample(docs: DataFrame, epochs: Mapping[str, float],
 
 def shuffle_deterministic(docs: DataFrame, salt: str = "shuffle-v1",
                           id_col: str = "doc_id",
-                          num_partitions: int | None = None) -> DataFrame:
+                          num_partitions: int | None = None,
+                          order_within: Sequence[str] = ()) -> DataFrame:
     """Order the corpus by a deterministic hash of (salt, id) — the
     global training-order shuffle. Adds `shuffle_key` (the 60-bit md5
     word) and returns the frame range-partitioned and sorted by it,
@@ -467,6 +468,14 @@ def shuffle_deterministic(docs: DataFrame, salt: str = "shuffle-v1",
     column), pass a composite id or salt per epoch so copies spread
     through the order instead of clustering.
 
+    ``order_within``: extra sort columns appended AFTER (shuffle_key,
+    id) — for inputs where several rows share an id and must stay in
+    a fixed internal order through the shuffle (pack_sequences output
+    shuffled at pack grain keeps each pack's documents in `pos`
+    order: ``id_col="pack_id", order_within=("pos",)``). Same single
+    range shuffle; the extra keys only extend the within-partition
+    sort.
+
     Scale notes: one range shuffle — exactly the cost of any global
     sort, with boundaries from Spark's range sampler; no driver-side
     ordering state. At 100 TB prefer writing bucketed-by-key files
@@ -477,7 +486,7 @@ def shuffle_deterministic(docs: DataFrame, salt: str = "shuffle-v1",
                           _hash_word(salt, F.col(id_col)))
     parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
     return (out.repartitionByRange(parts, "shuffle_key", F.col(id_col))
-            .sortWithinPartitions("shuffle_key", id_col))
+            .sortWithinPartitions("shuffle_key", id_col, *order_within))
 
 
 # ---------------------------------------------------------------------------
