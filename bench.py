@@ -199,12 +199,41 @@ def main() -> None:
         try:
             with open(prev_path) as f:
                 prev = json.load(f)
-            payload["prev_head"] = {
+            summary = {
                 "commit": prev.get("commit"),
                 "total_min": prev.get("total_min"),
                 "sf": prev.get("sf"),
                 "detail": "BENCH_PREV_HEAD.json",
             }
+            # Equal-N per-query deltas: the prev side is min-of-K, so
+            # compare it against THIS run's min over its first K
+            # passes (passes are chronological; truncation reproduces
+            # exactly the statistic a K-pass run would have printed).
+            # Without this, min-of-5 vs min-of-3 reads as a ~few-%
+            # improvement that is pure sampling, and the reverse as a
+            # regression (the r6 q_stream_sessions +25% artifact).
+            # Cross-SF comparisons are meaningless — only delta
+            # against a prev file recorded at THIS run's scale.
+            prev_q = (prev.get("queries") or {}) \
+                if prev.get("sf") == sf_val else {}
+            prev_n = prev.get("passes")
+            k = min(prev_n, n_passes) if prev_n else n_passes
+            eq = {name: min(v[:k]) for name, v in passes.items()}
+            deltas = {
+                q: round((eq[q] - prev_q[q]) / prev_q[q], 3)
+                for q in eq if prev_q.get(q)}
+            if deltas:
+                print("# queries_delta_vs_prev_head(equal_n=%s) %s"
+                      % (k, json.dumps(deltas)), file=sys.stderr)
+                cur_tot = sum(eq[q] for q in deltas)
+                prev_tot = sum(prev_q[q] for q in deltas)
+                worst = sorted(deltas, key=lambda q: -abs(deltas[q]))[:2]
+                # None = prev file predates the passes field; the
+                # delta is then best-effort, not equal-N.
+                summary["equal_n"] = k if prev_n else None
+                summary["total_delta_rel"] = round(cur_tot / prev_tot - 1, 4)
+                summary["worst"] = {q: deltas[q] for q in worst}
+            payload["prev_head"] = summary
         except (OSError, ValueError) as e:
             print(f"# prev_head unreadable: {e}", file=sys.stderr)
     # Measured noise band (scripts/bench_noise_band.py, interleaved

@@ -48,6 +48,11 @@ def main() -> None:
             "sf": prev["sf"],
             "stat": prev.get("stat"),
             "consume": prev.get("consume"),
+            # Sample count behind every min below — bench.py equalizes
+            # its own min to this N before reporting deltas, so a
+            # min-of-3 vs min-of-5 sampling artifact can't read as a
+            # code regression.
+            "passes": prev.get("passes"),
             "queries": prev["queries"],
         }
         path = os.path.join(repo, "BENCH_PREV_HEAD.json")
