@@ -51,6 +51,8 @@ the audit trail.
 
 from __future__ import annotations
 
+import hashlib
+import json
 from dataclasses import dataclass, field
 from typing import Mapping, Sequence
 
@@ -127,9 +129,83 @@ class CorpusAssembly:
                 for s in self.stages}
 
 
+# Stage-completion sidecar: a tiny underscore-file written INSIDE the
+# stage dir strictly AFTER its parquet write commits, carrying the
+# stage's counters and the run's knob fingerprint. Underscore names
+# are invisible to Spark's readers; a crash mid-stage leaves no
+# sidecar (or a torn one, which reads as absent), so resume reruns
+# exactly the incomplete stage. Every stage is a pure function of
+# (inputs, knobs, salt), so a resumed run's artifacts are
+# bit-identical to an uninterrupted one's.
+_STAGE_DONE = "_stage_counters.json"
+
+
+def _stage_done_write(spark: SparkSession, sr: StageResult,
+                      fingerprint: str) -> None:
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, sr.path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        sr.path.rstrip("/") + "/" + _STAGE_DONE)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"name": sr.name, "rows_in": sr.rows_in,
+             "rows_out": sr.rows_out, "n_ok": sr.n_ok,
+             "n_err": sr.n_err, "fingerprint": fingerprint}).encode()))
+    finally:
+        out.close()
+
+
+def _stage_done_read(spark: SparkSession, name: str, path: str,
+                     fingerprint: str) -> StageResult | None:
+    """The stage's completed prior result, or None when it must run.
+    A sidecar from a DIFFERENT configuration raises: its stage dirs
+    were produced under other knobs, and silently mixing them with
+    this run's would corrupt every downstream artifact."""
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _STAGE_DONE)
+    if not fs.exists(p):
+        return None
+    from py4j.protocol import Py4JJavaError
+    try:
+        stream = fs.open(p)
+        try:
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        d = json.loads(bytes(data).decode())
+    except (ValueError, Py4JJavaError):
+        # Torn or corrupt sidecar from a crash (bad JSON, or a
+        # checksum/read failure on the file itself): the stage never
+        # completed — rerun it. The rerun's overwrite replaces the
+        # sidecar.
+        return None
+    if d.get("name") != name:
+        return None
+    if d.get("fingerprint") != fingerprint:
+        raise ValueError(
+            f"resume: stage {name!r} at {path} was produced under a "
+            "different configuration (knobs/salt mismatch) — use a "
+            "fresh work_dir or rerun with the original knobs")
+    return StageResult(name=name, path=path, rows_in=int(d["rows_in"]),
+                       rows_out=int(d["rows_out"]), n_ok=int(d["n_ok"]),
+                       n_err=int(d["n_err"]))
+
+
+def _dir_complete(spark: SparkSession, path: str) -> bool:
+    """Whether a plain (non-stage) output dir finished writing —
+    Spark's job-commit `_SUCCESS` marker."""
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_SUCCESS"))
+
+
 def _write_stage(assembly: CorpusAssembly, name: str, observed_in,
                  out_df: DataFrame, path: str,
-                 ok=None, partition_by: Sequence[str] = ()) -> None:
+                 ok=None, partition_by: Sequence[str] = (),
+                 fingerprint: str = "") -> None:
     """Write one stage's output and harvest both observations from
     that single action. `observed_in` is (obs, static_rows): stages
     whose input is exactly the previous stage's file set pass the
@@ -142,10 +218,12 @@ def _write_stage(assembly: CorpusAssembly, name: str, observed_in,
     m = obs_out.get
     rows_in = (observed_in if isinstance(observed_in, int)
                else int(observed_in.get["n_rows"]))
-    assembly.stages.append(StageResult(
+    sr = StageResult(
         name=name, path=path, rows_in=rows_in,
         rows_out=int(m["n_rows"]), n_ok=int(m["n_ok"] or 0),
-        n_err=int(m["n_err"] or 0)))
+        n_err=int(m["n_err"] or 0))
+    _stage_done_write(out_df.sparkSession, sr, fingerprint)
+    assembly.stages.append(sr)
 
 
 def assemble_corpus(
@@ -172,6 +250,7 @@ def assemble_corpus(
     pack_budget: int = 2048,
     pack_buckets: int = 64,
     salt: str = "corpus-v1",
+    resume: bool = False,
 ) -> CorpusAssembly:
     """Run the full corpus-assembly pipeline over `docs`
     (id_col, url_col, text_col) against the benchmark corpus
@@ -190,9 +269,40 @@ def assemble_corpus(
     split/pack/shuffle stages hash (salt, id) — so a rerun over the
     same corpus reproduces every artifact bit-for-bit, and `salt`
     versions the whole assembly.
+
+    ``resume=True`` restarts a crashed run: stages whose dir carries
+    a completion sidecar (written strictly after the stage's parquet
+    commit) are adopted — counters read back, computation and write
+    skipped — and work restarts at the first incomplete stage. The
+    caller must pass the SAME inputs and knobs; the knob/salt
+    fingerprint in each sidecar is enforced (mismatch raises), the
+    identity of `docs`/`eval_docs`/`lm_ref` is the caller's contract.
+    Determinism makes a resumed run's artifacts bit-identical to an
+    uninterrupted one's. At 100 TB this is the point of the staged
+    layout: a crash in stage 6 costs stage 6, not the dedup passes.
     """
     wd = work_dir.rstrip("/")
     out = CorpusAssembly(work_dir=wd)
+    fp = hashlib.md5(json.dumps(
+        {"v": 1, "id_col": id_col, "url_col": url_col,
+         "text_col": text_col, "min_chars": min_chars,
+         "line_min_repeat": line_min_repeat, "span_window": span_window,
+         "span_min_repeat": span_min_repeat, "jaccard_num": jaccard_num,
+         "jaccard_den": jaccard_den,
+         "gopher_thresholds": dict(gopher_thresholds)
+         if gopher_thresholds else None,
+         "ppl_max": ppl_max, "self_trained_lm": lm_ref is None,
+         "decontam_n": decontam_n, "splits": [list(s) for s in splits],
+         "pack_budget": pack_budget, "pack_buckets": pack_buckets,
+         "salt": salt}, sort_keys=True).encode()).hexdigest()
+
+    def done(name: str, path: str) -> StageResult | None:
+        if not resume:
+            return None
+        sr = _stage_done_read(spark, name, path, fp)
+        if sr is not None:
+            out.stages.append(sr)
+        return sr
     canon = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(url_col).alias("url"),
@@ -200,122 +310,144 @@ def assemble_corpus(
     evals = eval_docs.select(F.col(text_col).alias("text"))
 
     # -- 1. ingest hygiene + canonical-URL exact dedup ----------------
-    observed, obs_in = run_counters(canon, name="corpus.url_dedup.in")
-    clean = observed.filter(
-        F.col("text").isNotNull() & (F.length("text") >= min_chars))
-    keyed = clean.withColumn("norm_url", normalize_url("url"))
-    # Deterministic winner per canonical URL: the min doc_id (the
-    # same rule every dedup stage uses). One agg + one semi-shaped
-    # inner join on the key; unparseable URLs can't be keyed and all
-    # survive (counted as n_err for the audit).
-    winners = (keyed.filter(F.col("norm_url").isNotNull())
-               .groupBy("norm_url")
-               .agg(F.min("doc_id").alias("doc_id")))
-    url_deduped = (
-        keyed.join(winners, ["norm_url", "doc_id"], "inner")
-        .unionByName(keyed.filter(F.col("norm_url").isNull()))
-        .select("doc_id", "url", "norm_url", "text"))
     p1 = f"{wd}/01_url_dedup"
-    _write_stage(out, "url_dedup", obs_in, url_deduped, p1,
-                 ok=F.col("norm_url").isNotNull())
+    if done("url_dedup", p1) is None:
+        observed, obs_in = run_counters(canon, name="corpus.url_dedup.in")
+        clean = observed.filter(
+            F.col("text").isNotNull() & (F.length("text") >= min_chars))
+        keyed = clean.withColumn("norm_url", normalize_url("url"))
+        # Deterministic winner per canonical URL: the min doc_id (the
+        # same rule every dedup stage uses). One agg + one semi-shaped
+        # inner join on the key; unparseable URLs can't be keyed and
+        # all survive (counted as n_err for the audit).
+        winners = (keyed.filter(F.col("norm_url").isNotNull())
+                   .groupBy("norm_url")
+                   .agg(F.min("doc_id").alias("doc_id")))
+        url_deduped = (
+            keyed.join(winners, ["norm_url", "doc_id"], "inner")
+            .unionByName(keyed.filter(F.col("norm_url").isNull()))
+            .select("doc_id", "url", "norm_url", "text"))
+        _write_stage(out, "url_dedup", obs_in, url_deduped, p1,
+                     ok=F.col("norm_url").isNotNull(), fingerprint=fp)
     # URL metadata side table: the text stages below deliberately
     # carry only (doc_id, text) through their shuffles; consumers
-    # rejoin provenance from here by doc_id.
+    # rejoin provenance from here by doc_id. Derived from the durable
+    # stage-1 output, so a resume just rebuilds it if its own write
+    # never committed.
     out.meta_path = f"{wd}/00_meta"
-    (spark.read.parquet(p1).select("doc_id", "url", "norm_url")
-     .write.mode("overwrite").parquet(out.meta_path))
+    if not (resume and _dir_complete(spark, out.meta_path)):
+        (spark.read.parquet(p1).select("doc_id", "url", "norm_url")
+         .write.mode("overwrite").parquet(out.meta_path))
     prev = out.stages[-1]
 
     # -- 2. corpus-wide line dedup ------------------------------------
-    s1 = spark.read.parquet(p1).select("doc_id", "text")
-    ld = (line_dedup(s1, min_repeat=line_min_repeat)
-          .filter(F.length("text") > 0))
     p2 = f"{wd}/02_line_dedup"
-    _write_stage(out, "line_dedup", prev.rows_out, ld, p2,
-                 ok=F.col("lines_kept") == F.col("lines_total"))
+    if done("line_dedup", p2) is None:
+        s1 = spark.read.parquet(p1).select("doc_id", "text")
+        ld = (line_dedup(s1, min_repeat=line_min_repeat)
+              .filter(F.length("text") > 0))
+        _write_stage(out, "line_dedup", prev.rows_out, ld, p2,
+                     ok=F.col("lines_kept") == F.col("lines_total"),
+                     fingerprint=fp)
     prev = out.stages[-1]
 
     # -- 3. exact token-window (span) dedup ---------------------------
-    s2 = spark.read.parquet(p2).select("doc_id", "text")
-    sd = (span_dedup(s2, window=span_window, min_repeat=span_min_repeat)
-          .filter(F.length("text") > 0))
     p3 = f"{wd}/03_span_dedup"
-    _write_stage(out, "span_dedup", prev.rows_out, sd, p3,
-                 ok=F.col("tokens_kept") == F.col("tokens_total"))
+    if done("span_dedup", p3) is None:
+        s2 = spark.read.parquet(p2).select("doc_id", "text")
+        sd = (span_dedup(s2, window=span_window,
+                         min_repeat=span_min_repeat)
+              .filter(F.length("text") > 0))
+        _write_stage(out, "span_dedup", prev.rows_out, sd, p3,
+                     ok=F.col("tokens_kept") == F.col("tokens_total"),
+                     fingerprint=fp)
     prev = out.stages[-1]
 
     # -- 4. MinHash+LSH near-dup, keep min-id representatives ---------
-    s3 = spark.read.parquet(p3).select("doc_id", "text")
-    sig = minhash_signatures(s3)
-    pairs = lsh_candidate_pairs(sig)
-    confirmed = verify_jaccard(s3, pairs).filter(
-        F.col("inter") * jaccard_den >= F.col("uni") * jaccard_num)
-    asg = assignment(s3.select("doc_id"), "doc_id",
-                     confirmed, "doc_a", "doc_b")
-    survivors = s3.join(
-        asg.filter(~F.col("is_dup")).select("doc_id"),
-        "doc_id", "left_semi")
     p4 = f"{wd}/04_near_dup"
-    _write_stage(out, "near_dup", prev.rows_out, survivors, p4)
+    if done("near_dup", p4) is None:
+        s3 = spark.read.parquet(p3).select("doc_id", "text")
+        sig = minhash_signatures(s3)
+        pairs = lsh_candidate_pairs(sig)
+        confirmed = verify_jaccard(s3, pairs).filter(
+            F.col("inter") * jaccard_den >= F.col("uni") * jaccard_num)
+        asg = assignment(s3.select("doc_id"), "doc_id",
+                         confirmed, "doc_a", "doc_b")
+        survivors = s3.join(
+            asg.filter(~F.col("is_dup")).select("doc_id"),
+            "doc_id", "left_semi")
+        _write_stage(out, "near_dup", prev.rows_out, survivors, p4,
+                     fingerprint=fp)
     prev = out.stages[-1]
 
     # -- 5. quality: Gopher repetition rules (+ optional LM ppl) ------
-    s4 = spark.read.parquet(p4)
-    gop = gopher_repetition_filter(s4, thresholds=dict(gopher_thresholds)
-                                   if gopher_thresholds else None)
-    kept = s4.join(gop.filter("keep").select("doc_id"),
-                   "doc_id", "left_semi")
-    if ppl_max is not None:
-        ref = lm_ref.select(F.col(text_col).alias("text")) \
-            if lm_ref is not None else kept
-        bigrams, unigrams, vocab = ngram_lm_train(ref)
-        scored = ngram_lm_score(kept, bigrams, unigrams, vocab)
-        kept = (kept.join(scored.select("doc_id", "ppl"), "doc_id")
-                .filter(F.col("ppl").isNull()
-                        | (F.col("ppl") <= F.lit(float(ppl_max)))))
-    else:
-        kept = kept.withColumn("ppl", F.lit(None).cast("double"))
     p5 = f"{wd}/05_quality"
-    _write_stage(out, "quality", prev.rows_out, kept, p5)
+    if done("quality", p5) is None:
+        s4 = spark.read.parquet(p4)
+        gop = gopher_repetition_filter(
+            s4, thresholds=dict(gopher_thresholds)
+            if gopher_thresholds else None)
+        kept = s4.join(gop.filter("keep").select("doc_id"),
+                       "doc_id", "left_semi")
+        if ppl_max is not None:
+            ref = lm_ref.select(F.col(text_col).alias("text")) \
+                if lm_ref is not None else kept
+            bigrams, unigrams, vocab = ngram_lm_train(ref)
+            scored = ngram_lm_score(kept, bigrams, unigrams, vocab)
+            kept = (kept.join(scored.select("doc_id", "ppl"), "doc_id")
+                    .filter(F.col("ppl").isNull()
+                            | (F.col("ppl") <= F.lit(float(ppl_max)))))
+        else:
+            kept = kept.withColumn("ppl", F.lit(None).cast("double"))
+        _write_stage(out, "quality", prev.rows_out, kept, p5,
+                     fingerprint=fp)
     prev = out.stages[-1]
 
     # -- 6. decontaminate-train + leak-free split ---------------------
-    s5 = spark.read.parquet(p5)
-    flags = contamination_flags(s5, evals, n=decontam_n)
-    split = (split_assign(s5.join(flags, "doc_id"),
-                          splits=splits, salt=f"{salt}/split")
-             .filter(~(F.col("contaminated") & (F.col("split") == "train"))))
     p6 = f"{wd}/06_split"
-    # Partitioned by split so train-only downstream reads prune to
-    # the train directories at the scan.
-    _write_stage(out, "split", prev.rows_out, split, p6,
-                 ok=~F.col("contaminated"), partition_by=("split",))
+    if done("split", p6) is None:
+        s5 = spark.read.parquet(p5)
+        flags = contamination_flags(s5, evals, n=decontam_n)
+        split = (split_assign(s5.join(flags, "doc_id"),
+                              splits=splits, salt=f"{salt}/split")
+                 .filter(~(F.col("contaminated")
+                           & (F.col("split") == "train"))))
+        # Partitioned by split so train-only downstream reads prune
+        # to the train directories at the scan.
+        _write_stage(out, "split", prev.rows_out, split, p6,
+                     ok=~F.col("contaminated"), partition_by=("split",),
+                     fingerprint=fp)
     out.split_path = p6
 
     # -- 7. pack train docs into fixed token budgets ------------------
-    train = (spark.read.parquet(p6)
-             .filter(F.col("split") == "train")
-             .select("doc_id", "text"))
-    tr_obs, obs_tr = run_counters(train, name="corpus.pack.in")
-    packs = pack_sequences(tr_obs, budget=pack_budget,
-                           n_buckets=pack_buckets, salt=f"{salt}/pack")
     p7 = f"{wd}/07_pack"
-    _write_stage(out, "pack", obs_tr, packs, p7,
-                 ok=F.col("n_tokens") < F.lit(pack_budget))
+    if done("pack", p7) is None:
+        train = (spark.read.parquet(p6)
+                 .filter(F.col("split") == "train")
+                 .select("doc_id", "text"))
+        tr_obs, obs_tr = run_counters(train, name="corpus.pack.in")
+        packs = pack_sequences(tr_obs, budget=pack_budget,
+                               n_buckets=pack_buckets,
+                               salt=f"{salt}/pack")
+        _write_stage(out, "pack", obs_tr, packs, p7,
+                     ok=F.col("n_tokens") < F.lit(pack_budget),
+                     fingerprint=fp)
 
     # -- 8. deterministic training order at pack grain ----------------
     # Rejoin text (one doc_id-keyed shuffle), then one range shuffle
     # on the hashed pack key; each pack's docs stay contiguous in
     # `pos` order, so reading the files in key order IS the epoch.
-    packed = (spark.read.parquet(p7)
-              .join(spark.read.parquet(p6)
-                    .filter(F.col("split") == "train")
-                    .select("doc_id", "text"), "doc_id"))
-    ordered = shuffle_deterministic(
-        packed, salt=f"{salt}/shuffle", id_col="pack_id",
-        order_within=("pos",)).select(
-        "shuffle_key", "pack_id", "pos", "doc_id", "n_tokens", "text")
     p8 = f"{wd}/08_train_order"
-    _write_stage(out, "shuffle", out.stages[-1].rows_out, ordered, p8)
+    if done("shuffle", p8) is None:
+        packed = (spark.read.parquet(p7)
+                  .join(spark.read.parquet(p6)
+                        .filter(F.col("split") == "train")
+                        .select("doc_id", "text"), "doc_id"))
+        ordered = shuffle_deterministic(
+            packed, salt=f"{salt}/shuffle", id_col="pack_id",
+            order_within=("pos",)).select(
+            "shuffle_key", "pack_id", "pos", "doc_id", "n_tokens", "text")
+        _write_stage(out, "shuffle", out.stages[-1].rows_out, ordered,
+                     p8, fingerprint=fp)
     out.train_order_path = p8
     return out
