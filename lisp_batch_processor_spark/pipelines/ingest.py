@@ -1,0 +1,279 @@
+"""Streaming corpus ingest — the continuous twin of the batch
+assembly's ingest-side stages (pipelines/corpus.py stages 1/2/4/5):
+documents arrive in micro-batches and each epoch is deduplicated
+against EVERYTHING ingested before it through persisted stores,
+never a corpus re-scan:
+
+    hygiene + URL dedup   within-batch min-id winner per canonical
+                          URL, then an anti-join against the
+                          epoch-tagged URL-key membership store
+    line dedup            `streaming.dedup.line_dedup_ingest_epoch`
+                          against the persisted line-digest store
+    near-dup              `streaming.dedup.near_dup_ingest_epoch`
+                          against the persisted signature index +
+                          shingle store (appends survivors' state)
+    quality               Gopher repetition rules (stateless)
+
+The per-epoch work item is `corpus_ingest_epoch`, with
+`streaming_corpus_ingest` as the foreachBatch wrapper that also
+appends each epoch's survivors epoch-tagged to a durable corpus dir,
+and `corpus_ingest_batch` as the equality-pinned batch reference:
+with ingest-ordered doc ids, the concatenation of every epoch's
+output EQUALS the batch run over the full corpus (the same
+first-occurrence/min-id argument as the line and near-dup twins,
+pinned in tests/test_corpus_ingest.py). One documented exception:
+a transitive near-dup CHAIN that straddles epochs (C similar only
+to B, B already dropped in an earlier epoch as a dup of A) keeps C,
+where the batch run would drop it via the B-pair — dropped docs'
+signatures are deliberately not indexed. This is the standard
+incremental-dedup semantics (only survivors define the corpus), and
+within a single epoch the batch-vs-batch self-join sees every doc,
+so chains resolve exactly as in batch.
+
+Replay safety (crash between an epoch's store appends and its
+checkpoint commit) holds per store: the URL and line stores are
+EPOCH-TAGGED and membership reads filter to strictly-earlier epochs,
+so a replay excludes its own prior append and recomputes identical
+output; the near-dup stores tolerate their own append (self-pairs
+resolve to rep = self — see near_dup_ingest_epoch); the corpus dir's
+re-append writes duplicate rows of a DETERMINISTIC epoch output,
+which `corpus_read`'s doc_id dedup collapses.
+
+Composition with training-time assembly: the ingested corpus is a
+valid `docs` input to `pipelines.corpus.assemble_corpus` — its URL /
+line / near-dup stages become cheap no-op passes over the already-
+deduped corpus (each stage is idempotent) and the span-dedup /
+LM-quality / decontamination / split / pack / shuffle stages, which
+are training-run decisions rather than ingest state, run there.
+Exact token-window (span) dedup is deliberately NOT in the ingest
+path: its overlapping-window strip is not expressible over an
+append-only membership store without corpus-order context — run it
+at assembly time.
+
+Scale notes (100 TB corpus, GB-sized epochs): every per-epoch cost
+is O(batch + candidates) — URL and line membership are anti-joins of
+batch keys against key-only stores (128-bit digests, never text),
+near-dup is the measured flat-per-batch incremental operator
+(SCALE.md's incremental table), and the stores stay bounded via
+`line_store_compact` / `sources.writers.compact` from the same
+single-writer maintenance window. `backend="versioned"` publishes
+all stores through pointer-committed version dirs (appends are
+new-files-only either way) for object-store deployments.
+
+Reference parity: the reference's whole product is ordered batch
+ingest with dedup-on-insert and per-item fault isolation
+(`Batch Processor.py:306-350`, R1-R7) — this module is that loop,
+continuous and distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.functions.urls import normalize_url
+from lisp_batch_processor_spark.operators.text import (
+    gopher_repetition_filter,
+)
+
+_URL_SCHEMA = "url_key string, epoch_id long"
+
+
+def _paths(state_dir: str) -> dict[str, str]:
+    sd = state_dir.rstrip("/")
+    return {"url": f"{sd}/url_store", "line": f"{sd}/line_store",
+            "index": f"{sd}/nd_index", "shingles": f"{sd}/nd_shingles"}
+
+
+def corpus_ingest_init(spark: SparkSession, state_dir: str,
+                       backend: str = "swap") -> None:
+    """Create the four empty ingest stores under ``state_dir``:
+    the epoch-tagged URL-key membership store, the line-digest store,
+    and the near-dup signature index + shingle store. Seed corpus
+    state may be appended afterwards (URL/line rows with any
+    ``epoch_id < 0``; index/shingle rows untagged)."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        banded_signatures, minhash_signatures, shingle_store)
+    from lisp_batch_processor_spark.sources.writers import (
+        store_append, versioned_store_init)
+    from lisp_batch_processor_spark.streaming.dedup import line_store_init
+
+    if backend not in ("swap", "versioned"):
+        raise ValueError(f"backend must be 'swap' or 'versioned', "
+                         f"got {backend!r}")
+    p = _paths(state_dir)
+    if backend == "versioned":
+        for path in (p["url"], p["index"], p["shingles"]):
+            versioned_store_init(spark, path)
+    store_append(spark.createDataFrame([], _URL_SCHEMA), p["url"])
+    line_store_init(spark, p["line"], backend=backend)
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    store_append(banded_signatures(minhash_signatures(empty_docs)),
+                 p["index"])
+    store_append(shingle_store(empty_docs), p["shingles"])
+
+
+def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
+                        epoch_id: int, *,
+                        min_chars: int = 1,
+                        jaccard_num: int = 7, jaccard_den: int = 10,
+                        gopher_thresholds: dict | None = None
+                        ) -> DataFrame:
+    """One ingest epoch over ``batch_df`` (doc_id, url, text): apply
+    hygiene + URL dedup + line dedup + near-dup against the persisted
+    stores, append the new state, and return the epoch's surviving
+    (doc_id, url, norm_url, text) rows, eagerly materialized.
+
+    Store appends happen inside; the caller owns durable output (see
+    `streaming_corpus_ingest`). Replay-safe per the module docstring.
+    """
+    from lisp_batch_processor_spark.sources.writers import (
+        store_append, store_data_path)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, near_dup_ingest_epoch)
+
+    spark = batch_df.sparkSession
+    p = _paths(state_dir)
+    e = int(epoch_id)
+
+    # -- hygiene + URL dedup ------------------------------------------
+    batch = (batch_df
+             .filter(F.col("text").isNotNull()
+                     & (F.length("text") >= min_chars))
+             .withColumn("norm_url", normalize_url("url"))
+             .localCheckpoint(eager=True))  # feeds 3 plans below
+    keyed = batch.filter(F.col("norm_url").isNotNull())
+    winners = (keyed.groupBy("norm_url")
+               .agg(F.min("doc_id").alias("doc_id")))
+    in_batch = (keyed.join(winners, ["norm_url", "doc_id"], "inner")
+                .withColumn("_url_key", F.md5("norm_url")))
+    url_dp = store_data_path(spark, p["url"])
+    if url_dp is None:
+        raise ValueError(f"URL store at {p['url']} has no committed "
+                         "data; create it with corpus_ingest_init")
+    seen = (spark.read.schema(_URL_SCHEMA).parquet(url_dp)
+            .filter(F.col("epoch_id") < F.lit(e))
+            .select("url_key"))
+    novel = in_batch.join(seen, in_batch["_url_key"] == seen["url_key"],
+                          "left_anti")
+    survivors = (novel.select("doc_id", "url", "norm_url", "text")
+                 .unionByName(batch.filter(F.col("norm_url").isNull())
+                              .select("doc_id", "url", "norm_url",
+                                      "text"))
+                 .localCheckpoint(eager=True))  # snapshot pre-append
+    store_append(novel.select(F.col("_url_key").alias("url_key"))
+                 .distinct()
+                 .withColumn("epoch_id", F.lit(e).cast("long")),
+                 p["url"])
+
+    # -- line dedup vs the persisted digest store ---------------------
+    rebuilt = (line_dedup_ingest_epoch(
+        survivors.select("doc_id", "text"), p["line"], e)
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text"))
+    staged = (rebuilt.join(survivors.select("doc_id", "url", "norm_url"),
+                           "doc_id")
+              .localCheckpoint(eager=True))
+
+    # -- near-dup vs the persisted index (appends survivors' state) ---
+    asg = near_dup_ingest_epoch(staged.select("doc_id", "text"),
+                                p["index"], p["shingles"],
+                                threshold_num=jaccard_num,
+                                threshold_den=jaccard_den)
+    non_dups = staged.join(asg.filter(~F.col("is_dup"))
+                           .select("doc_id"), "doc_id", "left_semi")
+
+    # -- Gopher repetition rules (stateless) ---------------------------
+    gop = gopher_repetition_filter(non_dups,
+                                   thresholds=gopher_thresholds)
+    out = non_dups.join(gop.filter("keep").select("doc_id"),
+                        "doc_id", "left_semi")
+    return out.select("doc_id", "url", "norm_url", "text") \
+              .localCheckpoint(eager=True)
+
+
+def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
+                            corpus_path: str, *,
+                            min_chars: int = 1,
+                            jaccard_num: int = 7, jaccard_den: int = 10,
+                            gopher_thresholds: dict | None = None,
+                            sink: Callable[[DataFrame, int], None]
+                            | None = None):
+    """foreachBatch wrapper: run `corpus_ingest_epoch` per micro-batch
+    and append the survivors EPOCH-TAGGED to ``corpus_path`` (read
+    back with `corpus_read`). Returns the DataStreamWriter — caller
+    starts it with a checkpointLocation. ``sink(out, epoch_id)``, if
+    given, additionally receives each epoch's survivor frame."""
+    from lisp_batch_processor_spark.sources.writers import store_append
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = corpus_ingest_epoch(
+            batch_df, state_dir, epoch_id, min_chars=min_chars,
+            jaccard_num=jaccard_num, jaccard_den=jaccard_den,
+            gopher_thresholds=gopher_thresholds)
+        store_append(out.withColumn("epoch_id",
+                                    F.lit(int(epoch_id)).cast("long")),
+                     corpus_path)
+        if sink is not None:
+            sink(out, int(epoch_id))
+
+    return stream_docs.writeStream.foreachBatch(_process)
+
+
+def corpus_read(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """The ingested corpus: every epoch's survivors, with replay
+    duplicates collapsed (a replayed epoch re-appends identical rows;
+    doc_id is unique across epochs by the dedup itself)."""
+    from lisp_batch_processor_spark.sources.writers import store_data_path
+    dp = store_data_path(spark, corpus_path.rstrip("/"))
+    if dp is None:
+        raise ValueError(f"no committed corpus at {corpus_path}")
+    return (spark.read.parquet(dp)
+            .dropDuplicates(["doc_id"])
+            .drop("epoch_id"))
+
+
+def corpus_ingest_batch(docs: DataFrame, *,
+                        min_chars: int = 1,
+                        jaccard_num: int = 7, jaccard_den: int = 10,
+                        gopher_thresholds: dict | None = None
+                        ) -> DataFrame:
+    """The batch reference the streaming ingest is pinned against:
+    the same stages in the same order over the full corpus at once —
+    hygiene, min-id URL dedup, corpus-wide line dedup (min_repeat=2,
+    the membership-store semantics), full MinHash+LSH near-dup with
+    min-id representatives, Gopher rules. With ingest-ordered ids the
+    epoch concatenation equals this exactly."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        assignment, line_dedup, lsh_candidate_pairs, minhash_signatures,
+        verify_jaccard)
+
+    clean = (docs.filter(F.col("text").isNotNull()
+                         & (F.length("text") >= min_chars))
+             .withColumn("norm_url", normalize_url("url")))
+    keyed = clean.filter(F.col("norm_url").isNotNull())
+    winners = (keyed.groupBy("norm_url")
+               .agg(F.min("doc_id").alias("doc_id")))
+    url_deduped = (keyed.join(winners, ["norm_url", "doc_id"], "inner")
+                   .unionByName(clean.filter(F.col("norm_url").isNull()))
+                   .select("doc_id", "url", "norm_url", "text"))
+    ld = (line_dedup(url_deduped.select("doc_id", "text"), min_repeat=2)
+          .filter(F.length("text") > 0)
+          .select("doc_id", "text")
+          .join(url_deduped.select("doc_id", "url", "norm_url"),
+                "doc_id"))
+    s = ld.select("doc_id", "text")
+    pairs = lsh_candidate_pairs(minhash_signatures(s))
+    confirmed = verify_jaccard(s, pairs).filter(
+        F.col("inter") * jaccard_den >= F.col("uni") * jaccard_num)
+    asg = assignment(s.select("doc_id"), "doc_id",
+                     confirmed, "doc_a", "doc_b")
+    non_dups = ld.join(asg.filter(~F.col("is_dup")).select("doc_id"),
+                       "doc_id", "left_semi")
+    gop = gopher_repetition_filter(non_dups,
+                                   thresholds=gopher_thresholds)
+    return (non_dups.join(gop.filter("keep").select("doc_id"),
+                          "doc_id", "left_semi")
+            .select("doc_id", "url", "norm_url", "text"))

@@ -1,0 +1,187 @@
+"""Streaming corpus ingest (pipelines/ingest.py): epoch concatenation
+equals the batch reference on ingest-ordered ids, epochs are
+replay-safe against their own store appends, the foreachBatch wrapper
+round-trips through a real stream, and both store backends agree.
+
+Planted artifacts, one per dedup axis and epoch relationship:
+cross-epoch and within-epoch canonical-URL dups, a cross-epoch
+boilerplate line, cross-epoch and within-epoch MinHash near-dup
+pairs, a Gopher violator, hygiene rejects, and an unparseable URL
+that must survive (flagged, never dropped).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.pipelines import (
+    corpus_ingest_batch, corpus_ingest_epoch, corpus_ingest_init,
+    corpus_read, streaming_corpus_ingest)
+
+SCHEMA = "doc_id bigint, url string, text string"
+BOILER = "please subscribe to the newsletter today friends ok"
+
+
+def base_text(i: int) -> str:
+    lines = []
+    for j in range(3):
+        toks = []
+        for k in range(4):
+            m = 2 * (j * 4 + k)
+            toks += [f"c{m % 8}", f"c{(m + 1) % 8}", f"u{i}x{j}x{k}"]
+        lines.append(" ".join(toks))
+    return "\n".join(lines)
+
+
+def neardup_text(tag: str, doc: int) -> str:
+    periods = []
+    for p in range(4):
+        run = [f"{tag}{p}w{k}" for k in range(19)] + [f"u{doc}p{p}"]
+        periods.append(" ".join(run))
+    return " ".join(periods[:2]) + "\n" + " ".join(periods[2:])
+
+
+def epochs(spark):
+    e0 = [(1, "https://example.com/a?utm_source=x&id=1", base_text(1)),
+          (2, "https://dup.example.com/page?id=2", base_text(2)),
+          (3, "https://DUP.example.com:443/page?id=2", base_text(3)),
+          (4, "https://s4.example.com/", base_text(4) + "\n" + BOILER),
+          (5, "https://s5.example.com/", neardup_text("nda", 5)),
+          (6, "notaurl", base_text(6))]
+    e1 = [(20, "https://s20.example.com/", base_text(20) + "\n" + BOILER),
+          (21, "https://s21.example.com/", neardup_text("nda", 21)),
+          (22, "https://s22.example.com/", neardup_text("ndb", 22)),
+          (23, "https://s23.example.com/", neardup_text("ndb", 23))]
+    e2 = [(30, "https://WWW.Example.com/a?id=1", base_text(30)),
+          (31, "https://s31.example.com/",
+           "click here " * 9 + "\nending31 unique31a unique31b"),
+          (32, "https://s32.example.com/", ""),
+          (33, "https://s33.example.com/", None),
+          (34, "https://s34.example.com/", base_text(34))]
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA)
+    return mk(e0), mk(e1), mk(e2), mk(e0 + e1 + e2)
+
+
+def rows_of(df):
+    return sorted((r.doc_id, r.url, r.norm_url, r.text)
+                  for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def batch_reference(spark):
+    *_, full = epochs(spark)
+    return rows_of(corpus_ingest_batch(full))
+
+
+def test_epoch_concat_equals_batch(spark, tmp_path, batch_reference):
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    outs = [corpus_ingest_epoch(b, sd, e)
+            for e, b in enumerate((e0, e1, e2))]
+    got = sorted(sum((rows_of(o) for o in outs), []))
+    assert got == batch_reference
+    ids = {t[0] for t in got}
+    assert 3 not in ids        # within-epoch URL dup of doc 2
+    assert 30 not in ids       # cross-epoch URL dup of doc 1
+    assert 21 not in ids       # cross-epoch near-dup of doc 5
+    assert 23 not in ids       # within-epoch near-dup of doc 22
+    assert 31 not in ids       # Gopher violator
+    assert not {32, 33} & ids  # hygiene rejects
+    assert 6 in ids            # unparseable URL survives
+    by_id = {t[0]: t for t in got}
+    assert by_id[6][2] is None                 # ... flagged by NULL key
+    # cross-epoch boilerplate: doc 4 keeps the line, doc 20 lost it
+    assert BOILER in by_id[4][3] and BOILER not in by_id[20][3]
+
+
+def test_epoch_replay_is_identical(spark, tmp_path, batch_reference):
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    out0 = rows_of(corpus_ingest_epoch(e0, sd, 0))
+    out1 = rows_of(corpus_ingest_epoch(e1, sd, 1))
+    # Crash between epoch 1's store appends and its commit: the
+    # replay must recompute the identical output against stores that
+    # already contain its own appends.
+    replayed = rows_of(corpus_ingest_epoch(e1, sd, 1))
+    assert replayed == out1
+    out2 = rows_of(corpus_ingest_epoch(e2, sd, 2))
+    assert sorted(out0 + replayed + out2) == batch_reference
+
+
+def test_streaming_twin_round_trips(spark, tmp_path, batch_reference):
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    src = os.path.join(str(tmp_path), "docs_in")
+    for i, b in enumerate((e0, e1, e2)):
+        b.coalesce(1).write.parquet(os.path.join(src, f"batch={i}"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    corpus = os.path.join(str(tmp_path), "corpus")
+    seen: dict[int, int] = {}
+    writer = streaming_corpus_ingest(
+        stream, sd, corpus,
+        sink=lambda out, eid: seen.setdefault(eid, out.count()))
+    q = writer.option("checkpointLocation",
+                      os.path.join(str(tmp_path), "ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 3
+    assert rows_of(corpus_read(spark, corpus)) == batch_reference
+    # the durable corpus is epoch-tagged
+    tags = {r.epoch_id for r in spark.read.parquet(corpus)
+            .select("epoch_id").distinct().collect()}
+    assert tags == {0, 1, 2}
+
+
+def test_versioned_backend_agrees(spark, tmp_path, batch_reference):
+    sd = str(tmp_path / "state_v")
+    corpus_ingest_init(spark, sd, backend="versioned")
+    e0, e1, e2, _full = epochs(spark)
+    got = sorted(sum((rows_of(corpus_ingest_epoch(b, sd, e))
+                      for e, b in enumerate((e0, e1, e2))), []))
+    assert got == batch_reference
+    # state really lives in pointer-committed version dirs
+    assert os.path.exists(os.path.join(sd, "url_store",
+                                       "_versioned_store"))
+
+
+def test_ingested_corpus_feeds_batch_assembly(spark, tmp_path,
+                                              batch_reference):
+    """The composition contract: corpus_read output is a valid docs
+    input to assemble_corpus, whose ingest-side stages become no-ops
+    (already deduped) — rows_in == rows_out for stages 1/2/4."""
+    from lisp_batch_processor_spark.pipelines import assemble_corpus
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    parts = [corpus_ingest_epoch(b, sd, e)
+             for e, b in enumerate((e0, e1, e2))]
+    ingested = parts[0]
+    for p in parts[1:]:
+        ingested = ingested.unionByName(p)
+    evals = spark.createDataFrame(
+        [("benchmark only words never in corpus at all today forever",)],
+        "text string")
+    out = assemble_corpus(spark, ingested.select("doc_id", "url", "text"),
+                          evals, str(tmp_path / "asm"),
+                          pack_budget=64, pack_buckets=2,
+                          salt="ingest-asm")
+    c = out.counters()
+    n = len(batch_reference)
+    assert c["url_dedup"] == {"rows_in": n, "rows_out": n,
+                              "n_ok": n - 1, "n_err": 1}
+    assert (c["line_dedup"]["rows_in"], c["line_dedup"]["rows_out"]) \
+        == (n, n)
+    assert c["line_dedup"]["n_err"] == 0      # no line re-stripped
+    assert (c["near_dup"]["rows_in"], c["near_dup"]["rows_out"]) \
+        == (n, n)
+    assert (c["quality"]["rows_in"], c["quality"]["rows_out"]) == (n, n)
