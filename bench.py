@@ -217,6 +217,17 @@ def main() -> None:
             prev_q = (prev.get("queries") or {}) \
                 if prev.get("sf") == sf_val else {}
             prev_n = prev.get("passes")
+            # Equalization truncates THIS run's passes down to the
+            # prev side's count; the reverse is impossible (the prev
+            # file stores only mins, not per-pass data), so a prev
+            # recorded with MORE passes can't be compared honestly —
+            # skip the deltas rather than label a min-of-3-vs-min-of-5
+            # comparison "equal-N".
+            if prev_n and prev_n > n_passes:
+                print(f"# prev_head has {prev_n} passes > this run's "
+                      f"{n_passes}; per-query deltas skipped",
+                      file=sys.stderr)
+                prev_q = {}
             k = min(prev_n, n_passes) if prev_n else n_passes
             eq = {name: min(v[:k]) for name, v in passes.items()}
             deltas = {

@@ -224,6 +224,14 @@ def upsert_read(spark: SparkSession, path: str) -> DataFrame:
     cur = path.rstrip("/") + "/current"
     if meta.get("backend", "swap") == "versioned":
         paths = _versioned_bucket_paths(spark, cur)
+        if not paths:
+            # An empty-snapshot init creates no bucket stores;
+            # spark.read.parquet() with zero paths would raise an
+            # opaque schema-inference error here.
+            raise ValueError(
+                f"versioned upsert table at {path} has no committed "
+                "buckets (initialized from an empty snapshot and "
+                "never applied to?) — apply a non-empty epoch first")
         return spark.read.parquet(*paths).drop(BUCKET_COL)
     _recover_bucket_swaps(spark, cur)
     return spark.read.parquet(cur).drop(BUCKET_COL)

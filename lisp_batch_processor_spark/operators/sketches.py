@@ -347,10 +347,31 @@ def quantile_hist_retrain_epoch(batch_df: DataFrame, store_path: str,
     approxQuantile pass over the batch only, never the store.
     """
     from lisp_batch_processor_spark.sources.writers import (
-        store_append, store_is_versioned)
+        store_append, store_data_path, store_is_versioned)
 
     spark = batch_df.sparkSession
     e = int(epoch_id)
+    # Legacy-layout guard, BEFORE the bounds bootstrap: a store
+    # maintained fixed-splits (retrain_tvd=None) holds gen-LESS count
+    # files, and appending gen-tagged rows next to them makes every
+    # later read nondeterministic — the parquet footer sample decides
+    # whether `gen` exists, so reads either cross-sum counts measured
+    # under different boundaries or silently drop the whole pre-enable
+    # history as gen=NULL. Probe the file-inferred schema and refuse
+    # (the line store's epoch_id precedent, streaming/dedup.py).
+    dp = store_data_path(spark, store_path.rstrip("/"))
+    if dp is not None:
+        try:
+            legacy_cols = spark.read.parquet(dp).columns
+        except Exception:  # no files yet: nothing to mix with
+            legacy_cols = []
+        if legacy_cols and "gen" not in legacy_cols:
+            raise ValueError(
+                f"quantile store at {store_path} holds fixed-splits "
+                "(gen-less) count files; enabling retraining on it "
+                "would mix generations — rewrite it once with "
+                "gen = 0 (and append its splits as generation 0 via "
+                "quantile_bounds boot) or start a fresh store")
     gens = quantile_bounds_read(spark, store_path)
     if not gens:
         if store_is_versioned(spark, store_path.rstrip("/")):

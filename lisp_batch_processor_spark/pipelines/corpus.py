@@ -129,6 +129,29 @@ class CorpusAssembly:
                 for s in self.stages}
 
 
+def url_dedup_min_id(docs: DataFrame, min_chars: int = 1) -> DataFrame:
+    """Ingest hygiene + canonical-URL exact dedup over
+    (doc_id, url, text): drop NULL/short texts, keep the MIN doc_id
+    per canonical URL (the same deterministic winner rule every dedup
+    stage uses), keep every unparseable-URL row (they cannot be
+    keyed; flag, never drop). Returns (doc_id, url, norm_url, text).
+
+    The ONE implementation of the winner rule — stage 1 of
+    `assemble_corpus`, the per-epoch ingest (`pipelines.ingest`), and
+    its batch reference all call this, so the streaming/batch
+    equality pin can never drift on URL semantics. One agg + one
+    semi-shaped inner join on the key."""
+    clean = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= min_chars))
+    keyed = clean.withColumn("norm_url", normalize_url("url"))
+    winners = (keyed.filter(F.col("norm_url").isNotNull())
+               .groupBy("norm_url")
+               .agg(F.min("doc_id").alias("doc_id")))
+    return (keyed.join(winners, ["norm_url", "doc_id"], "inner")
+            .unionByName(keyed.filter(F.col("norm_url").isNull()))
+            .select("doc_id", "url", "norm_url", "text"))
+
+
 # Stage-completion sidecar: a tiny underscore-file written INSIDE the
 # stage dir strictly AFTER its parquet write commits, carrying the
 # stage's counters and the run's knob fingerprint. Underscore names
@@ -313,20 +336,8 @@ def assemble_corpus(
     p1 = f"{wd}/01_url_dedup"
     if done("url_dedup", p1) is None:
         observed, obs_in = run_counters(canon, name="corpus.url_dedup.in")
-        clean = observed.filter(
-            F.col("text").isNotNull() & (F.length("text") >= min_chars))
-        keyed = clean.withColumn("norm_url", normalize_url("url"))
-        # Deterministic winner per canonical URL: the min doc_id (the
-        # same rule every dedup stage uses). One agg + one semi-shaped
-        # inner join on the key; unparseable URLs can't be keyed and
-        # all survive (counted as n_err for the audit).
-        winners = (keyed.filter(F.col("norm_url").isNotNull())
-                   .groupBy("norm_url")
-                   .agg(F.min("doc_id").alias("doc_id")))
-        url_deduped = (
-            keyed.join(winners, ["norm_url", "doc_id"], "inner")
-            .unionByName(keyed.filter(F.col("norm_url").isNull()))
-            .select("doc_id", "url", "norm_url", "text"))
+        # Unparseable URLs survive but count as n_err for the audit.
+        url_deduped = url_dedup_min_id(observed, min_chars)
         _write_stage(out, "url_dedup", obs_in, url_deduped, p1,
                      ok=F.col("norm_url").isNotNull(), fingerprint=fp)
     # URL metadata side table: the text stages below deliberately

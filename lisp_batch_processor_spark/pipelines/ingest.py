@@ -73,7 +73,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lisp_batch_processor_spark.functions.urls import normalize_url
 from lisp_batch_processor_spark.operators.text import (
     gopher_repetition_filter,
 )
@@ -139,15 +138,14 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     e = int(epoch_id)
 
     # -- hygiene + URL dedup ------------------------------------------
-    batch = (batch_df
-             .filter(F.col("text").isNotNull()
-                     & (F.length("text") >= min_chars))
-             .withColumn("norm_url", normalize_url("url"))
-             .localCheckpoint(eager=True))  # feeds 3 plans below
-    keyed = batch.filter(F.col("norm_url").isNotNull())
-    winners = (keyed.groupBy("norm_url")
-               .agg(F.min("doc_id").alias("doc_id")))
-    in_batch = (keyed.join(winners, ["norm_url", "doc_id"], "inner")
+    # Within-batch winners via the SHARED rule (pipelines.corpus.
+    # url_dedup_min_id — one implementation across batch and
+    # streaming), then the cross-epoch anti-join below.
+    from lisp_batch_processor_spark.pipelines.corpus import (
+        url_dedup_min_id)
+    deduped = (url_dedup_min_id(batch_df, min_chars)
+               .localCheckpoint(eager=True))  # feeds 3 plans below
+    in_batch = (deduped.filter(F.col("norm_url").isNotNull())
                 .withColumn("_url_key", F.md5("norm_url")))
     url_dp = store_data_path(spark, p["url"])
     if url_dp is None:
@@ -159,9 +157,7 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     novel = in_batch.join(seen, in_batch["_url_key"] == seen["url_key"],
                           "left_anti")
     survivors = (novel.select("doc_id", "url", "norm_url", "text")
-                 .unionByName(batch.filter(F.col("norm_url").isNull())
-                              .select("doc_id", "url", "norm_url",
-                                      "text"))
+                 .unionByName(deduped.filter(F.col("norm_url").isNull()))
                  .localCheckpoint(eager=True))  # snapshot pre-append
     store_append(novel.select(F.col("_url_key").alias("url_key"))
                  .distinct()
@@ -249,16 +245,10 @@ def corpus_ingest_batch(docs: DataFrame, *,
     from lisp_batch_processor_spark.operators.dedup import (
         assignment, line_dedup, lsh_candidate_pairs, minhash_signatures,
         verify_jaccard)
+    from lisp_batch_processor_spark.pipelines.corpus import (
+        url_dedup_min_id)
 
-    clean = (docs.filter(F.col("text").isNotNull()
-                         & (F.length("text") >= min_chars))
-             .withColumn("norm_url", normalize_url("url")))
-    keyed = clean.filter(F.col("norm_url").isNotNull())
-    winners = (keyed.groupBy("norm_url")
-               .agg(F.min("doc_id").alias("doc_id")))
-    url_deduped = (keyed.join(winners, ["norm_url", "doc_id"], "inner")
-                   .unionByName(clean.filter(F.col("norm_url").isNull()))
-                   .select("doc_id", "url", "norm_url", "text"))
+    url_deduped = url_dedup_min_id(docs, min_chars)
     ld = (line_dedup(url_deduped.select("doc_id", "text"), min_repeat=2)
           .filter(F.length("text") > 0)
           .select("doc_id", "text")

@@ -148,6 +148,10 @@ def main() -> None:
         "sf": float(sf),
         "stat": f"min_of_{n_prev}_interleaved",
         "consume": "noop_write",
+        # bench.py equalizes its own min to this count before
+        # reporting deltas — omitting it forfeits the equal-N
+        # guarantee this script exists to provide.
+        "passes": n_prev,
         "queries": prev_queries,
     }
     with open(os.path.join(repo, "BENCH_PREV_HEAD.json"), "w") as f:

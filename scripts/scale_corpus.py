@@ -49,16 +49,23 @@ DIRS = ["01_url_dedup", "02_line_dedup", "03_span_dedup", "04_near_dup",
 
 
 def one_pass(spark, docs, evals, wd: str) -> tuple[dict, dict, float]:
-    t0 = time.perf_counter()
+    t0 = time.time()  # wall clock throughout: the marks are mtimes
     out = assemble_corpus(spark, docs, evals, wd,
                           ppl_max=1e9, salt="scale-corpus")
-    total = time.perf_counter() - t0
-    marks = [os.path.getmtime(os.path.join(wd, d, _STAGE_DONE))
-             for d in DIRS]
-    t_wall0 = time.time() - total  # pass-start on the wall clock
+    total = time.time() - t0
+    # Sidecar mtimes bracket each stage; the 00_meta side table is
+    # written BETWEEN stage 1's sidecar and stage 2's work, so it
+    # gets its own bracket (its _SUCCESS mtime) rather than silently
+    # inflating line_dedup.
+    marks = [("url_dedup", os.path.getmtime(
+                  os.path.join(wd, DIRS[0], _STAGE_DONE))),
+             ("meta", os.path.getmtime(
+                  os.path.join(wd, "00_meta", "_SUCCESS")))]
+    marks += [(name, os.path.getmtime(os.path.join(wd, d, _STAGE_DONE)))
+              for name, d in zip(STAGES[1:], DIRS[1:])]
     stage_secs = {}
-    prevm = t_wall0
-    for name, m in zip(STAGES, marks):
+    prevm = t0
+    for name, m in marks:
         stage_secs[name] = round(m - prevm, 3)
         prevm = m
     rows = {s.name: s.rows_out for s in out.stages}

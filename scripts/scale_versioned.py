@@ -131,10 +131,15 @@ def cdc_experiment(spark, base, n_rows, n_buckets, epochs, upd_rows):
                     backend=backend)
         applies = []
         for e in range(epochs):
+            # Half updates (keys inside the initial range), half
+            # inserts (keys past it — each epoch's are new, so the
+            # versioned backend's first-touch bucket creation and the
+            # swap's new-key path are both exercised), touching a
+            # changing key subset each epoch.
             upd = spark.range(upd_rows).selectExpr(
-                # A moving window of keys: some updates, some inserts,
-                # touching a changing subset of buckets each epoch.
-                f"id * {epochs} + {e} AS k",
+                f"CASE WHEN id < {upd_rows // 2} "
+                f"  THEN id * {epochs} + {e} "
+                f"  ELSE {n_rows} + id * {epochs} + {e} END AS k",
                 f"CAST({e} AS STRING) AS v")
             t0 = time.perf_counter()
             assert upsert_apply(spark, path, upd, epoch_id=e)

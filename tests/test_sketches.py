@@ -767,3 +767,32 @@ def test_quantile_retrain_replay_and_crash_windows(spark, tmp_path):
         tiny, store, ["g"], "v", splits, retrain_tvd=0.5,
         retrain_min_rows=100, epoch_id=2) == 1
     assert set(quantile_bounds_read(spark, store)) == {0, 1}
+
+
+def test_retrain_refuses_fixed_splits_store(spark, tmp_path):
+    """Enabling retraining on a store that already holds gen-less
+    (fixed-splits) count files must raise, not append gen-tagged rows
+    next to them — a mixed store's reads are footer-sample
+    nondeterministic (counts cross-summed under different boundaries,
+    or the pre-enable history dropped as gen=NULL)."""
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_hist_build, quantile_hist_retrain_epoch,
+        sketch_store_init)
+    from lisp_batch_processor_spark.sources.writers import store_append
+
+    path = os.path.join(str(tmp_path), "qh_fixed")
+    sketch_store_init(spark, path)
+    b = spark.range(1000).selectExpr("id % 4 AS g",
+                                     "CAST(id AS DOUBLE) AS v")
+    splits = [250.0, 500.0, 750.0]
+    store_append(quantile_hist_build(b, ["g"], "v", splits)
+                 .withColumn("epoch_id", F.lit(0)), path)
+    with pytest.raises(ValueError, match="gen-less"):
+        quantile_hist_retrain_epoch(b, path, ["g"], "v", splits,
+                                    retrain_tvd=0.5,
+                                    retrain_min_rows=10, epoch_id=1)
+    # The refused call must not have half-bootstrapped generational
+    # bounds next to the fixed-splits data.
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bounds_read)
+    assert quantile_bounds_read(spark, path) == {}
