@@ -796,3 +796,52 @@ def test_retrain_refuses_fixed_splits_store(spark, tmp_path):
     from lisp_batch_processor_spark.operators.sketches import (
         quantile_bounds_read)
     assert quantile_bounds_read(spark, path) == {}
+
+
+def test_retrain_and_compaction_compose(spark, tmp_path):
+    """The drift loop and the store fold run in one maintenance
+    window: folding a generational store groups by gen (no cross-
+    generation count mixing), the bounds sibling survives the
+    rewrite, and the read side answers identically to an uncompacted
+    control store."""
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bounds_read, quantile_hist_retrain_epoch,
+        quantile_store_current, sketch_store_compact, sketch_store_init)
+
+    a = os.path.join(str(tmp_path), "qh_cmp")   # compacted
+    b = os.path.join(str(tmp_path), "qh_ctl")   # control
+    sketch_store_init(spark, a)
+    sketch_store_init(spark, b)
+    splits = [float(s) for s in range(500, 10000, 500)]
+
+    def batch(e):
+        off = 0 if e < 3 else 20000
+        return spark.range(e * 5000, (e + 1) * 5000).selectExpr(
+            "id % 4 AS g",
+            f"CAST((id * 37) % 10007 + {off} AS DOUBLE) AS v")
+
+    for e in range(6):
+        gens = []
+        for p in (a, b):
+            gens.append(quantile_hist_retrain_epoch(
+                batch(e), p, ["g"], "v", splits, retrain_tvd=0.25,
+                retrain_min_rows=100, epoch_id=e))
+        assert gens[0] == gens[1]
+        if e % 2 == 1:
+            sketch_store_compact(spark, a)
+
+    ga, sa, ha = quantile_store_current(spark, a, ["g"])
+    gb, sb, hb = quantile_store_current(spark, b, ["g"])
+    assert ga == gb == 1                     # the shift retrained once
+    assert sa == sb                          # same trained boundaries
+    rows = lambda h: sorted((r.g, r.bucket, r.cnt) for r in h.collect())
+    assert rows(ha) == rows(hb)              # fold moved no count
+    assert quantile_bounds_read(spark, a) == quantile_bounds_read(spark, b)
+    # The fold actually folded: the compacted store's data carries the
+    # sentinel base epoch, the control's does not.
+    from lisp_batch_processor_spark.operators.sketches import (
+        COMPACT_EPOCH, _store_data_path_strict)
+    ea = {r[0] for r in spark.read.parquet(
+        _store_data_path_strict(spark, a)).select("epoch_id")
+        .distinct().collect()}
+    assert COMPACT_EPOCH in ea
