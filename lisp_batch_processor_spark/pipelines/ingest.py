@@ -114,6 +114,42 @@ def corpus_ingest_init(spark: SparkSession, state_dir: str,
     store_append(shingle_store(empty_docs), p["shingles"])
 
 
+def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
+                       min_chars: int = 1) -> None:
+    """Seed freshly-initialized ingest stores from an EXISTING corpus
+    (doc_id, url, text) — the migration path from batch assembly to
+    continuous ingest: every later epoch then dedups against the
+    seeded history exactly as against prior epochs. URL keys and line
+    digests land at epoch −1 (< any stream epoch, so every epoch's
+    strictly-earlier membership filter admits them); the near-dup
+    index + shingle store take the seed docs' signatures untagged
+    (the stores' usual shape). The seed corpus should itself be
+    deduped (e.g. `corpus_read` output or a batch assembly's
+    survivors) — seeding does not dedup it."""
+    from lisp_batch_processor_spark.functions.urls import normalize_url
+    from lisp_batch_processor_spark.operators.dedup import (
+        banded_signatures, minhash_signatures, shingle_store)
+    from lisp_batch_processor_spark.sources.writers import store_append
+
+    p = _paths(state_dir)
+    seed = seed_docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= min_chars))
+    store_append(seed.select(F.md5(normalize_url("url"))
+                             .alias("url_key"))
+                 .filter(F.col("url_key").isNotNull()).distinct()
+                 .withColumn("epoch_id", F.lit(-1).cast("long")),
+                 p["url"])
+    lines = seed.select(
+        F.explode(F.split("text", "\n", -1)).alias("_line"))
+    store_append(lines.filter(F.length("_line") >= min_chars)
+                 .select(F.md5("_line").alias("line_key")).distinct()
+                 .withColumn("epoch_id", F.lit(-1).cast("long")),
+                 p["line"])
+    docs = seed.select("doc_id", "text")
+    store_append(banded_signatures(minhash_signatures(docs)), p["index"])
+    store_append(shingle_store(docs), p["shingles"])
+
+
 def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                         epoch_id: int, *,
                         min_chars: int = 1,

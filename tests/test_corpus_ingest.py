@@ -185,3 +185,30 @@ def test_ingested_corpus_feeds_batch_assembly(spark, tmp_path,
     assert (c["near_dup"]["rows_in"], c["near_dup"]["rows_out"]) \
         == (n, n)
     assert (c["quality"]["rows_in"], c["quality"]["rows_out"]) == (n, n)
+
+
+def test_seeded_stores_suppress_history_dups(spark, tmp_path):
+    """corpus_ingest_seed migrates an existing corpus into the
+    stores: a later epoch's URL dup, boilerplate line, and near-dup
+    OF THE SEED are all suppressed, while novel docs pass."""
+    from lisp_batch_processor_spark.pipelines import corpus_ingest_seed
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    seed = spark.createDataFrame(
+        [(1, "https://seeded.example.com/a?utm_source=x", base_text(1)),
+         (2, "https://s2.example.com/", base_text(2) + "\n" + BOILER),
+         (3, "https://s3.example.com/", neardup_text("nda", 3))],
+        SCHEMA)
+    corpus_ingest_seed(seed, sd)
+    batch = spark.createDataFrame(
+        [(10, "https://SEEDED.example.com/a", base_text(10)),  # URL dup
+         (11, "https://s11.example.com/", base_text(11) + "\n" + BOILER),
+         (12, "https://s12.example.com/", neardup_text("nda", 12)),
+         (13, "https://s13.example.com/", base_text(13))],     # novel
+        SCHEMA)
+    out = {r.doc_id: r for r in
+           corpus_ingest_epoch(batch, sd, 0).collect()}
+    assert set(out) == {11, 13}            # 10 = seed URL, 12 = seed near-dup
+    assert BOILER not in out[11].text      # seed line stripped
+    assert out[13].text == base_text(13)   # novel doc untouched
