@@ -272,6 +272,8 @@ def assemble_corpus(
         ("train", 0.98), ("val", 0.01), ("test", 0.01)),
     pack_budget: int = 2048,
     pack_buckets: int = 64,
+    mix_weights: Mapping[str, float] | None = None,
+    mix_token_budget: int | None = None,
     salt: str = "corpus-v1",
     resume: bool = False,
 ) -> CorpusAssembly:
@@ -292,6 +294,21 @@ def assemble_corpus(
     split/pack/shuffle stages hash (salt, id) — so a rerun over the
     same corpus reproduces every artifact bit-for-bit, and `salt`
     versions the whole assembly.
+
+    ``mix_weights`` + ``mix_token_budget`` switch on DOMAIN MIXING at
+    the pack stage: train docs get a domain (the registrable eTLD+1
+    of their canonical URL; unparseable → "unknown"), per-domain
+    fractional epoch counts come from `training.epoch_rates` (target
+    token shares at the explicit budget — rates > 1 repeat small
+    high-quality domains, the regime every real pretraining mix
+    hits), copies materialize via `training.domain_upsample`
+    (deterministic fractional coin), and packing/shuffle treat each
+    (doc, epoch) copy as its own row through an integral
+    copy id = doc_id·cap + epoch (cap a power of two above the max
+    epoch count; doc ids must stay below 2^63/cap). Domains absent
+    from ``mix_weights`` are DROPPED (rate 0); the final training
+    order then carries an extra ``epoch`` column. With the knobs
+    unset (default), packing is exactly the one-copy-per-doc path.
 
     ``resume=True`` restarts a crashed run: stages whose dir carries
     a completion sidecar (written strictly after the stage's parquet
@@ -317,7 +334,13 @@ def assemble_corpus(
          "ppl_max": ppl_max, "self_trained_lm": lm_ref is None,
          "decontam_n": decontam_n, "splits": [list(s) for s in splits],
          "pack_budget": pack_budget, "pack_buckets": pack_buckets,
+         "mix_weights": sorted(mix_weights.items())
+         if mix_weights else None,
+         "mix_token_budget": mix_token_budget,
          "salt": salt}, sort_keys=True).encode()).hexdigest()
+    if (mix_weights is None) != (mix_token_budget is None):
+        raise ValueError("domain mixing needs BOTH mix_weights and "
+                         "mix_token_budget (or neither)")
 
     def done(name: str, path: str) -> StageResult | None:
         if not resume:
@@ -431,15 +454,55 @@ def assemble_corpus(
     out.split_path = p6
 
     # -- 7. pack train docs into fixed token budgets ------------------
+    # With mixing on, (rates, cap) derive deterministically from the
+    # split output + knobs OUTSIDE the stage guards, so a resume that
+    # adopts the pack stage can still decode copy ids in stage 8.
     p7 = f"{wd}/07_pack"
+    mix_cap = None
+    if mix_weights is not None:
+        from lisp_batch_processor_spark.functions.urls import (
+            registered_domain)
+        from lisp_batch_processor_spark.operators.text import tokens_col
+        from lisp_batch_processor_spark.operators.training import (
+            domain_upsample, epoch_rates)
+        # The text stages carry only (doc_id, text); provenance lives
+        # in the 00_meta side table — rejoin it for the domain key.
+        meta_urls = (spark.read.parquet(out.meta_path)
+                     .select("doc_id", "norm_url"))
+        domained = (spark.read.parquet(p6)
+                    .filter(F.col("split") == "train")
+                    .select("doc_id", "text")
+                    .join(meta_urls, "doc_id", "left")
+                    .withColumn("_domain",
+                                F.coalesce(registered_domain("norm_url"),
+                                           F.lit("unknown")))
+                    .drop("norm_url"))
+        dom_toks = (domained.groupBy("_domain")
+                    .agg(F.sum(F.size(tokens_col())).alias("t"))
+                    .collect())  # O(#domains) driver state
+        rates = epoch_rates({r["_domain"]: int(r["t"]) for r in dom_toks},
+                            dict(mix_weights), int(mix_token_budget))
+        mix_cap = 1 << max(int(e) + 1 for e in rates.values()).bit_length()
     if done("pack", p7) is None:
-        train = (spark.read.parquet(p6)
-                 .filter(F.col("split") == "train")
-                 .select("doc_id", "text"))
-        tr_obs, obs_tr = run_counters(train, name="corpus.pack.in")
-        packs = pack_sequences(tr_obs, budget=pack_budget,
-                               n_buckets=pack_buckets,
-                               salt=f"{salt}/pack")
+        if mix_weights is not None:
+            tr_obs, obs_tr = run_counters(domained, name="corpus.pack.in")
+            copies = (domain_upsample(tr_obs, rates, domain_col="_domain",
+                                      salt=f"{salt}/mix")
+                      .withColumn("copy_id",
+                                  F.col("doc_id") * F.lit(mix_cap)
+                                  + F.col("epoch")))
+            packs = pack_sequences(copies, budget=pack_budget,
+                                   id_col="copy_id",
+                                   n_buckets=pack_buckets,
+                                   salt=f"{salt}/pack")
+        else:
+            train = (spark.read.parquet(p6)
+                     .filter(F.col("split") == "train")
+                     .select("doc_id", "text"))
+            tr_obs, obs_tr = run_counters(train, name="corpus.pack.in")
+            packs = pack_sequences(tr_obs, budget=pack_budget,
+                                   n_buckets=pack_buckets,
+                                   salt=f"{salt}/pack")
         _write_stage(out, "pack", obs_tr, packs, p7,
                      ok=F.col("n_tokens") < F.lit(pack_budget),
                      fingerprint=fp)
@@ -450,14 +513,27 @@ def assemble_corpus(
     # `pos` order, so reading the files in key order IS the epoch.
     p8 = f"{wd}/08_train_order"
     if done("shuffle", p8) is None:
-        packed = (spark.read.parquet(p7)
-                  .join(spark.read.parquet(p6)
-                        .filter(F.col("split") == "train")
-                        .select("doc_id", "text"), "doc_id"))
+        pk = spark.read.parquet(p7)
+        txt = (spark.read.parquet(p6)
+               .filter(F.col("split") == "train")
+               .select("doc_id", "text"))
+        sel = ["shuffle_key", "pack_id", "pos", "doc_id",
+               "n_tokens", "text"]
+        if mix_weights is not None:
+            # The pack frame's doc_id column carries copy ids —
+            # decode (orig doc, epoch) with the power-of-two cap.
+            pk = (pk.withColumnRenamed("doc_id", "_copy_id")
+                  .withColumn("doc_id",
+                              F.shiftright("_copy_id",
+                                           mix_cap.bit_length() - 1))
+                  .withColumn("epoch", F.col("_copy_id")
+                              .bitwiseAND(F.lit(mix_cap - 1)))
+                  .drop("_copy_id"))
+            sel.insert(4, "epoch")
+        packed = pk.join(txt, "doc_id")
         ordered = shuffle_deterministic(
             packed, salt=f"{salt}/shuffle", id_col="pack_id",
-            order_within=("pos",)).select(
-            "shuffle_key", "pack_id", "pos", "doc_id", "n_tokens", "text")
+            order_within=("pos",)).select(*sel)
         _write_stage(out, "shuffle", out.stages[-1].rows_out, ordered,
                      p8, fingerprint=fp)
     out.train_order_path = p8
