@@ -351,29 +351,37 @@ def quantile_hist_retrain_epoch(batch_df: DataFrame, store_path: str,
 
     spark = batch_df.sparkSession
     e = int(epoch_id)
-    # Legacy-layout guard, BEFORE the bounds bootstrap: a store
-    # maintained fixed-splits (retrain_tvd=None) holds gen-LESS count
-    # files, and appending gen-tagged rows next to them makes every
-    # later read nondeterministic — the parquet footer sample decides
-    # whether `gen` exists, so reads either cross-sum counts measured
-    # under different boundaries or silently drop the whole pre-enable
-    # history as gen=NULL. Probe the file-inferred schema and refuse
-    # (the line store's epoch_id precedent, streaming/dedup.py).
-    dp = store_data_path(spark, store_path.rstrip("/"))
-    if dp is not None:
-        try:
-            legacy_cols = spark.read.parquet(dp).columns
-        except Exception:  # no files yet: nothing to mix with
-            legacy_cols = []
-        if legacy_cols and "gen" not in legacy_cols:
-            raise ValueError(
-                f"quantile store at {store_path} holds fixed-splits "
-                "(gen-less) count files; enabling retraining on it "
-                "would mix generations — rewrite it once with "
-                "gen = 0 (and append its splits as generation 0 via "
-                "quantile_bounds boot) or start a fresh store")
     gens = quantile_bounds_read(spark, store_path)
     if not gens:
+        # Legacy-layout guard at ENABLE time (no bounds yet — once a
+        # generation exists, enablement already passed this check, so
+        # steady-state epochs never pay the store listing): a store
+        # maintained fixed-splits (retrain_tvd=None) holds gen-LESS
+        # count files, and appending gen-tagged rows next to them
+        # makes every later read nondeterministic — the parquet
+        # footer sample decides whether `gen` exists, so reads either
+        # cross-sum counts measured under different boundaries or
+        # silently drop the whole pre-enable history as gen=NULL.
+        # Probe the file-inferred schema and refuse (the line store's
+        # epoch_id precedent, streaming/dedup.py). Only the expected
+        # nothing-to-read analysis errors pass — anything else (a
+        # transient listing/IO failure) re-raises rather than letting
+        # the append irreversibly mix the store.
+        from pyspark.errors import AnalysisException
+        dp = store_data_path(spark, store_path.rstrip("/"))
+        if dp is not None:
+            try:
+                legacy_cols = spark.read.parquet(dp).columns
+            except AnalysisException:  # no files yet: nothing to mix
+                legacy_cols = []
+            if legacy_cols and "gen" not in legacy_cols:
+                raise ValueError(
+                    f"quantile store at {store_path} holds fixed-"
+                    "splits (gen-less) count files; enabling "
+                    "retraining on it would mix generations — "
+                    "rewrite it once with gen = 0 (and append its "
+                    "splits as generation 0 via quantile_bounds "
+                    "boot) or start a fresh store")
         if store_is_versioned(spark, store_path.rstrip("/")):
             from lisp_batch_processor_spark.sources.writers import (
                 versioned_store_init)
@@ -501,6 +509,21 @@ def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
     if retrain_tvd is not None and not 0.0 < retrain_tvd < 1.0:
         raise ValueError(f"retrain_tvd must be in (0, 1), "
                          f"got {retrain_tvd}")
+    if retrain_tvd is None:
+        # The mirror of quantile_hist_retrain_epoch's enable-time
+        # guard: a store that already has trained generations holds
+        # gen-TAGGED count files, and this path's gen-less appends
+        # next to them would make reads footer-sample
+        # nondeterministic. Checked once at writer construction —
+        # bounds can only appear via a retraining writer, and
+        # single-writer discipline rules out one running concurrently.
+        sess = stream_df.sparkSession
+        if quantile_bounds_read(sess, store_path):
+            raise ValueError(
+                f"quantile store at {store_path} is generational "
+                "(trained bounds exist); maintaining it fixed-splits "
+                "would mix gen-less rows into it — keep "
+                "retrain_tvd set, or start a fresh store")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -456,10 +456,16 @@ def assemble_corpus(
     # -- 7. pack train docs into fixed token budgets ------------------
     # With mixing on, (rates, cap) derive deterministically from the
     # split output + knobs OUTSIDE the stage guards, so a resume that
-    # adopts the pack stage can still decode copy ids in stage 8.
+    # adopts the pack stage can still decode copy ids in stage 8 —
+    # but a resume that adopts BOTH consumers skips the derivation's
+    # train-split scan entirely.
     p7 = f"{wd}/07_pack"
+    p8 = f"{wd}/08_train_order"
     mix_cap = None
-    if mix_weights is not None:
+    if mix_weights is not None and not (
+            resume
+            and _stage_done_read(spark, "pack", p7, fp) is not None
+            and _stage_done_read(spark, "shuffle", p8, fp) is not None):
         from lisp_batch_processor_spark.functions.urls import (
             registered_domain)
         from lisp_batch_processor_spark.operators.text import tokens_col
@@ -477,21 +483,40 @@ def assemble_corpus(
                                 F.coalesce(registered_domain("norm_url"),
                                            F.lit("unknown")))
                     .drop("norm_url"))
-        dom_toks = (domained.groupBy("_domain")
-                    .agg(F.sum(F.size(tokens_col())).alias("t"))
-                    .collect())  # O(#domains) driver state
-        rates = epoch_rates({r["_domain"]: int(r["t"]) for r in dom_toks},
+        dom_stats = (domained.groupBy("_domain")
+                     .agg(F.sum(F.size(tokens_col())).alias("t"),
+                          F.max(F.abs("doc_id")).alias("m"))
+                     .collect())  # O(#domains) driver state
+        rates = epoch_rates({r["_domain"]: int(r["t"])
+                             for r in dom_stats},
                             dict(mix_weights), int(mix_token_budget))
         mix_cap = 1 << max(int(e) + 1 for e in rates.values()).bit_length()
+        # Fail fast instead of letting copy_id = doc_id*cap + epoch
+        # wrap int64 (a wrapped id decodes to a nonexistent doc and
+        # the stage-8 rejoin silently drops the copy).
+        max_id = max((int(r["m"]) for r in dom_stats if r["m"] is not None),
+                     default=0)
+        if max_id >= (1 << 62) // mix_cap:
+            raise ValueError(
+                f"doc ids up to {max_id} are too large for the copy-id "
+                f"encoding at {mix_cap} epochs per doc (needs "
+                f"|doc_id| < 2^62/{mix_cap}); factorize ids to a "
+                "dense range before mixing")
     if done("pack", p7) is None:
         if mix_weights is not None:
-            tr_obs, obs_tr = run_counters(domained, name="corpus.pack.in")
-            copies = (domain_upsample(tr_obs, rates, domain_col="_domain",
+            copies = (domain_upsample(domained, rates,
+                                      domain_col="_domain",
                                       salt=f"{salt}/mix")
                       .withColumn("copy_id",
                                   F.col("doc_id") * F.lit(mix_cap)
                                   + F.col("epoch")))
-            packs = pack_sequences(copies, budget=pack_budget,
+            # Counters at COPY grain (rows_in == rows_out == copies),
+            # keeping StageResult.dropped >= 0 like every other
+            # stage; the doc-grain input is the split stage's
+            # rows_out, so the doc -> copy expansion stays readable
+            # from the chain.
+            tr_obs, obs_tr = run_counters(copies, name="corpus.pack.in")
+            packs = pack_sequences(tr_obs, budget=pack_budget,
                                    id_col="copy_id",
                                    n_buckets=pack_buckets,
                                    salt=f"{salt}/pack")
@@ -511,7 +536,6 @@ def assemble_corpus(
     # Rejoin text (one doc_id-keyed shuffle), then one range shuffle
     # on the hashed pack key; each pack's docs stay contiguous in
     # `pos` order, so reading the files in key order IS the epoch.
-    p8 = f"{wd}/08_train_order"
     if done("shuffle", p8) is None:
         pk = spark.read.parquet(p7)
         txt = (spark.read.parquet(p6)

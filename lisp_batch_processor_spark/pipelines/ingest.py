@@ -130,6 +130,8 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
     from lisp_batch_processor_spark.operators.dedup import (
         banded_signatures, minhash_signatures, shingle_store)
     from lisp_batch_processor_spark.sources.writers import store_append
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_digest_keys)
 
     p = _paths(state_dir)
     seed = seed_docs.filter(
@@ -139,10 +141,11 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
                  .filter(F.col("url_key").isNotNull()).distinct()
                  .withColumn("epoch_id", F.lit(-1).cast("long")),
                  p["url"])
-    lines = seed.select(
-        F.explode(F.split("text", "\n", -1)).alias("_line"))
-    store_append(lines.filter(F.length("_line") >= min_chars)
-                 .select(F.md5("_line").alias("line_key")).distinct()
+    # LINE keying must match the epoch path exactly
+    # (line_dedup_ingest_epoch keys every line >= 1 char — the
+    # ``min_chars`` knob above is DOC hygiene, not line exemption),
+    # or seeded membership diverges from epoch-written membership.
+    store_append(line_digest_keys(seed, line_min_chars=1)
                  .withColumn("epoch_id", F.lit(-1).cast("long")),
                  p["line"])
     docs = seed.select("doc_id", "text")

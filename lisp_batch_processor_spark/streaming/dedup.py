@@ -133,6 +133,27 @@ def near_dup_ingest_epoch(batch_df: DataFrame, index_path: str,
     return out
 
 
+def line_digest_keys(docs: DataFrame, text_col: str = "text",
+                     delim: str = "\n",
+                     line_min_chars: int = 1) -> DataFrame:
+    """The line store's digest keying, as ONE definition: split on
+    the re-escaped delimiter, md5 every line of >= ``line_min_chars``
+    chars (shorter lines are exempt from keying — same exemption as
+    `line_dedup_ingest_epoch`'s inline construction, which this must
+    stay in lockstep with). Returns distinct (line_key) rows — the
+    shape seed migrations (`pipelines.ingest.corpus_ingest_seed`)
+    append at epoch −1."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    lines = docs.select(
+        F.explode(F.split(F.col(text_col), _re.escape(delim), -1))
+        .alias("_l"))
+    return (lines.filter(F.length("_l") >= line_min_chars)
+            .select(F.md5("_l").alias("line_key")).distinct())
+
+
 def line_store_init(spark, line_store_path: str,
                     backend: str = "swap") -> None:
     """Create an empty epoch-tagged line-digest store — the persisted

@@ -54,7 +54,10 @@ def run(spark, wd, **kw):
 def test_mixed_assembly_hits_the_target_mixture(spark, tmp_path):
     out = run(spark, str(tmp_path / "w"))
     c = out.counters()
-    assert (c["pack"]["rows_in"], c["pack"]["rows_out"]) == (10, 16)
+    # pack counters run at COPY grain (dropped stays >= 0); the
+    # doc -> copy expansion reads from split.rows_out (10) -> 16
+    assert c["split"]["rows_out"] == 10
+    assert (c["pack"]["rows_in"], c["pack"]["rows_out"]) == (16, 16)
     assert c["shuffle"]["rows_out"] == 16
     order = spark.read.parquet(out.train_order_path)
     assert "epoch" in order.columns
