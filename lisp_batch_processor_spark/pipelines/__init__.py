@@ -17,6 +17,9 @@ from lisp_batch_processor_spark.pipelines.corpus import (  # noqa: F401
     StageResult,
     assemble_corpus,
 )
+from lisp_batch_processor_spark.pipelines.report import (  # noqa: F401
+    corpus_report,
+)
 from lisp_batch_processor_spark.pipelines.ingest import (  # noqa: F401
     corpus_ingest_batch,
     corpus_ingest_epoch,

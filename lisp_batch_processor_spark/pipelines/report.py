@@ -1,0 +1,209 @@
+"""Corpus data card — one read-only report over an assembled corpus
+(`pipelines.corpus.assemble_corpus` work dir) answering the questions
+a training run's data review actually asks:
+
+  - funnel     what each stage dropped (read back from the durable
+               stage sidecars — zero recomputation)
+  - splits     docs / tokens / contamination per split
+  - quality    perplexity percentiles of the surviving corpus
+  - domains    token share by registrable domain (top-N + "(other)")
+  - packs      pack count, fill percentiles, clamped-doc count
+  - epochs     copy counts per mixing epoch (mixed assemblies only)
+
+This is the observability artifact the reference's summary dialog
+approximates at item grain (`Batch Processor.py:420-425` — processed/
+succeeded/failed counts after a batch) re-expressed at corpus grain.
+
+Scale notes (100 TB): every section collects a BOUNDED summary —
+O(#stages) sidecar dicts, O(#splits) rows, O(top_domains) after an
+in-engine tokens-desc truncation, O(#epochs <= mix cap) — never rows
+of the corpus. Token sums ride one aggregation per parquet source;
+percentiles use `percentile_approx` (GK sketch, mergeable map-side),
+so no section materializes a global sort. The report never blocks the
+pipeline: it reads only committed stage dirs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lisp_batch_processor_spark.functions.urls import registered_domain
+from lisp_batch_processor_spark.operators.text import tokens_col
+from lisp_batch_processor_spark.pipelines.corpus import _STAGE_DONE
+
+# Stage dirs in pipeline order (corpus.assemble_corpus's layout).
+_STAGE_DIRS = (
+    ("url_dedup", "01_url_dedup"),
+    ("line_dedup", "02_line_dedup"),
+    ("span_dedup", "03_span_dedup"),
+    ("near_dup", "04_near_dup"),
+    ("quality", "05_quality"),
+    ("split", "06_split"),
+    ("pack", "07_pack"),
+    ("shuffle", "08_train_order"),
+)
+_REPORT_FILE = "_corpus_report.json"
+
+
+def _read_sidecar(spark: SparkSession, path: str) -> dict | None:
+    """Raw stage-sidecar JSON, or None when absent/torn. The report
+    deliberately skips `_stage_done_read`'s fingerprint enforcement —
+    it documents whatever is on disk; fingerprint consistency is
+    instead REPORTED (see `funnel.fingerprints_consistent`) so a
+    mixed-knob work dir is visible rather than fatal."""
+    from py4j.protocol import Py4JJavaError
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _STAGE_DONE)
+    if not fs.exists(p):
+        return None
+    try:
+        stream = fs.open(p)
+        try:
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return json.loads(bytes(data).decode())
+    except (ValueError, Py4JJavaError):
+        return None
+
+
+def _tokens(text: str = "text"):
+    return F.size(tokens_col(text))
+
+
+def corpus_report(spark: SparkSession, work_dir: str, *,
+                  top_domains: int = 20,
+                  write: bool = True) -> dict:
+    """Build the data card for the assembly staged under `work_dir`
+    and (by default) persist it as `<work_dir>/_corpus_report.json`
+    (underscore name — invisible to parquet readers of the dir).
+
+    Requires at least the split stage (06) to be committed; pack /
+    epoch sections appear only when their stages exist, so the report
+    also works on a mid-crash work dir as a forensic summary.
+    """
+    wd = work_dir.rstrip("/")
+
+    # -- funnel: the sidecars ARE the accounting ----------------------
+    stages = []
+    fps = set()
+    for name, d in _STAGE_DIRS:
+        sc = _read_sidecar(spark, f"{wd}/{d}")
+        if sc is None or sc.get("name") != name:
+            continue
+        fps.add(sc.get("fingerprint"))
+        stages.append({
+            "name": name,
+            "rows_in": int(sc["rows_in"]),
+            "rows_out": int(sc["rows_out"]),
+            "dropped": int(sc["rows_in"]) - int(sc["rows_out"]),
+            "n_err": int(sc["n_err"]),
+        })
+    report: dict = {
+        "work_dir": wd,
+        "funnel": {
+            "stages": stages,
+            "fingerprints_consistent": len(fps) <= 1,
+        },
+    }
+    if not any(s["name"] == "split" for s in stages):
+        raise ValueError(
+            f"no committed split stage under {wd} — "
+            "corpus_report needs at least stages 1-6 of "
+            "assemble_corpus to have finished")
+
+    # -- splits + quality: one agg over the split output --------------
+    split_df = spark.read.parquet(f"{wd}/06_split")
+    per_split = (split_df.groupBy("split")
+                 .agg(F.count("*").alias("docs"),
+                      F.sum(_tokens()).alias("tokens"),
+                      F.sum(F.col("contaminated").cast("long"))
+                      .alias("contaminated"),
+                      F.percentile_approx(
+                          "ppl", [0.5, 0.9, 0.99]).alias("ppl_q"))
+                 .collect())
+    report["splits"] = {
+        r["split"]: {"docs": int(r["docs"]),
+                     "tokens": int(r["tokens"] or 0),
+                     "contaminated": int(r["contaminated"] or 0)}
+        for r in per_split}
+    ppl_q = next((r["ppl_q"] for r in per_split
+                  if r["split"] == "train" and r["ppl_q"]), None)
+    report["quality"] = {
+        "train_ppl_p50_p90_p99":
+            [round(float(x), 3) for x in ppl_q] if ppl_q else None}
+
+    # -- domains: token share by registrable domain -------------------
+    # Truncation happens IN the engine (tokens-desc limit); only the
+    # top-N rows reach the driver, the remainder folds into one
+    # "(other)" line from the already-known split totals.
+    meta = spark.read.parquet(f"{wd}/00_meta").select("doc_id", "norm_url")
+    dom = (split_df.select("doc_id", "text")
+           .join(meta, "doc_id", "left")
+           .withColumn("_domain",
+                       F.coalesce(registered_domain("norm_url"),
+                                  F.lit("unknown")))
+           .groupBy("_domain")
+           .agg(F.count("*").alias("docs"),
+                F.sum(_tokens()).alias("tokens"))
+           .orderBy(F.desc("tokens"), F.asc("_domain"))
+           .limit(top_domains)
+           .collect())
+    tok_total = sum(s["tokens"] for s in report["splits"].values())
+    top = [{"domain": r["_domain"], "docs": int(r["docs"]),
+            "tokens": int(r["tokens"]),
+            "token_share": round(int(r["tokens"]) / tok_total, 6)
+            if tok_total else 0.0}
+           for r in dom]
+    rest_toks = tok_total - sum(d["tokens"] for d in top)
+    rest_docs = (sum(s["docs"] for s in report["splits"].values())
+                 - sum(d["docs"] for d in top))
+    if rest_docs > 0:
+        top.append({"domain": "(other)", "docs": int(rest_docs),
+                    "tokens": int(rest_toks),
+                    "token_share": round(rest_toks / tok_total, 6)
+                    if tok_total else 0.0})
+    report["domains"] = top
+
+    # -- packs: fill statistics from the pack frame -------------------
+    if any(s["name"] == "pack" for s in stages):
+        pk = spark.read.parquet(f"{wd}/07_pack")
+        per_pack = pk.groupBy("pack_id").agg(
+            F.sum("n_tokens").alias("fill"))
+        row = per_pack.agg(
+            F.count("*").alias("n_packs"),
+            F.sum("fill").alias("tokens"),
+            F.percentile_approx("fill", [0.5, 0.95]).alias("fill_q"),
+            F.max("fill").alias("fill_max")).first()
+        report["packs"] = {
+            "n_packs": int(row["n_packs"]),
+            "tokens": int(row["tokens"] or 0),
+            "fill_p50_p95_max": [int(row["fill_q"][0]),
+                                 int(row["fill_q"][1]),
+                                 int(row["fill_max"])]
+            if row["fill_q"] else None,
+        }
+
+    # -- epochs: mixing copy histogram (mixed assemblies only) --------
+    if any(s["name"] == "shuffle" for s in stages):
+        order = spark.read.parquet(f"{wd}/08_train_order")
+        if "epoch" in order.columns:
+            eh = (order.groupBy("epoch").count()
+                  .orderBy("epoch").collect())
+            report["epochs"] = {int(r["epoch"]): int(r["count"])
+                                for r in eh}
+
+    if write:
+        from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+        jvm, fs, _ = _hadoop_fs(spark, wd)
+        p = jvm.org.apache.hadoop.fs.Path(wd + "/" + _REPORT_FILE)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(report, indent=1).encode()))
+        finally:
+            out.close()
+    return report
