@@ -1,0 +1,200 @@
+"""Training shards — the trainer-facing output contract for a
+deterministic corpus order.
+
+`operators.training.shuffle_deterministic` produces the global order;
+this module makes that order CONSUMABLE: fixed-count numbered shards
+whose boundaries are pure arithmetic over the uniform 60-bit
+`shuffle_key` (shard i owns keys in [i*stride, (i+1)*stride)), one
+parquet file per shard holding its rows in key order, and a
+`_manifest.json` computed from a READ-BACK of the committed files —
+per-shard row/token counts, key ranges, and an order-insensitive
+64-bit content checksum — so a data loader can (a) map shard -> byte
+range of the epoch without listing anything else, (b) resume at shard
+granularity, and (c) detect a torn or tampered shard before training
+on it.
+
+Why arithmetic boundaries instead of `repartitionByRange`: the range
+sampler's boundaries depend on input partitioning and sample luck, so
+two runs of the same corpus could cut different shard boundaries.
+stride = ceil(2^60 / n) is a pure function of `num_shards`, and the
+md5-derived keys are uniform, so shards balance to ~rows/n without
+sampling (the manifest records the realized sizes; the writer warns
+via the manifest's `max_skew` field rather than failing).
+
+The reference's sink verifies each written file by polling until it
+exists (`Batch Processor.py:347-374`, R22); the manifest's read-back
+checksum is that verification re-expressed as content integrity
+rather than existence.
+
+Scale notes (100 TB): one hash shuffle on `shard` (narrower than the
+range shuffle that produced the order — at 100 TB fold this into
+`shuffle_deterministic` by sharding FIRST and sorting within shards),
+per-shard stats are one aggregation over the written files, driver
+state is O(num_shards) manifest entries. Choose num_shards so a
+shard (~corpus/n) fits a write task comfortably — e.g. 100 TB at
+n = 1 M shards is ~100 MB per file, the parquet sweet spot.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY_BITS = 60                      # _hash_word's md5 word width
+_MANIFEST = "_manifest.json"
+
+
+def shard_of(key_col: str, num_shards: int):
+    """The shard owning a 60-bit shuffle key: key div stride,
+    stride = ceil(2^60 / num_shards). Pure arithmetic — no sampling,
+    no driver state; boundaries depend only on `num_shards`.
+
+    Integral `div`, NOT `/`: float division would round keys above
+    2^53 (doubles carry 53 mantissa bits, the keys carry 60) and
+    misplace boundary rows into the neighboring shard."""
+    stride = -(-(1 << KEY_BITS) // num_shards)   # ceil-div
+    return F.expr(f"`{key_col}` div {stride}L")
+
+
+def write_training_shards(order_df: DataFrame, path: str, *,
+                          num_shards: int,
+                          key_col: str = "shuffle_key",
+                          order_within=("pack_id", "pos"),
+                          tokens_col: str = "n_tokens") -> dict:
+    """Write the ordered corpus as `shard=NNNNN/` parquet dirs (one
+    file each, rows in key order) plus the read-back `_manifest.json`;
+    returns the manifest dict.
+
+    `order_df` is `shuffle_deterministic` output (or anything with a
+    uniform bigint `key_col`); `order_within` extends the within-shard
+    sort exactly like shuffle_deterministic's own tiebreak so packs
+    stay contiguous. The manifest checksum is bit_xor over xxhash64 of
+    every column — order-insensitive by construction, which is what a
+    resume check wants (the ORDER is separately pinned by the sorted
+    file layout plus the manifest's disjoint key ranges)."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    spark = order_df.sparkSession
+    p = path.rstrip("/")
+    cols = order_df.columns
+    if key_col not in cols:
+        raise ValueError(f"order frame has no {key_col!r} column — "
+                         "run shuffle_deterministic first")
+    sharded = order_df.withColumn("shard", shard_of(key_col, num_shards))
+    # Hash-partition on shard (each shard's rows land in exactly one
+    # task -> exactly one file per shard dir); the within-partition
+    # sort keeps co-resident shards contiguous and each shard's rows
+    # in global key order.
+    (sharded.repartition(num_shards, "shard")
+     .sortWithinPartitions("shard", key_col, *order_within)
+     .write.mode("overwrite").partitionBy("shard").parquet(p))
+
+    # Manifest from a read-back of the COMMITTED files: what the
+    # trainer will read is what gets counted and checksummed.
+    back = spark.read.parquet(p)
+    has_tok = tokens_col in back.columns
+    aggs = [F.count("*").alias("rows"),
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+            F.expr("bit_xor(" + _xxhash_expr(cols) + ")").alias("xor64")]
+    if has_tok:
+        aggs.append(F.sum(tokens_col).alias("tokens"))
+    per = back.groupBy("shard").agg(*aggs).orderBy("shard").collect()
+    rows_total = sum(int(r["rows"]) for r in per)
+    mean = rows_total / max(len(per), 1)
+    manifest = {
+        "v": 1,
+        "num_shards": int(num_shards),
+        "key_col": key_col,
+        "columns": cols,
+        "rows": rows_total,
+        "tokens": sum(int(r["tokens"]) for r in per) if has_tok else None,
+        "max_skew": round(max((int(r["rows"]) for r in per), default=0)
+                          / mean, 3) if rows_total else None,
+        "shards": [
+            {"shard": int(r["shard"]), "rows": int(r["rows"]),
+             "tokens": int(r["tokens"]) if has_tok else None,
+             "key_min": int(r["key_min"]), "key_max": int(r["key_max"]),
+             "xor64": int(r["xor64"])}
+            for r in per],
+    }
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, p)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(p + "/" + _MANIFEST),
+                    True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode()))
+    finally:
+        out.close()
+    return manifest
+
+
+def _xxhash_expr(cols) -> str:
+    return "xxhash64(" + ", ".join(f"`{c}`" for c in cols) + ")"
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    p = path.rstrip("/")
+    jvm, fs, _ = _hadoop_fs(spark, p)
+    jp = jvm.org.apache.hadoop.fs.Path(p + "/" + _MANIFEST)
+    if not fs.exists(jp):
+        raise FileNotFoundError(f"no {_MANIFEST} under {p} — not a "
+                                "write_training_shards output")
+    stream = fs.open(jp)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode())
+
+
+def read_training_shards(spark: SparkSession, path: str,
+                         shard_ids=None,
+                         verify: bool = False) -> DataFrame:
+    """Read the epoch (or a subset of shards) in training order.
+
+    `shard_ids=None` reads everything; a list prunes to those shard
+    dirs at the SCAN (partition pruning on the `shard` column — the
+    data-loader resume path reads only unconsumed shards).
+    `verify=True` recomputes each selected shard's rows + checksum
+    against the manifest first and raises on any mismatch (one extra
+    aggregation pass over the selected shards).
+
+    The returned frame is ordered by (shard, key) — convenient for
+    tests and small reads. A 100 TB data loader should NOT pay this
+    global sort: read the shard dirs one by one in manifest order
+    (each file is already internally key-sorted); the manifest's
+    disjoint key ranges are the proof that concatenation IS the
+    global order."""
+    p = path.rstrip("/")
+    m = read_manifest(spark, p)
+    df = spark.read.parquet(p)
+    if shard_ids is not None:
+        ids = sorted(int(s) for s in shard_ids)
+        known = {s["shard"] for s in m["shards"]}
+        bad = [s for s in ids if s not in known]
+        if bad:
+            raise ValueError(f"unknown shard ids {bad} — manifest has "
+                             f"{len(known)} populated shards")
+        df = df.filter(F.col("shard").isin(ids))
+    if verify:
+        want = {s["shard"]: s for s in m["shards"]}
+        if shard_ids is not None:
+            want = {s: want[s] for s in ids}
+        got = {int(r["shard"]): r for r in
+               (df.groupBy("shard")
+                .agg(F.count("*").alias("rows"),
+                     F.expr("bit_xor(" + _xxhash_expr(m["columns"])
+                            + ")").alias("xor64"))).collect()}
+        for sid, w in want.items():
+            g = got.get(sid)
+            if g is None or int(g["rows"]) != w["rows"] \
+                    or int(g["xor64"]) != w["xor64"]:
+                raise ValueError(
+                    f"shard {sid} fails verification against the "
+                    f"manifest (rows {g and int(g['rows'])} vs "
+                    f"{w['rows']}) — torn or modified shard")
+    return df.orderBy("shard", m["key_col"])
