@@ -154,17 +154,20 @@ def url_dedup_min_id(docs: DataFrame, min_chars: int = 1) -> DataFrame:
 
 # Stage-completion sidecar: a tiny underscore-file written INSIDE the
 # stage dir strictly AFTER its parquet write commits, carrying the
-# stage's counters and the run's knob fingerprint. Underscore names
-# are invisible to Spark's readers; a crash mid-stage leaves no
-# sidecar (or a torn one, which reads as absent), so resume reruns
-# exactly the incomplete stage. Every stage is a pure function of
-# (inputs, knobs, salt), so a resumed run's artifacts are
-# bit-identical to an uninterrupted one's.
+# stage's counters, its KNOB-SCOPED fingerprint, and its parent
+# stage's fingerprint (the lineage link `corpus_report` audits).
+# Underscore names are invisible to Spark's readers; a crash
+# mid-stage leaves no sidecar (or a torn one, which reads as absent),
+# so resume reruns exactly the incomplete stage; a fingerprint
+# mismatch (this stage's or an upstream knob changed — fingerprints
+# chain) likewise reruns from that stage. Every stage is a pure
+# function of (inputs, knobs, salt), so a resumed run's artifacts
+# are bit-identical to an uninterrupted one's.
 _STAGE_DONE = "_stage_counters.json"
 
 
 def _stage_done_write(spark: SparkSession, sr: StageResult,
-                      fingerprint: str) -> None:
+                      fingerprint: str, parent: str = "") -> None:
     from lisp_batch_processor_spark.sources.writers import _hadoop_fs
     jvm, fs, _ = _hadoop_fs(spark, sr.path)
     p = jvm.org.apache.hadoop.fs.Path(
@@ -174,17 +177,18 @@ def _stage_done_write(spark: SparkSession, sr: StageResult,
         out.write(bytearray(json.dumps(
             {"name": sr.name, "rows_in": sr.rows_in,
              "rows_out": sr.rows_out, "n_ok": sr.n_ok,
-             "n_err": sr.n_err, "fingerprint": fingerprint}).encode()))
+             "n_err": sr.n_err, "fingerprint": fingerprint,
+             "parent": parent}).encode()))
     finally:
         out.close()
 
 
 def _stage_done_read(spark: SparkSession, name: str, path: str,
                      fingerprint: str) -> StageResult | None:
-    """The stage's completed prior result, or None when it must run.
-    A sidecar from a DIFFERENT configuration raises: its stage dirs
-    were produced under other knobs, and silently mixing them with
-    this run's would corrupt every downstream artifact."""
+    """The stage's completed prior result, or None when it must run
+    (absent, torn, or produced under a different knob-scoped
+    fingerprint — see `_stage_done_write` for the chain that makes
+    mismatch-means-rerun safe)."""
     from lisp_batch_processor_spark.sources.writers import _hadoop_fs
     jvm, fs, _ = _hadoop_fs(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _STAGE_DONE)
@@ -207,10 +211,13 @@ def _stage_done_read(spark: SparkSession, name: str, path: str,
     if d.get("name") != name:
         return None
     if d.get("fingerprint") != fingerprint:
-        raise ValueError(
-            f"resume: stage {name!r} at {path} was produced under a "
-            "different configuration (knobs/salt mismatch) — use a "
-            "fresh work_dir or rerun with the original knobs")
+        # Produced under different knobs (this stage's or an
+        # upstream stage's — the fingerprints CHAIN). Rerun, which
+        # deterministically overwrites the dir: with knob-scoped
+        # chained fingerprints an adopted prefix is
+        # consistent-by-construction, so a mismatch is simply "work
+        # resumes HERE", never a mixing hazard.
+        return None
     return StageResult(name=name, path=path, rows_in=int(d["rows_in"]),
                        rows_out=int(d["rows_out"]), n_ok=int(d["n_ok"]),
                        n_err=int(d["n_err"]))
@@ -228,7 +235,7 @@ def _dir_complete(spark: SparkSession, path: str) -> bool:
 def _write_stage(assembly: CorpusAssembly, name: str, observed_in,
                  out_df: DataFrame, path: str,
                  ok=None, partition_by: Sequence[str] = (),
-                 fingerprint: str = "") -> None:
+                 fingerprint: str = "", parent: str = "") -> None:
     """Write one stage's output and harvest both observations from
     that single action. `observed_in` is (obs, static_rows): stages
     whose input is exactly the previous stage's file set pass the
@@ -245,7 +252,7 @@ def _write_stage(assembly: CorpusAssembly, name: str, observed_in,
         name=name, path=path, rows_in=rows_in,
         rows_out=int(m["n_rows"]), n_ok=int(m["n_ok"] or 0),
         n_err=int(m["n_err"] or 0))
-    _stage_done_write(out_df.sparkSession, sr, fingerprint)
+    _stage_done_write(out_df.sparkSession, sr, fingerprint, parent)
     assembly.stages.append(sr)
 
 
@@ -310,34 +317,65 @@ def assemble_corpus(
     order then carries an extra ``epoch`` column. With the knobs
     unset (default), packing is exactly the one-copy-per-doc path.
 
-    ``resume=True`` restarts a crashed run: stages whose dir carries
-    a completion sidecar (written strictly after the stage's parquet
-    commit) are adopted — counters read back, computation and write
-    skipped — and work restarts at the first incomplete stage. The
-    caller must pass the SAME inputs and knobs; the knob/salt
-    fingerprint in each sidecar is enforced (mismatch raises), the
-    identity of `docs`/`eval_docs`/`lm_ref` is the caller's contract.
+    ``resume=True`` restarts a crashed run AND is the
+    filter-iteration workflow: stages whose dir carries a completion
+    sidecar (written strictly after the stage's parquet commit) with
+    a matching KNOB-SCOPED fingerprint are adopted — counters read
+    back, computation and write skipped — and work restarts at the
+    first stage that is incomplete or whose (own or upstream) knobs
+    changed. Fingerprints chain per stage over only the knobs that
+    stage depends on, so rerunning with a new `ppl_max` adopts
+    stages 1-4 (the expensive dedup passes) and recomputes exactly
+    quality -> shuffle; a new `salt` recomputes only split ->
+    shuffle. The identity of `docs`/`eval_docs`/`lm_ref` is the
+    caller's contract (fingerprints cover knobs, not data).
     Determinism makes a resumed run's artifacts bit-identical to an
-    uninterrupted one's. At 100 TB this is the point of the staged
-    layout: a crash in stage 6 costs stage 6, not the dedup passes.
+    uninterrupted run with the same final knobs. At 100 TB this is
+    the point of the staged layout: a crash in stage 6 — or a
+    quality-threshold sweep — costs stage 6, not the dedup passes.
     """
     wd = work_dir.rstrip("/")
     out = CorpusAssembly(work_dir=wd)
-    fp = hashlib.md5(json.dumps(
-        {"v": 1, "id_col": id_col, "url_col": url_col,
-         "text_col": text_col, "min_chars": min_chars,
-         "line_min_repeat": line_min_repeat, "span_window": span_window,
-         "span_min_repeat": span_min_repeat, "jaccard_num": jaccard_num,
-         "jaccard_den": jaccard_den,
-         "gopher_thresholds": dict(gopher_thresholds)
-         if gopher_thresholds else None,
-         "ppl_max": ppl_max, "self_trained_lm": lm_ref is None,
-         "decontam_n": decontam_n, "splits": [list(s) for s in splits],
-         "pack_budget": pack_budget, "pack_buckets": pack_buckets,
-         "mix_weights": sorted(mix_weights.items())
-         if mix_weights else None,
-         "mix_token_budget": mix_token_budget,
-         "salt": salt}, sort_keys=True).encode()).hexdigest()
+    # Knob-SCOPED stage fingerprints, chained: each stage's
+    # fingerprint hashes only the knobs its own computation (and
+    # anything upstream, via the chain) depends on. Changing a
+    # downstream knob therefore leaves every upstream sidecar valid —
+    # `resume=True` after a ppl_max change adopts the expensive dedup
+    # passes and reruns exactly stages 5-8. That makes resume the
+    # filter-iteration workflow, not just crash recovery: at 100 TB
+    # the dedup passes dominate, and re-sweeping quality thresholds
+    # must not pay them again. Stages 1-5 are salt-free by
+    # construction (their operators take no salt), so `salt` enters
+    # the chain at split.
+    _scopes = (
+        ("url_dedup", {"v": 2, "id_col": id_col, "url_col": url_col,
+                       "text_col": text_col, "min_chars": min_chars}),
+        ("line_dedup", {"line_min_repeat": line_min_repeat}),
+        ("span_dedup", {"span_window": span_window,
+                        "span_min_repeat": span_min_repeat}),
+        ("near_dup", {"jaccard_num": jaccard_num,
+                      "jaccard_den": jaccard_den}),
+        ("quality", {"gopher_thresholds": dict(gopher_thresholds)
+                     if gopher_thresholds else None,
+                     "ppl_max": ppl_max,
+                     "self_trained_lm": lm_ref is None}),
+        ("split", {"decontam_n": decontam_n,
+                   "splits": [list(s) for s in splits], "salt": salt}),
+        ("pack", {"pack_budget": pack_budget,
+                  "pack_buckets": pack_buckets,
+                  "mix_weights": sorted(mix_weights.items())
+                  if mix_weights else None,
+                  "mix_token_budget": mix_token_budget}),
+        ("shuffle", {}),
+    )
+    fps: dict[str, str] = {}
+    parents: dict[str, str] = {}
+    _h = ""
+    for _name, _knobs in _scopes:
+        parents[_name] = _h
+        _h = hashlib.md5(
+            (_h + json.dumps(_knobs, sort_keys=True)).encode()).hexdigest()
+        fps[_name] = _h
     if (mix_weights is None) != (mix_token_budget is None):
         raise ValueError("domain mixing needs BOTH mix_weights and "
                          "mix_token_budget (or neither)")
@@ -345,7 +383,7 @@ def assemble_corpus(
     def done(name: str, path: str) -> StageResult | None:
         if not resume:
             return None
-        sr = _stage_done_read(spark, name, path, fp)
+        sr = _stage_done_read(spark, name, path, fps[name])
         if sr is not None:
             out.stages.append(sr)
         return sr
@@ -362,7 +400,9 @@ def assemble_corpus(
         # Unparseable URLs survive but count as n_err for the audit.
         url_deduped = url_dedup_min_id(observed, min_chars)
         _write_stage(out, "url_dedup", obs_in, url_deduped, p1,
-                     ok=F.col("norm_url").isNotNull(), fingerprint=fp)
+                     ok=F.col("norm_url").isNotNull(),
+                     fingerprint=fps["url_dedup"],
+                     parent=parents["url_dedup"])
     # URL metadata side table: the text stages below deliberately
     # carry only (doc_id, text) through their shuffles; consumers
     # rejoin provenance from here by doc_id. Derived from the durable
@@ -382,7 +422,8 @@ def assemble_corpus(
               .filter(F.length("text") > 0))
         _write_stage(out, "line_dedup", prev.rows_out, ld, p2,
                      ok=F.col("lines_kept") == F.col("lines_total"),
-                     fingerprint=fp)
+                     fingerprint=fps["line_dedup"],
+                     parent=parents["line_dedup"])
     prev = out.stages[-1]
 
     # -- 3. exact token-window (span) dedup ---------------------------
@@ -394,7 +435,8 @@ def assemble_corpus(
               .filter(F.length("text") > 0))
         _write_stage(out, "span_dedup", prev.rows_out, sd, p3,
                      ok=F.col("tokens_kept") == F.col("tokens_total"),
-                     fingerprint=fp)
+                     fingerprint=fps["span_dedup"],
+                     parent=parents["span_dedup"])
     prev = out.stages[-1]
 
     # -- 4. MinHash+LSH near-dup, keep min-id representatives ---------
@@ -411,7 +453,8 @@ def assemble_corpus(
             asg.filter(~F.col("is_dup")).select("doc_id"),
             "doc_id", "left_semi")
         _write_stage(out, "near_dup", prev.rows_out, survivors, p4,
-                     fingerprint=fp)
+                     fingerprint=fps["near_dup"],
+                     parent=parents["near_dup"])
     prev = out.stages[-1]
 
     # -- 5. quality: Gopher repetition rules (+ optional LM ppl) ------
@@ -434,7 +477,8 @@ def assemble_corpus(
         else:
             kept = kept.withColumn("ppl", F.lit(None).cast("double"))
         _write_stage(out, "quality", prev.rows_out, kept, p5,
-                     fingerprint=fp)
+                     fingerprint=fps["quality"],
+                     parent=parents["quality"])
     prev = out.stages[-1]
 
     # -- 6. decontaminate-train + leak-free split ---------------------
@@ -450,7 +494,8 @@ def assemble_corpus(
         # to the train directories at the scan.
         _write_stage(out, "split", prev.rows_out, split, p6,
                      ok=~F.col("contaminated"), partition_by=("split",),
-                     fingerprint=fp)
+                     fingerprint=fps["split"],
+                     parent=parents["split"])
     out.split_path = p6
 
     # -- 7. pack train docs into fixed token budgets ------------------
@@ -464,8 +509,9 @@ def assemble_corpus(
     mix_cap = None
     if mix_weights is not None and not (
             resume
-            and _stage_done_read(spark, "pack", p7, fp) is not None
-            and _stage_done_read(spark, "shuffle", p8, fp) is not None):
+            and _stage_done_read(spark, "pack", p7, fps["pack"]) is not None
+            and _stage_done_read(spark, "shuffle", p8,
+                                 fps["shuffle"]) is not None):
         from lisp_batch_processor_spark.functions.urls import (
             registered_domain)
         from lisp_batch_processor_spark.operators.text import tokens_col
@@ -530,7 +576,8 @@ def assemble_corpus(
                                    salt=f"{salt}/pack")
         _write_stage(out, "pack", obs_tr, packs, p7,
                      ok=F.col("n_tokens") < F.lit(pack_budget),
-                     fingerprint=fp)
+                     fingerprint=fps["pack"],
+                     parent=parents["pack"])
 
     # -- 8. deterministic training order at pack grain ----------------
     # Rejoin text (one doc_id-keyed shuffle), then one range shuffle
@@ -559,6 +606,7 @@ def assemble_corpus(
             packed, salt=f"{salt}/shuffle", id_col="pack_id",
             order_within=("pos",)).select(*sel)
         _write_stage(out, "shuffle", out.stages[-1].rows_out, ordered,
-                     p8, fingerprint=fp)
+                     p8, fingerprint=fps["shuffle"],
+                     parent=parents["shuffle"])
     out.train_order_path = p8
     return out

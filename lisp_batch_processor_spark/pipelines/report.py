@@ -51,13 +51,14 @@ _REPORT_FILE = "_corpus_report.json"
 def _read_sidecar(spark: SparkSession, path: str) -> dict | None:
     """Raw stage-sidecar JSON, or None when absent/torn. The report
     deliberately skips `_stage_done_read`'s fingerprint enforcement —
-    it documents whatever is on disk; fingerprint consistency is
-    instead REPORTED (see `funnel.fingerprints_consistent`) so a
-    mixed-knob work dir is visible rather than fatal."""
+    it documents whatever is on disk; lineage consistency is instead
+    REPORTED (see `funnel.lineage_consistent`) so a mixed-lineage
+    work dir is visible rather than fatal."""
     from py4j.protocol import Py4JJavaError
     from lisp_batch_processor_spark.sources.writers import _hadoop_fs
     jvm, fs, _ = _hadoop_fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _STAGE_DONE)
+    p = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + _STAGE_DONE)
     if not fs.exists(p):
         return None
     try:
@@ -89,13 +90,21 @@ def corpus_report(spark: SparkSession, work_dir: str, *,
     wd = work_dir.rstrip("/")
 
     # -- funnel: the sidecars ARE the accounting ----------------------
+    # Lineage check: each sidecar records its parent stage's
+    # knob-scoped fingerprint; adjacent present stages whose link
+    # doesn't match were produced by different runs whose shared
+    # prefix diverged — a forensic signal, not an error here.
     stages = []
-    fps = set()
+    links_ok = True
+    prev_fp = None
     for name, d in _STAGE_DIRS:
         sc = _read_sidecar(spark, f"{wd}/{d}")
         if sc is None or sc.get("name") != name:
+            prev_fp = None
             continue
-        fps.add(sc.get("fingerprint"))
+        if prev_fp is not None and sc.get("parent") != prev_fp:
+            links_ok = False
+        prev_fp = sc.get("fingerprint")
         stages.append({
             "name": name,
             "rows_in": int(sc["rows_in"]),
@@ -107,7 +116,7 @@ def corpus_report(spark: SparkSession, work_dir: str, *,
         "work_dir": wd,
         "funnel": {
             "stages": stages,
-            "fingerprints_consistent": len(fps) <= 1,
+            "lineage_consistent": links_ok,
         },
     }
     if not any(s["name"] == "split" for s in stages):

@@ -67,8 +67,31 @@ def test_funnel_is_the_assemblys_own_accounting(assembled):
     want = {s.name: (s.rows_in, s.rows_out, s.n_err)
             for s in out.stages}
     assert got == want
-    assert rep["funnel"]["fingerprints_consistent"]
+    assert rep["funnel"]["lineage_consistent"]
     assert all(s["dropped"] >= 0 for s in rep["funnel"]["stages"])
+
+
+def test_funnel_flags_a_broken_lineage_link(spark, assembled, tmp_path):
+    import shutil
+    wd0, *_ = assembled
+    wd = str(tmp_path / "w")
+    shutil.copytree(wd0, wd)
+    import json as _json
+    from lisp_batch_processor_spark.pipelines.corpus import _STAGE_DONE
+    p = f"{wd}/05_quality/{_STAGE_DONE}"
+    with open(p) as f:
+        sc = _json.load(f)
+    sc["parent"] = "not-the-near-dup-fingerprint"
+    with open(p, "w") as f:
+        _json.dump(sc, f)
+    # Hadoop's local FS checksums reads: drop the stale .crc so the
+    # hand-edited sidecar reads as CONTENT, not as a torn file.
+    import os
+    crc = f"{wd}/05_quality/.{_STAGE_DONE}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    rep = corpus_report(spark, wd, write=False)
+    assert not rep["funnel"]["lineage_consistent"]
 
 
 def test_split_and_domain_token_accounting_matches_recount(

@@ -100,14 +100,69 @@ def test_resume_restarts_at_first_incomplete_stage(spark, baseline,
     assert train_order(spark, out) == order0
 
 
-def test_resume_rejects_foreign_configuration(spark, baseline, tmp_path):
+def _sealed(wd, dirs):
+    return {k: v for k, v in file_states(wd).items()
+            if k.split(os.sep)[0] in dirs}
+
+
+def test_knob_scoped_resume_reuses_stages_above_the_changed_knob(
+        spark, baseline, tmp_path):
+    """Filter iteration: changing `ppl_max` with resume=True adopts
+    the dedup/near-dup stages untouched and recomputes exactly
+    quality -> shuffle, landing on the same artifacts as a fresh run
+    with the new knobs."""
     wd0, *_ = baseline
     wd = str(tmp_path / "w")
     shutil.copytree(wd0, wd)
     docs, evals = corpus(spark)
-    with pytest.raises(ValueError, match="different configuration"):
-        assemble_corpus(spark, docs, evals, wd, resume=True,
-                        pack_budget=64, pack_buckets=2, salt="OTHER")
+    keep = ("00_meta", "01_url_dedup", "02_line_dedup",
+            "03_span_dedup", "04_near_dup")
+    sealed = _sealed(wd, keep)
+    kw2 = dict(KW, ppl_max=1e9)
+    out = assemble_corpus(spark, docs, evals, wd, resume=True, **kw2)
+    assert _sealed(wd, keep) == sealed          # dedup passes reused
+    fresh = assemble_corpus(spark, docs, evals,
+                            str(tmp_path / "fresh"), **kw2)
+    assert out.counters() == fresh.counters()
+    assert train_order(spark, out) == train_order(spark, fresh)
+
+
+def test_knob_scoped_resume_salt_change_recomputes_split_onward(
+        spark, baseline, tmp_path):
+    wd0, *_ = baseline
+    wd = str(tmp_path / "w")
+    shutil.copytree(wd0, wd)
+    docs, evals = corpus(spark)
+    keep = ("00_meta", "01_url_dedup", "02_line_dedup",
+            "03_span_dedup", "04_near_dup", "05_quality")
+    sealed = _sealed(wd, keep)
+    kw2 = dict(KW, salt="OTHER")
+    out = assemble_corpus(spark, docs, evals, wd, resume=True, **kw2)
+    assert _sealed(wd, keep) == sealed  # stages 1-5 are salt-free
+    fresh = assemble_corpus(spark, docs, evals,
+                            str(tmp_path / "fresh"), **kw2)
+    assert train_order(spark, out) == train_order(spark, fresh)
+
+
+def test_knob_scoped_resume_upstream_change_recomputes_downstream(
+        spark, baseline, tmp_path):
+    """An upstream knob (span_window) invalidates its own stage AND
+    everything after it through the fingerprint chain."""
+    wd0, out0, *_ = baseline
+    wd = str(tmp_path / "w")
+    shutil.copytree(wd0, wd)
+    docs, evals = corpus(spark)
+    sealed = _sealed(wd, ("00_meta", "01_url_dedup", "02_line_dedup"))
+    before_span = file_states(wd)[
+        os.path.join("03_span_dedup", _STAGE_DONE)]
+    kw2 = dict(KW, span_window=19)
+    out = assemble_corpus(spark, docs, evals, wd, resume=True, **kw2)
+    assert _sealed(wd, ("00_meta", "01_url_dedup",
+                        "02_line_dedup")) == sealed
+    assert file_states(wd)[
+        os.path.join("03_span_dedup", _STAGE_DONE)] != before_span
+    assert [s.name for s in out.stages] == \
+        [s.name for s in out0.stages]
 
 
 def test_torn_sidecar_reruns_the_stage(spark, baseline, tmp_path):
