@@ -278,34 +278,15 @@ def ffd_pack(bucket: int, docs, budget: int) -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
-# PII redaction — JVM-side regexp chain.
+# PII redaction — moved to functions/redact.py (which adds the typed
+# `redact_documents` audit variant); re-exported here for the
+# existing import surface.
 # ---------------------------------------------------------------------------
 
-# Order matters: IPv4 before bare digit runs, email first (an email
-# can contain digit runs). Patterns are deliberately restricted to a
-# regex subset with identical semantics in Java regex, Python `re`,
-# and RE2-style engines (no backrefs, no lookaround).
-PII_PATTERNS: tuple[tuple[str, str], ...] = (
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\b\d{9,19}\b", "<ID>"),
+from lisp_batch_processor_spark.functions.redact import (  # noqa: E402,F401
+    PII_PATTERNS,
+    redact_pii,
 )
-
-
-def redact_pii(text: Column | str = "text") -> Column:
-    """Chain of regexp_replace calls masking emails, IPv4 addresses,
-    and long digit runs (SSN/card/phone-shaped) — the standard
-    pre-training scrub pass.
-
-    Scale notes: pure JVM expression chain inside whole-stage
-    codegen; no Python in the path. Differential oracle: the same
-    patterns via Python `re.sub` (tests/test_training.py) — kept to
-    the engine-portable regex subset so both agree byte-for-byte.
-    """
-    c = F.col(text) if isinstance(text, str) else text
-    for pat, repl in PII_PATTERNS:
-        c = F.regexp_replace(c, pat, repl)
-    return c
 
 
 # ---------------------------------------------------------------------------
@@ -404,6 +385,25 @@ def epoch_rates(domain_tokens: Mapping[str, int],
     if missing:
         raise ValueError(f"target domains with no corpus tokens: {missing}")
     return {d: w * budget_tokens / domain_tokens[d] for d, w in tw.items()}
+
+
+def temperature_weights(domain_tokens: Mapping[str, int],
+                        alpha: float) -> dict[str, float]:
+    """Temperature-flattened mixture weights: w_d ∝ tokens_d^alpha,
+    normalized to sum 1 — the standard multi-source rebalancing rule
+    (alpha = 1 keeps the natural distribution, alpha = 0 is uniform,
+    between them small domains are boosted smoothly). Feed the result
+    straight into `epoch_rates` as the target mixture.
+
+    Pure driver arithmetic over the O(#domains) token totals."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    pos = {d: t for d, t in domain_tokens.items() if t > 0}
+    if not pos:
+        raise ValueError("no domain has positive tokens")
+    raw = {d: t ** alpha for d, t in pos.items()}
+    norm = sum(raw.values())
+    return {d: w / norm for d, w in raw.items()}
 
 
 def domain_upsample(docs: DataFrame, epochs: Mapping[str, float],

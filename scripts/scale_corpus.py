@@ -48,10 +48,10 @@ DIRS = ["01_url_dedup", "02_line_dedup", "03_span_dedup", "04_near_dup",
         "05_quality", "06_split", "07_pack", "08_train_order"]
 
 
-def one_pass(spark, docs, evals, wd: str) -> tuple[dict, dict, float]:
+def one_pass(spark, docs, evals, wd: str, **mix_kw) -> tuple[dict, dict, float]:
     t0 = time.time()  # wall clock throughout: the marks are mtimes
     out = assemble_corpus(spark, docs, evals, wd,
-                          ppl_max=1e9, salt="scale-corpus")
+                          ppl_max=1e9, salt="scale-corpus", **mix_kw)
     total = time.time() - t0
     # Sidecar mtimes bracket each stage; the 00_meta side table is
     # written BETWEEN stage 1's sidecar and stage 2's work, so it
@@ -110,6 +110,54 @@ def main() -> None:
         result[tag] = {"docs": n_docs, "total_sec": round(best_total, 3),
                        "stages_sec": best_stages, "rows_out": rows}
 
+        # -- domain-mixing variant: same corpus, per-source registrable
+        # domains (`<source>-site.org`) so epoch_rates sees 20 real
+        # domains, 5 of them double-weighted, at a 1.3x token budget
+        # (rates straddle 1 — some domains repeat, some downsample).
+        # The pack bracket here includes the driver-side rate
+        # derivation (domain token agg + max-id scan), which is the
+        # honest cost of turning mixing on. JVM is warm from the
+        # unmixed passes; same pass count, min per stage.
+        from lisp_batch_processor_spark.operators.text import tokens_col
+        # Underscores are invalid hostname chars (normalize_url nulls
+        # them -> domain "unknown"), and the x10 blow-up's replica
+        # sources are `srcN_rM` — sanitize to hyphens for the host.
+        host = F.regexp_replace(F.col("source"), "_", "-")
+        mdocs = (spark.read.parquet(f"{src}/documents.parquet")
+                 .select("doc_id",
+                         F.concat(F.lit("https://"), host,
+                                  F.lit("-site.org/"),
+                                  F.col("doc_id").cast("string"))
+                         .alias("url"),
+                         "text", "source"))
+        sources = sorted(r[0] for r in
+                         mdocs.select("source").distinct().collect())
+        weights = {f"{s.replace('_', '-')}-site.org":
+                   (2.0 if i < 5 else 1.0)
+                   for i, s in enumerate(sources)}
+        n_tok = mdocs.select(
+            F.sum(F.size(tokens_col()))).first()[0]
+        mkw = dict(mix_weights=weights,
+                   mix_token_budget=int(1.3 * n_tok))
+        m_stages: dict[str, float] = {}
+        m_total = float("inf")
+        m_rows = {}
+        for p in range(passes):
+            wd = f"{base}/{tag}_mix_p{p}"
+            stage_secs, m_rows, total = one_pass(
+                spark, mdocs.drop("source"), evals, wd, **mkw)
+            print(f"# {tag} mix pass{p}: total={total}s "
+                  f"{json.dumps(stage_secs)}", file=sys.stderr)
+            m_total = min(m_total, total)
+            for k, v in stage_secs.items():
+                m_stages[k] = min(m_stages.get(k, v), v)
+        result[tag]["mix"] = {
+            "total_sec": round(m_total, 3),
+            "pack_sec_incl_derive": m_stages["pack"],
+            "shuffle_sec": m_stages["shuffle"],
+            "copies_out": m_rows["pack"],
+            "docs_in": m_rows["split"]}
+
     a, b = result["sf0.1"], result["x10"]
     ratio = b["docs"] / a["docs"]
     summary = {
@@ -122,6 +170,14 @@ def main() -> None:
                               / max(a["stages_sec"][s], 1e-3))
                      / math.log(ratio), 2)
             for s in STAGES},
+        "mix_exp": {
+            k: round(math.log(max(b["mix"][k], 1e-3)
+                              / max(a["mix"][k], 1e-3))
+                     / math.log(ratio), 2)
+            for k in ("total_sec", "pack_sec_incl_derive",
+                      "shuffle_sec")},
+        "mix_copies": {t: result[t]["mix"]["copies_out"]
+                       for t in ("sf0.1", "x10")},
     }
     with open("SCALE_CORPUS_r07.json", "w") as f:
         json.dump({"summary": summary, "points": result}, f, indent=1)

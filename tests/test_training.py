@@ -299,6 +299,30 @@ def test_epoch_rates_allows_upsampling():
         epoch_rates({"web": 0}, {"web": 1.0}, 100)
 
 
+def test_temperature_weights_flatten_toward_uniform():
+    from lisp_batch_processor_spark.operators.training import (
+        temperature_weights)
+    tokens = {"web": 1_000_000, "books": 10_000, "wiki": 100_000}
+    nat = temperature_weights(tokens, 1.0)
+    assert abs(nat["web"] - 1_000_000 / 1_110_000) < 1e-12
+    uni = temperature_weights(tokens, 0.0)
+    assert all(abs(w - 1 / 3) < 1e-12 for w in uni.values())
+    half = temperature_weights(tokens, 0.5)
+    # Flattening is monotone: small domains gain, big ones give up.
+    assert uni["books"] > half["books"] > nat["books"]
+    assert uni["web"] < half["web"] < nat["web"]
+    assert abs(sum(half.values()) - 1.0) < 1e-12
+    # Composes with epoch_rates: the mixture realized at the budget
+    # IS the temperature mixture.
+    e = epoch_rates(tokens, half, 500_000)
+    out = {d: tokens[d] * e[d] for d in e}
+    assert abs(out["books"] / 500_000 - half["books"]) < 1e-9
+    with pytest.raises(ValueError):
+        temperature_weights(tokens, 1.5)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0}, 0.5)
+
+
 def test_domain_upsample_python_replay(spark):
     docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
     epochs = {"src0": 2.5, "src1": 1.0, "src2": 0.25}  # drops src3+
