@@ -281,6 +281,7 @@ def assemble_corpus(
     pack_buckets: int = 64,
     mix_weights: Mapping[str, float] | None = None,
     mix_token_budget: int | None = None,
+    redact_kinds: Sequence[str] | None = None,
     salt: str = "corpus-v1",
     resume: bool = False,
 ) -> CorpusAssembly:
@@ -317,6 +318,13 @@ def assemble_corpus(
     order then carries an extra ``epoch`` column. With the knobs
     unset (default), packing is exactly the one-copy-per-doc path.
 
+    ``redact_kinds`` switches on the PII/secret scrub
+    (`functions.redact.redact_documents`) inside stage 1, after URL
+    winner selection and before every text-dedup stage; the per-row
+    per-kind `redactions` audit map lands in the stage-1 output and
+    `corpus_report` totals it. The streaming ingest twin accepts the
+    same knob.
+
     ``resume=True`` restarts a crashed run AND is the
     filter-iteration workflow: stages whose dir carries a completion
     sidecar (written strictly after the stage's parquet commit) with
@@ -349,7 +357,9 @@ def assemble_corpus(
     # the chain at split.
     _scopes = (
         ("url_dedup", {"v": 2, "id_col": id_col, "url_col": url_col,
-                       "text_col": text_col, "min_chars": min_chars}),
+                       "text_col": text_col, "min_chars": min_chars,
+                       "redact_kinds": sorted(redact_kinds)
+                       if redact_kinds else None}),
         ("line_dedup", {"line_min_repeat": line_min_repeat}),
         ("span_dedup", {"span_window": span_window,
                         "span_min_repeat": span_min_repeat}),
@@ -399,6 +409,18 @@ def assemble_corpus(
         observed, obs_in = run_counters(canon, name="corpus.url_dedup.in")
         # Unparseable URLs survive but count as n_err for the audit.
         url_deduped = url_dedup_min_id(observed, min_chars)
+        if redact_kinds is not None:
+            # Scrub at the ingest boundary, AFTER winner selection
+            # (the scrub never changes which doc wins) and BEFORE the
+            # text-dedup stages (unified placeholders make scrubbed
+            # boilerplate dedup BETTER). The per-row `redactions`
+            # audit map persists in this stage's output — downstream
+            # stages select (doc_id, text) and never carry it;
+            # corpus_report sums it from here.
+            from lisp_batch_processor_spark.functions.redact import (
+                redact_documents)
+            url_deduped = redact_documents(url_deduped,
+                                           kinds=redact_kinds)
         _write_stage(out, "url_dedup", obs_in, url_deduped, p1,
                      ok=F.col("norm_url").isNotNull(),
                      fingerprint=fps["url_dedup"],

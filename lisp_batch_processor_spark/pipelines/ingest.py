@@ -156,6 +156,7 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
 def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                         epoch_id: int, *,
                         min_chars: int = 1,
+                        redact_kinds=None,
                         jaccard_num: int = 7, jaccard_den: int = 10,
                         gopher_thresholds: dict | None = None
                         ) -> DataFrame:
@@ -182,8 +183,16 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     # streaming), then the cross-epoch anti-join below.
     from lisp_batch_processor_spark.pipelines.corpus import (
         url_dedup_min_id)
-    deduped = (url_dedup_min_id(batch_df, min_chars)
-               .localCheckpoint(eager=True))  # feeds 3 plans below
+    deduped = url_dedup_min_id(batch_df, min_chars)
+    if redact_kinds is not None:
+        # Same placement as assemble_corpus stage 1: after winner
+        # selection, before any text keying (line digests hash the
+        # SCRUBBED text — seeds and epochs must agree on that).
+        from lisp_batch_processor_spark.functions.redact import (
+            redact_documents)
+        deduped = redact_documents(deduped, kinds=redact_kinds,
+                                   counts=False)
+    deduped = deduped.localCheckpoint(eager=True)  # feeds 3 plans below
     in_batch = (deduped.filter(F.col("norm_url").isNotNull())
                 .withColumn("_url_key", F.md5("norm_url")))
     url_dp = store_data_path(spark, p["url"])
@@ -272,6 +281,7 @@ def corpus_read(spark: SparkSession, corpus_path: str) -> DataFrame:
 
 def corpus_ingest_batch(docs: DataFrame, *,
                         min_chars: int = 1,
+                        redact_kinds=None,
                         jaccard_num: int = 7, jaccard_den: int = 10,
                         gopher_thresholds: dict | None = None
                         ) -> DataFrame:
@@ -288,6 +298,11 @@ def corpus_ingest_batch(docs: DataFrame, *,
         url_dedup_min_id)
 
     url_deduped = url_dedup_min_id(docs, min_chars)
+    if redact_kinds is not None:
+        from lisp_batch_processor_spark.functions.redact import (
+            redact_documents)
+        url_deduped = redact_documents(url_deduped, kinds=redact_kinds,
+                                       counts=False)
     ld = (line_dedup(url_deduped.select("doc_id", "text"), min_repeat=2)
           .filter(F.length("text") > 0)
           .select("doc_id", "text")

@@ -125,6 +125,17 @@ def corpus_report(spark: SparkSession, work_dir: str, *,
             "corpus_report needs at least stages 1-6 of "
             "assemble_corpus to have finished")
 
+    # -- redactions: per-kind totals from the stage-1 audit map -------
+    if any(s["name"] == "url_dedup" for s in stages):
+        s1 = spark.read.parquet(f"{wd}/01_url_dedup")
+        if "redactions" in s1.columns:
+            per_kind = (s1.select(F.explode("redactions")
+                                  .alias("kind", "hits"))
+                        .groupBy("kind").agg(F.sum("hits").alias("n"))
+                        .collect())           # O(#kinds)
+            report["redactions"] = {r["kind"]: int(r["n"])
+                                    for r in per_kind}
+
     # -- splits + quality: one agg over the split output --------------
     split_df = spark.read.parquet(f"{wd}/06_split")
     per_split = (split_df.groupBy("split")

@@ -212,3 +212,27 @@ def test_seeded_stores_suppress_history_dups(spark, tmp_path):
     assert set(out) == {11, 13}            # 10 = seed URL, 12 = seed near-dup
     assert BOILER not in out[11].text      # seed line stripped
     assert out[13].text == base_text(13)   # novel doc untouched
+
+
+def test_redacted_ingest_epoch_concat_equals_batch(spark, tmp_path):
+    """`redact_kinds` threads through both twins at the same point
+    (after URL winner selection, before line keying) — the epoch
+    concatenation still equals the batch reference, and the scrub is
+    visible in the surviving text."""
+    e0, e1, e2, full = epochs(spark)
+    mail = spark.createDataFrame(
+        [(40, "https://s40.example.com/",
+          base_text(40) + "\nwrite to alice@example.org or 10.0.0.7")],
+        SCHEMA)
+    e2m, fullm = e2.unionByName(mail), full.unionByName(mail)
+    kinds = ("email", "ipv4")
+    ref = rows_of(corpus_ingest_batch(fullm, redact_kinds=kinds))
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    outs = [corpus_ingest_epoch(b, sd, e, redact_kinds=kinds)
+            for e, b in enumerate((e0, e1, e2m))]
+    got = sorted(sum((rows_of(o) for o in outs), []))
+    assert got == ref
+    by_id = {t[0]: t for t in got}
+    assert "[EMAIL]" in by_id[40][3] and "[IPV4]" in by_id[40][3]
+    assert "alice@example.org" not in by_id[40][3]

@@ -156,3 +156,26 @@ def test_mixed_assembly_reports_epoch_histogram(spark, tmp_path):
 def test_report_requires_a_committed_split_stage(spark, tmp_path):
     with pytest.raises(ValueError, match="split stage"):
         corpus_report(spark, str(tmp_path / "empty"))
+
+
+def test_redacted_assembly_reports_per_kind_totals(spark, tmp_path):
+    wd = str(tmp_path / "w")
+    docs = corpus(spark).unionByName(spark.createDataFrame(
+        [(40, "https://p40.sitea.com/d40",
+          base_text(40) + "\nmail bob@x.io and carol@y.io at 10.0.0.9")],
+        "doc_id bigint, url string, text string"))
+    from lisp_batch_processor_spark.pipelines import assemble_corpus
+    out = assemble_corpus(spark, docs, evals(spark), wd, splits=SPLITS,
+                          pack_budget=64, pack_buckets=2,
+                          salt="report-v1",
+                          redact_kinds=("email", "ipv4"))
+    rep = corpus_report(spark, wd, write=False)
+    assert rep["redactions"] == {"email": 2, "ipv4": 1}
+    texts = " ".join(r["text"] for r in
+                     spark.read.parquet(out.split_path).collect())
+    assert "bob@x.io" not in texts and "[EMAIL]" in texts
+
+
+def test_unredacted_assembly_has_no_redaction_section(assembled):
+    *_, rep = assembled
+    assert "redactions" not in rep
