@@ -1472,3 +1472,66 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
                     F.when(F.col("_sd_orig").isNull(), F.lit(None))
                      .otherwise(F.coalesce("tokens_kept", F.lit(0)))
                      .alias("tokens_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup — cluster-then-pair over an embedding column.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_TAU = 0.95
+
+
+def semantic_dedup(emb: DataFrame, k: int = 64,
+                   tau: float = SEMANTIC_TAU,
+                   id_col: str = "vec_id",
+                   iters: int = 1) -> DataFrame:
+    """Cluster-scoped embedding near-dedup (the SemDeDup recipe
+    shape): train k IVF centroids (`similarity.ivf_train` — seed-
+    deterministic md5 sample + Lloyd rounds), assign every vector its
+    argmax-cosine cell, generate pairs ONLY within a cell, keep pairs
+    with exact cosine >= `tau`, and fold them into the engine's
+    standard min-id rep `assignment`. Returns one row per input
+    vector: (id_col, rep_id, is_dup).
+
+    Semantics vs `q_dedup_embedding` (label-blocked exact pairing at
+    0.99): this is the APPROXIMATE wide-threshold variant for
+    semantic (not byte-near) duplicates — lower tau, no label
+    blocking, and recall bounded by clustering: a near-dup pair split
+    across two cells is missed by design (the SemDeDup trade: at
+    tau ~0.95 true semantic dups co-locate with overwhelming
+    probability because both vectors sit near the same centroid).
+    Zero-norm vectors have no cosine: they pass through as their own
+    reps, never paired (the embedding-operator convention).
+
+    Scale notes (100 TB): centroids are O(k x dim) driver/model
+    state; assignment is a scan-local Arrow matmul (broadcast
+    centroid matrix, no shuffle); the pair join is ONE equi-join on
+    `cell` with cost sum_c |cell_c|^2 — pick k ~ N/1000 so cells hold
+    ~1000 vectors and the quadratic term stays ~1000x below the
+    all-pairs cost; for heavier cells, run `lsh_candidate_pairs`
+    INSIDE cells instead of the raw pair join. Exact-replay oracle:
+    tests/test_semantic_dedup.py recomputes cells + pairs in numpy
+    from the SAME collected centroids.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    from lisp_batch_processor_spark.functions.vectors import cosine, dot
+    from lisp_batch_processor_spark.operators.similarity import (
+        _ivf_cells_udf, ivf_train)
+
+    nz = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    cents = ivf_train(nz, k=k, iters=iters)
+    one_cell = _ivf_cells_udf(cents, 1)
+    celled = nz.select(F.col(id_col), "embedding",
+                       one_cell("embedding")[0].alias("cell"))
+    a = celled.select(F.col("cell"), F.col(id_col).alias("_sem_a"),
+                      F.col("embedding").alias("_emb_a"))
+    b = celled.select(F.col("cell"), F.col(id_col).alias("_sem_b"),
+                      F.col("embedding").alias("_emb_b"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("_sem_a") < F.col("_sem_b"))
+             .filter(cosine(F.col("_emb_a"), F.col("_emb_b"))
+                     >= F.lit(float(tau)))
+             .select("_sem_a", "_sem_b"))
+    return assignment(emb.select(id_col), id_col,
+                      pairs, "_sem_a", "_sem_b")

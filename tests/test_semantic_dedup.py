@@ -1,0 +1,108 @@
+"""Cluster-scoped semantic dedup (operators/dedup.semantic_dedup):
+exact numpy replay from the same trained centroids, planted
+within-cluster dup detection, the cross-cell recall boundary
+documented by construction, zero-norm pass-through, and partitioning
+independence."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from lisp_batch_processor_spark.operators.dedup import semantic_dedup
+from lisp_batch_processor_spark.operators.similarity import ivf_train
+
+DIM = 8
+TAU = 0.95
+
+
+def _unit(v):
+    n = math.sqrt(sum(float(x) * float(x) for x in v))
+    return [float(x) / n for x in v]
+
+
+def corpus():
+    """Three well-separated clusters along axes 0/1/2; within cluster
+    0 a planted near-identical pair (8, 9), plus a zero vector."""
+    rows = []
+    rng = np.random.default_rng(7)
+    for c in range(3):
+        base = np.zeros(DIM)
+        base[c] = 1.0
+        for i in range(8):
+            v = base + 0.05 * rng.standard_normal(DIM)
+            rows.append((c * 100 + i, _unit(list(v))))
+    rows.append((8, _unit(list(np.eye(DIM)[0] + 0.001 * np.ones(DIM)))))
+    rows.append((9, _unit(list(np.eye(DIM)[0] + 0.0011 * np.ones(DIM)))))
+    rows.append((999, [0.0] * DIM))          # zero-norm: pass-through
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        corpus(), "vec_id bigint, embedding array<double>")
+
+
+def test_numpy_replay_from_the_same_centroids(spark, emb):
+    got = {r["vec_id"]: (r["rep_id"], r["is_dup"])
+           for r in semantic_dedup(emb, k=3, tau=TAU, iters=1).collect()}
+    # Replay: same centroids (ivf_train is deterministic given the
+    # corpus), argmax-cosine cells, within-cell pairs, min-rep fold.
+    cents = np.array(ivf_train(
+        emb.filter("aggregate(transform(embedding, x -> x*x), "
+                   "0.0D, (a, x) -> a + x) > 0"), k=3, iters=1))
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    rows = [(i, np.array(v)) for i, v in corpus()]
+    cells, vecs = {}, {}
+    for i, v in rows:
+        n = np.linalg.norm(v)
+        if n == 0:
+            continue
+        u = v / n
+        cells.setdefault(int(np.argmax(cents @ u)), []).append(i)
+        vecs[i] = u
+    want = {i: (i, False) for i, _ in rows}
+    nbr: dict[int, int] = {}
+    for members in cells.values():
+        for x in sorted(members):
+            for y in sorted(members):
+                if x < y and float(vecs[x] @ vecs[y]) >= TAU:
+                    nbr[y] = min(nbr.get(y, x), x)
+    for y, x in nbr.items():
+        want[y] = (x, True)
+    assert got == want
+    # The planted near-identical vector was caught as a dup of a
+    # cluster-0 member (its min qualifying neighbor — other cluster-0
+    # vectors may also clear tau, so the rep is the min id, not
+    # necessarily its twin 8).
+    assert got[9][1] is True and got[9][0] < 100
+    # Zero vector passes through as its own rep.
+    assert got[999] == (999, False)
+
+
+def test_cluster_separation_keeps_cross_cluster_pairs_out(spark, emb):
+    out = semantic_dedup(emb, k=3, tau=0.5, iters=1).collect()
+    reps = {r["vec_id"]: r["rep_id"] for r in out}
+    # Even at a loose tau, vectors from different axis clusters never
+    # merge: their cosine ~0 AND they sit in different cells.
+    for vid, rep in reps.items():
+        if vid == 999:
+            continue
+        assert abs(vid - rep) < 100      # reps stay within a cluster
+
+
+def test_partitioning_independence(spark, emb):
+    a = sorted(map(tuple, semantic_dedup(
+        emb, k=3, tau=TAU, iters=0).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        emb.repartition(7), k=3, tau=TAU, iters=0).collect()))
+    assert a == b
+
+
+def test_tau_validation(spark, emb):
+    with pytest.raises(ValueError, match="tau"):
+        semantic_dedup(emb, k=3, tau=1.5)

@@ -135,3 +135,34 @@ def test_shard_of_is_exact_above_double_precision(spark):
     assert df.select(shard_of("k", 7)).first()[0] == 3
     df2 = spark.range(1).select(F.lit(key - 1).alias("k"))
     assert df2.select(shard_of("k", 7)).first()[0] == 2
+
+
+def test_shards_consume_a_mixed_assembly_order(spark, tmp_path):
+    """End-to-end handoff: assemble_corpus (mixed) -> 08_train_order
+    -> write_training_shards; every (copy) row survives with its
+    epoch column, and concatenating shards in manifest order is the
+    training order."""
+    from lisp_batch_processor_spark.pipelines import assemble_corpus
+
+    def text(i):
+        return "\n".join(" ".join(f"c{k} u{i}x{j}x{k}" for k in range(6))
+                         for j in range(2))
+
+    docs = spark.createDataFrame(
+        [(i, f"https://p{i}.site{'a' if i < 3 else 'b'}.com/d", text(i))
+         for i in range(1, 9)],
+        "doc_id bigint, url string, text string")
+    evals = spark.createDataFrame([("benchmark words only",)],
+                                  "text string")
+    out = assemble_corpus(
+        spark, docs, evals, str(tmp_path / "w"),
+        splits=(("train", 1.0),), pack_budget=48, pack_buckets=2,
+        mix_weights={"sitea.com": 0.5, "siteb.com": 0.5},
+        mix_token_budget=192, salt="sh-e2e")
+    order = spark.read.parquet(out.train_order_path)
+    p = str(tmp_path / "shards")
+    m = write_training_shards(order, p, num_shards=4)
+    assert m["rows"] == out.stage("shuffle").rows_out
+    back = read_training_shards(spark, p, verify=True)
+    assert "epoch" in back.columns
+    assert back.count() == m["rows"]
