@@ -90,6 +90,13 @@ KINDS: tuple[tuple[str, str, str], ...] = (
      r"(?<!\d)(?:\+\d{1,2}[ .\-]?)?(?:\(\d{3}\)[ .\-]?|\d{3}[ .\-])"
      r"\d{3}[ .\-]\d{4}(?!\d)",
      "[PHONE]"),
+    ("idnum",
+     # bare 9-14 digit runs (SSN/account/IMEI-shaped — 15-16 went to
+     # card above) plus the dashed 3-2-4 SSN form; keeps the legacy
+     # redact_pii chain's err-toward-over-redaction coverage for
+     # digit runs in the typed tier.
+     r"(?<![\d\-])\d{3}-\d{2}-\d{4}(?![\d\-])|(?<!\d)\d{9,14}(?!\d)",
+     "[IDNUM]"),
     ("secret",
      # long unbroken base64/hex-ish tokens with at least one digit —
      # API keys, tokens, hashes; the digit requirement spares long

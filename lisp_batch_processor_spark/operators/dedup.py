@@ -1519,14 +1519,21 @@ def semantic_dedup(emb: DataFrame, k: int = 64,
     from lisp_batch_processor_spark.operators.similarity import (
         _ivf_cells_udf, ivf_train)
 
-    nz = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    # ivf_train keys on "vec_id" (the embeddings fixture contract):
+    # alias the caller's id column onto it so any id name works.
+    nz = (emb.select(F.col(id_col).alias("vec_id"), "embedding")
+          .filter(dot(F.col("embedding"), F.col("embedding")) > 0))
     cents = ivf_train(nz, k=k, iters=iters)
     one_cell = _ivf_cells_udf(cents, 1)
-    celled = nz.select(F.col(id_col), "embedding",
-                       one_cell("embedding")[0].alias("cell"))
-    a = celled.select(F.col("cell"), F.col(id_col).alias("_sem_a"),
+    # Materialize the cell assignment ONCE: both sides of the pair
+    # join read it, and without a snapshot each side would re-run the
+    # Arrow matmul + the upstream scan (a full extra pass at scale).
+    celled = nz.select("vec_id", "embedding",
+                       one_cell("embedding")[0].alias("cell")) \
+               .localCheckpoint(eager=True)
+    a = celled.select(F.col("cell"), F.col("vec_id").alias("_sem_a"),
                       F.col("embedding").alias("_emb_a"))
-    b = celled.select(F.col("cell"), F.col(id_col).alias("_sem_b"),
+    b = celled.select(F.col("cell"), F.col("vec_id").alias("_sem_b"),
                       F.col("embedding").alias("_emb_b"))
     pairs = (a.join(b, "cell")
              .filter(F.col("_sem_a") < F.col("_sem_b"))

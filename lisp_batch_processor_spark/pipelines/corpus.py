@@ -168,19 +168,12 @@ _STAGE_DONE = "_stage_counters.json"
 
 def _stage_done_write(spark: SparkSession, sr: StageResult,
                       fingerprint: str, parent: str = "") -> None:
-    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
-    jvm, fs, _ = _hadoop_fs(spark, sr.path)
-    p = jvm.org.apache.hadoop.fs.Path(
-        sr.path.rstrip("/") + "/" + _STAGE_DONE)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(json.dumps(
-            {"name": sr.name, "rows_in": sr.rows_in,
-             "rows_out": sr.rows_out, "n_ok": sr.n_ok,
-             "n_err": sr.n_err, "fingerprint": fingerprint,
-             "parent": parent}).encode()))
-    finally:
-        out.close()
+    from lisp_batch_processor_spark.sources.writers import write_json_file
+    write_json_file(spark, sr.path.rstrip("/") + "/" + _STAGE_DONE,
+                    {"name": sr.name, "rows_in": sr.rows_in,
+                     "rows_out": sr.rows_out, "n_ok": sr.n_ok,
+                     "n_err": sr.n_err, "fingerprint": fingerprint,
+                     "parent": parent})
 
 
 def _stage_done_read(spark: SparkSession, name: str, path: str,
@@ -189,24 +182,12 @@ def _stage_done_read(spark: SparkSession, name: str, path: str,
     (absent, torn, or produced under a different knob-scoped
     fingerprint — see `_stage_done_write` for the chain that makes
     mismatch-means-rerun safe)."""
-    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
-    jvm, fs, _ = _hadoop_fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _STAGE_DONE)
-    if not fs.exists(p):
-        return None
-    from py4j.protocol import Py4JJavaError
-    try:
-        stream = fs.open(p)
-        try:
-            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        finally:
-            stream.close()
-        d = json.loads(bytes(data).decode())
-    except (ValueError, Py4JJavaError):
-        # Torn or corrupt sidecar from a crash (bad JSON, or a
-        # checksum/read failure on the file itself): the stage never
-        # completed — rerun it. The rerun's overwrite replaces the
-        # sidecar.
+    from lisp_batch_processor_spark.sources.writers import read_json_file
+    # Torn or corrupt sidecar from a crash (bad JSON, or a checksum/
+    # read failure on the file itself) reads as None: the stage never
+    # completed — rerun it. The rerun's overwrite replaces the sidecar.
+    d = read_json_file(spark, path.rstrip("/") + "/" + _STAGE_DONE)
+    if d is None:
         return None
     if d.get("name") != name:
         return None

@@ -241,6 +241,7 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
 def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                             corpus_path: str, *,
                             min_chars: int = 1,
+                            redact_kinds=None,
                             jaccard_num: int = 7, jaccard_den: int = 10,
                             gopher_thresholds: dict | None = None,
                             sink: Callable[[DataFrame, int], None]
@@ -255,6 +256,7 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         out = corpus_ingest_epoch(
             batch_df, state_dir, epoch_id, min_chars=min_chars,
+            redact_kinds=redact_kinds,
             jaccard_num=jaccard_num, jaccard_den=jaccard_den,
             gopher_thresholds=gopher_thresholds)
         store_append(out.withColumn("epoch_id",

@@ -7,7 +7,7 @@ a training run's data review actually asks:
   - splits     docs / tokens / contamination per split
   - quality    perplexity percentiles of the surviving corpus
   - domains    token share by registrable domain (top-N + "(other)")
-  - packs      pack count, fill percentiles, clamped-doc count
+  - packs      pack count, fill percentiles
   - epochs     copy counts per mixing epoch (mixed assemblies only)
 
 This is the observability artifact the reference's summary dialog
@@ -17,7 +17,9 @@ succeeded/failed counts after a batch) re-expressed at corpus grain.
 Scale notes (100 TB): every section collects a BOUNDED summary —
 O(#stages) sidecar dicts, O(#splits) rows, O(top_domains) after an
 in-engine tokens-desc truncation, O(#epochs <= mix cap) — never rows
-of the corpus. Token sums ride one aggregation per parquet source;
+of the corpus. The corpus text is tokenized exactly ONCE (a single
+(split, domain)-grain aggregation serves both the splits and domains
+sections; the ppl percentiles read only their own column);
 percentiles use `percentile_approx` (GK sketch, mergeable map-side),
 so no section materializes a global sort. The report never blocks the
 pipeline: it reads only committed stage dirs.
@@ -54,22 +56,8 @@ def _read_sidecar(spark: SparkSession, path: str) -> dict | None:
     it documents whatever is on disk; lineage consistency is instead
     REPORTED (see `funnel.lineage_consistent`) so a mixed-lineage
     work dir is visible rather than fatal."""
-    from py4j.protocol import Py4JJavaError
-    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
-    jvm, fs, _ = _hadoop_fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "/" + _STAGE_DONE)
-    if not fs.exists(p):
-        return None
-    try:
-        stream = fs.open(p)
-        try:
-            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        finally:
-            stream.close()
-        return json.loads(bytes(data).decode())
-    except (ValueError, Py4JJavaError):
-        return None
+    from lisp_batch_processor_spark.sources.writers import read_json_file
+    return read_json_file(spark, path.rstrip("/") + "/" + _STAGE_DONE)
 
 
 def _tokens(text: str = "text"):
@@ -102,7 +90,10 @@ def corpus_report(spark: SparkSession, work_dir: str, *,
         if sc is None or sc.get("name") != name:
             prev_fp = None
             continue
-        if prev_fp is not None and sc.get("parent") != prev_fp:
+        # Pre-link-era sidecars carry no "parent": unchecked, not
+        # inconsistent (old work dirs must not cry wolf).
+        if prev_fp is not None and "parent" in sc \
+                and sc.get("parent") != prev_fp:
             links_ok = False
         prev_fp = sc.get("fingerprint")
         stages.append({
@@ -136,43 +127,55 @@ def corpus_report(spark: SparkSession, work_dir: str, *,
             report["redactions"] = {r["kind"]: int(r["n"])
                                     for r in per_kind}
 
-    # -- splits + quality: one agg over the split output --------------
+    # -- splits + domains: ONE corpus-text aggregation -----------------
+    # Tokenization dominates the report's cost, so the corpus text is
+    # scanned and tokenized exactly once, at (split, domain) grain —
+    # an engine-side frame of #splits x #domains rows that both
+    # sections roll up from (persisted across its two consumers, tiny
+    # relative to the corpus). Truncation for the domains section
+    # happens IN the engine (tokens-desc limit): only top-N rows
+    # reach the driver, the remainder folds into one "(other)" line
+    # from the split totals.
     split_df = spark.read.parquet(f"{wd}/06_split")
-    per_split = (split_df.groupBy("split")
-                 .agg(F.count("*").alias("docs"),
-                      F.sum(_tokens()).alias("tokens"),
-                      F.sum(F.col("contaminated").cast("long"))
-                      .alias("contaminated"),
-                      F.percentile_approx(
-                          "ppl", [0.5, 0.9, 0.99]).alias("ppl_q"))
+    meta = spark.read.parquet(f"{wd}/00_meta").select("doc_id", "norm_url")
+    grain = (split_df.select("split", "doc_id", "text", "contaminated")
+             .join(meta, "doc_id", "left")
+             .withColumn("_domain",
+                         F.coalesce(registered_domain("norm_url"),
+                                    F.lit("unknown")))
+             .groupBy("split", "_domain")
+             .agg(F.count("*").alias("docs"),
+                  F.sum(_tokens()).alias("tokens"),
+                  F.sum(F.col("contaminated").cast("long"))
+                  .alias("contaminated"))
+             .persist())
+    per_split = (grain.groupBy("split")
+                 .agg(F.sum("docs").alias("docs"),
+                      F.sum("tokens").alias("tokens"),
+                      F.sum("contaminated").alias("contaminated"))
                  .collect())
     report["splits"] = {
         r["split"]: {"docs": int(r["docs"]),
                      "tokens": int(r["tokens"] or 0),
                      "contaminated": int(r["contaminated"] or 0)}
         for r in per_split}
-    ppl_q = next((r["ppl_q"] for r in per_split
-                  if r["split"] == "train" and r["ppl_q"]), None)
+    # Perplexity percentiles: a separate, column-PRUNED scan (reads
+    # only the ppl column — no tokenization, no text bytes).
+    ppl_q = (split_df.filter(F.col("split") == "train")
+             .agg(F.percentile_approx("ppl", [0.5, 0.9, 0.99])
+                  .alias("q")).first()["q"])
     report["quality"] = {
         "train_ppl_p50_p90_p99":
             [round(float(x), 3) for x in ppl_q] if ppl_q else None}
 
     # -- domains: token share by registrable domain -------------------
-    # Truncation happens IN the engine (tokens-desc limit); only the
-    # top-N rows reach the driver, the remainder folds into one
-    # "(other)" line from the already-known split totals.
-    meta = spark.read.parquet(f"{wd}/00_meta").select("doc_id", "norm_url")
-    dom = (split_df.select("doc_id", "text")
-           .join(meta, "doc_id", "left")
-           .withColumn("_domain",
-                       F.coalesce(registered_domain("norm_url"),
-                                  F.lit("unknown")))
-           .groupBy("_domain")
-           .agg(F.count("*").alias("docs"),
-                F.sum(_tokens()).alias("tokens"))
+    dom = (grain.groupBy("_domain")
+           .agg(F.sum("docs").alias("docs"),
+                F.sum("tokens").alias("tokens"))
            .orderBy(F.desc("tokens"), F.asc("_domain"))
            .limit(top_domains)
            .collect())
+    grain.unpersist()
     tok_total = sum(s["tokens"] for s in report["splits"].values())
     top = [{"domain": r["_domain"], "docs": int(r["docs"]),
             "tokens": int(r["tokens"]),

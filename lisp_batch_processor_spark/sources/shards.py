@@ -110,24 +110,19 @@ def write_training_shards(order_df: DataFrame, path: str, *,
         "key_col": key_col,
         "columns": cols,
         "rows": rows_total,
-        "tokens": sum(int(r["tokens"]) for r in per) if has_tok else None,
+        "tokens": sum(int(r["tokens"] or 0) for r in per)
+        if has_tok else None,
         "max_skew": round(max((int(r["rows"]) for r in per), default=0)
                           / mean, 3) if rows_total else None,
         "shards": [
             {"shard": int(r["shard"]), "rows": int(r["rows"]),
-             "tokens": int(r["tokens"]) if has_tok else None,
+             "tokens": int(r["tokens"] or 0) if has_tok else None,
              "key_min": int(r["key_min"]), "key_max": int(r["key_max"]),
              "xor64": int(r["xor64"])}
             for r in per],
     }
-    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
-    jvm, fs, _ = _hadoop_fs(spark, p)
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(p + "/" + _MANIFEST),
-                    True)
-    try:
-        out.write(bytearray(json.dumps(manifest).encode()))
-    finally:
-        out.close()
+    from lisp_batch_processor_spark.sources.writers import write_json_file
+    write_json_file(spark, p + "/" + _MANIFEST, manifest)
     return manifest
 
 
@@ -136,19 +131,15 @@ def _xxhash_expr(cols) -> str:
 
 
 def read_manifest(spark: SparkSession, path: str) -> dict:
-    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    from lisp_batch_processor_spark.sources.writers import read_json_file
     p = path.rstrip("/")
-    jvm, fs, _ = _hadoop_fs(spark, p)
-    jp = jvm.org.apache.hadoop.fs.Path(p + "/" + _MANIFEST)
-    if not fs.exists(jp):
+    m = read_json_file(spark, p + "/" + _MANIFEST)
+    if m is None:
         raise FileNotFoundError(f"no {_MANIFEST} under {p} — not a "
-                                "write_training_shards output")
-    stream = fs.open(jp)
-    try:
-        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-    finally:
-        stream.close()
-    return json.loads(bytes(data).decode())
+                                "write_training_shards output (or its "
+                                "manifest write was torn: rewrite the "
+                                "shards)")
+    return m
 
 
 def read_training_shards(spark: SparkSession, path: str,

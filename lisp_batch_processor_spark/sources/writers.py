@@ -52,6 +52,43 @@ def backup_path(path: str) -> str:
     return _hidden_sibling(path, "old")
 
 
+def write_json_file(spark: SparkSession, path: str, obj) -> None:
+    """Write `obj` as one small JSON file at `path` (driver-side
+    Hadoop FS create, overwrite) — THE sidecar/manifest writer, so
+    the create/write idiom exists once."""
+    import json as _json
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(bytearray(_json.dumps(obj).encode()))
+    finally:
+        out.close()
+
+
+def read_json_file(spark: SparkSession, path: str,
+                   default=None, absent=None):
+    """Read a small JSON file written by `write_json_file`. Returns
+    `absent` when the file does not exist and `default` when it
+    exists but is torn/corrupt (partial crash write, bad checksum) —
+    distinct sentinels because callers treat "never written" and
+    "crashed mid-write" differently."""
+    import json as _json
+    from py4j.protocol import Py4JJavaError
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return absent
+    try:
+        stream = fs.open(p)
+        try:
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return _json.loads(bytes(data).decode())
+    except (ValueError, Py4JJavaError):
+        return default
+
+
 def write_epoch_marker(spark: SparkSession, dir_path: str,
                        epoch_id: int,
                        name: str = "_epoch") -> None:

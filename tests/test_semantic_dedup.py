@@ -103,6 +103,15 @@ def test_partitioning_independence(spark, emb):
     assert a == b
 
 
+def test_non_default_id_col(spark, emb):
+    renamed = emb.withColumnRenamed("vec_id", "doc_id")
+    got = sorted(map(tuple, semantic_dedup(
+        renamed, k=3, tau=TAU, iters=1, id_col="doc_id").collect()))
+    want = sorted(map(tuple, semantic_dedup(
+        emb, k=3, tau=TAU, iters=1).collect()))
+    assert got == want
+
+
 def test_tau_validation(spark, emb):
     with pytest.raises(ValueError, match="tau"):
         semantic_dedup(emb, k=3, tau=1.5)
