@@ -731,3 +731,92 @@ def test_attribution_zero_horizon_consistent_across_models(spark):
     for model in ("last_touch", "first_touch", "all_touches"):
         with pytest.raises(ValueError, match="horizon_s"):
             attribution_join(events, horizon_s=-1, model=model)
+
+
+# ---------------------------------------------------------------------------
+# redact_documents vs a Python `re` chain replay, randomized text
+# ---------------------------------------------------------------------------
+
+def test_fuzz_redact_documents(spark):
+    """Random documents salted with PII-shaped fragments at random
+    positions: the Spark regexp chain must equal a Python `re.sub`
+    replay of the exact same KINDS order, and every per-kind count
+    must equal the Python findall count on the original text."""
+    from lisp_batch_processor_spark.functions.redact import (
+        KINDS, redact_documents)
+
+    rng = random.Random(701)
+    frags = [
+        lambda: f"u{rng.randrange(999)}@ex{rng.randrange(99)}.com",
+        lambda: ".".join(str(rng.randrange(256)) for _ in range(4)),
+        lambda: "-".join(["4111", "1111", "1111",
+                          str(rng.randrange(1000, 9999))]),
+        lambda: f"({rng.randrange(100, 999)}) "
+                f"{rng.randrange(100, 999)}-{rng.randrange(1000, 9999)}",
+        lambda: str(rng.randrange(10 ** 8, 10 ** 13)),
+        lambda: "tok" + "".join(rng.choice("abc123") for _ in range(33)),
+        lambda: " ".join("word%d" % rng.randrange(50)
+                         for _ in range(rng.randrange(1, 6))),
+        lambda: "v%d.%d.%d" % (rng.randrange(9), rng.randrange(99),
+                               rng.randrange(99)),
+    ]
+    docs = []
+    for i in range(120):
+        parts = [rng.choice(frags)() for _ in range(rng.randrange(1, 7))]
+        docs.append((i, " ".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in redact_documents(df).collect()}
+    for i, text in docs:
+        expect = text
+        for _k, rx, tok in KINDS:
+            expect = re.sub(rx, tok, expect)
+        assert got[i]["text"] == expect, text
+        for k, rx, _tok in KINDS:
+            assert got[i]["redactions"][k] == len(re.findall(rx, text)), \
+                (k, text)
+
+
+# ---------------------------------------------------------------------------
+# write_training_shards manifest invariants, randomized orders
+# ---------------------------------------------------------------------------
+
+def test_fuzz_training_shards(spark, tmp_path):
+    """Random order frames (sizes, shard counts, duplicate keys, null
+    tokens): the manifest accounts for every row, key ranges stay
+    inside their arithmetic windows and disjoint, the full read-back
+    is the key-sorted input, and verify passes clean."""
+    from lisp_batch_processor_spark.operators.training import (
+        shuffle_deterministic)
+    from lisp_batch_processor_spark.sources.shards import (
+        KEY_BITS, read_training_shards, write_training_shards)
+
+    rng = random.Random(702)
+    for case in range(4):
+        n = rng.randrange(5, 160)
+        shards = rng.choice([1, 3, 8, 32])
+        rows = [(i, rng.randrange(1, 50)
+                 if rng.random() > 0.1 else None, f"t{i}")
+                for i in range(n)]
+        df = shuffle_deterministic(
+            spark.createDataFrame(
+                rows, "doc_id bigint, n_tokens int, text string"),
+            salt=f"fz-{case}", id_col="doc_id")
+        p = str(tmp_path / f"s{case}")
+        m = write_training_shards(df, p, num_shards=shards,
+                                  order_within=())
+        assert m["rows"] == n
+        assert sum(s["rows"] for s in m["shards"]) == n
+        assert m["tokens"] == sum(t or 0 for _, t, _ in rows)
+        stride = -(-(1 << KEY_BITS) // shards)
+        prev = -1
+        for s in sorted(m["shards"], key=lambda s: s["shard"]):
+            assert s["shard"] * stride <= s["key_min"] \
+                <= s["key_max"] < (s["shard"] + 1) * stride
+            assert s["key_min"] > prev
+            prev = s["key_max"]
+        got = [r["doc_id"] for r in
+               read_training_shards(spark, p, verify=True)
+               .select("doc_id").collect()]
+        want = [d for _, d in sorted(
+            (_md5_word(f"fz-{case}", d), d) for d, _, _ in rows)]
+        assert got == want
