@@ -123,7 +123,8 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return pre.groupBy("doc_id").agg(*aggs)
 
 
-def banded_signatures(sig: DataFrame) -> DataFrame:
+def banded_signatures(sig: DataFrame,
+                      n_bands: int = MINHASH_BANDS) -> DataFrame:
     """(doc_id, band_idx, band_key): the LSH index rows for a
     signature frame — the thing a production pipeline PERSISTS as the
     corpus signature index (partitioned by band_idx, bucketed by
@@ -134,15 +135,25 @@ def banded_signatures(sig: DataFrame) -> DataFrame:
     of it) so the oracle's candidate set is identical by construction;
     at extreme scale hash the key (xxhash64) to shrink the shuffle —
     collisions are harmless there because Jaccard verification runs
-    after."""
-    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    after.
+
+    `n_bands` is the recall dial (must divide NUM_MINHASHES): default
+    4 bands of width 4 for symmetric corpus dedup; recall-critical
+    ASYMMETRIC sweeps (fuzzy decontamination — tiny broadcast side,
+    exact verify after) use 8 bands of width 2, lifting catch
+    probability at Jaccard 0.5 from 0.23 to 0.90 at the cost of more
+    (cheap, verified-away) candidates."""
+    if NUM_MINHASHES % n_bands:
+        raise ValueError(f"n_bands must divide {NUM_MINHASHES}, "
+                         f"got {n_bands}")
+    rows_per_band = NUM_MINHASHES // n_bands
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
             F.concat_ws(":", *[F.col(f"mh{b * rows_per_band + r}")
                                for r in range(rows_per_band)])
              .alias("band_key"))
-        for b in range(MINHASH_BANDS)
+        for b in range(n_bands)
     ])
     return (sig.select("doc_id", F.explode(bands).alias("bk"))
             .select("doc_id", "bk.band_idx", "bk.band_key"))

@@ -359,6 +359,70 @@ def decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
     return train_docs.join(bad, id_col, "left_anti")
 
 
+def fuzzy_contamination(train_docs: DataFrame, eval_docs: DataFrame,
+                        jaccard_num: int = 1, jaccard_den: int = 2,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate benchmark decontamination — the paraphrase
+    complement to `contamination_flags`: exact n-gram collision
+    misses an eval item that was lightly rewritten before landing in
+    the training corpus, MinHash shingle-set Jaccard does not.
+    Returns one row per training doc:
+    (id_col, n_eval_matches, fuzzy_contaminated) where a match is an
+    eval doc whose exact 3-shingle Jaccard clears
+    jaccard_num/jaccard_den (integer-exact threshold, the dedup
+    module's convention).
+
+    Candidate generation is the SAME banded-MinHash machinery as
+    near-dup dedup (`minhash_signatures`/`banded_signatures`), joined
+    ACROSS the two corpora but banded NARROW (8 bands of width 2):
+    recall is the LSH band curve 1-(1-j^r)^b, and decontamination is
+    recall-critical with a tiny broadcast side, so the asymmetric
+    sweep buys recall 0.90 at Jaccard 0.5 (vs 0.23 at the symmetric
+    4x4 banding) with extra candidates that the exact verify
+    discards. False flags: none (every flag re-verified exactly);
+    misses: the remaining LSH tail, which the exact n-gram sweep
+    catches whenever any 8-gram survives verbatim — run BOTH.
+    Eval docs are keyed by xxhash64(text); a hash collision can only
+    merge two eval identities, which at worst inflates
+    n_eval_matches by one — flags stay correct.
+
+    Scale notes (100 TB): the eval side is tiny (benchmarks are MBs)
+    — its banded signatures and shingle sets broadcast; the training
+    side is scanned once for signatures and once for verify shingle
+    sets, with candidate volume bounded by band collisions against a
+    broadcast index. Nothing corpus-sized shuffles."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        banded_signatures, minhash_signatures, shingle_store)
+
+    t = train_docs.select(F.col(id_col).alias("doc_id"), "text")
+    e = eval_docs.select(
+        F.xxhash64("text").alias("doc_id"), "text").distinct()
+    bt = banded_signatures(minhash_signatures(t), n_bands=8)
+    be = banded_signatures(minhash_signatures(e), n_bands=8)
+    cand = (bt.join(F.broadcast(be.withColumnRenamed("doc_id", "_ev")),
+                    ["band_idx", "band_key"])
+            .select("doc_id", "_ev").distinct())
+    st = shingle_store(t)
+    se = F.broadcast(shingle_store(e)
+                     .select(F.col("doc_id").alias("_ev"),
+                             F.col("sh_set").alias("_ev_sh")))
+    inter = F.size(F.array_intersect("sh_set", "_ev_sh"))
+    uni = F.size("sh_set") + F.size("_ev_sh") - inter
+    hits = (cand.join(st, "doc_id").join(se, "_ev")
+            .filter(inter * F.lit(int(jaccard_den))
+                    >= uni * F.lit(int(jaccard_num)))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_eval_matches"))
+            .select(F.col("doc_id").alias("_fc_id"), "n_eval_matches"))
+    return (train_docs.select(F.col(id_col))
+            .join(hits, F.col(id_col) == F.col("_fc_id"), "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_eval_matches", F.lit(0))
+                    .alias("n_eval_matches"))
+            .withColumn("fuzzy_contaminated",
+                        F.col("n_eval_matches") > 0))
+
+
 # ---------------------------------------------------------------------------
 # Fractional-epoch upsampling — domain mixing with rates above 1.
 # ---------------------------------------------------------------------------
