@@ -26,5 +26,6 @@ from lisp_batch_processor_spark.pipelines.ingest import (  # noqa: F401
     corpus_ingest_init,
     corpus_ingest_seed,
     corpus_read,
+    ingest_report,
     streaming_corpus_ingest,
 )

@@ -323,3 +323,56 @@ def corpus_ingest_batch(docs: DataFrame, *,
     return (non_dups.join(gop.filter("keep").select("doc_id"),
                           "doc_id", "left_semi")
             .select("doc_id", "url", "norm_url", "text"))
+
+
+def ingest_report(spark: SparkSession, state_dir: str,
+                  corpus_path: str | None = None) -> dict:
+    """Observability over the persisted ingest state — the streaming
+    side's counterpart to `pipelines.report.corpus_report`: per store
+    (URL keys, line digests, near-dup index, shingle sets, and the
+    corpus dir when given) its committed row count, epoch span
+    (epoch-tagged stores; −1 rows are migrated seed state), and
+    parquet FILE count — the number that tells the single-writer
+    maintenance window when `line_store_compact` /
+    `sources.writers.compact` is due.
+
+    Every number is a bounded aggregate (counts, min/max) or a
+    driver-side file listing; nothing row-sized is collected. Reads
+    only committed state (`store_data_path` resolves versioned
+    pointers and repairs crashed swaps), so it is safe to run between
+    epochs; like every store read, do not race a live writer's
+    apply/compact on the swap backend."""
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, store_data_path)
+
+    def _n_files(path: str) -> int:
+        jvm, fs, _ = _hadoop_fs(spark, path)
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    report: dict = {}
+    targets = dict(_paths(state_dir))
+    if corpus_path is not None:
+        targets["corpus"] = corpus_path
+    for name, root in targets.items():
+        dp = store_data_path(spark, root.rstrip("/"))
+        if dp is None:
+            report[name] = {"rows": 0, "files": 0}
+            continue
+        df = spark.read.parquet(dp)
+        aggs = [F.count("*").alias("rows")]
+        if "epoch_id" in df.columns:
+            aggs += [F.min("epoch_id").alias("e0"),
+                     F.max("epoch_id").alias("e1"),
+                     F.count_distinct("epoch_id").alias("ne")]
+        r = df.agg(*aggs).first()
+        entry = {"rows": int(r["rows"]), "files": _n_files(dp)}
+        if "epoch_id" in df.columns and r["ne"]:
+            entry["epochs"] = {"min": int(r["e0"]), "max": int(r["e1"]),
+                               "distinct": int(r["ne"])}
+        report[name] = entry
+    return report

@@ -236,3 +236,34 @@ def test_redacted_ingest_epoch_concat_equals_batch(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert "[EMAIL]" in by_id[40][3] and "[IPV4]" in by_id[40][3]
     assert "alice@example.org" not in by_id[40][3]
+
+
+def test_ingest_report_accounts_for_store_state(spark, tmp_path):
+    from lisp_batch_processor_spark.pipelines import ingest_report
+
+    sd = str(tmp_path / "state")
+    cp = str(tmp_path / "corpus")
+    corpus_ingest_init(spark, sd)
+    from lisp_batch_processor_spark.sources.writers import (
+        versioned_store_init)
+    versioned_store_init(spark, cp)
+    e0, e1, _e2, _full = epochs(spark)
+    outs = [corpus_ingest_epoch(b, sd, e)
+            for e, b in enumerate((e0, e1))]
+    from lisp_batch_processor_spark.sources.writers import store_append
+    for e, o in enumerate(outs):
+        store_append(o.withColumn("epoch_id", F.lit(e).cast("long")), cp)
+    rep = ingest_report(spark, sd, corpus_path=cp)
+    assert set(rep) == {"url", "line", "index", "shingles", "corpus"}
+    assert rep["corpus"]["rows"] == sum(o.count() for o in outs)
+    assert rep["corpus"]["epochs"] == {"min": 0, "max": 1, "distinct": 2}
+    assert rep["url"]["epochs"]["max"] == 1
+    # URL store holds one key per surviving canonical URL.
+    assert rep["url"]["rows"] == spark.read.parquet(
+        f"{sd}/url_store").count()
+    assert all(v["files"] >= 1 for v in rep.values())
+    # An empty (never-appended) store reads as zeros, not an error.
+    sd2 = str(tmp_path / "state2")
+    corpus_ingest_init(spark, sd2)
+    rep2 = ingest_report(spark, sd2)
+    assert rep2["url"]["rows"] == 0 and "epochs" not in rep2["url"]
