@@ -256,6 +256,7 @@ def assemble_corpus(
     ppl_max: float | None = None,
     lm_ref: DataFrame | None = None,
     decontam_n: int = DECONTAM_NGRAM,
+    decontam_fuzzy: tuple[int, int] | None = None,
     splits: Sequence[tuple[str, float]] = (
         ("train", 0.98), ("val", 0.01), ("test", 0.01)),
     pack_budget: int = 2048,
@@ -298,6 +299,13 @@ def assemble_corpus(
     from ``mix_weights`` are DROPPED (rate 0); the final training
     order then carries an extra ``epoch`` column. With the knobs
     unset (default), packing is exactly the one-copy-per-doc path.
+
+    ``decontam_fuzzy=(num, den)`` adds the MinHash near-dup
+    decontamination sweep (`training.fuzzy_contamination`, integer
+    Jaccard threshold num/den) alongside the exact n-gram sweep; the
+    split stage's `contaminated` flag becomes their OR, so a
+    paraphrased eval item with no verbatim 8-gram still never
+    reaches train.
 
     ``redact_kinds`` switches on the PII/secret scrub
     (`functions.redact.redact_documents`) inside stage 1, after URL
@@ -351,6 +359,8 @@ def assemble_corpus(
                      "ppl_max": ppl_max,
                      "self_trained_lm": lm_ref is None}),
         ("split", {"decontam_n": decontam_n,
+                   "decontam_fuzzy": list(decontam_fuzzy)
+                   if decontam_fuzzy else None,
                    "splits": [list(s) for s in splits], "salt": salt}),
         ("pack", {"pack_budget": pack_budget,
                   "pack_buckets": pack_buckets,
@@ -489,6 +499,22 @@ def assemble_corpus(
     if done("split", p6) is None:
         s5 = spark.read.parquet(p5)
         flags = contamination_flags(s5, evals, n=decontam_n)
+        if decontam_fuzzy is not None:
+            # Both sweeps: exact n-gram catches verbatim leaks the
+            # fuzzy LSH tail can miss; fuzzy catches paraphrased/
+            # reordered eval items with no surviving n-gram. The
+            # persisted `contaminated` flag is their OR.
+            from lisp_batch_processor_spark.operators.training import (
+                fuzzy_contamination)
+            fnum, fden = decontam_fuzzy
+            fz = fuzzy_contamination(s5, evals, jaccard_num=int(fnum),
+                                     jaccard_den=int(fden))
+            flags = (flags.join(
+                fz.select("doc_id", "fuzzy_contaminated"), "doc_id")
+                .withColumn("contaminated",
+                            F.col("contaminated")
+                            | F.col("fuzzy_contaminated"))
+                .drop("fuzzy_contaminated"))
         split = (split_assign(s5.join(flags, "doc_id"),
                               splits=splits, salt=f"{salt}/split")
                  .filter(~(F.col("contaminated")

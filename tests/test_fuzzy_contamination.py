@@ -86,3 +86,32 @@ def test_threshold_is_integer_exact(spark, frames):
                                jaccard_num=num, jaccard_den=100)
            .collect()}
     assert out[2] and not out[1] and not out[3]
+
+
+def test_assembly_knob_drops_the_paraphrase_from_train(spark, tmp_path):
+    """decontam_fuzzy in assemble_corpus: the reordered eval item is
+    dropped from train (exact-only assembly keeps it), and the knob
+    participates in the split stage's fingerprint scope."""
+    from lisp_batch_processor_spark.pipelines import assemble_corpus
+
+    def fill(i):
+        return " ".join(f"f{i}w{j}" for j in range(30))
+
+    rows = [(i, f"https://d{i}.example.com/", fill(i))
+            for i in range(1, 15)]
+    rows.append((50, "https://para.example.com/", PARA_TEXT))
+    docs = spark.createDataFrame(rows,
+                                 "doc_id bigint, url string, text string")
+    evals = spark.createDataFrame([(EVAL_TEXT,)], "text string")
+    kw = dict(splits=(("train", 1.0),), pack_budget=64,
+              pack_buckets=2, salt="fz-e2e")
+    exact_only = assemble_corpus(spark, docs, evals,
+                                 str(tmp_path / "a"), **kw)
+    both = assemble_corpus(spark, docs, evals, str(tmp_path / "b"),
+                           decontam_fuzzy=(1, 2), **kw)
+    ids = lambda out: {r["doc_id"] for r in spark.read.parquet(
+        out.split_path).select("doc_id").collect()}
+    assert 50 in ids(exact_only)        # exact 8-grams all broken
+    assert 50 not in ids(both)          # fuzzy sweep catches it
+    assert both.stage("split").rows_out == \
+        exact_only.stage("split").rows_out - 1
