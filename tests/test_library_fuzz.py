@@ -820,3 +820,77 @@ def test_fuzz_training_shards(spark, tmp_path):
         want = [d for _, d in sorted(
             (_md5_word(f"fz-{case}", d), d) for d, _, _ in rows)]
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_contamination vs a full Python LSH + exact-Jaccard replay
+# ---------------------------------------------------------------------------
+
+def test_fuzz_fuzzy_contamination(spark):
+    """Random train corpora with planted eval copies/mutations: the
+    flag set equals a full Python replay — md5-mix minhash (the
+    pinned hash family), 8 bands of width 2, exact shingle-set
+    Jaccard >= 1/2 on candidates — so candidate recall AND verify
+    agree with the engine exactly, not just directionally."""
+    from lisp_batch_processor_spark.operators.training import (
+        fuzzy_contamination)
+
+    P = 2305843009213693951
+    rng = random.Random(703)
+    vocab = [f"w{i}" for i in range(60)]
+
+    def sig16(text: str) -> list[int]:
+        toks = text.split()
+        sh = ({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+              if len(toks) >= 3 else {" ".join(toks)})
+        out = []
+        for s in range(16):
+            vals = []
+            for x in sh:
+                hx = hashlib.md5(x.encode()).hexdigest()
+                vals.append((int(hx[:15], 16)
+                             + s * int(hx[15:30], 16)) % P)
+            out.append(min(vals))
+        return out
+
+    def shset(text: str) -> set[str]:
+        toks = text.split()
+        return ({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+                if len(toks) >= 3 else {" ".join(toks)})
+
+    evals = [" ".join(rng.choice(vocab) for _ in range(25))
+             for _ in range(3)]
+    train = []
+    for i in range(40):
+        kind = rng.random()
+        if kind < 0.2:                     # verbatim eval copy
+            train.append((i, rng.choice(evals)))
+        elif kind < 0.5:                   # mutated eval item
+            toks = rng.choice(evals).split()
+            for _ in range(rng.randrange(1, 8)):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            train.append((i, " ".join(toks)))
+        else:                              # unrelated
+            train.append((i, " ".join(rng.choice(vocab)
+                                       for _ in range(25))))
+    got = {r["doc_id"]: r["fuzzy_contaminated"] for r in
+           fuzzy_contamination(
+               spark.createDataFrame(train,
+                                     "doc_id bigint, text string"),
+               spark.createDataFrame([(t,) for t in evals],
+                                     "text string"),
+               jaccard_num=1, jaccard_den=2).collect()}
+    esigs = [sig16(t) for t in set(evals)]
+    esets = [shset(t) for t in set(evals)]
+    for i, text in train:
+        tsig, tset = sig16(text), shset(text)
+        want = False
+        for es, eset in zip(esigs, esets):
+            bands_hit = any(
+                tsig[2 * b:2 * b + 2] == es[2 * b:2 * b + 2]
+                for b in range(8))
+            inter = len(tset & eset)
+            uni = len(tset | eset)
+            if bands_hit and 2 * inter >= uni:
+                want = True
+        assert got[i] == want, (i, text)
