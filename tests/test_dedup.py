@@ -822,3 +822,32 @@ def test_span_dedup_fuzz_random_corpus(spark, seed):
                                    min_repeat=min_repeat).collect()}
         assert got == _span_dedup_replay(rows, window, min_repeat), (
             seed, window, min_repeat)
+
+
+def test_round7_operators_never_go_cartesian(spark):
+    """Plan pins for the round-7 additions: fuzzy decontamination is
+    a band-bucket equi-join (eval side broadcast), semantic dedup's
+    pair generation is a cell equi-join — neither may degrade to a
+    cartesian/BNLJ under refactors."""
+    import numpy as np
+
+    from lisp_batch_processor_spark.operators.dedup import semantic_dedup
+    from lisp_batch_processor_spark.operators.training import (
+        fuzzy_contamination)
+    from lisp_batch_processor_spark.plans.inspect import (
+        assert_no_cartesian, physical_plan)
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i} shared alpha beta gamma delta")
+         for i in range(30)], "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [("shared alpha beta gamma delta epsilon",)], "text string")
+    fz = fuzzy_contamination(docs, evals)
+    assert_no_cartesian(fz)
+    assert "BroadcastHashJoin" in physical_plan(fz)  # eval side small
+
+    rng = np.random.default_rng(9)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    assert_no_cartesian(semantic_dedup(emb, k=4, iters=0))
