@@ -18,6 +18,7 @@ from lisp_batch_processor_spark.pipelines.corpus import (  # noqa: F401
     assemble_corpus,
 )
 from lisp_batch_processor_spark.pipelines.report import (  # noqa: F401
+    corpus_diff,
     corpus_report,
 )
 from lisp_batch_processor_spark.pipelines.ingest import (  # noqa: F401

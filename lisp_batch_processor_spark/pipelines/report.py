@@ -230,3 +230,70 @@ def corpus_report(spark: SparkSession, work_dir: str, *,
         finally:
             out.close()
     return report
+
+
+def corpus_diff(spark: SparkSession, work_dir_a: str, work_dir_b: str,
+                *, examples: int = 10) -> dict:
+    """What changed between two assemblies of the same corpus — the
+    companion to knob-scoped resume: after a filter sweep produces a
+    second work dir (or the same one re-resumed), answer "what did
+    that knob actually do" without reading either corpus end to end.
+
+    Returns per-stage rows_out deltas (from the sidecars — zero
+    recomputation), per-split doc counts for both sides, and the
+    doc-grain churn between the two split outputs: `added` (in B
+    only), `removed` (in A only), `moved` (present in both, different
+    split), `unchanged` — plus up to `examples` removed/added doc ids
+    for spot-checking. The churn is ONE full-outer join of two
+    (doc_id, split) projections; everything collected is bounded
+    (counts + example ids).
+    """
+    a_wd, b_wd = work_dir_a.rstrip("/"), work_dir_b.rstrip("/")
+    funnel = {}
+    for name, d in _STAGE_DIRS:
+        sa = _read_sidecar(spark, f"{a_wd}/{d}")
+        sb = _read_sidecar(spark, f"{b_wd}/{d}")
+        if sa is None and sb is None:
+            continue
+        funnel[name] = {
+            "rows_out_a": sa and int(sa["rows_out"]),
+            "rows_out_b": sb and int(sb["rows_out"]),
+            "delta": (int(sb["rows_out"]) - int(sa["rows_out"]))
+            if sa and sb else None}
+
+    a = (spark.read.parquet(f"{a_wd}/06_split")
+         .select("doc_id", F.col("split").alias("_split_a")))
+    b = (spark.read.parquet(f"{b_wd}/06_split")
+         .select("doc_id", F.col("split").alias("_split_b")))
+    j = a.join(b, "doc_id", "full_outer")
+    churn_rows = (j.groupBy()
+                  .agg(F.sum(F.col("_split_a").isNull().cast("long"))
+                       .alias("added"),
+                       F.sum(F.col("_split_b").isNull().cast("long"))
+                       .alias("removed"),
+                       F.sum((F.col("_split_a").isNotNull()
+                              & F.col("_split_b").isNotNull()
+                              & (F.col("_split_a") != F.col("_split_b")))
+                             .cast("long")).alias("moved"),
+                       F.sum((F.col("_split_a") == F.col("_split_b"))
+                             .cast("long")).alias("unchanged"))
+                  .first())
+    ex_removed = [int(r["doc_id"]) for r in
+                  j.filter(F.col("_split_b").isNull())
+                  .orderBy("doc_id").limit(examples).collect()]
+    ex_added = [int(r["doc_id"]) for r in
+                j.filter(F.col("_split_a").isNull())
+                .orderBy("doc_id").limit(examples).collect()]
+    per_split = {}
+    for tag, df, col in (("a", a, "_split_a"), ("b", b, "_split_b")):
+        for r in df.groupBy(col).count().collect():
+            per_split.setdefault(r[col], {})[f"docs_{tag}"] = \
+                int(r["count"])
+    return {
+        "work_dir_a": a_wd, "work_dir_b": b_wd,
+        "funnel": funnel,
+        "splits": per_split,
+        "churn": {k: int(churn_rows[k] or 0)
+                  for k in ("added", "removed", "moved", "unchanged")},
+        "examples": {"removed": ex_removed, "added": ex_added},
+    }

@@ -179,3 +179,25 @@ def test_redacted_assembly_reports_per_kind_totals(spark, tmp_path):
 def test_unredacted_assembly_has_no_redaction_section(assembled):
     *_, rep = assembled
     assert "redactions" not in rep
+
+
+def test_corpus_diff_isolates_a_knob_change(spark, assembled, tmp_path):
+    """Diff the baseline assembly against a stricter-quality rerun:
+    the funnel delta localizes to quality->shuffle, the churn is
+    removals only (a stricter filter never adds docs), and the
+    removed examples are exactly the newly-dropped ids."""
+    from lisp_batch_processor_spark.pipelines import corpus_diff
+
+    wd_a, out_a, _ = assembled
+    wd_b = str(tmp_path / "b")
+    out_b = run(spark, wd_b, ppl_max=1e9)   # LM filter ON (huge cap:
+    #                                         same survivors, new path)
+    d = corpus_diff(spark, wd_a, wd_b)
+    assert d["funnel"]["url_dedup"]["delta"] == 0
+    assert d["churn"]["added"] == 0 and d["churn"]["moved"] == 0
+    assert d["churn"]["removed"] == \
+        out_a.stage("split").rows_out - out_b.stage("split").rows_out
+    assert d["churn"]["unchanged"] == out_b.stage("split").rows_out
+    assert len(d["examples"]["removed"]) == d["churn"]["removed"]
+    tot_a = sum(v.get("docs_a", 0) for v in d["splits"].values())
+    assert tot_a == out_a.stage("split").rows_out
