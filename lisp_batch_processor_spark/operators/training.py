@@ -49,6 +49,11 @@ from lisp_batch_processor_spark.operators.text import tokens_col
 # exact integers (no float boundary ambiguity cross-engine).
 SPLIT_BUCKETS = 100_000
 
+# Above this many domains, per-domain rates travel as a broadcast
+# join instead of a literal create_map — literal maps are O(#domains)
+# IN THE SERIALIZED PLAN, which web-scale domain counts would bloat.
+_MAP_LITERAL_MAX = 256
+
 
 def hash_bucket(id_col: Column | str, salt: str,
                 n_buckets: int = SPLIT_BUCKETS) -> Column:
@@ -170,13 +175,21 @@ def domain_mix(docs: DataFrame, target: Mapping[str, float],
                          n.cast("bigint").alias("n"))
                  .groupBy("d").agg(F.sum("n").alias("t")).collect()}
     rates = mix_rates(stats, target)
-    # Integer thresholds; rate 1.0 keeps every bucket.
-    thr = F.create_map(*[x for d, r in sorted(rates.items())
-                         for x in (F.lit(d),
-                                   F.lit(int(round(r * SPLIT_BUCKETS))))])
+    # Integer thresholds; rate 1.0 keeps every bucket. Same
+    # literal-map-vs-broadcast-join switch as domain_upsample (see
+    # _MAP_LITERAL_MAX): identical rows either way.
+    thrs = {d: int(round(r * SPLIT_BUCKETS))
+            for d, r in sorted(rates.items())}
     b = hash_bucket(id_col, salt)
-    return (docs
-            .withColumn("_mix_thr", thr[F.col(domain_col)])
+    if len(thrs) <= _MAP_LITERAL_MAX:
+        thr_map = F.create_map(*[x for d, t in thrs.items()
+                                 for x in (F.lit(d), F.lit(t))])
+        staged = docs.withColumn("_mix_thr", thr_map[F.col(domain_col)])
+    else:
+        tdf = docs.sparkSession.createDataFrame(
+            list(thrs.items()), f"{domain_col} string, _mix_thr int")
+        staged = docs.join(F.broadcast(tdf), domain_col, "left")
+    return (staged
             .filter(F.col("_mix_thr").isNotNull() & (b < F.col("_mix_thr")))
             .drop("_mix_thr"))
 
@@ -487,22 +500,37 @@ def domain_upsample(docs: DataFrame, epochs: Mapping[str, float],
     Scale notes: a scan-local explode of a 0..reps-1 sequence — no
     shuffle, no driver state beyond the O(#domains) epoch map. Output
     volume is sum_d(epochs_d * tokens_d) by construction, i.e. the
-    budget handed to epoch_rates.
+    budget handed to epoch_rates. Rate delivery adapts to the domain
+    count: a literal `create_map` below `_MAP_LITERAL_MAX` domains
+    (pure projection, zero joins), a BROADCAST equi-join above it —
+    at web scale (10^5-10^6 registrable domains) a literal map would
+    bloat the serialized plan itself, while a broadcast of
+    (domain, full, frac) rows is exactly the small-dim join Spark is
+    built for. Both paths compute identical rows (equality-tested).
     """
     if any(e < 0 for e in epochs.values()):
         raise ValueError("epoch counts must be non-negative")
     full = {d: int(e) for d, e in epochs.items()}
     frac_thr = {d: int(round((e - int(e)) * SPLIT_BUCKETS))
                 for d, e in epochs.items()}
-    m_full = F.create_map(*[x for d in sorted(epochs)
-                            for x in (F.lit(d), F.lit(full[d]))])
-    m_frac = F.create_map(*[x for d in sorted(epochs)
-                            for x in (F.lit(d), F.lit(frac_thr[d]))])
     b = hash_bucket(id_col, salt)
-    reps = (m_full[F.col(domain_col)]
+    if len(epochs) <= _MAP_LITERAL_MAX:
+        m_full = F.create_map(*[x for d in sorted(epochs)
+                                for x in (F.lit(d), F.lit(full[d]))])
+        m_frac = F.create_map(*[x for d in sorted(epochs)
+                                for x in (F.lit(d), F.lit(frac_thr[d]))])
+        staged = docs.withColumn(
+            "_reps", m_full[F.col(domain_col)]
             + (b < m_frac[F.col(domain_col)]).cast("int"))
-    return (docs
-            .withColumn("_reps", reps)
+    else:
+        rates = docs.sparkSession.createDataFrame(
+            [(d, full[d], frac_thr[d]) for d in sorted(epochs)],
+            f"{domain_col} string, _du_full int, _du_frac int")
+        staged = (docs.join(F.broadcast(rates), domain_col, "left")
+                  .withColumn("_reps", F.col("_du_full")
+                              + (b < F.col("_du_frac")).cast("int"))
+                  .drop("_du_full", "_du_frac"))
+    return (staged
             .filter(F.col("_reps").isNotNull() & (F.col("_reps") > 0))
             .withColumn("epoch", F.explode(
                 F.sequence(F.lit(0), F.col("_reps") - 1)))

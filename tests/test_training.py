@@ -532,3 +532,33 @@ def test_stratified_sample_exact_validation(spark):
         stratified_sample_exact(docs, "lang", 0)
     with pytest.raises(ValueError, match="n_buckets"):
         stratified_sample_exact(docs, "lang", 1, n_buckets=0)
+
+
+def test_rate_delivery_paths_agree_above_the_map_literal_cap(spark):
+    """domain_upsample / domain_mix switch from literal create_map to
+    a broadcast rates join above _MAP_LITERAL_MAX domains; both paths
+    must produce identical rows. Forced by monkeypatching the cap
+    down so the small fixture exercises the join path."""
+    import lisp_batch_processor_spark.operators.training as T
+
+    docs = spark.createDataFrame(
+        [(i, f"dom{i % 7}", "tok " * (3 + i % 5)) for i in range(60)],
+        "doc_id bigint, source string, text string")
+    eps = {f"dom{d}": 0.5 + d * 0.4 for d in range(7)}  # frac + >1
+    tgt = {f"dom{d}": 1.0 for d in range(7)}
+    lit_up = sorted(map(tuple, T.domain_upsample(
+        docs, eps, salt="cap-t").select("doc_id", "epoch").collect()))
+    lit_mix = sorted(r[0] for r in T.domain_mix(
+        docs, tgt, salt="cap-t").select("doc_id").collect())
+    cap0 = T._MAP_LITERAL_MAX
+    T._MAP_LITERAL_MAX = 3
+    try:
+        join_up = sorted(map(tuple, T.domain_upsample(
+            docs, eps, salt="cap-t").select("doc_id", "epoch")
+            .collect()))
+        join_mix = sorted(r[0] for r in T.domain_mix(
+            docs, tgt, salt="cap-t").select("doc_id").collect())
+    finally:
+        T._MAP_LITERAL_MAX = cap0
+    assert join_up == lit_up
+    assert join_mix == lit_mix
