@@ -894,3 +894,74 @@ def test_fuzz_fuzzy_contamination(spark):
             if bands_hit and 2 * inter >= uni:
                 want = True
         assert got[i] == want, (i, text)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup vs a numpy replay, randomized corpora and knobs
+# ---------------------------------------------------------------------------
+
+def test_fuzz_semantic_dedup(spark):
+    """Random embedding corpora (clustered + uniform noise + zero
+    vectors) under random (k, tau): the full output equals a numpy
+    replay from the SAME trained centroids — cell argmax, within-cell
+    pairs, min-rep fold — so clustering, thresholding, and the rep
+    rule all agree with the engine exactly."""
+    import numpy as np
+
+    from lisp_batch_processor_spark.operators.dedup import semantic_dedup
+    from lisp_batch_processor_spark.operators.similarity import ivf_train
+
+    rng = np.random.default_rng(704)
+    for case in range(3):
+        dim = int(rng.integers(6, 12))
+        k = int(rng.integers(2, 6))
+        tau = float(rng.uniform(0.6, 0.95))
+        rows = []
+        vid = 0
+        for c in range(int(rng.integers(2, 5))):     # clusters
+            base = rng.standard_normal(dim)
+            base /= np.linalg.norm(base)
+            for _ in range(int(rng.integers(3, 10))):
+                v = base + 0.15 * rng.standard_normal(dim)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        for _ in range(4):                           # uniform noise
+            rows.append((vid, [float(x)
+                               for x in rng.standard_normal(dim)]))
+            vid += 1
+        rows.append((vid, [0.0] * dim))              # zero vector
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        got = {r["vec_id"]: (r["rep_id"], r["is_dup"]) for r in
+               semantic_dedup(emb, k=k, tau=tau, iters=1).collect()}
+
+        cents = np.array(ivf_train(
+            emb.filter("aggregate(transform(embedding, x -> x*x), "
+                       "0.0D, (a, x) -> a + x) > 0"), k=k, iters=1))
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        cells: dict[int, list[int]] = {}
+        unit = {}
+        for i, v in rows:
+            a = np.array(v)
+            n = np.linalg.norm(a)
+            if n == 0:
+                continue
+            u = a / n
+            # argsort(-sims, stable)[0] mirrors the engine's probe
+            # (ties to the LOWEST cell index, unlike argmax on some
+            # negative-zero edge cases — keep the same construction).
+            sims = cents @ u
+            cells.setdefault(
+                int(np.argsort(-sims, kind="stable")[0]), []).append(i)
+            unit[i] = u
+        want = {i: (i, False) for i, _ in rows}
+        nbr: dict[int, int] = {}
+        for members in cells.values():
+            for x in members:
+                for y in members:
+                    if x < y and float(unit[x] @ unit[y]) >= tau:
+                        nbr[y] = min(nbr.get(y, x), x)
+        for y, x in nbr.items():
+            want[y] = (x, True)
+        assert got == want, (case, k, tau)
