@@ -463,6 +463,37 @@ def test_mix_and_epoch_rates_properties(tokens, weights):
             assert abs(e2[d] / e1[d] - 3) < 1e-6
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    tokens=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1, max_size=5),
+    alpha=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_temperature_weights_properties(tokens, alpha):
+    from lisp_batch_processor_spark.operators.training import (
+        temperature_weights)
+    w = temperature_weights(tokens, alpha)
+    assert set(w) == set(tokens)
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in w.values())
+    # Order-preserving: a domain with more tokens never gets LESS
+    # weight, and at alpha=0 every weight is uniform.
+    doms = sorted(tokens, key=tokens.get)
+    for x, y in zip(doms, doms[1:]):
+        assert w[x] <= w[y] + 1e-12
+    if alpha == 0.0:
+        assert all(abs(v - 1 / len(tokens)) < 1e-9 for v in w.values())
+    # Composes with epoch_rates: realized token shares at any budget
+    # equal the temperature mixture.
+    e = epoch_rates(tokens, w, 10**6)
+    out = {d: tokens[d] * e[d] for d in e}
+    tot = sum(out.values())
+    for d in w:
+        assert abs(out[d] / tot - w[d]) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # stratified_sample_exact
 # ---------------------------------------------------------------------------
