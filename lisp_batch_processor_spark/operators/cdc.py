@@ -3,14 +3,26 @@ the upsert companion to `operators.scd`'s type-2 history, persisted
 with BUCKETED dynamic overwrite so per-epoch writes are
 O(touched buckets), not O(table).
 
-Layout at ``path``::
+Layout at ``path`` (swap backend)::
 
     current/_ub=<b>/...   the materialized table, hash-partitioned on
                           pmod(xxhash64(key), n_buckets)
     current/_cdc_epoch    last fully-applied epoch id (exactly-once)
-    _upsert_meta.json     n_buckets + key columns, written at init —
-                          every apply validates against it (a bucket
-                          count change would scatter keys)
+    _upsert_meta.json     n_buckets + key columns + backend, written
+                          at init — every apply validates against it
+                          (a bucket count change would scatter keys)
+
+Versioned backend (object-store-safe)::
+
+    current/e_<seq>/_pb=<b>/...  immutable bucket data written by
+                                 commit <seq> (apply or compaction)
+    current/_m_<seq>.json        manifest: full bucket -> dir map +
+                                 last-applied epoch id; the single
+                                 PUT of this file IS the commit
+
+One manifest PUT commits a whole epoch — data, bucket map, and epoch
+marker atomically — regardless of how many buckets it touched, and
+readers resolve the highest valid manifest with no repair step.
 
 Why type-1 can rewrite buckets in place where type-2 cannot: an
 SCD2 epoch derives NEW rows (the closed versions) from the
@@ -106,14 +118,6 @@ def _read_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(bytes(data).decode())
 
 
-def _bucket_root(cur: str, b: int) -> str:
-    """A versioned-backend bucket's own versioned root. Plain `b=`
-    naming (not the hive `_ub=` syntax): the bucket id travels as a
-    DATA column in this layout and reads resolve explicit version
-    paths, so partition discovery never walks these dirs."""
-    return f"{cur}/b={int(b)}"
-
-
 def _stage_bucketed(df: DataFrame, stage: str) -> None:
     """One partitioned write splitting `df` by bucket into
     ``stage/_pb=<b>/`` dirs, with :data:`BUCKET_COL` kept as a DATA
@@ -123,33 +127,144 @@ def _stage_bucketed(df: DataFrame, stage: str) -> None:
      .write.mode("overwrite").partitionBy("_pb").parquet(stage))
 
 
-def _versioned_bucket_paths(spark: SparkSession, cur: str,
-                            buckets=None) -> list[str]:
-    """Current committed version dir of each (requested) bucket —
-    one driver-side listing per bucket, O(n_buckets) total."""
-    from lisp_batch_processor_spark.sources.writers import (
-        store_data_path)
+# ---------------------------------------------------------------------------
+# Manifest commits — the versioned backend's publication record.
+#
+# One epoch = one JSON manifest ``current/_m_<seq>.json`` holding the
+# FULL bucket -> data-dir map plus the last-applied epoch id; the
+# single-object PUT of that file is the commit point (atomic on every
+# store), exactly the discipline `operators.scd.scd2_split_apply`
+# uses for its one open-slice pointer. Data dirs ``current/e_<seq>/
+# _pb=<b>`` are immutable once written and invisible until a manifest
+# references them. This replaces the round-7 per-bucket versioned
+# roots (one pointer PUT + init + vacuum PER TOUCHED BUCKET per
+# epoch), whose driver round-trips cost 1.52x the swap backend and
+# whose keep-2-per-bucket retention held ~2x the files
+# (SCALE_VERSIONED_r07) — the manifest commit is O(1) FS operations
+# per epoch regardless of touched-bucket count, the epoch id rides
+# the manifest (no separate marker PUT, no marker crash window), and
+# vacuum reclaims every dir unreferenced by the kept manifests.
+# ---------------------------------------------------------------------------
+
+import re as _re_mod
+
+_MANIFEST_RE = _re_mod.compile(r"_m_(\d+)\.json")
+
+
+def _manifest_seqs(spark: SparkSession, cur: str) -> list[int]:
+    """Sequence numbers of every manifest FILE under ``cur`` (valid
+    or torn) — one driver-side listing."""
     jvm, fs, jcur = _hadoop_fs(spark, cur)
     if not fs.exists(jcur):
         return []
-    want = None if buckets is None else {int(b) for b in buckets}
     out = []
     for st in fs.listStatus(jcur):
+        m = _MANIFEST_RE.fullmatch(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _manifest_latest(spark: SparkSession, cur: str):
+    """(seq, manifest) of the highest VALID manifest, or None. A torn
+    top manifest (crash mid-PUT — possible only on stores without
+    atomic single-object PUT) reads as absent and the walk steps down
+    to the previous commit."""
+    from lisp_batch_processor_spark.sources.writers import read_json_file
+    for seq in reversed(_manifest_seqs(spark, cur)):
+        d = read_json_file(spark, f"{cur}/_m_{seq}.json")
+        if isinstance(d, dict) and "buckets" in d:
+            return seq, d
+    return None
+
+
+def _next_seq(spark: SparkSession, cur: str) -> int:
+    """The next unused sequence number: above every manifest file AND
+    every ``e_<k>`` data dir, so a crashed commit's orphan dir is
+    never reused by the replay."""
+    jvm, fs, jcur = _hadoop_fs(spark, cur)
+    hi = -1
+    if fs.exists(jcur):
+        for st in fs.listStatus(jcur):
+            name = st.getPath().getName()
+            m = _MANIFEST_RE.fullmatch(name)
+            if m:
+                hi = max(hi, int(m.group(1)))
+            elif name.startswith("e_"):
+                try:
+                    hi = max(hi, int(name[2:]))
+                except ValueError:
+                    pass
+    return hi + 1
+
+
+def _manifest_commit(spark: SparkSession, cur: str, seq: int,
+                     buckets: dict, epoch: int) -> None:
+    from lisp_batch_processor_spark.sources.writers import write_json_file
+    write_json_file(spark, f"{cur}/_m_{seq}.json",
+                    {"epoch": int(epoch), "buckets": buckets})
+
+
+def _manifest_vacuum(spark: SparkSession, cur: str,
+                     keep: int = 2) -> int:
+    """Reclaim everything the ``keep`` highest valid manifests no
+    longer reference: older/torn manifest files, data dirs superseded
+    by later rewrites of their bucket, and orphan ``e_<k>`` dirs from
+    crashed commits. ``keep=1`` (the applier's default, via
+    upsert_init's ``vacuum_keep``) holds files at swap parity and is
+    crash-safe for the single writer (it runs only after the new
+    manifest is durable); ``keep=2`` additionally pins the previous
+    commit's dirs for a reader that resolved its manifest just
+    before the current PUT (the `sources.writers.versioned_vacuum`
+    contract). Returns the number of paths deleted; single-writer
+    window only."""
+    from lisp_batch_processor_spark.sources.writers import read_json_file
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    seqs = _manifest_seqs(spark, cur)
+    kept_refs: set[str] = set()
+    kept_seqs: list[int] = []
+    for seq in reversed(seqs):
+        if len(kept_seqs) == keep:
+            break
+        d = read_json_file(spark, f"{cur}/_m_{seq}.json")
+        if isinstance(d, dict) and "buckets" in d:
+            kept_seqs.append(seq)
+            kept_refs.update(d["buckets"].values())
+    if not kept_seqs:
+        return 0
+    jvm, fs, jcur = _hadoop_fs(spark, cur)
+    removed = 0
+    for st in fs.listStatus(jcur):
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("b=")):
-            continue
-        if want is not None and int(name[2:]) not in want:
-            continue
-        dp = store_data_path(spark, f"{cur}/{name}")
-        if dp is not None:
-            out.append(dp)
-    return out
+        m = _MANIFEST_RE.fullmatch(name)
+        if m and int(m.group(1)) not in kept_seqs:
+            # Superseded commits below the keep window AND torn
+            # files from crashed PUTs (the single-writer window
+            # means nothing above the writer's own commit is live).
+            fs.delete(st.getPath(), False)
+            removed += 1
+        elif (st.isDirectory() and name.startswith("e_")):
+            live = 0
+            for ch in fs.listStatus(st.getPath()):
+                cname = ch.getPath().getName()
+                if not cname.startswith("_pb="):
+                    continue
+                if f"{name}/{cname}" in kept_refs:
+                    live += 1
+                else:
+                    fs.delete(ch.getPath(), True)
+                    removed += 1
+            if live == 0:
+                fs.delete(st.getPath(), True)
+    return removed
 
 
 def upsert_init(snapshot: DataFrame, path: str,
                 key: str | Sequence[str],
                 n_buckets: int = 64,
-                backend: str = "swap") -> None:
+                backend: str = "swap",
+                vacuum_keep: int = 1) -> None:
     """Materialize the initial table state, hash-bucketed on the key.
 
     ``backend`` picks the publication mechanics (recorded in the
@@ -159,20 +274,34 @@ def upsert_init(snapshot: DataFrame, path: str,
       dirs rewritten through per-bucket recoverable staged swaps —
       HDFS/local-FS correct; reads must not race a live writer
       (see upsert_read).
-    - ``"versioned"``: each bucket is its own pointer-committed
-      versioned root ``current/b=<n>/v_<k>`` with the bucket id as
-      a data column. An apply stages all touched buckets in ONE
-      partitioned write, then commits each bucket dir under a
-      single pointer PUT (`sources.writers.versioned_commit`) — no
-      rename atomicity load-bearing, so this is the object-store
-      mode, and readers resolve pointers without repair (safe
-      concurrently with a live apply).
+    - ``"versioned"``: immutable data dirs ``current/e_<seq>/_pb=<b>``
+      (bucket id kept as a data column) published under ONE
+      manifest-file PUT per epoch (``current/_m_<seq>.json`` — the
+      full bucket -> dir map plus the applied epoch id, the same
+      single-pointer commit discipline as `operators.scd`'s open
+      slice). No rename atomicity is load-bearing and commit cost is
+      O(1) FS operations per epoch regardless of touched-bucket
+      count, so this is the object-store mode; readers resolve the
+      highest valid manifest and never repair.
+
+    ``vacuum_keep`` (versioned only) is how many committed manifests
+    each apply's vacuum retains. The default 1 keeps on-disk files
+    at parity with the swap backend (everything unreferenced by the
+    CURRENT manifest is reclaimed right after the commit) and is
+    fully crash-safe for the single writer — the previous state's
+    dirs are deleted only AFTER the new manifest is durable, so
+    every crash window leaves a resolvable commit. Set >= 2 to
+    additionally give CONCURRENT readers a full commit of lag
+    between resolving a manifest and opening its files, at up to 2x
+    file retention when an epoch touches every bucket.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if backend not in ("swap", "versioned"):
         raise ValueError(f"backend must be 'swap' or 'versioned', "
                          f"got {backend!r}")
+    if vacuum_keep < 1:
+        raise ValueError(f"vacuum_keep must be >= 1, got {vacuum_keep}")
     keys = [key] if isinstance(key, str) else list(key)
     spark = snapshot.sparkSession
     root = path.rstrip("/")
@@ -181,28 +310,31 @@ def upsert_init(snapshot: DataFrame, path: str,
                                    _bucket_col(keys, n_buckets))
     jvm, fs, _ = _hadoop_fs(spark, root)
     if backend == "versioned":
-        from lisp_batch_processor_spark.sources.writers import (
-            versioned_commit, versioned_store_init)
         stage = staging_path(cur)
-        _stage_bucketed(bucketed, stage)
         jstage = jvm.org.apache.hadoop.fs.Path(stage)
-        for st in fs.listStatus(jstage):
+        if fs.exists(jstage):
+            fs.delete(jstage, True)
+        _stage_bucketed(bucketed, stage)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(cur))
+        if not fs.rename(jstage,
+                         jvm.org.apache.hadoop.fs.Path(f"{cur}/e_0")):
+            raise IOError(f"rename {stage} -> {cur}/e_0 failed")
+        bmap = {}
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(
+                f"{cur}/e_0")):
             name = st.getPath().getName()
-            if not name.startswith("_pb="):
-                continue
-            b = int(name[len("_pb="):])
-            versioned_store_init(spark, _bucket_root(cur, b))
-            versioned_commit(spark, _bucket_root(cur, b),
-                             f"{stage}/{name}")
-        fs.delete(jstage, True)
+            if name.startswith("_pb="):
+                bmap[name[len("_pb="):]] = f"e_0/{name}"
+        _manifest_commit(spark, cur, 0, bmap, -1)
     else:
         bucketed.write.partitionBy(BUCKET_COL).parquet(cur)
-    write_epoch_marker(spark, cur, -1, name=_MARKER)
+        write_epoch_marker(spark, cur, -1, name=_MARKER)
     out = fs.create(jvm.org.apache.hadoop.fs.Path(_meta_path(root)), True)
     try:
         out.write(bytearray(json.dumps(
             {"n_buckets": n_buckets, "key": keys,
-             "backend": backend}).encode()))
+             "backend": backend,
+             "vacuum_keep": int(vacuum_keep)}).encode()))
     finally:
         out.close()
 
@@ -223,15 +355,16 @@ def upsert_read(spark: SparkSession, path: str) -> DataFrame:
     meta = _read_meta(spark, path)  # existence check, clear error
     cur = path.rstrip("/") + "/current"
     if meta.get("backend", "swap") == "versioned":
-        paths = _versioned_bucket_paths(spark, cur)
-        if not paths:
-            # An empty-snapshot init creates no bucket stores;
+        latest = _manifest_latest(spark, cur)
+        if latest is None or not latest[1]["buckets"]:
+            # An empty-snapshot init commits an empty bucket map;
             # spark.read.parquet() with zero paths would raise an
             # opaque schema-inference error here.
             raise ValueError(
                 f"versioned upsert table at {path} has no committed "
                 "buckets (initialized from an empty snapshot and "
                 "never applied to?) — apply a non-empty epoch first")
+        paths = [f"{cur}/{rel}" for rel in latest[1]["buckets"].values()]
         return spark.read.parquet(*paths).drop(BUCKET_COL)
     _recover_bucket_swaps(spark, cur)
     return spark.read.parquet(cur).drop(BUCKET_COL)
@@ -266,46 +399,74 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
     versioned = meta.get("backend", "swap") == "versioned"
     root = path.rstrip("/")
     cur = f"{root}/current"
-    marker = read_epoch_marker(spark, cur, name=_MARKER)
-    if marker is not None and marker >= int(epoch_id):
-        return False
+    if versioned:
+        latest = _manifest_latest(spark, cur)
+        if latest is None:
+            raise ValueError(f"versioned upsert table at {path} has "
+                             "no committed manifest (create with "
+                             "upsert_init)")
+        mf = latest[1]
+        if int(mf.get("epoch", -1)) >= int(epoch_id):
+            return False
+    else:
+        marker = read_epoch_marker(spark, cur, name=_MARKER)
+        if marker is not None and marker >= int(epoch_id):
+            return False
 
     upd = (updates.withColumn(BUCKET_COL,
                               _bucket_col(keys, n_buckets))
            .localCheckpoint(eager=True))  # snapshot: feeds 3 plans
     touched = [r[BUCKET_COL]
                for r in upd.select(BUCKET_COL).distinct().collect()]
-    if touched and versioned:
-        # Read the touched buckets' CURRENT committed versions (a
-        # bucket first touched this epoch has no dir yet — it simply
-        # contributes no kept rows). A crashed prior attempt of this
-        # epoch left only orphaned uncommitted version dirs, which
-        # the pointer resolution never sees — no repair step.
-        paths = _versioned_bucket_paths(spark, cur, buckets=touched)
-        upd_keys = upd.select(
-            *[F.col(k).alias(f"_cdc_{k}") for k in keys])
-        cond = [F.col(k).eqNullSafe(F.col(f"_cdc_{k}")) for k in keys]
-        if paths:
-            tcur = spark.read.parquet(*paths)
-            kept = tcur.join(upd_keys, cond, "left_anti")
-            new = kept.unionByName(upd.select(*kept.columns))
+    if versioned:
+        # Derive the touched buckets' new contents from the CURRENT
+        # manifest's dirs (a bucket first touched this epoch has no
+        # entry yet — it simply contributes no kept rows), stage them
+        # in one partitioned write, move the stage to an immutable
+        # e_<seq> dir, and commit the whole epoch under ONE manifest
+        # PUT carrying the epoch id. A crashed prior attempt left at
+        # most an orphaned e_<k> dir (and possibly a torn manifest),
+        # which the valid-manifest walk never resolves — no repair
+        # step, and the replay is a pure function of the previous
+        # committed state. The vacuum call keeps the previous
+        # commit's dirs for any in-flight reader and reclaims
+        # everything older, so file counts track the swap backend's.
+        bmap = dict(mf["buckets"])
+        if touched:
+            paths = [f"{cur}/{bmap[str(int(b))]}" for b in touched
+                     if str(int(b)) in bmap]
+            upd_keys = upd.select(
+                *[F.col(k).alias(f"_cdc_{k}") for k in keys])
+            cond = [F.col(k).eqNullSafe(F.col(f"_cdc_{k}"))
+                    for k in keys]
+            if paths:
+                tcur = spark.read.parquet(*paths)
+                kept = tcur.join(upd_keys, cond, "left_anti")
+                new = kept.unionByName(upd.select(*kept.columns))
+            else:
+                new = upd
+            stage = staging_path(cur)
+            jvm, fs, _ = _hadoop_fs(spark, cur)
+            jstage = jvm.org.apache.hadoop.fs.Path(stage)
+            if fs.exists(jstage):
+                fs.delete(jstage, True)  # stale crashed attempt
+            _stage_bucketed(new, stage)
+            seq = _next_seq(spark, cur)
+            if not fs.rename(jstage, jvm.org.apache.hadoop.fs.Path(
+                    f"{cur}/e_{seq}")):
+                raise IOError(f"rename {stage} -> {cur}/e_{seq} failed")
+            for b in touched:  # pmod(xxhash64(...)) is never NULL
+                bmap[str(int(b))] = f"e_{seq}/_pb={int(b)}"
+            _manifest_commit(spark, cur, seq, bmap, int(epoch_id))
         else:
-            new = upd
-        stage = staging_path(cur)
-        jvm, fs, _ = _hadoop_fs(spark, cur)
-        _stage_bucketed(new, stage)
-        from lisp_batch_processor_spark.sources.writers import (
-            versioned_commit, versioned_store_init, versioned_vacuum)
-        for b in touched:  # pmod(xxhash64(...)) is never NULL
-            broot = _bucket_root(cur, b)
-            versioned_store_init(spark, broot)  # no-op if present
-            versioned_commit(spark, broot, f"{stage}/_pb={b}")
-            # Keep 2 committed versions per bucket: the new one plus
-            # the previous, covering a reader that resolved its
-            # pointer just before this commit.
-            versioned_vacuum(spark, broot, keep=2)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
-    elif touched:
+            # Empty batch: record epoch progression under the same
+            # single-PUT commit (unchanged bucket map).
+            _manifest_commit(spark, cur, _next_seq(spark, cur),
+                             bmap, int(epoch_id))
+        _manifest_vacuum(spark, cur,
+                         keep=int(meta.get("vacuum_keep", 1)))
+        return True
+    if touched:
         # Repair bucket swaps a crashed replay of this (or any prior
         # uncommitted) epoch left half-done, BEFORE reading state.
         _recover_bucket_swaps(spark, cur)
@@ -337,21 +498,24 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
 
 
 def _bucket_dirs(spark: SparkSession, path: str) -> list[str]:
-    """Every bucket directory ROOT of the table (backend-appropriate
-    naming): ``current/_ub=<b>`` for the swap layout, ``current/b=<n>``
-    (each its own versioned store root) for the versioned one. One
-    driver-side listing, O(n_buckets) entries."""
+    """Every bucket's current data directory: ``current/_ub=<b>``
+    dirs for the swap layout (one listing), the latest manifest's
+    referenced dirs for the versioned one (one manifest read)."""
     meta = _read_meta(spark, path)
     cur = path.rstrip("/") + "/current"
-    prefix = ("b=" if meta.get("backend", "swap") == "versioned"
-              else f"{BUCKET_COL}=")
+    if meta.get("backend", "swap") == "versioned":
+        latest = _manifest_latest(spark, cur)
+        if latest is None:
+            return []
+        return [f"{cur}/{rel}"
+                for rel in sorted(latest[1]["buckets"].values())]
     jvm, fs, jcur = _hadoop_fs(spark, cur)
     if not fs.exists(jcur):
         return []
     out = []
     for st in fs.listStatus(jcur):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(prefix):
+        if st.isDirectory() and name.startswith(f"{BUCKET_COL}="):
             out.append(f"{cur}/{name}")
     return out
 
@@ -364,31 +528,70 @@ def upsert_compact(spark: SparkSession, path: str,
     buckets as epochs accrete files"): every apply rewrites its
     touched buckets as one file PER WRITE TASK, so a bucket touched
     by wide shuffles carries up to `spark.sql.shuffle.partitions`
-    small files until compacted. Each bucket routes through
-    `sources.writers.compact`, which resolves the bucket's backend
-    itself (plain swap dir vs pointer-committed versioned root), so
-    the crash-safety story is the backend's own. Buckets whose data
-    path already holds fewer than ``min_files`` data files are
-    skipped — repeated maintenance passes over a quiet table cost
-    one listing, not a rewrite. Returns the number of buckets
-    rewritten. Single-writer window only (same contract as
-    upsert_apply; the stream applier's ``compact_every`` hook runs
-    it inside its own foreachBatch, which IS that window).
+    small files until compacted. Swap buckets route through
+    `sources.writers.compact` (recoverable staged swap per bucket);
+    versioned buckets rewrite into a fresh ``e_<seq>`` dir and
+    commit under ONE manifest PUT for the whole pass, same as an
+    apply. Buckets whose data path already holds fewer than
+    ``min_files`` data files are skipped — repeated maintenance
+    passes over a quiet table cost one listing, not a rewrite.
+    Returns the number of buckets rewritten. Single-writer window
+    only (same contract as upsert_apply; the stream applier's
+    ``compact_every`` hook runs it inside its own foreachBatch,
+    which IS that window).
     """
     from lisp_batch_processor_spark.sources.writers import (
         compact, store_data_path)
+
+    def _n_data_files(dp: str) -> int:
+        jvm, fs, jdp = _hadoop_fs(spark, dp)
+        n = 0
+        for st in fs.listStatus(jdp):
+            if not st.getPath().getName().startswith(("_", ".")):
+                n += 1
+        return n
+
+    meta = _read_meta(spark, path)
+    if meta.get("backend", "swap") == "versioned":
+        cur = path.rstrip("/") + "/current"
+        latest = _manifest_latest(spark, cur)
+        if latest is None:
+            return 0
+        bmap = dict(latest[1]["buckets"])
+        todo = [(b, f"{cur}/{rel}") for b, rel in sorted(bmap.items())
+                if _n_data_files(f"{cur}/{rel}") >= min_files]
+        if not todo:
+            return 0
+        jvm, fs, _ = _hadoop_fs(spark, cur)
+        stage = staging_path(cur)
+        jstage = jvm.org.apache.hadoop.fs.Path(stage)
+        if fs.exists(jstage):
+            fs.delete(jstage, True)
+        for b, dp in todo:
+            size = fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(dp)).getLength()
+            n_files = max(1, -(-size // target_file_bytes))
+            (spark.read.parquet(dp).repartition(n_files)
+             .write.parquet(f"{stage}/_pb={b}"))
+        seq = _next_seq(spark, cur)
+        if not fs.rename(jstage, jvm.org.apache.hadoop.fs.Path(
+                f"{cur}/e_{seq}")):
+            raise IOError(f"rename {stage} -> {cur}/e_{seq} failed")
+        for b, _dp in todo:
+            bmap[b] = f"e_{seq}/_pb={b}"
+        # Compaction advances the manifest, never the epoch id.
+        _manifest_commit(spark, cur, seq, bmap,
+                         int(latest[1].get("epoch", -1)))
+        _manifest_vacuum(spark, cur,
+                         keep=int(meta.get("vacuum_keep", 1)))
+        return len(todo)
 
     done = 0
     for broot in _bucket_dirs(spark, path):
         dp = store_data_path(spark, broot)
         if dp is None:
             continue
-        jvm, fs, jdp = _hadoop_fs(spark, dp)
-        n_data = 0
-        for st in fs.listStatus(jdp):
-            if not st.getPath().getName().startswith(("_", ".")):
-                n_data += 1
-        if n_data < min_files:
+        if _n_data_files(dp) < min_files:
             continue
         compact(spark, broot, target_file_bytes=target_file_bytes)
         done += 1

@@ -15,9 +15,12 @@ Three experiments, one JSON artifact (SCALE_VERSIONED_r07.json):
 2. CDC upsert, swap vs versioned: an initialized N-row table across
    B buckets takes E update epochs (each touching a handful of
    buckets); per-epoch apply time and read time per backend, final
-   state equality. Versioned buckets pay one extra staged
-   partitioned write + a pointer PUT per touched bucket vs the
-   swap's three renames.
+   state equality. Since round 8 the versioned backend commits each
+   epoch under ONE manifest PUT (stage move + manifest + vacuum —
+   O(1) FS ops per epoch, epoch id inside the manifest) instead of
+   round 7's per-bucket pointer PUTs, so the target is parity with
+   the swap's per-bucket renames, not the measured 1.52x of
+   SCALE_VERSIONED_r07.
 
 3. Drift retrain: quantile_hist_retrain_epoch over E epochs with a
    distribution shift injected mid-stream — exactly one retrain must
@@ -210,7 +213,7 @@ def main() -> None:
     epochs = int(os.environ.get("VER_EPOCHS", "40"))
     rows = int(os.environ.get("VER_ROWS", "20000"))
     groups = int(os.environ.get("VER_GROUPS", "64"))
-    out_path = os.environ.get("VER_OUT", "SCALE_VERSIONED_r07.json")
+    out_path = os.environ.get("VER_OUT", "SCALE_VERSIONED_r08.json")
 
     spark = get_spark("scale-versioned", cpus=8, shuffle_partitions=8)
     base = "/tmp/scale_versioned"

@@ -256,21 +256,62 @@ def test_fuzz_upsert_lifecycle_with_crashes(spark, tmp_path):
         assert not upsert_apply(spark, path, upd, epoch_id=epoch)
 
 
+def _manifests(cur):
+    import re
+    return sorted(int(re.fullmatch(r"_m_(\d+)\.json", f).group(1))
+                  for f in os.listdir(cur)
+                  if re.fullmatch(r"_m_(\d+)\.json", f))
+
+
+def _manifest(cur, seq):
+    import json
+    with open(os.path.join(cur, f"_m_{seq}.json")) as f:
+        return json.load(f)
+
+
+def _latest_valid(cur):
+    import json
+    for seq in reversed(_manifests(cur)):
+        try:
+            return _manifest(cur, seq)
+        except json.JSONDecodeError:
+            continue
+    raise AssertionError("no valid manifest")
+
+
+def _disk_bucket_dirs(cur):
+    out = set()
+    for d in os.listdir(cur):
+        if d.startswith("e_") and os.path.isdir(os.path.join(cur, d)):
+            for c in os.listdir(os.path.join(cur, d)):
+                if c.startswith("_pb="):
+                    out.add(f"{d}/{c}")
+    return out
+
+
 def test_upsert_versioned_backend_lifecycle(spark, tmp_path):
-    """The versioned backend (per-bucket pointer-committed version
-    dirs, bucket id as a data column) matches the swap backend state
-    for state, epoch-skip, and crash-replay convergence — with no
-    rename atomicity load-bearing: an orphaned bucket version (crash
-    between the staged commit-move and the pointer PUT) is invisible,
-    and only touched buckets gain a new version."""
+    """The versioned backend (immutable e_<seq>/_pb=<b> data dirs
+    committed under ONE manifest PUT per epoch, bucket id as a data
+    column) matches the swap backend state for state, epoch-skip, and
+    crash-replay — with no rename atomicity load-bearing: an orphaned
+    e_<k> dir (crash between the staged move and the manifest PUT) is
+    invisible, a torn manifest reads as absent, and vacuum keeps the
+    on-disk dir set exactly the union of the two newest manifests'
+    references."""
     import shutil
 
     swap = os.path.join(str(tmp_path), "swap")
     ver = os.path.join(str(tmp_path), "ver")
     snap = [(1, "lyon", "gold"), (2, "oslo", "silver"), (None, "x", "t")]
-    for p, backend in ((swap, "swap"), (ver, "versioned")):
-        upsert_init(spark.createDataFrame(snap, SCHEMA), p, key="k",
-                    n_buckets=8, backend=backend)
+    # vacuum_keep=2: the crash simulations below delete the top
+    # manifest, which models a crash BEFORE the PUT — the previous
+    # commit's dirs must still exist, which is exactly the one-commit
+    # reader grace keep=2 buys (a REAL crash-before-PUT leaves them
+    # at any keep, since vacuum runs only after the commit).
+    upsert_init(spark.createDataFrame(snap, SCHEMA), swap, key="k",
+                n_buckets=8, backend="swap")
+    upsert_init(spark.createDataFrame(snap, SCHEMA), ver, key="k",
+                n_buckets=8, backend="versioned", vacuum_keep=2)
     assert _state(spark, ver) == _state(spark, swap)
 
     batches = [
@@ -284,77 +325,113 @@ def test_upsert_versioned_backend_lifecycle(spark, tmp_path):
         assert _state(spark, ver) == _state(spark, swap)
 
     after = _state(spark, ver)
+    cur = os.path.join(ver, "current")
     upd = spark.createDataFrame(batches[1], SCHEMA)
-    # Completed-epoch replay: marker skip.
+    # Completed-epoch replay: pure skip via the manifest's epoch id
+    # (no separate marker file exists to lose independently).
     assert not upsert_apply(spark, ver, upd, epoch_id=1)
     assert _state(spark, ver) == after
 
-    # Crash before the marker: replay converges (each touched bucket
-    # publishes ANOTHER version with identical content).
-    os.remove(os.path.join(ver, "current", "_cdc_epoch"))
+    # Crash before the manifest PUT == the epoch never happened:
+    # delete the top manifest; the table reverts to the previous
+    # commit and the replay re-derives from it.
+    top = _manifests(cur)[-1]
+    os.remove(os.path.join(cur, f"_m_{top}.json"))
     assert upsert_apply(spark, ver, upd, epoch_id=1)
     assert _state(spark, ver) == after
 
-    # Vacuum bounds versions per bucket: every bucket root holds at
-    # most 2 committed versions.
-    cur = os.path.join(ver, "current")
-    buckets = [d for d in os.listdir(cur) if d.startswith("b=")]
-    assert buckets
-    for b in buckets:
-        vs = [d for d in os.listdir(os.path.join(cur, b))
-              if d.startswith("v_")]
-        assert len(vs) <= 2, (b, vs)
+    # Vacuum bound: at most 2 manifests on disk, and the data dirs
+    # are exactly what those manifests reference.
+    assert len(_manifests(cur)) <= 2
+    kept = _manifests(cur)[-2:]
+    refs = set()
+    for s in kept:
+        refs.update(_manifest(cur, s)["buckets"].values())
+    assert _disk_bucket_dirs(cur) == refs
 
-    # Orphaned version dir (crash between commit-move and pointer):
-    # clone a bucket's current version under the next number with no
-    # pointer — reads are unaffected.
-    b0 = os.path.join(cur, buckets[0])
-    committed = sorted(int(d[2:]) for d in os.listdir(b0)
-                       if d.startswith("v_"))
-    shutil.copytree(os.path.join(b0, f"v_{committed[-1]}"),
-                    os.path.join(b0, f"v_{committed[-1] + 1}"))
+    # Orphaned e_<k> dir (crash between move and manifest PUT):
+    # invisible to reads; the next commit numbers above it.
+    top = _manifests(cur)[-1]
+    ref0 = sorted(_manifest(cur, top)["buckets"].values())[0]
+    shutil.copytree(os.path.join(cur, ref0.split("/")[0]),
+                    os.path.join(cur, f"e_{top + 7}"))
     assert _state(spark, ver) == after
 
-    # Touched-bucket isolation: an update hitting one bucket must not
-    # advance any other bucket's pointer.
-    def ptrs():
-        out = {}
-        for b in os.listdir(cur):
-            if b.startswith("b="):
-                out[b] = sorted(f for f in os.listdir(
-                    os.path.join(cur, b)) if f.endswith(".ptr"))
-        return out
-    before_ptrs = ptrs()
+    # Torn manifest above the valid one: reads step down to the
+    # previous valid commit.
+    with open(os.path.join(cur, f"_m_{top + 8}.json"), "w") as f:
+        f.write('{"bro')
+    crc = os.path.join(cur, f"._m_{top + 8}.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert _state(spark, ver) == after
+
+    # Touched-bucket isolation: an update hitting one bucket changes
+    # exactly that bucket's manifest entry (plus the epoch id).
+    before = _latest_valid(cur)["buckets"]
     assert upsert_apply(spark, ver,
                         spark.createDataFrame([(1, "nice", "gold")],
                                               SCHEMA), epoch_id=2)
-    after_ptrs = ptrs()
-    changed = [b for b in after_ptrs
-               if after_ptrs[b] != before_ptrs.get(b)]
+    now = _latest_valid(cur)["buckets"]
+    assert sorted(now) == sorted(before)
+    changed = [b for b in now if now[b] != before[b]]
     assert len(changed) == 1
     assert _state(spark, ver)[1] == ("nice", "gold")
+    # The orphan and the torn manifest were reclaimed by the
+    # commit's vacuum.
+    assert not os.path.exists(os.path.join(cur, f"e_{top + 7}"))
+    assert _disk_bucket_dirs(cur) == {
+        rel for s in _manifests(cur)[-2:]
+        for rel in _manifest(cur, s)["buckets"].values()}
+
+
+def test_upsert_versioned_default_vacuum_file_parity(spark, tmp_path):
+    """With the default ``vacuum_keep=1``, each apply's vacuum
+    reclaims everything the current manifest doesn't reference:
+    exactly one manifest on disk, data dirs == its references — the
+    swap-parity retention the backend defaults to."""
+    path = os.path.join(str(tmp_path), "t")
+    snap = [(k, f"c{k}", "t") for k in range(12)]
+    upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
+                n_buckets=4, backend="versioned")
+    oracle = {k: (c, t) for k, c, t in snap}
+    cur = os.path.join(path, "current")
+    for e in range(4):
+        rows = [(k, f"v{e}", "u") for k in range(e, 12, 3)]
+        assert upsert_apply(spark, path,
+                            spark.createDataFrame(rows, SCHEMA),
+                            epoch_id=e)
+        for k, c, t in rows:
+            oracle[k] = (c, t)
+        assert _state(spark, path) == oracle
+        ms = _manifests(cur)
+        assert len(ms) == 1
+        assert _disk_bucket_dirs(cur) == set(
+            _manifest(cur, ms[0])["buckets"].values())
 
 
 def test_fuzz_upsert_versioned_lifecycle_with_crashes(spark, tmp_path):
-    """Randomized upsert chain on the VERSIONED backend with its own
-    crash grammar — marker loss (replay re-publishes convergently),
-    orphaned bucket versions (data moved in, pointer never PUT), and
-    stale staging leftovers — replaying after every crash; the table
-    must equal a dict oracle after every epoch."""
+    """Randomized upsert chain on the VERSIONED (manifest) backend
+    with its own crash grammar — lost top manifest (the epoch never
+    committed; replay re-derives from the previous commit), orphaned
+    e_<k> dirs (staged data moved in, manifest never PUT), torn
+    manifests, and stale staging leftovers — replaying after every
+    crash; the table must equal a dict oracle after every epoch, and
+    the on-disk dir set must stay exactly the kept manifests'
+    references."""
     import random
     import shutil
 
     rng = random.Random(719)
     path = os.path.join(str(tmp_path), "t1")
-    n_buckets = 4
     snap = [(k, f"c{k}", "t") for k in range(20)] + [(None, "n", "t")]
+    # vacuum_keep=2 for the same reason as the lifecycle test: the
+    # lost-manifest crash arms model crash-before-PUT by deleting a
+    # manifest whose vacuum already ran.
     upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
-                n_buckets=n_buckets, backend="versioned")
+                n_buckets=4, backend="versioned", vacuum_keep=2)
     oracle = {k: (c, t) for k, c, t in snap}
     cur = os.path.join(path, "current")
-
-    def bucket_dirs():
-        return [d for d in os.listdir(cur) if d.startswith("b=")]
 
     for epoch in range(8):
         rows, seen = [], set()
@@ -371,37 +448,52 @@ def test_fuzz_upsert_versioned_lifecycle_with_crashes(spark, tmp_path):
             oracle[k] = (c, t)
 
         crash = rng.random()
-        marker = os.path.join(cur, "_cdc_epoch")
         if crash < 0.35:
-            # Crash before the marker: replay publishes another
-            # version per touched bucket with identical content.
-            os.remove(marker)
+            # Crash before the manifest PUT: the epoch is invisible;
+            # the replay re-derives it from the previous commit.
+            top = _manifests(cur)[-1]
+            os.remove(os.path.join(cur, f"_m_{top}.json"))
             assert upsert_apply(spark, path, upd, epoch_id=epoch)
         elif crash < 0.6:
-            # Orphaned version: a bucket's current version cloned to
-            # the next number with NO pointer (crash between the
-            # commit-move and the pointer PUT) + marker loss.
-            b = rng.choice(bucket_dirs())
-            broot = os.path.join(cur, b)
-            vs = sorted(int(d[2:]) for d in os.listdir(broot)
-                        if d.startswith("v_"))
-            shutil.copytree(os.path.join(broot, f"v_{vs[-1]}"),
-                            os.path.join(broot, f"v_{vs[-1] + 1}"))
-            os.remove(marker)
+            # Orphaned e_<k> dir (move done, manifest never PUT) +
+            # lost manifest: replay numbers above the orphan.
+            top = _manifests(cur)[-1]
+            ref = sorted(_manifest(cur, top)["buckets"].values())[0]
+            shutil.copytree(os.path.join(cur, ref.split("/")[0]),
+                            os.path.join(cur, f"e_{top + 3}"))
+            os.remove(os.path.join(cur, f"_m_{top}.json"))
             assert upsert_apply(spark, path, upd, epoch_id=epoch)
-        elif crash < 0.8:
-            # Stale staging dir from a crashed attempt: the replay's
-            # overwrite stage must not be confused by it.
+        elif crash < 0.75:
+            # Torn manifest from a mid-PUT crash: reads step down,
+            # the replay commits above it.
+            top = _manifests(cur)[-1]
+            os.remove(os.path.join(cur, f"_m_{top}.json"))
+            with open(os.path.join(cur, f"_m_{top}.json"), "w") as f:
+                f.write('{"epoch": ')
+            crc = os.path.join(cur, f"._m_{top}.json.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        elif crash < 0.9:
+            # Stale staging dir from a crashed attempt: the replay
+            # must clear it, not commit it.
             stage = os.path.join(path, "._staging_current", "_pb=0")
             os.makedirs(stage, exist_ok=True)
             with open(os.path.join(stage, "junk"), "w") as f:
                 f.write("stale")
-            os.remove(marker)
+            top = _manifests(cur)[-1]
+            os.remove(os.path.join(cur, f"_m_{top}.json"))
             assert upsert_apply(spark, path, upd, epoch_id=epoch)
         # else: clean epoch.
 
         assert _state(spark, path) == oracle, f"epoch {epoch}"
         assert not upsert_apply(spark, path, upd, epoch_id=epoch)
+        # Retention invariant: <= 2 manifests, disk dirs == their refs.
+        ms = _manifests(cur)
+        assert len(ms) <= 2
+        refs = {rel for s in ms
+                for rel in _manifest(cur, s)["buckets"].values()}
+        assert _disk_bucket_dirs(cur) == refs, f"epoch {epoch}"
 
 
 def _bucket_file_counts(spark, path):
