@@ -1294,7 +1294,8 @@ def srp_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
 
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", delim: str = "\n",
-               min_chars: int = 1, min_repeat: int = 2) -> DataFrame:
+               min_chars: int = 1, min_repeat: int = 2,
+               policy: str = "winner") -> DataFrame:
     """Global sub-document exact dedup (the C4/MassiveText line-level
     pass): split every document into delimiter-separated lines, drop
     every occurrence of a line except the corpus-wide FIRST one
@@ -1314,6 +1315,18 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
         e.g. 100 to remove only heavy boilerplate while leaving
         incidental two-page overlaps alone — the RefinedWeb-style
         threshold).
+      - ``policy``: what survives of a line that clears
+        ``min_repeat``. ``"winner"`` (default) keeps ONLY the
+        corpus-wide first occurrence — the retroactive batch
+        semantics. ``"prefix"`` keeps the first ``min_repeat - 1``
+        occurrences and strips every later one — the "a line becomes
+        boilerplate once it has been seen k-1 times" rule, which is
+        the only semantics an emit-immediately stream can compute
+        (earlier occurrences were already durably emitted when the
+        k-th arrives; `streaming.dedup.streaming_line_dedup_ingest`
+        at ``min_repeat > 2`` is pinned against THIS policy). The
+        two policies coincide exactly at ``min_repeat = 2`` (first
+        k-1 = first 1 = the winner).
 
     Returns one row per input document:
     ``(id_col, text_col, lines_total, lines_kept)`` — rebuilt text is
@@ -1350,11 +1363,35 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
                      .alias("_ld_w"),
                     F.count(F.lit(1)).alias("_ld_n")))
-    kept = (keyed.join(winners, "_ld_key", "left")
-            .filter(F.col("_ld_key").isNull()
-                    | (F.col("_ld_n") < min_repeat)
-                    | ((F.col("_ld_w.d") == did)
-                       & (F.col("_ld_w.p") == pos))))
+    if policy not in ("winner", "prefix"):
+        raise ValueError(f"policy must be 'winner' or 'prefix', "
+                         f"got {policy!r}")
+    joined = keyed.join(winners, "_ld_key", "left")
+    if policy == "prefix" and min_repeat > 2:
+        # Keep the first min_repeat-1 occurrences. Rank is needed
+        # only for keys that actually cleared the threshold (others
+        # keep everything), so the window runs over the crossing
+        # subset alone; its partition holds every occurrence of a
+        # crossing key — bounded in the streaming pin's per-epoch
+        # use, and still key-bucketed (never a cross product) here.
+        from pyspark.sql import Window
+        safe = joined.filter(F.col("_ld_key").isNull()
+                             | (F.col("_ld_n") < min_repeat))
+        w = (Window.partitionBy("_ld_key")
+             .orderBy(did.asc(), pos.asc()))
+        kept = safe.unionByName(
+            joined.filter(F.col("_ld_key").isNotNull()
+                          & (F.col("_ld_n") >= min_repeat))
+            .withColumn("_ld_rn", F.row_number().over(w))
+            .filter(F.col("_ld_rn") <= min_repeat - 1)
+            .drop("_ld_rn"))
+    else:
+        # "winner" — and "prefix" at min_repeat=2, where first k-1
+        # occurrences IS the single winner.
+        kept = joined.filter(F.col("_ld_key").isNull()
+                             | (F.col("_ld_n") < min_repeat)
+                             | ((F.col("_ld_w.d") == did)
+                                & (F.col("_ld_w.p") == pos)))
     rebuilt = (kept.groupBy("_ld_did")
                .agg(F.array_join(
                         F.transform(

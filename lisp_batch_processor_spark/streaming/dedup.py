@@ -154,15 +154,24 @@ def line_digest_keys(docs: DataFrame, text_col: str = "text",
             .select(F.md5("_l").alias("line_key")).distinct())
 
 
+_LINE_SCHEMA = "line_key string, epoch_id long, n long"
+
+
 def line_store_init(spark, line_store_path: str,
                     backend: str = "swap") -> None:
     """Create an empty epoch-tagged line-digest store — the persisted
     state `streaming_line_dedup_ingest` and `line_dedup_ingest_epoch`
-    maintain. Seed corpus digests may be appended afterwards with any
-    ``epoch_id < 0``. ``backend="versioned"`` publishes through
-    pointer-committed version dirs instead of the root + staged swap
-    (`sources.writers` store backends) — the object-store-safe mode;
-    all ingest/compact/read semantics are identical."""
+    maintain: (line_key, epoch_id, n) where ``n`` is the line's
+    occurrence count recorded by that epoch (rows written before
+    round 8 — and seed rows — lack the column and read as n=1, a
+    documented membership lower bound). Seed corpus digests may be
+    appended afterwards with any ``epoch_id < 0``, to a FRESH store
+    only (folded base rows and seed rows share the −1 tag; the
+    compaction fold assumes at most one of them per key).
+    ``backend="versioned"`` publishes through pointer-committed
+    version dirs instead of the root + staged swap (`sources.writers`
+    store backends) — the object-store-safe mode; all
+    ingest/compact/read semantics are identical."""
     from lisp_batch_processor_spark.sources.writers import (
         store_append, versioned_store_init)
 
@@ -171,7 +180,7 @@ def line_store_init(spark, line_store_path: str,
                          f"got {backend!r}")
     if backend == "versioned":
         versioned_store_init(spark, line_store_path)
-    empty = spark.createDataFrame([], "line_key string, epoch_id long")
+    empty = spark.createDataFrame([], _LINE_SCHEMA)
     store_append(empty, line_store_path)
 
 
@@ -194,14 +203,16 @@ def line_store_compact(spark, line_store_path: str,
     appended file-set per micro-batch forever; the membership join
     re-reads them all each epoch). Same epoch discipline as
     `operators.sketches.sketch_store_compact`: everything except the
-    ``keep_live`` highest epoch ids folds to DISTINCT line keys
-    tagged epoch −1 (< any live epoch, so every later epoch's
-    ``epoch_id < e`` membership filter still admits the base, and a
-    replay of the live epoch still EXCLUDES its own re-appended rows
-    — the exactly-once mechanism is untouched). Seed rows (epoch
-    < 0) fold too; membership is all that matters below the live
-    tail. Duplicate (line_key, epoch) rows from past replays
-    collapse in the fold's distinct. Returns the number of epochs
+    ``keep_live`` highest epoch ids folds to ONE row per line key
+    tagged epoch −1 carrying the SUM of the folded counts (< any
+    live epoch, so every later epoch's ``epoch_id < e``
+    membership/count filter still admits the base, and a replay of
+    the live epoch still EXCLUDES its own re-appended rows — the
+    exactly-once mechanism is untouched). Seed rows (epoch < 0) fold
+    too (count 1 each — membership lower bound). Duplicate
+    (line_key, epoch) rows from past replays carry identical counts
+    and collapse in the fold's per-epoch dedup BEFORE the sum, so a
+    replay can never double-count. Returns the number of epochs
     folded; published through the store's backend (staged swap, or
     the next pointer-committed version for a versioned store);
     single-writer window required.
@@ -219,10 +230,10 @@ def line_store_compact(spark, line_store_path: str,
         raise ValueError(
             f"line store at {root} lacks the epoch_id column "
             "(create with line_store_init)")
-    # Declared-long read upcasts pre-r6 int32 epoch files; the
-    # rewrite below then makes the whole store int64.
-    df = spark.read.schema("line_key string, epoch_id long") \
-        .parquet(data_path)
+    # Declared-schema read upcasts pre-r6 int32 epoch files and
+    # yields NULL counts (-> 1) for pre-r8/seed rows; the rewrite
+    # below then normalizes the whole store.
+    df = spark.read.schema(_LINE_SCHEMA).parquet(data_path)
     epochs = sorted(r[0] for r in
                     df.select("epoch_id").distinct().collect())
     live = set(epochs[-keep_live:])
@@ -230,11 +241,17 @@ def line_store_compact(spark, line_store_path: str,
     if len(foldable) < 2:
         return 0
     base = (df.filter(F.col("epoch_id").isin(foldable))
-            .select("line_key").distinct()
-            .withColumn("epoch_id", F.lit(-1).cast("long")))
+            .dropDuplicates(["line_key", "epoch_id"])
+            .groupBy("line_key")
+            .agg(F.sum(F.coalesce("n", F.lit(1)))
+                 .cast("long").alias("n"))
+            .withColumn("epoch_id", F.lit(-1).cast("long"))
+            .select("line_key", "epoch_id", "n"))
     folded = base.unionByName(
         df.filter(~F.col("epoch_id").isin(foldable))
-          .dropDuplicates(["line_key", "epoch_id"]))
+          .dropDuplicates(["line_key", "epoch_id"])
+          .select("line_key", "epoch_id",
+                  F.coalesce("n", F.lit(1)).cast("long").alias("n")))
     jvm, fs, _ = _hadoop_fs(spark, root)
     size = fs.getContentSummary(
         jvm.org.apache.hadoop.fs.Path(data_path)).getLength()
@@ -245,28 +262,48 @@ def line_store_compact(spark, line_store_path: str,
 
 def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
                             epoch_id: int, delim: str = "\n",
-                            min_chars: int = 1) -> DataFrame:
+                            min_chars: int = 1,
+                            min_repeat: int = 2) -> DataFrame:
     """One epoch of incremental line dedup against the persisted
-    digest store: rebuild the batch's docs with every line already in
-    the store removed, append the surviving first-occurrence digests
-    (tagged with ``epoch_id``), and return the epoch's
+    digest store: rebuild the batch's docs with every over-threshold
+    line removed, append the epoch's digest counts (tagged with
+    ``epoch_id``), and return the epoch's
     (doc_id, text, lines_total, lines_kept) rows, eagerly
     materialized.
 
-    REPLAY-SAFE BY EPOCH TAG: the membership read filters the store
-    to ``epoch_id < this epoch``, so a replay that runs AFTER its own
-    prior append (crash between the append and the epoch commit)
-    excludes exactly that append and recomputes the identical output
-    — without the tag, the replayed docs were deduped against their
-    own lines and the durable output stripped every line to ''. The
-    re-append writes duplicate (line_key, epoch_id) rows, which a
-    membership store tolerates. Pinned by
+    ``min_repeat`` semantics are the PREFIX policy
+    (`operators.dedup.line_dedup(policy="prefix")`): the first
+    ``min_repeat - 1`` corpus-wide occurrences of a line survive and
+    every later one is stripped — the only semantics an
+    emit-immediately stream can compute (the batch default "winner"
+    policy retroactively strips occurrences that earlier epochs
+    already durably emitted; the two coincide exactly at the default
+    min_repeat=2). Occurrence counts accrue per (line_key, epoch):
+    the store read sums strictly-earlier epochs' counts per key, the
+    batch's occurrences rank against the remaining slots, and keys
+    already at the threshold stop accruing rows (so the store stays
+    ~one row per distinct line per epoch it was still novel in).
+    Use ONE min_repeat per store: counts stop at saturation, so a
+    store built at k undercounts for any k' > k. Rows written before
+    round 8 (and seed rows) lack the count column and read as n=1 —
+    a documented membership lower bound, exact at min_repeat=2.
+
+    REPLAY-SAFE BY EPOCH TAG: the count read filters the store to
+    ``epoch_id < this epoch`` and collapses duplicate
+    (line_key, epoch) rows before summing, so a replay that runs
+    AFTER its own prior append (crash between the append and the
+    epoch commit) excludes exactly that append and recomputes the
+    identical output — without the tag, the replayed docs were
+    deduped against their own lines and the durable output stripped
+    every line to ''. Pinned by
     tests/test_streaming_dedup.py::test_line_dedup_epoch_replay.
     """
     import re as _re
 
     from pyspark.sql import functions as F
 
+    if min_repeat < 2:
+        raise ValueError(f"min_repeat must be >= 2, got {min_repeat}")
     spark = batch_df.sparkSession
     batch = batch_df.localCheckpoint(eager=True)
     # Resolve the store's data through its backend (repairs a crashed
@@ -284,12 +321,12 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
             "column; create it with line_store_init (pre-r5 stores: "
             "rewrite once with epoch_id = -1)")
     # Explicit schema: epochs written before round 6 landed as int32
-    # (F.lit of a small Python int) while init/compact write int64 —
-    # the declared-long read upcasts the legacy files.
-    store_df = spark.read.schema("line_key string, epoch_id long") \
-        .parquet(data_path)
-    seen = (store_df.filter(F.col("epoch_id") < F.lit(int(epoch_id)))
-            .select("line_key"))
+    # (F.lit of a small Python int) while init/compact write int64,
+    # and pre-r8 rows lack the count column — the declared read
+    # upcasts/NULL-fills the legacy files.
+    store_df = spark.read.schema(_LINE_SCHEMA).parquet(data_path)
+    earlier = store_df.filter(
+        F.col("epoch_id") < F.lit(int(epoch_id)))
     did, pos, line = (F.col("_sl_did"), F.col("_sl_pos"),
                       F.col("_sl_line"))
     lines = (batch.select(
@@ -301,16 +338,69 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
                            F.md5(line)))
         .localCheckpoint(eager=True))
     keyed = lines.filter(F.col("_sl_key").isNotNull())
-    novel = keyed.join(seen,
-                       keyed["_sl_key"] == seen["line_key"],
-                       "left_anti")
-    winners = (novel.groupBy("_sl_key")
-               .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
-                     .alias("_sl_w")))
-    kept_keyed = (novel.join(winners, "_sl_key")
-                  .filter((F.col("_sl_w.d") == did)
-                          & (F.col("_sl_w.p") == pos))
-                  .select("_sl_did", "_sl_pos", "_sl_line"))
+    if min_repeat == 2:
+        # Membership fast path: one anti-join against the key-only
+        # store, min-struct winner per novel key (skew-free — the
+        # agg has map-side partial combine, no ranking window).
+        novel = keyed.join(earlier.select("line_key"),
+                           keyed["_sl_key"] == F.col("line_key"),
+                           "left_anti")
+        winners = (novel.groupBy("_sl_key")
+                   .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
+                         .alias("_sl_w"),
+                        F.count(F.lit(1)).alias("_sl_cnt")))
+        kept_keyed = (novel.join(winners, "_sl_key")
+                      .filter((F.col("_sl_w.d") == did)
+                              & (F.col("_sl_w.p") == pos))
+                      .select("_sl_did", "_sl_pos", "_sl_line"))
+        appends = winners.select(
+            F.col("_sl_key").alias("line_key"),
+            F.lit(int(epoch_id)).cast("long").alias("epoch_id"),
+            F.col("_sl_cnt").cast("long").alias("n"))
+    else:
+        # Count path: prior occurrences per key from the store
+        # (replay-deduped per epoch, then summed), remaining slots =
+        # min_repeat-1 - prior; keys whose batch count fits keep all
+        # occurrences with no ranking, only keys CROSSING the
+        # threshold this epoch pay a row_number window (bounded by
+        # the epoch batch, and only in the one epoch they cross).
+        from pyspark.sql import Window
+
+        prior = (earlier.dropDuplicates(["line_key", "epoch_id"])
+                 .groupBy("line_key")
+                 .agg(F.sum(F.coalesce("n", F.lit(1)))
+                      .alias("_sl_prior")))
+        stats = (keyed.groupBy("_sl_key")
+                 .agg(F.count(F.lit(1)).alias("_sl_cnt"))
+                 .join(prior, F.col("_sl_key") == F.col("line_key"),
+                       "left")
+                 .select("_sl_key", "_sl_cnt",
+                         F.coalesce("_sl_prior", F.lit(0))
+                          .alias("_sl_prior"))
+                 .withColumn("_sl_slots",
+                             F.lit(min_repeat - 1)
+                             - F.col("_sl_prior")))
+        joined = keyed.join(stats, "_sl_key")
+        keep_all = joined.filter(F.col("_sl_cnt")
+                                 <= F.col("_sl_slots"))
+        w = Window.partitionBy("_sl_key").orderBy(did.asc(),
+                                                  pos.asc())
+        ranked = (joined.filter((F.col("_sl_slots") >= 1)
+                                & (F.col("_sl_cnt")
+                                   > F.col("_sl_slots")))
+                  .withColumn("_sl_rn", F.row_number().over(w))
+                  .filter(F.col("_sl_rn") <= F.col("_sl_slots"))
+                  .drop("_sl_rn"))
+        kept_keyed = (keep_all.unionByName(ranked)
+                      .select("_sl_did", "_sl_pos", "_sl_line"))
+        # Saturated keys (prior already >= min_repeat-1) stop
+        # accruing rows — their sum can only stay >= the threshold.
+        appends = (stats.filter(F.col("_sl_prior")
+                                < F.lit(min_repeat - 1))
+                   .select(F.col("_sl_key").alias("line_key"),
+                           F.lit(int(epoch_id)).cast("long")
+                            .alias("epoch_id"),
+                           F.col("_sl_cnt").cast("long").alias("n")))
     kept = (lines.filter(F.col("_sl_key").isNull())
             .select("_sl_did", "_sl_pos", "_sl_line")
             .unionByName(kept_keyed))
@@ -342,37 +432,36 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
                     .alias("lines_kept"))
            .localCheckpoint(eager=True))  # materialize pre-append
     from lisp_batch_processor_spark.sources.writers import store_append
-    store_append(
-        winners.select(F.col("_sl_key").alias("line_key"),
-                       F.lit(int(epoch_id)).cast("long")
-                        .alias("epoch_id")),
-        line_store_path)
+    store_append(appends, line_store_path)
     return out
 
 
 def streaming_line_dedup_ingest(stream_docs: DataFrame,
                                 line_store_path: str, sink,
                                 delim: str = "\n",
-                                min_chars: int = 1):
+                                min_chars: int = 1,
+                                min_repeat: int = 2):
     """Streaming ingest with ever-growing LINE-level boilerplate
     suppression — the streaming twin of `operators.dedup.line_dedup`
-    at its default ``min_repeat=2`` (any line seen before is
-    boilerplate): each micro-batch of (doc_id, text) docs is one
-    :func:`line_dedup_ingest_epoch` — rebuilt with every line already
-    in the PERSISTED digest store (or earlier in the batch, by
-    (doc_id, position)) removed, the surviving first-occurrence
-    digests appended epoch-tagged so later micro-batches dedup
+    with the PREFIX policy: each micro-batch of (doc_id, text) docs
+    is one :func:`line_dedup_ingest_epoch` — rebuilt with every line
+    whose corpus-wide occurrence index reaches ``min_repeat``
+    removed (ordered by epoch, then (doc_id, position)), the epoch's
+    digest counts appended epoch-tagged so later micro-batches count
     against them. Lines shorter than ``min_chars`` are exempt, as in
     the batch operator. ``sink(docs_df, epoch_id)`` receives each
     epoch's (doc_id, text, lines_total, lines_kept) rows. Seed the
     store with :func:`line_store_init`.
 
-    Thresholds above 2 need corpus-wide occurrence COUNTS, which an
-    append-only digest store cannot carry — run the batch operator
-    with ``min_repeat=k`` over the accumulated corpus for that
-    (documented trade-off). With batch doc_ids ordered across
-    epochs, replaying the epochs is EXACTLY the batch operator over
-    the concatenated corpus (pinned by tests/test_streaming_dedup.py).
+    With batch doc_ids ordered across epochs, replaying the epochs
+    is EXACTLY the batch operator over the concatenated corpus —
+    ``line_dedup(min_repeat=2)`` at the default (where the winner
+    and prefix policies coincide), ``line_dedup(min_repeat=k,
+    policy="prefix")`` above it (the batch "winner" default
+    retroactively strips occurrences an emit-immediately stream has
+    already durably emitted, so no stream can match it — the honest
+    trade is pinned, not papered over). Both pinned by
+    tests/test_streaming_dedup.py.
 
     Same foreachBatch rationale as `streaming_near_dup_ingest`;
     checkpointed epoch REPLAY is safe in both crash windows: the
@@ -392,7 +481,8 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         out = line_dedup_ingest_epoch(batch_df, line_store_path,
                                       epoch_id, delim=delim,
-                                      min_chars=min_chars)
+                                      min_chars=min_chars,
+                                      min_repeat=min_repeat)
         sink(out, epoch_id)
 
     return stream_docs.writeStream.foreachBatch(_process)

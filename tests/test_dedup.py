@@ -851,3 +851,62 @@ def test_round7_operators_never_go_cartesian(spark):
         [(i, [float(x) for x in rng.normal(size=16)])
          for i in range(40)], "vec_id long, embedding array<double>")
     assert_no_cartesian(semantic_dedup(emb, k=4, iters=0))
+
+
+def test_line_dedup_prefix_policy_matches_python_oracle(spark):
+    """policy='prefix' keeps the first min_repeat-1 occurrences of a
+    crossing line (corpus order by (doc_id, pos)) and everything
+    under the threshold — checked against a counting Python oracle;
+    and at min_repeat=2 prefix == winner exactly."""
+    from lisp_batch_processor_spark.operators.dedup import line_dedup
+
+    docs = [(0, "A\nB"), (1, "A\nC"), (2, "A\nB\nA"), (3, None),
+            (4, "")]
+    schema = "doc_id long, text string"
+    df = spark.createDataFrame(docs, schema)
+
+    def oracle(k):
+        seen: dict = {}
+        out = {}
+        for d, t in sorted(docs):
+            if t is None:
+                out[d] = (None, None, None)
+                continue
+            lines = t.split("\n")
+            kept = []
+            for ln in lines:
+                seen[ln] = seen.get(ln, 0) + 1
+                kept.append((ln, seen[ln]))
+            out[d] = (lines, kept)
+        total = seen
+        res = {}
+        for d, t in sorted(docs):
+            if t is None:
+                res[d] = (None, None, None)
+                continue
+            lines, kept = out[d]
+            surv = [ln for ln, idx in kept
+                    if total[ln] < k or idx <= k - 1]
+            res[d] = ("\n".join(surv), len(lines), len(surv))
+        return res
+
+    got = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+           for r in line_dedup(df, min_repeat=3,
+                               policy="prefix").collect()}
+    assert got == oracle(3)
+    # The crossing line specifically: A keeps its first TWO
+    # occurrences under prefix (winner would keep one).
+    assert got[2] == ("B", 3, 1)
+    assert got[0] == ("A\nB", 2, 2)
+    assert got[1] == ("A\nC", 2, 2)
+
+    # prefix == winner at min_repeat=2.
+    p2 = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+          for r in line_dedup(df, min_repeat=2,
+                              policy="prefix").collect()}
+    w2 = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+          for r in line_dedup(df, min_repeat=2).collect()}
+    assert p2 == w2
+
+    with pytest.raises(ValueError, match="policy"):
+        line_dedup(df, policy="nope").collect()

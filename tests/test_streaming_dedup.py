@@ -467,3 +467,132 @@ def test_line_store_versioned_backend_matches_swap(spark, tmp_path):
     # Bounded: at most 2 committed versions remain.
     vs = [d for d in os.listdir(ver) if d.startswith("v_")]
     assert len(vs) <= 2
+
+
+def test_streaming_line_dedup_min_repeat3_matches_batch_prefix(
+        spark, tmp_path):
+    """min_repeat=3 via epoch-tagged COUNTS: the epoch concatenation
+    equals line_dedup(min_repeat=3, policy='prefix') over the full
+    corpus — first 2 occurrences of every line survive, the 3rd and
+    later strip, across epochs (persisted counts), within an epoch
+    (batch ranking), and within a doc."""
+    from lisp_batch_processor_spark.operators.dedup import line_dedup
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_init)
+
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines3.parquet")
+    line_store_init(spark, store)
+
+    batches = [
+        # A twice across docs (fills both slots), B/C once.
+        [(0, "AAA\nBBB"), (1, "AAA\nCCC")],
+        # A saturated -> stripped; D novel.
+        [(10, "AAA\nDDD")],
+        # D at prior=1: one slot left, in-batch cnt=2 -> rank keeps
+        # the first occurrence only; E novel.
+        [(20, "DDD\nEEE\nDDD")],
+    ]
+
+    got = {}
+    for e, rows in enumerate(batches):
+        out = line_dedup_ingest_epoch(
+            spark.createDataFrame(rows, schema), store, e,
+            min_repeat=3)
+        got.update({r.doc_id: (r.text, r.lines_total, r.lines_kept)
+                    for r in out.collect()})
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    want = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+            for r in line_dedup(full, min_repeat=3,
+                                policy="prefix").collect()}
+    assert got == want
+    # The load-bearing rows, explicitly.
+    assert got[0] == ("AAA\nBBB", 2, 2)
+    assert got[1] == ("AAA\nCCC", 2, 2)
+    assert got[10] == ("DDD", 2, 1)        # AAA = 3rd occurrence
+    assert got[20] == ("DDD\nEEE", 3, 2)   # DDD slot left: first
+    #                                        in-batch occurrence
+    #                                        kept, second stripped
+
+    # Saturated keys stop accruing store rows.
+    from pyspark.sql import functions as F
+    store_df = spark.read.schema(
+        "line_key string, epoch_id long, n long").parquet(store)
+    per_key = {r.k: r.s for r in
+               store_df.groupBy(F.col("line_key").alias("k"))
+               .agg(F.sum("n").alias("s")).collect()}
+    import hashlib
+    key = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert per_key[key("AAA")] == 2   # epoch 1 appended nothing
+    assert per_key[key("DDD")] == 3   # 1 (e1) + 2 (e2, crossing)
+
+
+def test_line_dedup_min_repeat3_replay_exactly_once(spark, tmp_path):
+    """A min_repeat=3 epoch replayed AFTER its own count append must
+    emit identical rows AND not double-count: the strictly-earlier
+    filter excludes the replay's own rows, and duplicate
+    (line_key, epoch) rows collapse before the sum for later epochs."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_init)
+
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines3r.parquet")
+    line_store_init(spark, store)
+
+    batch = spark.createDataFrame([(0, "XXX\nYYY"), (1, "XXX")], schema)
+    first = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+             for r in line_dedup_ingest_epoch(
+                 batch, store, 0, min_repeat=3).collect()}
+    assert first == {0: ("XXX\nYYY", 2, 2), 1: ("XXX", 1, 1)}
+    replay = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+              for r in line_dedup_ingest_epoch(
+                  batch, store, 0, min_repeat=3).collect()}
+    assert replay == first
+
+    # Later epoch sees prior(XXX) = 2 exactly once (not 4 — but the
+    # real probe is YYY: prior must be 1, leaving one slot).
+    later = spark.createDataFrame([(5, "YYY\nXXX\nZZZ")], schema)
+    out = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+           for r in line_dedup_ingest_epoch(
+               later, store, 1, min_repeat=3).collect()}
+    assert out[5] == ("YYY\nZZZ", 3, 2)
+
+
+def test_line_store_compact_folds_counts(spark, tmp_path):
+    """Compaction at min_repeat=3: folding epochs into the −1 base
+    SUMS their per-key counts, so post-fold epochs see the same
+    priors as an uncompacted twin — outputs stay identical."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_compact, line_store_init)
+
+    schema = "doc_id long, text string"
+    a = os.path.join(str(tmp_path), "fold_a")
+    b = os.path.join(str(tmp_path), "fold_b")
+    line_store_init(spark, a)
+    line_store_init(spark, b)
+
+    epochs = [
+        [(0, "PPP\nQQQ")],
+        [(10, "PPP\nRRR")],          # PPP now at 2 occurrences
+        [(20, "QQQ\nSSS")],          # QQQ at 2
+    ]
+
+    def run(store, e, rows):
+        return {(r.doc_id, r.text, r.lines_total, r.lines_kept)
+                for r in line_dedup_ingest_epoch(
+                    spark.createDataFrame(rows, schema), store, e,
+                    min_repeat=3).collect()}
+
+    for e, rows in enumerate(epochs):
+        assert run(a, e, rows) == run(b, e, rows)
+
+    assert line_store_compact(spark, a) == 2  # epochs 0,1 fold
+
+    # Post-fold epoch: PPP and QQQ are saturated (prior=2, summed
+    # across the folded base and the live tail) -> stripped in BOTH;
+    # RRR/SSS at prior=1 keep their second occurrence.
+    probe = [(30, "PPP\nRRR\nTTT"), (31, "QQQ\nSSS")]
+    assert run(a, 3, probe) == run(b, 3, probe) == {
+        (30, "RRR\nTTT", 3, 2), (31, "SSS", 2, 1)}
