@@ -23,6 +23,7 @@ from lisp_batch_processor_spark.pipelines.report import (  # noqa: F401
 )
 from lisp_batch_processor_spark.pipelines.ingest import (  # noqa: F401
     corpus_ingest_batch,
+    corpus_ingest_compact,
     corpus_ingest_epoch,
     corpus_ingest_init,
     corpus_ingest_seed,

@@ -238,20 +238,119 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
               .localCheckpoint(eager=True)
 
 
+def corpus_ingest_compact(spark: SparkSession, state_dir: str,
+                          corpus_path: str | None = None, *,
+                          keep_live: int = 1,
+                          target_file_bytes: int = 128 * 1024 * 1024
+                          ) -> dict:
+    """One maintenance pass over every persisted ingest store — the
+    fold `ingest_report`'s file-count signal calls for, packaged so
+    the ingest loop can self-schedule it (the `compact_every` hook
+    in `streaming_corpus_ingest`, matching the sketch/CDC/SCD2
+    appliers):
+
+    - line store: `streaming.dedup.line_store_compact` — epochs
+      below the ``keep_live`` newest fold to the epoch −1 base
+      (counts summed), preserving the strictly-earlier replay filter;
+    - URL store: the same epoch fold at membership grain — folded
+      epochs' keys collapse to DISTINCT url_keys at epoch −1 (< any
+      live epoch, so every later epoch's ``epoch_id < e`` filter
+      still admits them and a live epoch's replay still excludes its
+      own re-append);
+    - near-dup index + shingle store and (when given) the corpus
+      dir: `sources.writers.compact` size-targeted rewrites — their
+      reads tolerate duplicate rows, so a plain rewrite preserves
+      semantics while folding per-epoch file accretion.
+
+    Every rewrite publishes through the store's own backend
+    (recoverable staged swap, or the next pointer-committed version
+    for a versioned store — tag ``corpus_path`` with
+    `versioned_store_init` for object-store deployments, the ingest
+    appends route by the tag either way). Single-writer window
+    required — which the foreachBatch hook IS. Returns a dict of
+    per-store results (epochs folded for the epoch-tagged stores,
+    files written for the rewrites)."""
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, compact, store_data_path, store_publish_rewrite)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_store_compact)
+
+    if keep_live < 1:
+        raise ValueError(f"keep_live must be >= 1, got {keep_live}")
+    p = _paths(state_dir)
+    report: dict = {}
+    report["line_epochs_folded"] = line_store_compact(
+        spark, p["line"], keep_live=keep_live,
+        target_file_bytes=target_file_bytes)
+
+    # URL store: membership fold, the line store's discipline minus
+    # counts (URL dedup is pure membership).
+    url_root = p["url"].rstrip("/")
+    dp = store_data_path(spark, url_root)
+    folded_epochs = 0
+    if dp is not None:
+        df = spark.read.schema(_URL_SCHEMA).parquet(dp)
+        eps = sorted(r[0] for r in
+                     df.select("epoch_id").distinct().collect())
+        live = set(eps[-keep_live:])
+        foldable = [e for e in eps if e not in live]
+        if len(foldable) >= 2:
+            base = (df.filter(F.col("epoch_id").isin(foldable))
+                    .select("url_key").distinct()
+                    .withColumn("epoch_id", F.lit(-1).cast("long")))
+            folded = base.unionByName(
+                df.filter(~F.col("epoch_id").isin(foldable))
+                  .dropDuplicates(["url_key", "epoch_id"]))
+            jvm, fs, _ = _hadoop_fs(spark, url_root)
+            size = fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(dp)).getLength()
+            n_files = max(1, -(-size // target_file_bytes))
+            store_publish_rewrite(spark, folded, url_root, n_files)
+            folded_epochs = len(foldable)
+    report["url_epochs_folded"] = folded_epochs
+
+    report["index_files"] = compact(
+        spark, p["index"], target_file_bytes=target_file_bytes)
+    report["shingles_files"] = compact(
+        spark, p["shingles"], target_file_bytes=target_file_bytes)
+    if corpus_path is not None:
+        report["corpus_files"] = compact(
+            spark, corpus_path, target_file_bytes=target_file_bytes)
+    return report
+
+
 def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                             corpus_path: str, *,
                             min_chars: int = 1,
                             redact_kinds=None,
                             jaccard_num: int = 7, jaccard_den: int = 10,
                             gopher_thresholds: dict | None = None,
+                            compact_every: int | None = None,
+                            compact_target_bytes: int
+                            = 128 * 1024 * 1024,
                             sink: Callable[[DataFrame, int], None]
                             | None = None):
     """foreachBatch wrapper: run `corpus_ingest_epoch` per micro-batch
     and append the survivors EPOCH-TAGGED to ``corpus_path`` (read
     back with `corpus_read`). Returns the DataStreamWriter — caller
     starts it with a checkpointLocation. ``sink(out, epoch_id)``, if
-    given, additionally receives each epoch's survivor frame."""
+    given, additionally receives each epoch's survivor frame.
+
+    ``compact_every=N`` runs :func:`corpus_ingest_compact` after
+    every Nth epoch — inside foreachBatch IS the single-writer
+    maintenance window the folds require (the same self-scheduling
+    hook as the sketch/CDC/SCD2 appliers), so file counts across all
+    five stores stay bounded over stream lifetime with no external
+    scheduler. Replay-safe: the folds preserve the strictly-earlier
+    membership/count semantics (epoch −1 base), so a replayed epoch
+    recomputes identical output whether it lands before or after a
+    compaction; a replay that re-compacts performs a no-op-shaped
+    rewrite at worst."""
     from lisp_batch_processor_spark.sources.writers import store_append
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, "
+                         f"got {compact_every}")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         out = corpus_ingest_epoch(
@@ -264,6 +363,10 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                      corpus_path)
         if sink is not None:
             sink(out, int(epoch_id))
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            corpus_ingest_compact(
+                batch_df.sparkSession, state_dir, corpus_path,
+                target_file_bytes=compact_target_bytes)
 
     return stream_docs.writeStream.foreachBatch(_process)
 

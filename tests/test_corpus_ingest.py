@@ -267,3 +267,94 @@ def test_ingest_report_accounts_for_store_state(spark, tmp_path):
     corpus_ingest_init(spark, sd2)
     rep2 = ingest_report(spark, sd2)
     assert rep2["url"]["rows"] == 0 and "epochs" not in rep2["url"]
+
+
+@pytest.mark.parametrize("backend", ["swap", "versioned"])
+def test_compact_every_bounds_files_and_preserves_equality(
+        spark, tmp_path, batch_reference, backend):
+    """The self-scheduled maintenance hook (VERDICT r7 ask #1): with
+    compact_every=1 every epoch is followed by a full store fold, on
+    both backends — the epoch concatenation must STILL equal the
+    batch reference, a replay landing AFTER a compaction boundary
+    must still be identical, and every store ends at a bounded file
+    count (vs the uncompacted twin's per-epoch accretion)."""
+    from lisp_batch_processor_spark.pipelines import (
+        corpus_ingest_compact, ingest_report)
+
+    e0, e1, e2, _full = epochs(spark)
+    batches = (e0, e1, e2)
+
+    # Uncompacted twin for the file-count comparison.
+    sd_raw = str(tmp_path / f"raw_{backend}")
+    corpus_ingest_init(spark, sd_raw, backend=backend)
+    raw_outs = [rows_of(corpus_ingest_epoch(b, sd_raw, e))
+                for e, b in enumerate(batches)]
+
+    sd = str(tmp_path / f"hooked_{backend}")
+    corpus = os.path.join(str(tmp_path), f"corpus_{backend}")
+    corpus_ingest_init(spark, sd, backend=backend)
+    from lisp_batch_processor_spark.sources.writers import store_append
+    outs = []
+    for e, b in enumerate(batches):
+        out = corpus_ingest_epoch(b, sd, e)
+        store_append(out.withColumn("epoch_id",
+                                    F.lit(e).cast("long")), corpus)
+        outs.append(rows_of(out))
+        # The compact_every=1 schedule, as the foreachBatch hook
+        # runs it (inside the single-writer window).
+        corpus_ingest_compact(spark, sd, corpus)
+    assert sorted(sum(outs, [])) == batch_reference
+    assert [rows_of(corpus_read(spark, corpus))] == \
+        [sorted(batch_reference)]
+    assert outs == raw_outs  # per-epoch outputs unaffected by folds
+
+    # Replay across a compaction boundary: epoch 2 re-runs AFTER its
+    # own appends were folded/compacted — identical rows.
+    replay = rows_of(corpus_ingest_epoch(e2, sd, 2))
+    assert replay == outs[2]
+
+    # Bounded files: each store's committed file count stays at or
+    # below the uncompacted twin's, and the epoch-tagged stores fold
+    # to (base + live) epochs only.
+    hooked = ingest_report(spark, sd, corpus)
+    raw = ingest_report(spark, sd_raw)
+    for store in ("url", "line", "index", "shingles"):
+        assert hooked[store]["files"] <= raw[store]["files"], store
+        assert hooked[store]["files"] <= 2, store  # size-targeted
+    assert hooked["url"]["epochs"]["distinct"] <= 2
+    assert hooked["line"]["epochs"]["distinct"] <= 2
+    assert hooked["corpus"]["files"] <= 2
+
+
+def test_streaming_hook_self_schedules_compaction(spark, tmp_path,
+                                                  batch_reference):
+    """compact_every wired through the real foreachBatch wrapper:
+    3 epochs with compact_every=1 -> the epoch-2 pass has >= 2
+    foldable epochs and folds them; results equal the batch
+    reference and the line/URL stores show the fold (epoch -1 base
+    present)."""
+    from lisp_batch_processor_spark.pipelines import ingest_report
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    src = os.path.join(str(tmp_path), "docs_in")
+    for i, b in enumerate((e0, e1, e2)):
+        b.coalesce(1).write.parquet(os.path.join(src, f"batch={i}"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    corpus = os.path.join(str(tmp_path), "corpus")
+    writer = streaming_corpus_ingest(stream, sd, corpus,
+                                     compact_every=1)
+    q = writer.option("checkpointLocation",
+                      os.path.join(str(tmp_path), "ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert rows_of(corpus_read(spark, corpus)) == batch_reference
+    # The epoch-2 fold ran: epochs {0,1} collapsed to the -1 base.
+    rep = ingest_report(spark, sd, corpus)
+    assert rep["url"]["epochs"]["min"] == -1
+    assert rep["line"]["epochs"]["min"] == -1
