@@ -79,20 +79,29 @@ _MARKER = "_cdc_epoch"
 BUCKET_COL = "_ub"
 
 
-def _recover_bucket_swaps(spark: SparkSession, cur: str) -> None:
+def _recover_bucket_swaps(spark: SparkSession, cur: str,
+                          owner: str | None = None) -> bool:
     """Repair any bucket-dir swap a crashed apply left half-done:
     every ``._old_<bucket>`` sibling under ``cur`` is a backup from
     an interrupted :func:`sources.writers.staged_swap` — recover its
     destination. Driver-side listing of one directory (O(n_buckets)
-    entries max); idempotent."""
+    entries max); idempotent. The writer lease lives at the ``cur``
+    level (one apply window covers every touched bucket): repair is
+    REFUSED (returns False) while a foreign lease is live — a crash
+    leaves no live lease, so post-crash repair always proceeds."""
+    from lisp_batch_processor_spark.sources.writers import lease_holder
+    holder = lease_holder(spark, cur)
+    if holder is not None and holder != owner:
+        return False
     jvm, fs, jcur = _hadoop_fs(spark, cur)
     if not fs.exists(jcur):
-        return
+        return True
     prefix = backup_path(f"{cur}/x").rsplit("/", 1)[1][:-1]  # "._old_"
     for st in fs.listStatus(jcur):
         name = st.getPath().getName()
         if name.startswith(prefix):
             recover_swap(spark, f"{cur}/{name[len(prefix):]}")
+    return True
 
 
 def _bucket_col(keys: Sequence[str], n_buckets: int):
@@ -344,14 +353,16 @@ def upsert_read(spark: SparkSession, path: str) -> DataFrame:
     bucket swap a crashed apply left mid-flight first, so a reader
     arriving inside the crash window still sees every bucket.
 
-    SWAP backend: do NOT call concurrently with a live
-    apply/compact — the repair step can race an in-flight
-    staged_swap and invisibly nest the staged dir (silent loss of
-    that bucket's epoch; see `sources.writers.recover_swap`'s
-    concurrency contract). Repair is for post-crash reads, when no
-    writer is live by definition. VERSIONED backend: reads resolve
-    each bucket's committed pointer and never repair — safe
-    concurrently with a live apply."""
+    SWAP backend: a read arriving while a live apply/compact holds
+    the table's writer lease raises
+    `sources.writers.LeaseHeldError` instead of racing the swap
+    window (a mid-swap listing could silently miss a bucket, and
+    reader-side repair could nest the in-flight staged dir — the
+    lease machine-checks the single-writer contract; retry after
+    the writer releases). Post-crash reads see no live lease
+    (crashed writers' leases expire) and repair as before.
+    VERSIONED backend: reads resolve the committed manifest and
+    never repair — safe concurrently with a live apply."""
     meta = _read_meta(spark, path)  # existence check, clear error
     cur = path.rstrip("/") + "/current"
     if meta.get("backend", "swap") == "versioned":
@@ -366,6 +377,14 @@ def upsert_read(spark: SparkSession, path: str) -> DataFrame:
                 "never applied to?) — apply a non-empty epoch first")
         paths = [f"{cur}/{rel}" for rel in latest[1]["buckets"].values()]
         return spark.read.parquet(*paths).drop(BUCKET_COL)
+    from lisp_batch_processor_spark.sources.writers import (
+        LeaseHeldError, lease_holder)
+    holder = lease_holder(spark, cur)
+    if holder is not None:
+        raise LeaseHeldError(
+            f"upsert table at {path} is mid-apply (lease held by "
+            f"{holder!r}); retry after the writer releases, or use "
+            "the versioned backend for concurrent reads")
     _recover_bucket_swaps(spark, cur)
     return spark.read.parquet(cur).drop(BUCKET_COL)
 
@@ -467,33 +486,57 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
                          keep=int(meta.get("vacuum_keep", 1)))
         return True
     if touched:
-        # Repair bucket swaps a crashed replay of this (or any prior
-        # uncommitted) epoch left half-done, BEFORE reading state.
-        _recover_bucket_swaps(spark, cur)
-        current = spark.read.parquet(cur)
-        tcur = current.filter(F.col(BUCKET_COL).isin(touched))
-        # Null-safe anti-join: a NULL key is a real key and its row
-        # must be REPLACED, not duplicated.
-        upd_keys = upd.select(
-            *[F.col(k).alias(f"_cdc_{k}") for k in keys])
-        cond = [F.col(k).eqNullSafe(F.col(f"_cdc_{k}")) for k in keys]
-        kept = tcur.join(upd_keys, cond, "left_anti")
-        # Stage the touched buckets' full new contents to a hidden
-        # sibling (one partitioned write; every touched bucket gets a
-        # dir — each has >= 1 update row), then swap each bucket dir
-        # in. A stale stage from a crashed attempt is overwritten.
-        stage = staging_path(cur)
-        jvm, fs, _ = _hadoop_fs(spark, cur)
-        (kept.unionByName(upd.select(*kept.columns))
-         .write.mode("overwrite").partitionBy(BUCKET_COL)
-         .parquet(stage))
-        for b in touched:  # pmod(xxhash64(...)) is never NULL
-            bucket = f"{BUCKET_COL}={b}"
-            staged_swap(spark, f"{stage}/{bucket}", f"{cur}/{bucket}")
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
-    # Marker LAST: it becomes durable only after every touched
-    # bucket committed, so a crash anywhere above replays the epoch.
-    write_epoch_marker(spark, cur, int(epoch_id), name=_MARKER)
+        # Writer lease across the whole multi-bucket window: readers
+        # and their repair calls refuse to touch the table while it
+        # is live (upsert_read raises; _recover_bucket_swaps skips),
+        # which machine-checks the single-writer contract that used
+        # to be documentation only. Per-call token; a hard-crashed
+        # writer's lease expires, after which post-crash repair and
+        # replay proceed as before.
+        import uuid as _uuid
+
+        from lisp_batch_processor_spark.sources.writers import (
+            acquire_lease, release_lease)
+        owner = acquire_lease(
+            spark, cur, owner=f"upsert-{_uuid.uuid4().hex[:12]}")
+        try:
+            # Repair bucket swaps a crashed replay of this (or any
+            # prior uncommitted) epoch left half-done, BEFORE
+            # reading state.
+            _recover_bucket_swaps(spark, cur, owner=owner)
+            current = spark.read.parquet(cur)
+            tcur = current.filter(F.col(BUCKET_COL).isin(touched))
+            # Null-safe anti-join: a NULL key is a real key and its
+            # row must be REPLACED, not duplicated.
+            upd_keys = upd.select(
+                *[F.col(k).alias(f"_cdc_{k}") for k in keys])
+            cond = [F.col(k).eqNullSafe(F.col(f"_cdc_{k}"))
+                    for k in keys]
+            kept = tcur.join(upd_keys, cond, "left_anti")
+            # Stage the touched buckets' full new contents to a
+            # hidden sibling (one partitioned write; every touched
+            # bucket gets a dir — each has >= 1 update row), then
+            # swap each bucket dir in. A stale stage from a crashed
+            # attempt is overwritten.
+            stage = staging_path(cur)
+            jvm, fs, _ = _hadoop_fs(spark, cur)
+            (kept.unionByName(upd.select(*kept.columns))
+             .write.mode("overwrite").partitionBy(BUCKET_COL)
+             .parquet(stage))
+            for b in touched:  # pmod(xxhash64(...)) is never NULL
+                bucket = f"{BUCKET_COL}={b}"
+                staged_swap(spark, f"{stage}/{bucket}",
+                            f"{cur}/{bucket}")
+            fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+            # Marker LAST: it becomes durable only after every
+            # touched bucket committed, so a crash anywhere above
+            # replays the epoch.
+            write_epoch_marker(spark, cur, int(epoch_id),
+                               name=_MARKER)
+        finally:
+            release_lease(spark, cur, owner)
+    else:
+        write_epoch_marker(spark, cur, int(epoch_id), name=_MARKER)
     return True
 
 
@@ -586,15 +629,30 @@ def upsert_compact(spark: SparkSession, path: str,
                          keep=int(meta.get("vacuum_keep", 1)))
         return len(todo)
 
+    # Hold the TABLE-level lease across the per-bucket pass: a
+    # reader checking the table lease must see the whole compaction
+    # as one writer window, not fall between two bucket rewrites
+    # (each inner `compact` additionally takes its own bucket-level
+    # lease via store_publish_rewrite — harmlessly nested).
+    import uuid as _uuid
+
+    from lisp_batch_processor_spark.sources.writers import (
+        acquire_lease, release_lease)
+    cur = path.rstrip("/") + "/current"
+    owner = acquire_lease(spark, cur,
+                          owner=f"compact-{_uuid.uuid4().hex[:12]}")
     done = 0
-    for broot in _bucket_dirs(spark, path):
-        dp = store_data_path(spark, broot)
-        if dp is None:
-            continue
-        if _n_data_files(dp) < min_files:
-            continue
-        compact(spark, broot, target_file_bytes=target_file_bytes)
-        done += 1
+    try:
+        for broot in _bucket_dirs(spark, path):
+            dp = store_data_path(spark, broot)
+            if dp is None:
+                continue
+            if _n_data_files(dp) < min_files:
+                continue
+            compact(spark, broot, target_file_bytes=target_file_bytes)
+            done += 1
+    finally:
+        release_lease(spark, cur, owner)
     return done
 
 

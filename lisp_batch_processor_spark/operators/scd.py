@@ -398,10 +398,24 @@ def scd2_split_apply(spark, path: str, updates: DataFrame,
             finalize=lambda d: _write_epoch_marker(spark, d, epoch_id))
         versioned_vacuum(spark, open_path, keep=2)
         return True
-    tmp = staging_path(open_path)
-    new_open.write.mode("overwrite").parquet(tmp)
-    _write_epoch_marker(spark, tmp, epoch_id)
-    staged_swap(spark, tmp, open_path)
+    # Writer lease across the open-slice swap window: concurrent
+    # `scd2_read`/`store_data_path` callers skip repair and resolve
+    # the old committed slice (backup path) instead of racing the
+    # swap (`sources.writers.recover_swap`'s machine-checked
+    # contract). Per-call token; a crashed writer's lease expires.
+    import uuid as _uuid
+
+    from lisp_batch_processor_spark.sources.writers import (
+        acquire_lease, release_lease)
+    owner = acquire_lease(spark, open_path,
+                          owner=f"scd2-{_uuid.uuid4().hex[:12]}")
+    try:
+        tmp = staging_path(open_path)
+        new_open.write.mode("overwrite").parquet(tmp)
+        _write_epoch_marker(spark, tmp, epoch_id)
+        staged_swap(spark, tmp, open_path)
+    finally:
+        release_lease(spark, open_path, owner)
     return True
 
 
@@ -487,7 +501,18 @@ def scd2_compact_closed(spark, path: str,
         versioned_commit(spark, closed_root, tmp)
         versioned_vacuum(spark, closed_root, keep=2)
     else:
-        staged_swap(spark, tmp, closed_root)
+        # Same machine-checked writer window as the open-slice swap.
+        import uuid as _uuid
+
+        from lisp_batch_processor_spark.sources.writers import (
+            acquire_lease, release_lease)
+        owner = acquire_lease(
+            spark, closed_root,
+            owner=f"scd2c-{_uuid.uuid4().hex[:12]}")
+        try:
+            staged_swap(spark, tmp, closed_root)
+        finally:
+            release_lease(spark, closed_root, owner)
     return len(foldable)
 
 

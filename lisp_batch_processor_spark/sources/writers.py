@@ -122,7 +122,95 @@ def read_epoch_marker(spark: SparkSession, dir_path: str,
     return int(bytes(data).decode())
 
 
-def recover_swap(spark: SparkSession, dest: str) -> None:
+class LeaseHeldError(IOError):
+    """Another writer holds an unexpired lease on this swap store."""
+
+
+def lease_path(dest: str) -> str:
+    """Where `dest`'s writer-lease file lives during an apply/compact
+    window (a dot-prefixed sibling, invisible to Spark readers)."""
+    return _hidden_sibling(dest, "lease")
+
+
+def _default_owner() -> str:
+    import os as _os
+    import socket as _socket
+    return f"{_socket.gethostname()}:{_os.getpid()}"
+
+
+_LEASE_DEFAULT_TTL_S = 900.0
+
+
+def lease_holder(spark: SparkSession, dest: str) -> str | None:
+    """The owner of a LIVE (unexpired) lease on `dest`, else None.
+    A torn lease file (crash mid-PUT) reads as held by an unknown
+    owner until the file's mtime + the default TTL passes — fail
+    safe (never repair under doubt) but never wedged forever."""
+    import time as _time
+    lp = lease_path(dest)
+    d = read_json_file(spark, lp, default="_torn_", absent=None)
+    if d is None:
+        return None
+    if not isinstance(d, dict):
+        d = {}
+    owner = d.get("owner", "<torn-lease>")
+    try:
+        expires = float(d["expires"])
+    except (KeyError, TypeError, ValueError):
+        from py4j.protocol import Py4JJavaError
+        jvm, fs, _ = _hadoop_fs(spark, lp)
+        try:
+            expires = (fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(lp))
+                .getModificationTime() / 1000.0
+                + _LEASE_DEFAULT_TTL_S)
+        except Py4JJavaError:
+            return None  # vanished between reads: released
+    return owner if _time.time() < expires else None
+
+
+def acquire_lease(spark: SparkSession, dest: str,
+                  owner: str | None = None,
+                  ttl_s: float = 900.0) -> str:
+    """Take the single-writer lease on `dest` for ``ttl_s`` seconds
+    and return the owner token. Reentrant per owner (the default
+    owner is host:pid, so a writer retrying after an in-process
+    failure reacquires its own lease); an unexpired FOREIGN lease
+    raises :class:`LeaseHeldError` — the caller must wait for expiry
+    or for the other writer's release. An expired lease (its writer
+    crashed and never released) is stolen.
+
+    One small-file PUT; pair with :func:`release_lease` in a
+    try/finally. This is the machine-checked form of the
+    single-writer window every swap-store maintenance writer already
+    required by contract: :func:`recover_swap` refuses reader-side
+    repair while a foreign lease is live, closing the
+    repair-vs-live-writer nesting race documented there."""
+    import time as _time
+    me = owner or _default_owner()
+    holder = lease_holder(spark, dest)
+    if holder is not None and holder != me:
+        raise LeaseHeldError(
+            f"{dest} is leased by {holder!r}; wait for its release "
+            "or expiry before writing")
+    write_json_file(spark, lease_path(dest),
+                    {"owner": me, "expires": _time.time() + ttl_s})
+    return me
+
+
+def release_lease(spark: SparkSession, dest: str, owner: str) -> None:
+    """Release `owner`'s lease on `dest` (no-op if absent or held by
+    someone else — a stolen-after-expiry lease must not be deleted
+    by the crashed original writer's late release)."""
+    d = read_json_file(spark, lease_path(dest), default={})
+    if d is None or d.get("owner") != owner:
+        return
+    jvm, fs, _ = _hadoop_fs(spark, dest)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(lease_path(dest)), False)
+
+
+def recover_swap(spark: SparkSession, dest: str,
+                 owner: str | None = None) -> bool:
     """Repair an interrupted :func:`staged_swap` on `dest`:
 
     - dest missing, backup present  -> rename the backup in (the
@@ -131,30 +219,39 @@ def recover_swap(spark: SparkSession, dest: str) -> None:
       the backup is a stale previous copy — delete it.
 
     Idempotent; call before any read or rewrite of a swap-managed
-    dataset (compact and scd2_stream_apply both do).
+    dataset (compact and scd2_stream_apply both do). Returns True
+    when the path is repaired (or needed no repair), False when
+    repair was REFUSED because a live foreign writer lease exists.
 
-    CONCURRENCY CONTRACT: repair is only safe when no writer is
-    live. A reader's recover_swap racing a LIVE writer's staged_swap
-    can restore the backup between the writer's rename-aside and
+    CONCURRENCY: repair is only safe when no writer is live. A
+    reader's recover_swap racing a LIVE writer's staged_swap can
+    restore the backup between the writer's rename-aside and
     rename-in; the writer's rename then moves the staged dir INSIDE
     the restored dest (Hadoop rename-into-existing-dir semantics,
-    returns true) — invisible nesting, and the epoch's data is
-    silently lost while the marker advances. So: reads of a
-    swap-managed store must not run concurrently with an in-flight
-    apply/compact on it (the single-writer maintenance window also
-    excludes reader-side repair); after a CRASH, repair from
-    anywhere is safe because no writer is live by definition.
-    Stores that need concurrent readers during maintenance should
-    use the versioned backend (:func:`versioned_publish` — readers
-    never repair, so there is no race to have).
+    returns true) — invisible nesting, silent data loss. That
+    contract is now MACHINE-CHECKED: writers hold a lease
+    (:func:`acquire_lease`) across the window, and this function
+    skips repair while a foreign lease is live (``owner`` lets the
+    lease holder itself repair). A backup found with no live lease
+    is a real crash residue (writers release only after deleting the
+    backup; a crashed writer's lease expires) — repair proceeds.
+    Readers needing full concurrency with maintenance should still
+    prefer the versioned backend (:func:`versioned_publish` —
+    readers never repair, so there is no race to have).
     """
     jvm, fs, jdest = _hadoop_fs(spark, dest)
     jold = jvm.org.apache.hadoop.fs.Path(backup_path(dest))
     if fs.exists(jold):
+        holder = lease_holder(spark, dest)
+        if holder is not None and holder != owner:
+            # owner=None (a reader) never repairs under ANY live
+            # lease; a writer repairs only under its own.
+            return False
         if fs.exists(jdest):
             fs.delete(jold, True)
         else:
             fs.rename(jold, jdest)
+    return True
 
 
 def staged_swap(spark: SparkSession, tmp: str, dest: str) -> None:
@@ -381,13 +478,24 @@ def store_is_versioned(spark: SparkSession, root: str) -> bool:
 def store_data_path(spark: SparkSession, root: str) -> str | None:
     """Where the store's data currently lives: the highest committed
     version dir for a versioned store (None when nothing is committed
-    yet), else the root itself after repairing any crashed swap."""
+    yet), else the root itself after repairing any crashed swap.
+
+    While a live writer LEASE is held on a swap store
+    (:func:`acquire_lease`), no repair runs; if the writer is inside
+    its swap window (root renamed aside, replacement not yet in),
+    the BACKUP path — the old committed copy — is returned, so a
+    concurrent reader sees the pre-apply state instead of racing the
+    repair (the nesting hazard recover_swap documents)."""
     r = root.rstrip("/")
     if store_is_versioned(spark, r):
         jvm, fs, _ = _hadoop_fs(spark, r)
         committed = _versions(fs, jvm, r, pointed_only=True)
         return f"{r}/v_{committed[-1]}" if committed else None
-    recover_swap(spark, r)
+    if not recover_swap(spark, r):
+        jvm, fs, jr = _hadoop_fs(spark, r)
+        if not fs.exists(jr) and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(backup_path(r))):
+            return backup_path(r)
     return r
 
 
@@ -426,13 +534,26 @@ def store_publish_rewrite(spark: SparkSession, df: DataFrame,
         versioned_publish(spark, df.repartition(n_files), r, fmt=fmt)
         versioned_vacuum(spark, r, keep=vacuum_keep)
         return
-    jvm, fs, _ = _hadoop_fs(spark, r)
-    tmp = staging_path(r)
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(jtmp):
-        fs.delete(jtmp, True)
-    df.repartition(n_files).write.format(fmt).save(tmp)
-    staged_swap(spark, tmp, r)
+    import uuid as _uuid
+    # Writer lease across the whole rewrite window (staging read +
+    # write + swap): machine-checks the single-writer contract —
+    # concurrent store_data_path/recover_swap callers skip repair
+    # and resolve the old committed copy instead of nesting the
+    # in-flight swap. Per-call token (not host:pid): an in-process
+    # retry after a failure reacquires via the finally-release, and
+    # a hard-crashed writer's lease simply expires.
+    owner = acquire_lease(spark, r,
+                          owner=f"rewrite-{_uuid.uuid4().hex[:12]}")
+    try:
+        jvm, fs, _ = _hadoop_fs(spark, r)
+        tmp = staging_path(r)
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(jtmp):
+            fs.delete(jtmp, True)
+        df.repartition(n_files).write.format(fmt).save(tmp)
+        staged_swap(spark, tmp, r)
+    finally:
+        release_lease(spark, r, owner)
 
 
 def write_partitioned(df: DataFrame, path: str,

@@ -1,0 +1,171 @@
+"""Writer lease on swap stores (VERDICT r7 ask #4): the documented
+reader-repair-vs-live-writer race contract is now machine-checked —
+recover_swap refuses repair while a foreign lease is live, readers
+mid-window resolve the old committed copy (or get a clear retryable
+error for the bucketed CDC layout), expired leases from crashed
+writers are stolen, and the maintenance writers hold leases across
+their swap windows."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from lisp_batch_processor_spark.sources.writers import (
+    LeaseHeldError,
+    acquire_lease,
+    backup_path,
+    lease_holder,
+    lease_path,
+    recover_swap,
+    release_lease,
+    store_data_path,
+)
+
+
+def _write_rows(spark, path, rows):
+    spark.createDataFrame(rows, "k long, v string").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def _read_rows(spark, path):
+    return sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+
+
+def test_lease_acquire_release_expiry(spark, tmp_path):
+    d = os.path.join(str(tmp_path), "store")
+    os.makedirs(d)
+
+    owner = acquire_lease(spark, d, owner="w1", ttl_s=60)
+    assert owner == "w1"
+    assert lease_holder(spark, d) == "w1"
+    # Reentrant for the same owner; foreign acquire raises.
+    assert acquire_lease(spark, d, owner="w1", ttl_s=60) == "w1"
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(spark, d, owner="w2")
+    # Release by a non-owner is a no-op; by the owner, frees it.
+    release_lease(spark, d, "w2")
+    assert lease_holder(spark, d) == "w1"
+    release_lease(spark, d, "w1")
+    assert lease_holder(spark, d) is None
+
+    # A crashed writer's lease (never released) expires and is stolen.
+    acquire_lease(spark, d, owner="crashed", ttl_s=0.2)
+    time.sleep(0.3)
+    assert lease_holder(spark, d) is None
+    assert acquire_lease(spark, d, owner="w3", ttl_s=60) == "w3"
+    # ... and the crashed writer's late release must NOT delete the
+    # stolen lease.
+    release_lease(spark, d, "crashed")
+    assert lease_holder(spark, d) == "w3"
+    release_lease(spark, d, "w3")
+
+
+def test_recover_swap_refuses_under_foreign_lease(spark, tmp_path):
+    """The exact race from the old documented contract: a reader's
+    recover_swap arriving between a live writer's rename-aside and
+    rename-in used to restore the backup (and the writer's rename
+    then nested the staged dir inside it). With the lease held, the
+    reader's repair is refused, store_data_path resolves the backup
+    (the old committed state), and the writer's window completes
+    unharmed."""
+    import shutil
+
+    d = os.path.join(str(tmp_path), "store")
+    _write_rows(spark, d, [(1, "old")])
+    old_rows = _read_rows(spark, d)
+
+    # Writer takes the lease and renames dest aside (mid-window).
+    owner = acquire_lease(spark, d, owner="writer", ttl_s=60)
+    shutil.move(d, backup_path(d))
+
+    # Reader: no repair happens, and the resolved path is the backup
+    # — the old committed copy.
+    assert recover_swap(spark, d) is False
+    assert not os.path.exists(d)
+    dp = store_data_path(spark, d)
+    assert dp == backup_path(d)
+    assert _read_rows(spark, dp) == old_rows
+
+    # The writer itself MAY repair under its own lease (crash-retry
+    # within the window) ...
+    assert recover_swap(spark, d, owner="writer") is True
+    assert os.path.exists(d)
+    # ... then completes: stage the new copy, swap, release.
+    from lisp_batch_processor_spark.sources.writers import (
+        staged_swap, staging_path)
+    _write_rows(spark, staging_path(d), [(2, "new")])
+    staged_swap(spark, staging_path(d), d)
+    release_lease(spark, d, owner)
+    assert _read_rows(spark, store_data_path(spark, d)) == [(2, "new")]
+
+    # Post-release (or post-crash, once expired): reader repair works.
+    shutil.move(d, backup_path(d))
+    assert recover_swap(spark, d) is True
+    assert _read_rows(spark, d) == [(2, "new")]
+
+
+def test_upsert_read_waits_out_a_live_apply(spark, tmp_path):
+    """Bucketed CDC swap layout: a reader arriving while the table
+    lease is live gets a clear retryable LeaseHeldError instead of a
+    mid-swap listing; after release it reads normally."""
+    from lisp_batch_processor_spark.operators.cdc import (
+        upsert_init, upsert_read)
+
+    path = os.path.join(str(tmp_path), "t")
+    upsert_init(spark.createDataFrame([(1, "a")], "k long, v string"),
+                path, key="k", n_buckets=2)
+    cur = path.rstrip("/") + "/current"
+    acquire_lease(spark, cur, owner="apply", ttl_s=60)
+    with pytest.raises(LeaseHeldError):
+        upsert_read(spark, path)
+    release_lease(spark, cur, "apply")
+    assert {r.k: r.v for r in upsert_read(spark, path).collect()} \
+        == {1: "a"}
+
+
+def test_maintenance_writers_hold_and_release_leases(spark, tmp_path):
+    """compact/store_publish_rewrite and the CDC/SCD2 appliers wrap
+    their swap windows in a lease and always release it — after any
+    successful maintenance pass no lease file remains."""
+    from lisp_batch_processor_spark.operators.cdc import (
+        upsert_apply, upsert_init)
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_split_apply, scd2_split_init)
+    from lisp_batch_processor_spark.sources.writers import compact
+
+    # compact
+    d = os.path.join(str(tmp_path), "plain")
+    _write_rows(spark, d, [(i, "x") for i in range(10)])
+    assert compact(spark, d) >= 1
+    assert not os.path.exists(lease_path(d))
+    assert lease_holder(spark, d) is None
+
+    # CDC swap apply
+    t = os.path.join(str(tmp_path), "cdc")
+    upsert_init(spark.createDataFrame([(1, "a")], "k long, v string"),
+                t, key="k", n_buckets=2)
+    assert upsert_apply(spark, t,
+                        spark.createDataFrame([(2, "b")],
+                                              "k long, v string"),
+                        epoch_id=0)
+    cur = t.rstrip("/") + "/current"
+    assert lease_holder(spark, cur) is None
+    assert not os.path.exists(lease_path(cur))
+
+    # SCD2 swap apply
+    from datetime import datetime
+    h = os.path.join(str(tmp_path), "scd2")
+    scd2_split_init(
+        spark.createDataFrame([(1, "a")], "key long, attr string"),
+        datetime(2025, 1, 1), h, key="key")
+    assert scd2_split_apply(
+        spark, h,
+        spark.createDataFrame([(1, "b", datetime(2025, 2, 1))],
+                              "key long, attr string, "
+                              "effective_from timestamp"),
+        key="key", attrs=["attr"], epoch_id=0)
+    assert lease_holder(spark, os.path.join(h, "open")) is None
+    assert not os.path.exists(lease_path(os.path.join(h, "open")))
