@@ -11,6 +11,10 @@ real pretraining ingest runs them:
     4. near_dup    MinHash+LSH document near-dup, keep representatives
                    (minhash_signatures -> lsh_candidate_pairs ->
                     verify_jaccard -> assignment)
+    4b. semantic   OPTIONAL embedding-space near-dup (SemDeDup shape,
+                   operators.dedup.semantic_dedup) over an
+                   ``embeddings=`` side table — catches paraphrases
+                   MinHash misses; docs without embeddings pass
     5. quality     Gopher repetition filter + optional bigram-LM
                    perplexity filter (gopher_repetition_filter,
                    ngram_lm_train/ngram_lm_score)
@@ -252,6 +256,10 @@ def assemble_corpus(
     span_min_repeat: int = 2,
     jaccard_num: int = 7,
     jaccard_den: int = 10,
+    embeddings: DataFrame | None = None,
+    semantic_tau: float = 0.95,
+    semantic_k: int = 64,
+    semantic_iters: int = 1,
     gopher_thresholds: Mapping[str, float] | None = None,
     ppl_max: float | None = None,
     lm_ref: DataFrame | None = None,
@@ -262,6 +270,7 @@ def assemble_corpus(
     pack_budget: int = 2048,
     pack_buckets: int = 64,
     mix_weights: Mapping[str, float] | None = None,
+    mix_alpha: float | None = None,
     mix_token_budget: int | None = None,
     redact_kinds: Sequence[str] | None = None,
     salt: str = "corpus-v1",
@@ -285,6 +294,18 @@ def assemble_corpus(
     same corpus reproduces every artifact bit-for-bit, and `salt`
     versions the whole assembly.
 
+    ``embeddings`` (a (id_col, embedding) side table) inserts the
+    semantic-dedup stage 4b between near-dup and quality:
+    `operators.dedup.semantic_dedup` with ``semantic_tau`` /
+    ``semantic_k`` / ``semantic_iters`` — IVF cells over the
+    survivors' embeddings, within-cell exact cosine >= tau, min-id
+    representatives kept, flagged dups dropped. Docs without an
+    embedding row always survive the stage. The stage carries its
+    own chained fingerprint, so ``resume=True`` after a tau change
+    reruns exactly semantic -> shuffle and adopts the byte-level
+    dedup passes (the embeddings frame's identity is the caller's
+    contract, like docs/eval_docs/lm_ref).
+
     ``mix_weights`` + ``mix_token_budget`` switch on DOMAIN MIXING at
     the pack stage: train docs get a domain (the registrable eTLD+1
     of their canonical URL; unparseable → "unknown"), per-domain
@@ -299,6 +320,11 @@ def assemble_corpus(
     from ``mix_weights`` are DROPPED (rate 0); the final training
     order then carries an extra ``epoch`` column. With the knobs
     unset (default), packing is exactly the one-copy-per-doc path.
+    ``mix_alpha`` is the convenience form: instead of a precomputed
+    ``mix_weights`` map, the target mixture derives from the MEASURED
+    per-domain token totals via `training.temperature_weights`
+    (w_d ∝ tokens_d^alpha — alpha=1 natural, alpha=0 uniform);
+    mutually exclusive with ``mix_weights``, same budget knob.
 
     ``decontam_fuzzy=(num, den)`` adds the MinHash near-dup
     decontamination sweep (`training.fuzzy_contamination`, integer
@@ -354,6 +380,17 @@ def assemble_corpus(
                         "span_min_repeat": span_min_repeat}),
         ("near_dup", {"jaccard_num": jaccard_num,
                       "jaccard_den": jaccard_den}),
+        # Present in the chain ONLY when the stage runs: with no
+        # embeddings the fingerprints (and sidecar parent links) are
+        # exactly the stage-1..8 chain, so existing work dirs resume
+        # unchanged; toggling the knob on/off or changing tau/k/iters
+        # shifts every downstream fingerprint and reruns from here.
+        # The embeddings DataFrame itself is DATA, covered by the
+        # same caller contract as docs/eval_docs/lm_ref.
+        *(() if embeddings is None else
+          (("semantic", {"tau": float(semantic_tau),
+                         "k": int(semantic_k),
+                         "iters": int(semantic_iters)}),)),
         ("quality", {"gopher_thresholds": dict(gopher_thresholds)
                      if gopher_thresholds else None,
                      "ppl_max": ppl_max,
@@ -366,6 +403,7 @@ def assemble_corpus(
                   "pack_buckets": pack_buckets,
                   "mix_weights": sorted(mix_weights.items())
                   if mix_weights else None,
+                  "mix_alpha": mix_alpha,
                   "mix_token_budget": mix_token_budget}),
         ("shuffle", {}),
     )
@@ -377,9 +415,14 @@ def assemble_corpus(
         _h = hashlib.md5(
             (_h + json.dumps(_knobs, sort_keys=True)).encode()).hexdigest()
         fps[_name] = _h
-    if (mix_weights is None) != (mix_token_budget is None):
-        raise ValueError("domain mixing needs BOTH mix_weights and "
-                         "mix_token_budget (or neither)")
+    if mix_weights is not None and mix_alpha is not None:
+        raise ValueError("pass mix_weights OR mix_alpha, not both "
+                         "(mix_alpha derives the weights from the "
+                         "measured domain tokens)")
+    mixing = mix_weights is not None or mix_alpha is not None
+    if mixing != (mix_token_budget is not None):
+        raise ValueError("domain mixing needs mix_weights or "
+                         "mix_alpha AND mix_token_budget (or none)")
 
     def done(name: str, path: str) -> StageResult | None:
         if not resume:
@@ -470,10 +513,41 @@ def assemble_corpus(
                      parent=parents["near_dup"])
     prev = out.stages[-1]
 
+    # -- 4b. semantic (embedding) near-dup, optional -------------------
+    # SemDeDup-shaped cell-scoped cosine dedup (operators.dedup.
+    # semantic_dedup) over the ``embeddings`` side table, between the
+    # byte-level near-dup pass and quality: catches paraphrased /
+    # re-rendered duplicates whose shingle sets no longer collide.
+    # Docs WITHOUT an embedding pass through (flag-never-drop, like
+    # unparseable URLs); min-id representatives keep the winner rule
+    # every dedup stage uses. Its own sidecar fingerprint makes
+    # resume/filter-iteration hold: a tau/k change reruns from HERE.
+    p4b = f"{wd}/04b_semantic"
+    q_in = p4
+    if embeddings is not None:
+        q_in = p4b
+        if done("semantic", p4b) is None:
+            from lisp_batch_processor_spark.operators.dedup import (
+                semantic_dedup)
+            s4 = spark.read.parquet(p4)
+            emb = (embeddings
+                   .select(F.col(id_col).alias("doc_id"), "embedding")
+                   .join(s4.select("doc_id"), "doc_id", "left_semi"))
+            asg = semantic_dedup(emb, k=semantic_k,
+                                 tau=semantic_tau,
+                                 id_col="doc_id",
+                                 iters=semantic_iters)
+            drops = asg.filter(F.col("is_dup")).select("doc_id")
+            survivors = s4.join(drops, "doc_id", "left_anti")
+            _write_stage(out, "semantic", prev.rows_out, survivors,
+                         p4b, fingerprint=fps["semantic"],
+                         parent=parents["semantic"])
+        prev = out.stages[-1]
+
     # -- 5. quality: Gopher repetition rules (+ optional LM ppl) ------
     p5 = f"{wd}/05_quality"
     if done("quality", p5) is None:
-        s4 = spark.read.parquet(p4)
+        s4 = spark.read.parquet(q_in)
         gop = gopher_repetition_filter(
             s4, thresholds=dict(gopher_thresholds)
             if gopher_thresholds else None)
@@ -536,7 +610,7 @@ def assemble_corpus(
     p7 = f"{wd}/07_pack"
     p8 = f"{wd}/08_train_order"
     mix_cap = None
-    if mix_weights is not None and not (
+    if mixing and not (
             resume
             and _stage_done_read(spark, "pack", p7, fps["pack"]) is not None
             and _stage_done_read(spark, "shuffle", p8,
@@ -562,9 +636,20 @@ def assemble_corpus(
                      .agg(F.sum(F.size(tokens_col())).alias("t"),
                           F.max(F.abs("doc_id")).alias("m"))
                      .collect())  # O(#domains) driver state
-        rates = epoch_rates({r["_domain"]: int(r["t"])
-                             for r in dom_stats},
-                            dict(mix_weights), int(mix_token_budget))
+        dom_tokens = {r["_domain"]: int(r["t"]) for r in dom_stats}
+        if mix_alpha is not None:
+            # Convenience knob: temperature-flatten the MEASURED
+            # domain token distribution (w_d ∝ tokens_d^alpha,
+            # operators.training.temperature_weights) instead of
+            # requiring the caller to precompute the target mixture.
+            # Domains with zero tokens can't occur here (every
+            # grouped domain has >= 1 doc with >= min_chars text).
+            from lisp_batch_processor_spark.operators.training import (
+                temperature_weights)
+            target = temperature_weights(dom_tokens, float(mix_alpha))
+        else:
+            target = dict(mix_weights)
+        rates = epoch_rates(dom_tokens, target, int(mix_token_budget))
         mix_cap = 1 << max(int(e) + 1 for e in rates.values()).bit_length()
         # Fail fast instead of letting copy_id = doc_id*cap + epoch
         # wrap int64 (a wrapped id decodes to a nonexistent doc and
@@ -578,7 +663,7 @@ def assemble_corpus(
                 f"|doc_id| < 2^62/{mix_cap}); factorize ids to a "
                 "dense range before mixing")
     if done("pack", p7) is None:
-        if mix_weights is not None:
+        if mixing:
             copies = (domain_upsample(domained, rates,
                                       domain_col="_domain",
                                       salt=f"{salt}/mix")
@@ -619,7 +704,7 @@ def assemble_corpus(
                .select("doc_id", "text"))
         sel = ["shuffle_key", "pack_id", "pos", "doc_id",
                "n_tokens", "text"]
-        if mix_weights is not None:
+        if mixing:
             # The pack frame's doc_id column carries copy ids —
             # decode (orig doc, epoch) with the power-of-two cap.
             pk = (pk.withColumnRenamed("doc_id", "_copy_id")

@@ -42,6 +42,7 @@ _STAGE_DIRS = (
     ("line_dedup", "02_line_dedup"),
     ("span_dedup", "03_span_dedup"),
     ("near_dup", "04_near_dup"),
+    ("semantic", "04b_semantic"),  # optional (embeddings= knob)
     ("quality", "05_quality"),
     ("split", "06_split"),
     ("pack", "07_pack"),
@@ -88,7 +89,12 @@ def corpus_report(spark: SparkSession, work_dir: str, *,
     for name, d in _STAGE_DIRS:
         sc = _read_sidecar(spark, f"{wd}/{d}")
         if sc is None or sc.get("name") != name:
-            prev_fp = None
+            # An absent OPTIONAL stage (semantic runs only with the
+            # embeddings knob) is not a lineage break — the chain
+            # links straight across it, exactly as the fingerprint
+            # chain omits its scope when it is off.
+            if name != "semantic":
+                prev_fp = None
             continue
         # Pre-link-era sidecars carry no "parent": unchecked, not
         # inconsistent (old work dirs must not cry wolf).

@@ -96,7 +96,64 @@ def test_mixed_assembly_is_deterministic(spark, tmp_path):
 
 
 def test_mix_knobs_must_come_together(spark, tmp_path):
-    with pytest.raises(ValueError, match="BOTH mix_weights"):
+    with pytest.raises(ValueError, match="mix_token_budget"):
         assemble_corpus(spark, corpus(spark), evals(spark),
                         str(tmp_path / "w"), splits=SPLITS,
                         mix_weights={"sitea.com": 1.0})
+    with pytest.raises(ValueError, match="mix_token_budget"):
+        assemble_corpus(spark, corpus(spark), evals(spark),
+                        str(tmp_path / "w2"), splits=SPLITS,
+                        mix_alpha=0.5)
+    with pytest.raises(ValueError, match="not both"):
+        assemble_corpus(spark, corpus(spark), evals(spark),
+                        str(tmp_path / "w3"), splits=SPLITS,
+                        mix_weights={"sitea.com": 1.0}, mix_alpha=0.5,
+                        mix_token_budget=576)
+
+
+def test_mix_alpha_equals_manual_weights_path(spark, tmp_path):
+    """mix_alpha derives the target mixture from the MEASURED domain
+    tokens (w ∝ tokens^alpha): at alpha=0.5 over sitea=72 /
+    siteb=288 tokens the weights are 1:2 — the assembly must be
+    row-identical to the manual mix_weights={1/3, 2/3} run."""
+    def order_rows(out):
+        return sorted((r.shuffle_key, r.pack_id, r.pos, r.doc_id,
+                       r.epoch, r.n_tokens)
+                      for r in spark.read.parquet(
+                          out.train_order_path).collect())
+
+    auto = assemble_corpus(
+        spark, corpus(spark), evals(spark), str(tmp_path / "auto"),
+        splits=SPLITS, pack_budget=64, pack_buckets=2, salt="mix-v1",
+        mix_alpha=0.5, mix_token_budget=576)
+    manual = assemble_corpus(
+        spark, corpus(spark), evals(spark), str(tmp_path / "manual"),
+        splits=SPLITS, pack_budget=64, pack_buckets=2, salt="mix-v1",
+        mix_weights={"sitea.com": 1 / 3, "siteb.org": 2 / 3},
+        mix_token_budget=576)
+    assert order_rows(auto) == order_rows(manual)
+
+
+def test_mix_alpha_zero_flattens_one_keeps_natural(spark, tmp_path):
+    """alpha=0 targets a uniform mixture (each domain 288 of 576:
+    sitea upsampled 4x), alpha=1 keeps the natural distribution
+    (every doc exactly once at budget == corpus tokens)."""
+    def domain_tokens(out):
+        rows = spark.read.parquet(out.train_order_path).collect()
+        a = sum(r.n_tokens for r in rows if r.doc_id < 10)
+        b = sum(r.n_tokens for r in rows if r.doc_id >= 10)
+        return a, b, len(rows)
+
+    flat = assemble_corpus(
+        spark, corpus(spark), evals(spark), str(tmp_path / "flat"),
+        splits=SPLITS, pack_budget=64, pack_buckets=2, salt="mix-v1",
+        mix_alpha=0.0, mix_token_budget=576)
+    a, b, n = domain_tokens(flat)
+    assert (a, b, n) == (288, 288, 16)   # sitea x4, siteb x1
+
+    nat = assemble_corpus(
+        spark, corpus(spark), evals(spark), str(tmp_path / "nat"),
+        splits=SPLITS, pack_budget=64, pack_buckets=2, salt="mix-v1",
+        mix_alpha=1.0, mix_token_budget=360)
+    a, b, n = domain_tokens(nat)
+    assert (a, b, n) == (72, 288, 10)    # natural: every doc once
