@@ -156,6 +156,7 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
 def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                         epoch_id: int, *,
                         min_chars: int = 1,
+                        line_min_repeat: int = 2,
                         redact_kinds=None,
                         jaccard_num: int = 7, jaccard_den: int = 10,
                         gopher_thresholds: dict | None = None
@@ -164,6 +165,12 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     hygiene + URL dedup + line dedup + near-dup against the persisted
     stores, append the new state, and return the epoch's surviving
     (doc_id, url, norm_url, text) rows, eagerly materialized.
+
+    ``line_min_repeat`` > 2 uses the line store's epoch-tagged
+    occurrence counts (prefix policy — the first k-1 corpus-wide
+    occurrences of a line survive; see
+    `streaming.dedup.line_dedup_ingest_epoch`); keep it constant per
+    state_dir (counts saturate at the k they were recorded under).
 
     Store appends happen inside; the caller owns durable output (see
     `streaming_corpus_ingest`). Replay-safe per the module docstring.
@@ -214,7 +221,8 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
 
     # -- line dedup vs the persisted digest store ---------------------
     rebuilt = (line_dedup_ingest_epoch(
-        survivors.select("doc_id", "text"), p["line"], e)
+        survivors.select("doc_id", "text"), p["line"], e,
+        min_repeat=line_min_repeat)
         .filter(F.length("text") > 0)
         .select("doc_id", "text"))
     staged = (rebuilt.join(survivors.select("doc_id", "url", "norm_url"),
@@ -322,6 +330,7 @@ def corpus_ingest_compact(spark: SparkSession, state_dir: str,
 def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                             corpus_path: str, *,
                             min_chars: int = 1,
+                            line_min_repeat: int = 2,
                             redact_kinds=None,
                             jaccard_num: int = 7, jaccard_den: int = 10,
                             gopher_thresholds: dict | None = None,
@@ -355,6 +364,7 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         out = corpus_ingest_epoch(
             batch_df, state_dir, epoch_id, min_chars=min_chars,
+            line_min_repeat=line_min_repeat,
             redact_kinds=redact_kinds,
             jaccard_num=jaccard_num, jaccard_den=jaccard_den,
             gopher_thresholds=gopher_thresholds)
@@ -386,16 +396,18 @@ def corpus_read(spark: SparkSession, corpus_path: str) -> DataFrame:
 
 def corpus_ingest_batch(docs: DataFrame, *,
                         min_chars: int = 1,
+                        line_min_repeat: int = 2,
                         redact_kinds=None,
                         jaccard_num: int = 7, jaccard_den: int = 10,
                         gopher_thresholds: dict | None = None
                         ) -> DataFrame:
     """The batch reference the streaming ingest is pinned against:
     the same stages in the same order over the full corpus at once —
-    hygiene, min-id URL dedup, corpus-wide line dedup (min_repeat=2,
-    the membership-store semantics), full MinHash+LSH near-dup with
-    min-id representatives, Gopher rules. With ingest-ordered ids the
-    epoch concatenation equals this exactly."""
+    hygiene, min-id URL dedup, corpus-wide line dedup (the PREFIX
+    policy, which at the default min_repeat=2 IS the winner
+    semantics), full MinHash+LSH near-dup with min-id
+    representatives, Gopher rules. With ingest-ordered ids the epoch
+    concatenation equals this exactly."""
     from lisp_batch_processor_spark.operators.dedup import (
         assignment, line_dedup, lsh_candidate_pairs, minhash_signatures,
         verify_jaccard)
@@ -408,7 +420,8 @@ def corpus_ingest_batch(docs: DataFrame, *,
             redact_documents)
         url_deduped = redact_documents(url_deduped, kinds=redact_kinds,
                                        counts=False)
-    ld = (line_dedup(url_deduped.select("doc_id", "text"), min_repeat=2)
+    ld = (line_dedup(url_deduped.select("doc_id", "text"),
+                     min_repeat=line_min_repeat, policy="prefix")
           .filter(F.length("text") > 0)
           .select("doc_id", "text")
           .join(url_deduped.select("doc_id", "url", "norm_url"),

@@ -358,3 +358,31 @@ def test_streaming_hook_self_schedules_compaction(spark, tmp_path,
     rep = ingest_report(spark, sd, corpus)
     assert rep["url"]["epochs"]["min"] == -1
     assert rep["line"]["epochs"]["min"] == -1
+
+
+def test_line_min_repeat3_epoch_concat_equals_batch(spark, tmp_path):
+    """The line_min_repeat knob composes through the ingest pipeline:
+    at k=3 (epoch-tagged COUNTS, prefix policy) a line planted once
+    per epoch keeps its first two occurrences and loses the third —
+    and the epoch concatenation still equals the batch reference."""
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    # Plant the boilerplate line into one *surviving* doc per epoch:
+    # docs 4 (e0) and 20 (e1) already carry it; add it to doc 34 (e2).
+    e2b = e2.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 34,
+               F.concat(F.col("text"), F.lit("\n" + BOILER)))
+        .otherwise(F.col("text")))
+    outs = [corpus_ingest_epoch(b, sd, e, line_min_repeat=3)
+            for e, b in enumerate((e0, e1, e2b))]
+    got = sorted(sum((rows_of(o) for o in outs), []))
+    full = e0.unionByName(e1).unionByName(e2b)
+    want = sorted(rows_of(corpus_ingest_batch(full, line_min_repeat=3)))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    # First two occurrences survive (docs 4 and 20), third stripped.
+    assert BOILER in by_id[4][3]
+    assert BOILER in by_id[20][3]
+    assert BOILER not in by_id[34][3]
