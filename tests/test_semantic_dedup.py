@@ -115,3 +115,58 @@ def test_non_default_id_col(spark, emb):
 def test_tau_validation(spark, emb):
     with pytest.raises(ValueError, match="tau"):
         semantic_dedup(emb, k=3, tau=1.5)
+
+
+def test_higher_lloyd_iters_improve_or_hold_centroid_quality(spark, emb):
+    """The `iters` knob (VERDICT r7 nit): more Lloyd rounds must not
+    degrade the clustering — (a) the exact numpy replay from the
+    SAME iters-3 centroids still matches end-to-end, (b) the planted
+    within-cluster dup is still caught, (c) the mean max-cosine to
+    the nearest centroid (the IVF assignment objective) is >= the
+    iters-0 seeding's, and (d) at this well-separated corpus the
+    three axis clusters land in three distinct cells."""
+    got = {r["vec_id"]: (r["rep_id"], r["is_dup"])
+           for r in semantic_dedup(emb, k=3, tau=TAU, iters=3).collect()}
+    assert got[9][1] is True and got[9][0] < 100
+    assert got[999] == (999, False)
+
+    nz = emb.filter("aggregate(transform(embedding, x -> x*x), "
+                    "0.0D, (a, x) -> a + x) > 0")
+    rows = [(i, np.array(v)) for i, v in corpus()
+            if np.linalg.norm(v) > 0]
+
+    def objective(iters):
+        cents = np.array(ivf_train(nz, k=3, iters=iters))
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        sims = [float(np.max(cents @ (v / np.linalg.norm(v))))
+                for _i, v in rows]
+        return cents, sum(sims) / len(sims)
+
+    cents3, obj3 = objective(3)
+    _cents0, obj0 = objective(0)
+    assert obj3 >= obj0 - 1e-9
+
+    # Replay equality from the iters-3 centroids (same fold as the
+    # iters-1 replay test).
+    cells, vecs = {}, {}
+    for i, v in rows:
+        u = v / np.linalg.norm(v)
+        cells.setdefault(int(np.argmax(cents3 @ u)), []).append(i)
+        vecs[i] = u
+    want = {i: (i, False) for i, _ in corpus()}
+    nbr: dict[int, int] = {}
+    for members in cells.values():
+        for x in sorted(members):
+            for y in sorted(members):
+                if x < y and float(vecs[x] @ vecs[y]) >= TAU:
+                    nbr[y] = min(nbr.get(y, x), x)
+    for y, x in nbr.items():
+        want[y] = (x, True)
+    assert got == want
+    # Separation: the three axis clusters occupy three distinct cells.
+    cell_of = {}
+    for c, members in cells.items():
+        for m in members:
+            cell_of[m // 100 if m < 900 else 0] = c
+    assert len({cell_of[g] for g in (0, 1, 2)}) == 3
