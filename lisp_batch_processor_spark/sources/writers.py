@@ -506,7 +506,16 @@ def store_append(df: DataFrame, root: str,
     dir stays append-only-mutable between rewrites — readers see a
     grow-only file set, exactly the plain store's contract); the
     FIRST append publishes v_0. Swap: plain append to the root
-    (repairing a crashed rewrite first)."""
+    (repairing a crashed rewrite first).
+
+    A live foreign writer LEASE on a swap store raises
+    :class:`LeaseHeldError`: appending mid-rewrite is wrong in every
+    branch — the in-flight staged copy doesn't contain the new rows
+    (the swap would drop them), and if the root is renamed aside the
+    append would create a FRESH dir that a later repair then treats
+    as the current copy, deleting the backup. Appends belong to the
+    same single-writer loop as rewrites; after a crash, retry after
+    the lease expires (repair then runs first, keeping the rows)."""
     spark = df.sparkSession
     r = root.rstrip("/")
     if store_is_versioned(spark, r):
@@ -516,7 +525,11 @@ def store_append(df: DataFrame, root: str,
         else:
             df.write.mode("append").format(fmt).save(cur)
         return
-    recover_swap(spark, r)
+    if not recover_swap(spark, r):
+        raise LeaseHeldError(
+            f"{r} is mid-rewrite (writer lease live); an append now "
+            "would be lost by the swap or corrupt the repair — retry "
+            "after the lease is released or expires")
     df.write.mode("append").format(fmt).save(r)
 
 

@@ -169,3 +169,30 @@ def test_maintenance_writers_hold_and_release_leases(spark, tmp_path):
         key="key", attrs=["attr"], epoch_id=0)
     assert lease_holder(spark, os.path.join(h, "open")) is None
     assert not os.path.exists(lease_path(os.path.join(h, "open")))
+
+
+def test_store_append_refuses_mid_rewrite(spark, tmp_path):
+    """An append arriving while a foreign rewrite lease is live gets
+    LeaseHeldError — in the mid-swap window a blind append created a
+    FRESH root dir, and the later repair then deleted the backup (the
+    whole store). After release, appends work and repair keeps rows."""
+    import shutil
+
+    d = os.path.join(str(tmp_path), "store")
+    _write_rows(spark, d, [(1, "old")])
+    acquire_lease(spark, d, owner="rewriter", ttl_s=60)
+    shutil.move(d, backup_path(d))  # writer mid-window
+
+    from lisp_batch_processor_spark.sources.writers import store_append
+    with pytest.raises(LeaseHeldError):
+        store_append(spark.createDataFrame([(2, "new")],
+                                           "k long, v string"), d)
+    # Nothing was created at the root; the backup is intact.
+    assert not os.path.exists(d)
+    assert _read_rows(spark, backup_path(d)) == [(1, "old")]
+
+    # Lease released (or expired): repair-then-append keeps all rows.
+    release_lease(spark, d, "rewriter")
+    store_append(spark.createDataFrame([(2, "new")],
+                                       "k long, v string"), d)
+    assert _read_rows(spark, d) == [(1, "old"), (2, "new")]
