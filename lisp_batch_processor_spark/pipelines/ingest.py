@@ -121,11 +121,15 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
     continuous ingest: every later epoch then dedups against the
     seeded history exactly as against prior epochs. URL keys and line
     digests land at epoch −1 (< any stream epoch, so every epoch's
-    strictly-earlier membership filter admits them); the near-dup
-    index + shingle store take the seed docs' signatures untagged
-    (the stores' usual shape). The seed corpus should itself be
-    deduped (e.g. `corpus_read` output or a batch assembly's
-    survivors) — seeding does not dedup it."""
+    strictly-earlier membership filter admits them) — line digests
+    WITH their seed-corpus occurrence counts, so later epochs at any
+    ``line_min_repeat`` (including > 2, the counts path) see exact
+    priors; the near-dup index + shingle store take the seed docs'
+    signatures untagged (the stores' usual shape). The seed corpus
+    should itself be deduped (e.g. `corpus_read` output or a batch
+    assembly's survivors) — seeding does not dedup it. Seed a FRESH
+    store only (the compaction fold assumes one epoch −1 row per
+    key)."""
     from lisp_batch_processor_spark.functions.urls import normalize_url
     from lisp_batch_processor_spark.operators.dedup import (
         banded_signatures, minhash_signatures, shingle_store)
@@ -145,8 +149,9 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
     # (line_dedup_ingest_epoch keys every line >= 1 char — the
     # ``min_chars`` knob above is DOC hygiene, not line exemption),
     # or seeded membership diverges from epoch-written membership.
-    store_append(line_digest_keys(seed, line_min_chars=1)
-                 .withColumn("epoch_id", F.lit(-1).cast("long")),
+    store_append(line_digest_keys(seed, line_min_chars=1, counts=True)
+                 .withColumn("epoch_id", F.lit(-1).cast("long"))
+                 .select("line_key", "epoch_id", "n"),
                  p["line"])
     docs = seed.select("doc_id", "text")
     store_append(banded_signatures(minhash_signatures(docs)), p["index"])

@@ -135,14 +135,18 @@ def near_dup_ingest_epoch(batch_df: DataFrame, index_path: str,
 
 def line_digest_keys(docs: DataFrame, text_col: str = "text",
                      delim: str = "\n",
-                     line_min_chars: int = 1) -> DataFrame:
+                     line_min_chars: int = 1,
+                     counts: bool = False) -> DataFrame:
     """The line store's digest keying, as ONE definition: split on
     the re-escaped delimiter, md5 every line of >= ``line_min_chars``
     chars (shorter lines are exempt from keying — same exemption as
     `line_dedup_ingest_epoch`'s inline construction, which this must
-    stay in lockstep with). Returns distinct (line_key) rows — the
-    shape seed migrations (`pipelines.ingest.corpus_ingest_seed`)
-    append at epoch −1."""
+    stay in lockstep with). Returns distinct (line_key) rows — or,
+    with ``counts=True``, (line_key, n) carrying each line's
+    occurrence count across ``docs`` — the shapes seed migrations
+    (`pipelines.ingest.corpus_ingest_seed`) append at epoch −1
+    (counts make a seeded store exact for ``min_repeat > 2``
+    ingest, not just the membership lower bound)."""
     import re as _re
 
     from pyspark.sql import functions as F
@@ -150,8 +154,12 @@ def line_digest_keys(docs: DataFrame, text_col: str = "text",
     lines = docs.select(
         F.explode(F.split(F.col(text_col), _re.escape(delim), -1))
         .alias("_l"))
-    return (lines.filter(F.length("_l") >= line_min_chars)
-            .select(F.md5("_l").alias("line_key")).distinct())
+    keyed = (lines.filter(F.length("_l") >= line_min_chars)
+             .select(F.md5("_l").alias("line_key")))
+    if counts:
+        return keyed.groupBy("line_key").agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+    return keyed.distinct()
 
 
 _LINE_SCHEMA = "line_key string, epoch_id long, n long"

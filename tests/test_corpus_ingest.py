@@ -386,3 +386,46 @@ def test_line_min_repeat3_epoch_concat_equals_batch(spark, tmp_path):
     assert BOILER in by_id[4][3]
     assert BOILER in by_id[20][3]
     assert BOILER not in by_id[34][3]
+
+
+def test_seeded_counts_make_min_repeat3_exact(spark, tmp_path):
+    """corpus_ingest_seed records line COUNTS (not just membership),
+    so a min_repeat=3 ingest continuing from a seeded corpus sees
+    exact priors: a line occurring twice in the seed is saturated
+    (stripped from epoch docs), a line occurring once keeps exactly
+    one more occurrence — and the epoch output equals the batch
+    reference over seed + epoch at ingest-ordered ids."""
+    from lisp_batch_processor_spark.pipelines import corpus_ingest_seed
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    TWICE = "twice seeded banner line alpha beta gamma"
+    ONCE = "once seeded banner line delta epsilon zeta"
+    seed = spark.createDataFrame(
+        [(1, "https://s1.example.com/", base_text(1) + "\n" + TWICE),
+         (2, "https://s2.example.com/",
+          base_text(2) + "\n" + TWICE + "\n" + ONCE)],
+        SCHEMA)
+    corpus_ingest_seed(seed, sd)
+
+    batch = spark.createDataFrame(
+        [(10, "https://s10.example.com/",
+          base_text(10) + "\n" + TWICE + "\n" + ONCE),
+         (11, "https://s11.example.com/", base_text(11) + "\n" + ONCE)],
+        SCHEMA)
+    out = {r.doc_id: r.text for r in
+           corpus_ingest_epoch(batch, sd, 0,
+                               line_min_repeat=3).collect()}
+    # TWICE is saturated by the seed; ONCE had one seed occurrence,
+    # so doc 10's copy (first in the epoch) survives and doc 11's is
+    # the corpus-wide third -> stripped.
+    assert TWICE not in out[10]
+    assert ONCE in out[10]
+    assert ONCE not in out[11]
+    # And the epoch equals the batch reference restricted to epoch
+    # docs (ids ordered seed < epoch).
+    full = seed.unionByName(batch)
+    want = {r.doc_id: r.text for r in
+            corpus_ingest_batch(full, line_min_repeat=3).collect()
+            if r.doc_id >= 10}
+    assert {d: t for d, t in out.items()} == want
