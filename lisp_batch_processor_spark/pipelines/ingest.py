@@ -452,10 +452,13 @@ def ingest_report(spark: SparkSession, state_dir: str,
     side's counterpart to `pipelines.report.corpus_report`: per store
     (URL keys, line digests, near-dup index, shingle sets, and the
     corpus dir when given) its committed row count, epoch span
-    (epoch-tagged stores; −1 rows are migrated seed state), and
-    parquet FILE count — the number that tells the single-writer
-    maintenance window when `line_store_compact` /
-    `sources.writers.compact` is due.
+    (epoch-tagged stores; −1 rows are migrated seed state), parquet
+    FILE count — the number that tells the single-writer maintenance
+    window when `line_store_compact` / `sources.writers.compact` is
+    due — its backend (with the committed version count for
+    versioned stores), and, on swap stores, any LIVE writer lease
+    (between epochs that means a maintenance writer crashed less
+    than a TTL ago; maintenance inside the loop always releases).
 
     Every number is a bounded aggregate (counts, min/max) or a
     driver-side file listing; nothing row-sized is collected. Reads
@@ -475,14 +478,32 @@ def ingest_report(spark: SparkSession, state_dir: str,
                 n += 1
         return n
 
+    from lisp_batch_processor_spark.sources.writers import (
+        _versions, lease_holder, store_is_versioned)
+
     report: dict = {}
     targets = dict(_paths(state_dir))
     if corpus_path is not None:
         targets["corpus"] = corpus_path
     for name, root in targets.items():
-        dp = store_data_path(spark, root.rstrip("/"))
+        r_ = root.rstrip("/")
+        versioned = store_is_versioned(spark, r_)
+        backend_entry: dict = {"backend":
+                               "versioned" if versioned else "swap"}
+        if versioned:
+            jvm, fs, _ = _hadoop_fs(spark, r_)
+            backend_entry["versions"] = len(
+                _versions(fs, jvm, r_, pointed_only=True))
+        else:
+            holder = lease_holder(spark, r_)
+            if holder is not None:
+                # A live lease between epochs means a writer crashed
+                # mid-maintenance less than a TTL ago (the loop's own
+                # maintenance always releases) — worth surfacing.
+                backend_entry["lease_holder"] = holder
+        dp = store_data_path(spark, r_)
         if dp is None:
-            report[name] = {"rows": 0, "files": 0}
+            report[name] = {"rows": 0, "files": 0, **backend_entry}
             continue
         df = spark.read.parquet(dp)
         aggs = [F.count("*").alias("rows")]
@@ -491,7 +512,8 @@ def ingest_report(spark: SparkSession, state_dir: str,
                      F.max("epoch_id").alias("e1"),
                      F.count_distinct("epoch_id").alias("ne")]
         r = df.agg(*aggs).first()
-        entry = {"rows": int(r["rows"]), "files": _n_files(dp)}
+        entry = {"rows": int(r["rows"]), "files": _n_files(dp),
+                 **backend_entry}
         if "epoch_id" in df.columns and r["ne"]:
             entry["epochs"] = {"min": int(r["e0"]), "max": int(r["e1"]),
                                "distinct": int(r["ne"])}

@@ -262,6 +262,19 @@ def test_ingest_report_accounts_for_store_state(spark, tmp_path):
     assert rep["url"]["rows"] == spark.read.parquet(
         f"{sd}/url_store").count()
     assert all(v["files"] >= 1 for v in rep.values())
+    # Backend observability: the mixed deployment is visible — swap
+    # stores report their backend (no live lease between epochs),
+    # the versioned corpus reports its committed version count.
+    assert rep["url"]["backend"] == "swap"
+    assert "lease_holder" not in rep["url"]
+    assert rep["corpus"]["backend"] == "versioned"
+    assert rep["corpus"]["versions"] >= 1
+    # A live lease (crashed maintenance writer) is surfaced.
+    from lisp_batch_processor_spark.sources.writers import (
+        acquire_lease, release_lease)
+    acquire_lease(spark, f"{sd}/line_store", owner="crashed", ttl_s=60)
+    assert ingest_report(spark, sd)["line"]["lease_holder"] == "crashed"
+    release_lease(spark, f"{sd}/line_store", "crashed")
     # An empty (never-appended) store reads as zeros, not an error.
     sd2 = str(tmp_path / "state2")
     corpus_ingest_init(spark, sd2)
