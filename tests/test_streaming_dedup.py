@@ -596,3 +596,64 @@ def test_line_store_compact_folds_counts(spark, tmp_path):
     probe = [(30, "PPP\nRRR\nTTT"), (31, "QQQ\nSSS")]
     assert run(a, 3, probe) == run(b, 3, probe) == {
         (30, "RRR\nTTT", 3, 2), (31, "SSS", 2, 1)}
+
+
+@pytest.mark.slow
+def test_fuzz_streaming_line_dedup_counts_vs_python_oracle(
+        spark, tmp_path):
+    """Randomized epochs/replays/compactions at random min_repeat:
+    the streaming line dedup over the persisted count store must
+    match a pure-Python occurrence-counting oracle (prefix policy:
+    occurrence index <= k-1 kept) on every epoch's rebuilt text, a
+    replayed epoch must be byte-identical without double-counting,
+    and a mid-stream fold must change nothing downstream."""
+    import random
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_compact, line_store_init)
+
+    rng = random.Random(4242)
+    schema = "doc_id long, text string"
+    vocab = [f"line L{i} body" for i in range(10)]  # small => collisions
+
+    for trial in range(3):
+        k = rng.choice([2, 3, 4])
+        store = os.path.join(str(tmp_path), f"s{trial}")
+        line_store_init(spark, store)
+        counts: dict[str, int] = {}
+        next_id = 0
+        for e in range(4):
+            docs = []
+            for _ in range(rng.randint(1, 5)):
+                n_lines = rng.randint(0, 4)
+                text = "\n".join(rng.choice(vocab)
+                                 for _ in range(n_lines))
+                docs.append((next_id, text))
+                next_id += 1
+            batch = spark.createDataFrame(docs, schema)
+            got = {r.doc_id: (r.text, r.lines_total, r.lines_kept)
+                   for r in line_dedup_ingest_epoch(
+                       batch, store, e, min_repeat=k).collect()}
+            if rng.random() < 0.4:
+                replay = {r.doc_id: (r.text, r.lines_total,
+                                     r.lines_kept)
+                          for r in line_dedup_ingest_epoch(
+                              batch, store, e, min_repeat=k).collect()}
+                assert replay == got, (trial, e, k, "replay")
+            # Python oracle (batch order = (doc_id, pos); empty-split
+            # lines are len 0 < min_chars=1 -> exempt, always kept).
+            for d, text in docs:
+                kept = []
+                total = 0
+                for line in text.split("\n"):
+                    total += 1
+                    if len(line) >= 1:
+                        counts[line] = counts.get(line, 0) + 1
+                        if counts[line] <= k - 1:
+                            kept.append(line)
+                    else:
+                        kept.append(line)
+                assert got[d] == ("\n".join(kept), total, len(kept)), \
+                    (trial, e, k, d)
+            if rng.random() < 0.5:
+                line_store_compact(spark, store)
