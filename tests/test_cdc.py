@@ -474,7 +474,7 @@ def test_fuzz_upsert_versioned_lifecycle_with_crashes(spark, tmp_path):
             if os.path.exists(crc):
                 os.remove(crc)
             assert upsert_apply(spark, path, upd, epoch_id=epoch)
-        elif crash < 0.9:
+        elif crash < 0.8:
             # Stale staging dir from a crashed attempt: the replay
             # must clear it, not commit it.
             stage = os.path.join(path, "._staging_current", "_pb=0")
@@ -484,6 +484,12 @@ def test_fuzz_upsert_versioned_lifecycle_with_crashes(spark, tmp_path):
             top = _manifests(cur)[-1]
             os.remove(os.path.join(cur, f"_m_{top}.json"))
             assert upsert_apply(spark, path, upd, epoch_id=epoch)
+        elif crash < 0.9:
+            # Maintenance interleaves: a compaction pass mid-chain
+            # must preserve state and the retention invariant.
+            from lisp_batch_processor_spark.operators.cdc import (
+                upsert_compact)
+            upsert_compact(spark, path, min_files=1)
         # else: clean epoch.
 
         assert _state(spark, path) == oracle, f"epoch {epoch}"

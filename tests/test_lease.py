@@ -196,3 +196,28 @@ def test_store_append_refuses_mid_rewrite(spark, tmp_path):
     store_append(spark.createDataFrame([(2, "new")],
                                        "k long, v string"), d)
     assert _read_rows(spark, d) == [(1, "old"), (2, "new")]
+
+
+def test_torn_lease_expires_from_file_mtime(spark, tmp_path):
+    """A lease file torn by a crash mid-PUT reads as held by an
+    unknown owner (fail safe: no repair under doubt) until its mtime
+    + the default TTL passes — never wedged forever."""
+    import shutil
+
+    d = os.path.join(str(tmp_path), "store")
+    _write_rows(spark, d, [(1, "old")])
+    shutil.move(d, backup_path(d))  # crash mid-swap...
+    with open(lease_path(d), "w") as f:
+        f.write('{"owner": "wr')   # ...with a torn lease PUT
+    crc = os.path.join(os.path.dirname(lease_path(d)),
+                       "." + os.path.basename(lease_path(d)) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    assert lease_holder(spark, d) == "<torn-lease>"
+    assert recover_swap(spark, d) is False          # fail safe
+    # The torn writer is long dead: age the file past the TTL.
+    os.utime(lease_path(d), (1, 1))
+    assert lease_holder(spark, d) is None
+    assert recover_swap(spark, d) is True           # repair proceeds
+    assert _read_rows(spark, d) == [(1, "old")]
