@@ -498,7 +498,8 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
         from lisp_batch_processor_spark.sources.writers import (
             acquire_lease, release_lease)
         owner = acquire_lease(
-            spark, cur, owner=f"upsert-{_uuid.uuid4().hex[:12]}")
+            spark, cur, owner=f"upsert-{_uuid.uuid4().hex[:12]}",
+            ttl_s=3600.0)
         try:
             # Repair bucket swaps a crashed replay of this (or any
             # prior uncommitted) epoch left half-done, BEFORE
@@ -640,7 +641,8 @@ def upsert_compact(spark: SparkSession, path: str,
         acquire_lease, release_lease)
     cur = path.rstrip("/") + "/current"
     owner = acquire_lease(spark, cur,
-                          owner=f"compact-{_uuid.uuid4().hex[:12]}")
+                          owner=f"compact-{_uuid.uuid4().hex[:12]}",
+                          ttl_s=3600.0)
     done = 0
     try:
         for broot in _bucket_dirs(spark, path):

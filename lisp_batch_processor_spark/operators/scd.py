@@ -408,7 +408,8 @@ def scd2_split_apply(spark, path: str, updates: DataFrame,
     from lisp_batch_processor_spark.sources.writers import (
         acquire_lease, release_lease)
     owner = acquire_lease(spark, open_path,
-                          owner=f"scd2-{_uuid.uuid4().hex[:12]}")
+                          owner=f"scd2-{_uuid.uuid4().hex[:12]}",
+                          ttl_s=3600.0)
     try:
         tmp = staging_path(open_path)
         new_open.write.mode("overwrite").parquet(tmp)
@@ -508,7 +509,8 @@ def scd2_compact_closed(spark, path: str,
             acquire_lease, release_lease)
         owner = acquire_lease(
             spark, closed_root,
-            owner=f"scd2c-{_uuid.uuid4().hex[:12]}")
+            owner=f"scd2c-{_uuid.uuid4().hex[:12]}",
+            ttl_s=3600.0)
         try:
             staged_swap(spark, tmp, closed_root)
         finally:

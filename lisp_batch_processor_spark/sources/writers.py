@@ -181,11 +181,16 @@ def acquire_lease(spark: SparkSession, dest: str,
     crashed and never released) is stolen.
 
     One small-file PUT; pair with :func:`release_lease` in a
-    try/finally. This is the machine-checked form of the
-    single-writer window every swap-store maintenance writer already
-    required by contract: :func:`recover_swap` refuses reader-side
-    repair while a foreign lease is live, closing the
-    repair-vs-live-writer nesting race documented there."""
+    try/finally. Size ``ttl_s`` to the window's WORST CASE (the
+    maintenance writers here use 1h for data rewrites): an expired
+    lease is stealable, so a still-running writer whose lease lapsed
+    loses its exclusion. A long writer can refresh by reacquiring
+    with its own owner token mid-window. This is the machine-checked
+    form of the single-writer window every swap-store maintenance
+    writer already required by contract: :func:`recover_swap`
+    refuses reader-side repair while a foreign lease is live,
+    closing the repair-vs-live-writer nesting race documented
+    there."""
     import time as _time
     me = owner or _default_owner()
     holder = lease_holder(spark, dest)
@@ -556,7 +561,8 @@ def store_publish_rewrite(spark: SparkSession, df: DataFrame,
     # retry after a failure reacquires via the finally-release, and
     # a hard-crashed writer's lease simply expires.
     owner = acquire_lease(spark, r,
-                          owner=f"rewrite-{_uuid.uuid4().hex[:12]}")
+                          owner=f"rewrite-{_uuid.uuid4().hex[:12]}",
+                          ttl_s=3600.0)
     try:
         jvm, fs, _ = _hadoop_fs(spark, r)
         tmp = staging_path(r)

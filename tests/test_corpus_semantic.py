@@ -157,3 +157,29 @@ def test_knob_off_layout_and_chain_unchanged(spark, tmp_path):
     rep = corpus_report(spark, wd2, write=False)
     assert rep["funnel"]["lineage_consistent"]
     assert any(s["name"] == "semantic" for s in rep["funnel"]["stages"])
+
+
+def test_semantic_and_mixing_compose(spark, tmp_path):
+    """The optional stages compose: one assembly with embeddings AND
+    mix_alpha — the semantic plant dies before packing, the mixture
+    derives from the SEMANTIC survivors' measured tokens, and the
+    train order carries copies of everything that survived (never of
+    the dropped doc)."""
+    docs, evals = corpus(spark)
+    out = assemble_corpus(
+        spark, docs, evals, str(tmp_path / "w"),
+        embeddings=embeddings(spark), semantic_k=3,
+        mix_alpha=0.0, mix_token_budget=720,
+        pack_budget=64, pack_buckets=2, salt="sem-v1",
+        splits=(("train", 1.0),))
+    names = [s.name for s in out.stages]
+    assert names.index("semantic") == names.index("near_dup") + 1
+    order = spark.read.parquet(out.train_order_path)
+    ids = {r.doc_id for r in order.select("doc_id").collect()}
+    assert 201 not in ids and 200 in ids
+    assert "epoch" in order.columns
+    # Every surviving doc appears (alpha=0 upsamples every domain to
+    # an equal token share; nothing is silently dropped by mixing).
+    assert ids == {r.doc_id for r in
+                   spark.read.parquet(f"{str(tmp_path / 'w')}/06_split")
+                   .select("doc_id").collect()}
