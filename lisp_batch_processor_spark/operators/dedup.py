@@ -1532,7 +1532,9 @@ SEMANTIC_TAU = 0.95
 def semantic_dedup(emb: DataFrame, k: int = 64,
                    tau: float = SEMANTIC_TAU,
                    id_col: str = "vec_id",
-                   iters: int = 1) -> DataFrame:
+                   iters: int = 1,
+                   centroids: list[list[float]] | None = None
+                   ) -> DataFrame:
     """Cluster-scoped embedding near-dedup (the SemDeDup recipe
     shape): train k IVF centroids (`similarity.ivf_train` — seed-
     deterministic md5 sample + Lloyd rounds), assign every vector its
@@ -1571,7 +1573,13 @@ def semantic_dedup(emb: DataFrame, k: int = 64,
     # alias the caller's id column onto it so any id name works.
     nz = (emb.select(F.col(id_col).alias("vec_id"), "embedding")
           .filter(dot(F.col("embedding"), F.col("embedding")) > 0))
-    cents = ivf_train(nz, k=k, iters=iters)
+    # ``centroids`` pins a PRECOMPUTED cell model instead of training
+    # on this corpus — the incremental/streaming path's requirement
+    # (every epoch must cell against the SAME model or cells drift
+    # and the epoch-concat pin is meaningless), and the exact-replay
+    # oracle's convenience.
+    cents = (centroids if centroids is not None
+             else ivf_train(nz, k=k, iters=iters))
     one_cell = _ivf_cells_udf(cents, 1)
     # Materialize the cell assignment ONCE: both sides of the pair
     # join read it, and without a snapshot each side would re-run the
@@ -1590,3 +1598,73 @@ def semantic_dedup(emb: DataFrame, k: int = 64,
              .select("_sem_a", "_sem_b"))
     return assignment(emb.select(id_col), id_col,
                       pairs, "_sem_a", "_sem_b")
+
+
+def incremental_semantic_dups(batch_emb: DataFrame,
+                              centroids: list[list[float]],
+                              store: DataFrame,
+                              tau: float = SEMANTIC_TAU,
+                              id_col: str = "vec_id"
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Batch-vs-corpus incremental SEMANTIC dedup — the embedding
+    companion to `incremental_near_dups`: assign a NEW batch of
+    vectors against an EXISTING corpus's persisted cell store without
+    ever self-joining the corpus. Returns (assignment, celled):
+    one (id_col, rep_id, is_dup) row per batch vector, and the
+    batch's celled (vec_id, cell, embedding) rows — the survivors'
+    subset of which the caller appends to keep the pipeline
+    incremental (`streaming.dedup.semantic_ingest_epoch` does).
+
+    ``centroids`` is the FIXED cell model every epoch shares (train
+    once on the seed corpus — `similarity.ivf_train`); ``store`` is
+    the celled survivor frame (vec_id, cell, embedding). Candidates
+    are two bounded equi-joins on `cell` (batch-vs-store and
+    batch-vs-batch), verified by exact cosine >= ``tau``, folded by
+    the standard min-id `assignment` — with ingest-ordered ids this
+    equals `semantic_dedup(corpus ∪ batch, centroids=SAME)`
+    restricted to the batch (pinned), up to the same survivor-only
+    transitive-chain exception every incremental dedup here
+    documents. Zero-norm vectors pass through as their own reps.
+
+    Scale notes (100 TB): centroids broadcast (O(k x dim)); the
+    batch's cell assignment is a scan-local Arrow matmul; both
+    candidate joins are cell-bucketed with cost
+    O(batch x cell-occupancy), never corpus x corpus; the store
+    contributes only same-cell rows. Replay-safe without epoch tags:
+    a replay that runs after its own survivor append finds each
+    batch vector's own stored copy — a self-pair, which the min-id
+    fold resolves to rep = self exactly as a no-neighbor vector.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    from lisp_batch_processor_spark.functions.vectors import cosine, dot
+    from lisp_batch_processor_spark.operators.similarity import (
+        _ivf_cells_udf)
+
+    one_cell = _ivf_cells_udf(centroids, 1)
+    nz = (batch_emb.select(F.col(id_col).alias("vec_id"), "embedding")
+          .filter(dot(F.col("embedding"), F.col("embedding")) > 0))
+    celled = (nz.select("vec_id",
+                        one_cell("embedding")[0].alias("cell"),
+                        "embedding")
+              .localCheckpoint(eager=True))  # feeds 3 joins below
+    st = store.select(F.col("vec_id").alias("_st_id"), "cell",
+                      F.col("embedding").alias("_st_emb"))
+    bs = (celled.join(st, "cell")
+          .filter(cosine(F.col("embedding"), F.col("_st_emb"))
+                  >= F.lit(float(tau)))
+          .select(F.least("vec_id", "_st_id").alias("_sem_a"),
+                  F.greatest("vec_id", "_st_id").alias("_sem_b")))
+    b2 = celled.select(F.col("cell"),
+                       F.col("vec_id").alias("_bb_id"),
+                       F.col("embedding").alias("_bb_emb"))
+    bb = (celled.join(b2, "cell")
+          .filter(F.col("vec_id") < F.col("_bb_id"))
+          .filter(cosine(F.col("embedding"), F.col("_bb_emb"))
+                  >= F.lit(float(tau)))
+          .select(F.col("vec_id").alias("_sem_a"),
+                  F.col("_bb_id").alias("_sem_b")))
+    pairs = bs.unionByName(bb).dropDuplicates(["_sem_a", "_sem_b"])
+    asg = assignment(batch_emb.select(F.col(id_col)), id_col,
+                     pairs, "_sem_a", "_sem_b")
+    return asg, celled

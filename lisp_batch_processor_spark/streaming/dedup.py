@@ -494,3 +494,134 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
         sink(out, epoch_id)
 
     return stream_docs.writeStream.foreachBatch(_process)
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic (embedding) dedup — the fourth incremental dedup
+# axis, completing URL / line / MinHash near-dup: SemDeDup against a
+# persisted cell store, with the IVF cell model trained ONCE on the
+# seed corpus so every epoch cells identically.
+# ---------------------------------------------------------------------------
+
+def semantic_store_seed(seed_emb, state_dir: str, *,
+                        k: int = 64, iters: int = 1,
+                        backend: str = "swap",
+                        id_col: str = "vec_id") -> None:
+    """Create the two semantic-ingest stores under ``state_dir`` from
+    the seed corpus's (id_col, embedding) rows: the CENTROID store
+    (`similarity.ivf_train` on the seed — the fixed cell model every
+    later epoch shares; cell id = row position) and the celled
+    VECTOR store holding the seed vectors as the initial survivors.
+    The seed should itself be semantically deduped (e.g.
+    `operators.dedup.semantic_dedup` survivors) — seeding does not
+    dedup it. Retraining the model = re-seeding (a new model re-cells
+    everything; the stores are only meaningful against their own
+    centroids)."""
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.functions.vectors import dot
+    from lisp_batch_processor_spark.operators.similarity import (
+        _ivf_cells_udf, ivf_train)
+    from lisp_batch_processor_spark.sources.writers import (
+        store_append, versioned_store_init)
+
+    if backend not in ("swap", "versioned"):
+        raise ValueError(f"backend must be 'swap' or 'versioned', "
+                         f"got {backend!r}")
+    spark = seed_emb.sparkSession
+    sd = state_dir.rstrip("/")
+    cent_path, vec_path = f"{sd}/sem_centroids", f"{sd}/sem_vectors"
+    if backend == "versioned":
+        versioned_store_init(spark, cent_path)
+        versioned_store_init(spark, vec_path)
+    nz = (seed_emb.select(F.col(id_col).alias("vec_id"), "embedding")
+          .filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+          .localCheckpoint(eager=True))  # feeds train AND the cell UDF
+    cents = ivf_train(nz, k=k, iters=iters)
+    store_append(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, embedding array<double>"),
+        cent_path)
+    one_cell = _ivf_cells_udf(cents, 1)
+    store_append(nz.select("vec_id",
+                           one_cell("embedding")[0].alias("cell"),
+                           "embedding"),
+                 vec_path)
+
+
+def semantic_read_centroids(spark, state_dir: str) -> list[list[float]]:
+    """The persisted cell model, in cell-id order — bounded
+    O(k x dim) driver/model state, the one collect this path does."""
+    from lisp_batch_processor_spark.sources.writers import (
+        store_data_path)
+    dp = store_data_path(spark,
+                         state_dir.rstrip("/") + "/sem_centroids")
+    if dp is None:
+        raise ValueError(f"no centroid store under {state_dir} "
+                         "(create with semantic_store_seed)")
+    rows = spark.read.parquet(dp).collect()
+    return [list(r.embedding) for r in
+            sorted(rows, key=lambda r: r.cell)]
+
+
+def semantic_ingest_epoch(batch_emb, state_dir: str,
+                          tau: float = 0.95,
+                          id_col: str = "vec_id"):
+    """One epoch of incremental semantic dedup against the persisted
+    stores: assign the batch's vectors against the fixed centroid
+    model + the celled survivor store
+    (`operators.dedup.incremental_semantic_dups`), append the
+    SURVIVORS' celled vectors, and return the epoch's
+    (id_col, rep_id, is_dup) rows, eagerly materialized.
+
+    With ingest-ordered ids the epoch concatenation equals
+    `semantic_dedup(seed ∪ epochs, centroids=the seed-trained model)`
+    restricted to the epoch ids (pinned by
+    tests/test_streaming_dedup.py), up to the survivor-only
+    transitive-chain exception every incremental dedup documents.
+    REPLAY-SAFE WITHOUT epoch tags, like the near-dup twin: a replay
+    after its own append meets its own stored vectors as self-pairs,
+    which the min-id fold resolves to rep = self; the duplicate
+    survivor rows it re-appends change candidate multiplicity, never
+    the min-id assignment."""
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.operators.dedup import (
+        incremental_semantic_dups)
+    from lisp_batch_processor_spark.sources.writers import (
+        store_append, store_data_path)
+
+    spark = batch_emb.sparkSession
+    sd = state_dir.rstrip("/")
+    cents = semantic_read_centroids(spark, sd)
+    vec_dp = store_data_path(spark, f"{sd}/sem_vectors")
+    if vec_dp is None:
+        raise ValueError(f"no vector store under {state_dir} "
+                         "(create with semantic_store_seed)")
+    store = spark.read.parquet(vec_dp)
+    asg, celled = incremental_semantic_dups(
+        batch_emb, cents, store, tau=tau, id_col=id_col)
+    asg = asg.localCheckpoint(eager=True)  # snapshot pre-append
+    store_append(
+        celled.join(asg.filter(~F.col("is_dup"))
+                    .select(F.col(id_col).alias("vec_id")),
+                    "vec_id", "left_semi"),
+        f"{sd}/sem_vectors")
+    return asg
+
+
+def streaming_semantic_ingest(stream_emb, state_dir: str, sink,
+                              tau: float = 0.95,
+                              id_col: str = "vec_id"):
+    """foreachBatch wrapper over `semantic_ingest_epoch` — the
+    streaming twin of the SemDeDup assembly stage, against stores
+    seeded by `semantic_store_seed`. ``sink(asg, epoch_id)`` receives
+    each epoch's (id_col, rep_id, is_dup) rows. Same foreachBatch
+    rationale and checkpointed-replay story as the near-dup twin."""
+    def _process(batch_df, epoch_id: int) -> None:
+        out = semantic_ingest_epoch(batch_df, state_dir, tau=tau,
+                                    id_col=id_col)
+        sink(out, int(epoch_id))
+
+    return stream_emb.writeStream.foreachBatch(_process)

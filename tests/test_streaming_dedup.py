@@ -657,3 +657,114 @@ def test_fuzz_streaming_line_dedup_counts_vs_python_oracle(
                     (trial, e, k, d)
             if rng.random() < 0.5:
                 line_store_compact(spark, store)
+
+
+def _axis(i, dim=8, scale=1.0):
+    v = [0.0] * dim
+    v[i] = scale
+    return v
+
+
+def test_semantic_ingest_epoch_concat_equals_batch(spark, tmp_path):
+    """Streaming semantic dedup (the fourth incremental axis): two
+    epochs against seed-trained centroids + the celled survivor
+    store — dups of the seed, of an earlier epoch's survivor, and
+    within-epoch are all caught; the epoch concatenation equals
+    semantic_dedup over seed ∪ epochs with the SAME centroids,
+    restricted to epoch ids; zero-norm vectors pass through; the
+    store grows by exactly the survivors."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        semantic_dedup)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_ingest_epoch, semantic_read_centroids,
+        semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    seed_rows = [(i, _axis(i - 1)) for i in range(1, 7)]  # axes e0..e5
+    semantic_store_seed(spark.createDataFrame(seed_rows, schema), sd,
+                        k=3)
+    cents = semantic_read_centroids(spark, sd)
+    assert len(cents) == 3 and len(cents[0]) == 8
+
+    e0 = [(10, _axis(1, scale=1.001)),   # dup of seed id 2
+          (11, _axis(6)),                # novel direction
+          (12, _axis(6, scale=0.999))]   # within-epoch dup of 11
+    e1 = [(20, _axis(6, scale=1.002)),   # dup of epoch-0 SURVIVOR 11
+          (21, _axis(6, scale=0.998)),   # ~= dropped 12: still rep 11
+          (22, _axis(7)),                # novel
+          (23, [0.0] * 8)]               # zero-norm: pass-through
+    got = {}
+    for e, rows in enumerate((e0, e1)):
+        out = semantic_ingest_epoch(
+            spark.createDataFrame(rows, schema), sd, tau=0.95)
+        got.update({r.vec_id: (r.rep_id, r.is_dup)
+                    for r in out.collect()})
+
+    assert got == {10: (2, True), 11: (11, False), 12: (11, True),
+                   20: (11, True), 21: (11, True), 22: (22, False),
+                   23: (23, False)}
+
+    # Batch twin over seed ∪ epochs with the SAME centroids.
+    full = spark.createDataFrame(seed_rows + e0 + e1, schema)
+    want = {r.vec_id: (r.rep_id, r.is_dup)
+            for r in semantic_dedup(full, tau=0.95,
+                                    centroids=cents).collect()
+            if r.vec_id >= 10}
+    assert got == want
+
+    # Store grew by exactly the survivors (11 and 22; never 23 —
+    # zero-norm is not celled).
+    ids = {r.vec_id for r in
+           spark.read.parquet(f"{sd}/sem_vectors").collect()}
+    assert ids == {1, 2, 3, 4, 5, 6, 11, 22}
+
+    # Replay of epoch 1 AFTER its own append: identical rows (its
+    # stored copies are self-pairs, resolved to rep = self).
+    replay = {r.vec_id: (r.rep_id, r.is_dup)
+              for r in semantic_ingest_epoch(
+                  spark.createDataFrame(e1, schema), sd,
+                  tau=0.95).collect()}
+    assert replay == {k: v for k, v in got.items() if k >= 20}
+
+
+@pytest.mark.slow
+def test_streaming_semantic_ingest_round_trips(spark, tmp_path):
+    """The foreachBatch wrapper drives the same epochs through a real
+    stream with a checkpoint; assignments match the direct calls."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_store_seed, streaming_semantic_ingest)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(i, _axis(i - 1)) for i in range(1, 7)],
+                              schema), sd, k=3)
+    src = os.path.join(str(tmp_path), "vecs_in")
+    spark.createDataFrame([(10, _axis(1, scale=1.001)),
+                           (11, _axis(6))], schema).coalesce(1) \
+        .write.parquet(os.path.join(src, "batch=0"))
+    spark.createDataFrame([(20, _axis(6, scale=1.002)),
+                           (21, _axis(7))], schema).coalesce(1) \
+        .write.parquet(os.path.join(src, "batch=1"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    seen: dict[int, dict] = {}
+    writer = streaming_semantic_ingest(
+        stream, sd,
+        lambda out, eid: seen.setdefault(
+            eid, {r.vec_id: (r.rep_id, r.is_dup)
+                  for r in out.collect()}))
+    q = writer.option("checkpointLocation",
+                      os.path.join(str(tmp_path), "ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 2
+    merged = {}
+    for d in seen.values():
+        merged.update(d)
+    assert merged == {10: (2, True), 11: (11, False),
+                      20: (11, True), 21: (21, False)}
