@@ -516,7 +516,11 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
     `operators.dedup.semantic_dedup` survivors) — seeding does not
     dedup it. Retraining the model = re-seeding (a new model re-cells
     everything; the stores are only meaningful against their own
-    centroids)."""
+    centroids). Both stores tolerate `sources.writers.compact` from
+    the maintenance window (duplicate vector rows from replays never
+    change the min-id assignment), and the vector store's appends
+    accrete one file set per epoch — fold on the same schedule as
+    the other ingest stores."""
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.functions.vectors import dot
