@@ -155,6 +155,46 @@ def semantic_stage_experiment(spark, base, n):
     return out
 
 
+def semantic_ingest_experiment(spark, base, n, batch_rows=1000):
+    """Per-epoch cost of the STREAMING semantic twin vs corpus size:
+    one equal-sized epoch against a seed of N and of 10N vectors,
+    with cells ∝ corpus (k = N/128) so per-cell occupancy — the term
+    the batch-vs-store join actually pays, O(batch × corpus/k) — is
+    held constant. Flat epoch cost here is the honest scale claim:
+    the knob that keeps a growing corpus flat is re-sizing k (re-seed
+    /split cells), not magic."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_ingest_epoch, semantic_store_seed)
+    out = {}
+    for scale, label in ((1, "corpus_n"), (10, "corpus_n_x10")):
+        rows = n * scale
+        sd = f"{base}/sem_ingest_{label}"
+        seed = _emb_docs(spark, rows, dup_frac=0.0) \
+            .select("doc_id", "embedding") \
+            .withColumnRenamed("doc_id", "vec_id")
+        semantic_store_seed(seed, sd, k=max(2, rows // 128))
+        # The epoch: half novel vectors, half dups of seed vectors.
+        batch = spark.range(batch_rows).selectExpr(
+            f"id + {20 * n} AS vec_id",
+            f"CASE WHEN id % 2 = 0 THEN transform(sequence(0, 31), "
+            f" j -> CAST(pmod(xxhash64(id % {rows}, j), 2001) - 1000"
+            "  AS DOUBLE) / 1000.0 * 1.0001) "
+            f"ELSE transform(sequence(0, 31), j -> "
+            f" CAST(pmod(xxhash64(id + {30 * n}, j), 2001) - 1000"
+            "  AS DOUBLE) / 1000.0) END AS embedding")
+        t0 = time.perf_counter()
+        asg = semantic_ingest_epoch(batch, sd, tau=0.95)
+        dups = asg.filter("is_dup").count()
+        dt = time.perf_counter() - t0
+        out[label] = {"corpus": rows, "k": max(2, rows // 128),
+                      "batch": batch_rows, "dups": dups,
+                      "epoch_sec": round(dt, 3)}
+    out["epoch_ratio_x10_over_x1"] = round(
+        out["corpus_n_x10"]["epoch_sec"]
+        / out["corpus_n"]["epoch_sec"], 2)
+    return out
+
+
 def main() -> None:
     epochs = int(os.environ.get("ING_EPOCHS", "24"))
     docs_per_epoch = int(os.environ.get("ING_DOCS", "400"))
@@ -171,6 +211,8 @@ def main() -> None:
         "ingest_compaction": ingest_experiment(
             spark, base, epochs, docs_per_epoch, compact_every=8),
         "semantic_stage": semantic_stage_experiment(spark, base, sem_n),
+        "semantic_ingest": semantic_ingest_experiment(spark, base,
+                                                      sem_n),
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
@@ -182,6 +224,8 @@ def main() -> None:
         "file_ratio_raw_over_hooked":
             ic["file_ratio_raw_over_hooked"],
         "semantic_stage_exp": result["semantic_stage"]["exp"],
+        "semantic_ingest_epoch_ratio":
+            result["semantic_ingest"]["epoch_ratio_x10_over_x1"],
     }))
     shutil.rmtree(base, ignore_errors=True)
 
