@@ -910,3 +910,38 @@ def test_line_dedup_prefix_policy_matches_python_oracle(spark):
 
     with pytest.raises(ValueError, match="policy"):
         line_dedup(df, policy="nope").collect()
+
+
+def test_incremental_semantic_plan_has_no_cartesian(spark):
+    """The streaming semantic twin's per-epoch plan: both candidate
+    joins (batch-vs-store and batch-vs-batch) are cell-keyed
+    equi-joins — never a cartesian/BNLJ — and the prefix-policy
+    line_dedup keeps the same guarantee."""
+    import numpy as np
+
+    from lisp_batch_processor_spark.operators.dedup import (
+        incremental_semantic_dups, line_dedup)
+    from lisp_batch_processor_spark.operators.similarity import ivf_train
+    from lisp_batch_processor_spark.plans.inspect import (
+        assert_no_cartesian)
+
+    rng = np.random.default_rng(11)
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in ids],
+        "vec_id long, embedding array<double>")
+    corpus = mk(range(30))
+    cents = ivf_train(corpus, k=3)
+    from lisp_batch_processor_spark.operators.similarity import (
+        _ivf_cells_udf)
+    one_cell = _ivf_cells_udf(cents, 1)
+    store = corpus.select("vec_id",
+                          one_cell("embedding")[0].alias("cell"),
+                          "embedding")
+    asg, _celled = incremental_semantic_dups(mk(range(100, 110)),
+                                             cents, store)
+    assert_no_cartesian(asg)
+    docs = spark.createDataFrame(
+        [(i, f"line a{i}\nline b{i}") for i in range(10)],
+        "doc_id long, text string")
+    assert_no_cartesian(line_dedup(docs, min_repeat=3,
+                                   policy="prefix"))
