@@ -178,12 +178,33 @@ def _manifest_latest(spark: SparkSession, cur: str):
     """(seq, manifest) of the highest VALID manifest, or None. A torn
     top manifest (crash mid-PUT — possible only on stores without
     atomic single-object PUT) reads as absent and the walk steps down
-    to the previous commit."""
+    to the previous commit.
+
+    Raises a MIGRATION error instead of returning None when ``cur``
+    holds the pre-manifest versioned layout (round-7 per-bucket
+    ``b=<n>/v_<k>`` pointer roots): without the check, an old table
+    read under the manifest code failed with the misleading "no
+    committed buckets (initialized from an empty snapshot?)"."""
     from lisp_batch_processor_spark.sources.writers import read_json_file
-    for seq in reversed(_manifest_seqs(spark, cur)):
+    seqs = _manifest_seqs(spark, cur)
+    for seq in reversed(seqs):
         d = read_json_file(spark, f"{cur}/_m_{seq}.json")
         if isinstance(d, dict) and "buckets" in d:
             return seq, d
+    if not seqs:
+        jvm, fs, jcur = _hadoop_fs(spark, cur)
+        if fs.exists(jcur):
+            for st in fs.listStatus(jcur):
+                name = st.getPath().getName()
+                if st.isDirectory() and _re_mod.fullmatch(
+                        r"b=\d+", name):
+                    raise ValueError(
+                        f"versioned upsert table at {cur} uses the "
+                        "pre-manifest layout (per-bucket b=<n>/v_<k> "
+                        "pointer roots); rebuild it with upsert_init "
+                        "from a current read of the old table, or "
+                        "migrate its bucket dirs into one e_<seq> "
+                        "dir plus a _m_<seq>.json manifest")
     return None
 
 
@@ -219,13 +240,15 @@ def _manifest_vacuum(spark: SparkSession, cur: str,
     """Reclaim everything the ``keep`` highest valid manifests no
     longer reference: older/torn manifest files, data dirs superseded
     by later rewrites of their bucket, and orphan ``e_<k>`` dirs from
-    crashed commits. ``keep=1`` (the applier's default, via
-    upsert_init's ``vacuum_keep``) holds files at swap parity and is
-    crash-safe for the single writer (it runs only after the new
-    manifest is durable); ``keep=2`` additionally pins the previous
-    commit's dirs for a reader that resolved its manifest just
-    before the current PUT (the `sources.writers.versioned_vacuum`
-    contract). Returns the number of paths deleted; single-writer
+    crashed commits. ``keep=2`` (upsert_init's ``vacuum_keep``
+    default) pins the previous commit's dirs for a reader that
+    resolved its manifest just before the current PUT (the
+    `sources.writers.versioned_vacuum` contract — the concurrent-
+    reader mode); ``keep=1`` holds files at swap parity but makes
+    reads single-reader-window (the previous commit's dirs vanish
+    the moment the new manifest is durable). Both are crash-safe for
+    the single writer (vacuum runs only after the new manifest is
+    durable). Returns the number of paths deleted; single-writer
     window only."""
     from lisp_batch_processor_spark.sources.writers import read_json_file
     if keep < 1:
@@ -273,7 +296,7 @@ def upsert_init(snapshot: DataFrame, path: str,
                 key: str | Sequence[str],
                 n_buckets: int = 64,
                 backend: str = "swap",
-                vacuum_keep: int = 1) -> None:
+                vacuum_keep: int = 2) -> None:
     """Materialize the initial table state, hash-bucketed on the key.
 
     ``backend`` picks the publication mechanics (recorded in the
@@ -294,15 +317,18 @@ def upsert_init(snapshot: DataFrame, path: str,
       highest valid manifest and never repair.
 
     ``vacuum_keep`` (versioned only) is how many committed manifests
-    each apply's vacuum retains. The default 1 keeps on-disk files
-    at parity with the swap backend (everything unreferenced by the
-    CURRENT manifest is reclaimed right after the commit) and is
-    fully crash-safe for the single writer — the previous state's
-    dirs are deleted only AFTER the new manifest is durable, so
-    every crash window leaves a resolvable commit. Set >= 2 to
-    additionally give CONCURRENT readers a full commit of lag
-    between resolving a manifest and opening its files, at up to 2x
-    file retention when an epoch touches every bucket.
+    each apply's vacuum retains. The default 2 is the CONCURRENT-
+    READER mode the backend is for: the previous commit's dirs
+    survive one full apply, so a reader (or a lazily-evaluated
+    DataFrame upsert_read already returned) that resolved its
+    manifest just before the writer's PUT still opens live files —
+    at up to 2x file retention when an epoch touches every bucket.
+    ``vacuum_keep=1`` keeps on-disk files at parity with the swap
+    backend (everything unreferenced by the CURRENT manifest is
+    reclaimed right after the commit) and remains fully crash-safe
+    for the single writer — but it deletes the previous commit's
+    dirs immediately, so reads are then only safe BETWEEN applies
+    (single-reader-window, same contract as the swap backend).
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -362,7 +388,16 @@ def upsert_read(spark: SparkSession, path: str) -> DataFrame:
     the writer releases). Post-crash reads see no live lease
     (crashed writers' leases expire) and repair as before.
     VERSIONED backend: reads resolve the committed manifest and
-    never repair — safe concurrently with a live apply."""
+    never repair — safe concurrently with a live apply WHEN the
+    table was initialized with ``vacuum_keep >= 2`` (the default):
+    the previous commit's dirs survive one full apply, so a reader
+    that resolved its manifest just before the writer's PUT still
+    opens live files. ``vacuum_keep=1`` (the swap-file-parity mode)
+    reclaims the previous commit's dirs immediately after each
+    manifest PUT, so a concurrent reader — or a lazily-evaluated
+    DataFrame this function already returned — can fail mid-job
+    with FileNotFoundException; treat keep=1 tables as
+    single-reader-window, same as the swap backend."""
     meta = _read_meta(spark, path)  # existence check, clear error
     cur = path.rstrip("/") + "/current"
     if meta.get("backend", "swap") == "versioned":
@@ -385,7 +420,14 @@ def upsert_read(spark: SparkSession, path: str) -> DataFrame:
             f"upsert table at {path} is mid-apply (lease held by "
             f"{holder!r}); retry after the writer releases, or use "
             "the versioned backend for concurrent reads")
-    _recover_bucket_swaps(spark, cur)
+    if not _recover_bucket_swaps(spark, cur):
+        # A writer acquired the lease between the check above and
+        # the repair call — silently skipping repair here would let
+        # the read proceed mid-apply and miss a bucket.
+        raise LeaseHeldError(
+            f"upsert table at {path} went mid-apply during read "
+            "setup (a writer acquired the lease); retry after the "
+            "writer releases")
     return spark.read.parquet(cur).drop(BUCKET_COL)
 
 

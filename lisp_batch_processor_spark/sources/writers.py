@@ -138,14 +138,21 @@ def _default_owner() -> str:
     return f"{_socket.gethostname()}:{_os.getpid()}"
 
 
-_LEASE_DEFAULT_TTL_S = 900.0
+# Torn-lease fallback expiry must cover the LONGEST window any
+# writer acquires (the data-rewrite sites use ttl_s=3600): a lower
+# fallback would strip a still-running writer of its exclusion the
+# moment its lease file happened to tear.
+_LEASE_DEFAULT_TTL_S = 3600.0
 
 
 def lease_holder(spark: SparkSession, dest: str) -> str | None:
     """The owner of a LIVE (unexpired) lease on `dest`, else None.
     A torn lease file (crash mid-PUT) reads as held by an unknown
     owner until the file's mtime + the default TTL passes — fail
-    safe (never repair under doubt) but never wedged forever."""
+    safe (never repair under doubt) but never wedged forever. The
+    fallback TTL equals the largest ttl_s the maintenance writers
+    use (3600 s), so a torn file never expires before a live writer's
+    declared window would have."""
     import time as _time
     lp = lease_path(dest)
     d = read_json_file(spark, lp, default="_torn_", absent=None)
@@ -169,9 +176,33 @@ def lease_holder(spark: SparkSession, dest: str) -> str | None:
     return owner if _time.time() < expires else None
 
 
+def _create_json_exclusive(spark: SparkSession, path: str, obj) -> bool:
+    """Create `path` holding `obj` as JSON iff it does not already
+    exist (``fs.create(path, overwrite=False)`` — atomic
+    create-exclusive on HDFS; the local filesystem raises the same
+    FileAlreadyExistsException). Returns False when the path exists,
+    so a caller racing another creator LOSES instead of silently
+    overwriting the winner."""
+    import json as _json
+
+    from py4j.protocol import Py4JJavaError
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    try:
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(path), False)
+    except Py4JJavaError as e:
+        if "AlreadyExists" in str(e) or "already exists" in str(e):
+            return False
+        raise
+    try:
+        out.write(bytearray(_json.dumps(obj).encode()))
+    finally:
+        out.close()
+    return True
+
+
 def acquire_lease(spark: SparkSession, dest: str,
                   owner: str | None = None,
-                  ttl_s: float = 900.0) -> str:
+                  ttl_s: float = 3600.0) -> str:
     """Take the single-writer lease on `dest` for ``ttl_s`` seconds
     and return the owner token. Reentrant per owner (the default
     owner is host:pid, so a writer retrying after an in-process
@@ -180,27 +211,80 @@ def acquire_lease(spark: SparkSession, dest: str,
     or for the other writer's release. An expired lease (its writer
     crashed and never released) is stolen.
 
-    One small-file PUT; pair with :func:`release_lease` in a
-    try/finally. Size ``ttl_s`` to the window's WORST CASE (the
-    maintenance writers here use 1h for data rewrites): an expired
-    lease is stealable, so a still-running writer whose lease lapsed
-    loses its exclusion. A long writer can refresh by reacquiring
-    with its own owner token mid-window. This is the machine-checked
-    form of the single-writer window every swap-store maintenance
-    writer already required by contract: :func:`recover_swap`
-    refuses reader-side repair while a foreign lease is live,
-    closing the repair-vs-live-writer nesting race documented
-    there."""
+    ATOMICITY: the lease file is written with create-exclusive
+    (never an overwriting PUT), so two writers racing an absent
+    lease cannot both "acquire" — exactly one create succeeds and
+    the loser re-reads the winner and raises. Stealing an expired
+    lease first removes the dead file via an atomic RENAME to a
+    unique tombstone (only one stealer's rename succeeds), then
+    verifies the tombstoned content really was the dead lease it
+    read — a fresh lease created by a racer in the read-to-rename
+    window is renamed back (or, if the racer already re-created,
+    their new file keeps exclusion) and the steal raises. Every
+    path to "acquired" therefore passes through a create-exclusive
+    this owner won.
+
+    Pair with :func:`release_lease` in a try/finally. Size
+    ``ttl_s`` to the window's WORST CASE (the maintenance writers
+    here use 1h for data rewrites): an expired lease is stealable,
+    so a still-running writer whose lease lapsed loses its
+    exclusion. A long writer can refresh by reacquiring with its
+    own owner token mid-window. This is the machine-checked form of
+    the single-writer window every swap-store maintenance writer
+    already required by contract: :func:`recover_swap` refuses
+    reader-side repair while a foreign lease is live, closing the
+    repair-vs-live-writer nesting race documented there."""
     import time as _time
+    import uuid as _uuid
     me = owner or _default_owner()
-    holder = lease_holder(spark, dest)
-    if holder is not None and holder != me:
-        raise LeaseHeldError(
-            f"{dest} is leased by {holder!r}; wait for its release "
-            "or expiry before writing")
-    write_json_file(spark, lease_path(dest),
-                    {"owner": me, "expires": _time.time() + ttl_s})
-    return me
+    lp = lease_path(dest)
+    jvm, fs, _ = _hadoop_fs(spark, dest)
+    jlp = jvm.org.apache.hadoop.fs.Path(lp)
+    for _ in range(3):
+        holder = lease_holder(spark, dest)
+        if holder is not None and holder != me:
+            raise LeaseHeldError(
+                f"{dest} is leased by {holder!r}; wait for its "
+                "release or expiry before writing")
+        if fs.exists(jlp):
+            # Residual file: expired, torn-expired, or my own
+            # (refresh). Remove it atomically via rename so two
+            # stealers cannot both clear-and-recreate.
+            tomb = f"{lp}.tomb.{_uuid.uuid4().hex[:8]}"
+            jtomb = jvm.org.apache.hadoop.fs.Path(tomb)
+            if not fs.rename(jlp, jtomb):
+                continue  # another steal got there first; re-read
+            d = read_json_file(spark, tomb, default="_torn_",
+                               absent=None)
+            fresh_foreign = False
+            if d == "_torn_":
+                # Can't prove the renamed file is the expired one we
+                # read (a racer's create could have landed between);
+                # fail safe: put it back and let lease_holder's
+                # mtime rule govern.
+                fresh_foreign = True
+            elif isinstance(d, dict):
+                try:
+                    live = _time.time() < float(d["expires"])
+                except (KeyError, TypeError, ValueError):
+                    live = False
+                fresh_foreign = live and d.get("owner") != me
+            if fresh_foreign:
+                if not fs.rename(jtomb, jlp):
+                    # The racer already re-created their lease; their
+                    # exclusion is intact — drop our tombstone.
+                    fs.delete(jtomb, False)
+                raise LeaseHeldError(
+                    f"{dest} was leased concurrently; wait for the "
+                    "holder's release or expiry before writing")
+            fs.delete(jtomb, False)
+        if _create_json_exclusive(
+                spark, lp, {"owner": me,
+                            "expires": _time.time() + ttl_s}):
+            return me
+        # Lost the create race — loop to read the winner and raise.
+    raise LeaseHeldError(
+        f"could not acquire lease on {dest}: repeated contention")
 
 
 def release_lease(spark: SparkSession, dest: str, owner: str) -> None:

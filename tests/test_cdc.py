@@ -385,15 +385,16 @@ def test_upsert_versioned_backend_lifecycle(spark, tmp_path):
         for rel in _manifest(cur, s)["buckets"].values()}
 
 
-def test_upsert_versioned_default_vacuum_file_parity(spark, tmp_path):
-    """With the default ``vacuum_keep=1``, each apply's vacuum
-    reclaims everything the current manifest doesn't reference:
-    exactly one manifest on disk, data dirs == its references — the
-    swap-parity retention the backend defaults to."""
+def test_upsert_versioned_vacuum_keep1_file_parity(spark, tmp_path):
+    """With ``vacuum_keep=1`` (the opt-in swap-file-parity mode —
+    the default is 2, the concurrent-reader mode), each apply's
+    vacuum reclaims everything the current manifest doesn't
+    reference: exactly one manifest on disk, data dirs == its
+    references."""
     path = os.path.join(str(tmp_path), "t")
     snap = [(k, f"c{k}", "t") for k in range(12)]
     upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
-                n_buckets=4, backend="versioned")
+                n_buckets=4, backend="versioned", vacuum_keep=1)
     oracle = {k: (c, t) for k, c, t in snap}
     cur = os.path.join(path, "current")
     for e in range(4):
@@ -596,3 +597,85 @@ def test_upsert_stream_compact_every_bounds_files(spark, tmp_path,
     # Epoch 3 triggered the final compaction: every bucket is one file.
     files = _bucket_file_counts(spark, hooked)
     assert all(n == 1 for n in files.values()), files
+
+
+def test_upsert_versioned_concurrent_reader_survives_apply(
+        spark, tmp_path):
+    """The default ``vacuum_keep=2`` is the concurrent-reader mode:
+    a lazily-evaluated DataFrame returned by upsert_read BEFORE an
+    apply (it resolved the previous manifest) still collects after
+    the apply commits and vacuums — the previous commit's dirs
+    survive one full apply. Round 7 kept two versions per bucket for
+    exactly this; the manifest backend's default must too."""
+    path = os.path.join(str(tmp_path), "t")
+    snap = [(k, f"c{k}", "t") for k in range(12)]
+    upsert_init(spark.createDataFrame(snap, SCHEMA), path, key="k",
+                n_buckets=4, backend="versioned")
+    before = upsert_read(spark, path)  # lazy: resolves manifest NOW
+    # Touch EVERY bucket so the old commit's dirs are all superseded.
+    upsert_apply(spark, path,
+                 spark.createDataFrame(
+                     [(k, f"v{k}", "u") for k in range(12)], SCHEMA),
+                 epoch_id=0)
+    # The pre-apply frame still reads its resolved files.
+    assert {r.k: r.city for r in before.collect()} \
+        == {k: f"c{k}" for k in range(12)}
+    # And a fresh read sees the new state.
+    assert _state(spark, path) == {k: (f"v{k}", "u")
+                                   for k in range(12)}
+
+
+def test_upsert_versioned_legacy_layout_raises_migration_error(
+        spark, tmp_path):
+    """A round-7 pre-manifest versioned table (per-bucket b=<n>/v_<k>
+    pointer roots) must fail with an explicit migration error, not
+    the misleading 'no committed buckets' message."""
+    path = os.path.join(str(tmp_path), "t")
+    upsert_init(spark.createDataFrame([(1, "a", "t")], SCHEMA), path,
+                key="k", n_buckets=2, backend="versioned")
+    cur = os.path.join(path, "current")
+    # Rewrite the dir into the legacy shape: bucket-pointer roots,
+    # no manifest files.
+    import shutil
+    for f in os.listdir(cur):
+        p = os.path.join(cur, f)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    os.makedirs(os.path.join(cur, "b=0", "v_0"))
+    with pytest.raises(ValueError, match="pre-manifest"):
+        upsert_read(spark, path)
+    with pytest.raises(ValueError, match="pre-manifest"):
+        upsert_apply(spark, path,
+                     spark.createDataFrame([(1, "b", "t")], SCHEMA),
+                     epoch_id=0)
+
+
+def test_upsert_read_raises_when_lease_lands_mid_setup(
+        spark, tmp_path, monkeypatch):
+    """A writer acquiring the table lease BETWEEN upsert_read's
+    holder check and its repair call must surface as LeaseHeldError,
+    not a silent repair skip followed by a mid-apply read."""
+    from lisp_batch_processor_spark.sources import writers as W
+
+    path = os.path.join(str(tmp_path), "t")
+    upsert_init(spark.createDataFrame([(1, "a", "t")], SCHEMA), path,
+                key="k", n_buckets=2)
+    cur = os.path.join(path, "current")
+    # The lease exists for the WHOLE call, but the first holder
+    # check is blinded once — simulating the race where the writer's
+    # acquire lands between the two checks.
+    W.acquire_lease(spark, cur, owner="racer", ttl_s=60)
+    real = W.lease_holder
+    state = {"first": True}
+
+    def blinded(spark_, dest):
+        if state["first"]:
+            state["first"] = False
+            return None
+        return real(spark_, dest)
+
+    monkeypatch.setattr(W, "lease_holder", blinded)
+    with pytest.raises(W.LeaseHeldError, match="mid-apply"):
+        upsert_read(spark, path)
+    monkeypatch.undo()
+    W.release_lease(spark, cur, "racer")
+    assert _state(spark, path) == {1: ("a", "t")}

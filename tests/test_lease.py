@@ -221,3 +221,60 @@ def test_torn_lease_expires_from_file_mtime(spark, tmp_path):
     assert lease_holder(spark, d) is None
     assert recover_swap(spark, d) is True           # repair proceeds
     assert _read_rows(spark, d) == [(1, "old")]
+
+
+def test_acquire_lease_is_create_exclusive(spark, tmp_path):
+    """Acquisition goes through an atomic create-exclusive, never an
+    overwriting PUT: with a live foreign lease file present, a racer
+    whose holder read was stale (simulated by blinding lease_holder
+    once) must still LOSE — either the tombstone verify or the
+    create-exclusive stops it — and the winner's lease survives."""
+    from lisp_batch_processor_spark.sources import writers as W
+
+    d = os.path.join(str(tmp_path), "store")
+    os.makedirs(d)
+    acquire_lease(spark, d, owner="winner", ttl_s=60)
+
+    real = W.lease_holder
+    state = {"first": True}
+
+    def stale_read(spark_, dest):
+        # The racer read the lease BEFORE the winner's create landed.
+        if state["first"]:
+            state["first"] = False
+            return None
+        return real(spark_, dest)
+
+    import pytest as _pytest
+    orig = W.lease_holder
+    W.lease_holder = stale_read
+    try:
+        with _pytest.raises(LeaseHeldError):
+            acquire_lease(spark, d, owner="racer", ttl_s=60)
+    finally:
+        W.lease_holder = orig
+    # The winner's lease is intact (not overwritten by the loser),
+    # and no tombstone residue remains.
+    assert lease_holder(spark, d) == "winner"
+    assert not [f for f in os.listdir(str(tmp_path))
+                if ".tomb." in f]
+    leftovers = [f for f in os.listdir(str(tmp_path))
+                 if f.startswith("._lease_") and ".tomb." in f]
+    assert leftovers == []
+    release_lease(spark, d, "winner")
+
+
+def test_acquire_lease_steal_leaves_no_tombstone(spark, tmp_path):
+    """Stealing an expired lease routes through rename-to-tombstone +
+    verify + create-exclusive and cleans the tombstone up."""
+    d = os.path.join(str(tmp_path), "store")
+    os.makedirs(d)
+    acquire_lease(spark, d, owner="crashed", ttl_s=0.05)
+    time.sleep(0.1)
+    assert lease_holder(spark, d) is None
+    assert acquire_lease(spark, d, owner="thief", ttl_s=60) == "thief"
+    assert lease_holder(spark, d) == "thief"
+    assert not [f for f in os.listdir(str(tmp_path))
+                if ".tomb." in f]
+    release_lease(spark, d, "thief")
+    assert lease_holder(spark, d) is None
