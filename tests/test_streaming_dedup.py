@@ -768,3 +768,237 @@ def test_streaming_semantic_ingest_round_trips(spark, tmp_path):
         merged.update(d)
     assert merged == {10: (2, True), 11: (11, False),
                       20: (11, True), 21: (21, False)}
+
+
+def test_semantic_store_compact_bounds_files(spark, tmp_path):
+    """The semantic stores joined the maintenance loop: per-epoch
+    vector-store appends accrete one file set per epoch; a
+    `semantic_store_compact` pass folds them to the size target and
+    changes NOTHING downstream — the next epoch's assignment is
+    byte-identical to the uncompacted twin's."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_ingest_epoch, semantic_store_compact,
+        semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    seeds = [(i, _axis(i - 1)) for i in range(1, 5)]
+    epochs = [[(10 + e * 10 + j, _axis((e + j) % 8, scale=1.0 + 0.001 * j))
+               for j in range(3)] for e in range(4)]
+    probe = [(90, _axis(0, scale=1.0005)), (91, _axis(7, scale=0.35))]
+
+    outs = {}
+    for variant, do_compact in (("plain", False), ("folded", True)):
+        sd = str(tmp_path / variant)
+        semantic_store_seed(spark.createDataFrame(seeds, schema), sd,
+                            k=3)
+        for e, rows in enumerate(epochs):
+            semantic_ingest_epoch(spark.createDataFrame(rows, schema),
+                                  sd, tau=0.95)
+        if do_compact:
+            rep = semantic_store_compact(spark, sd)
+            assert rep["vector_files"] >= 1
+            n_files = len([f for f in os.listdir(f"{sd}/sem_vectors")
+                           if f.endswith(".parquet")])
+            assert n_files == rep["vector_files"] <= 2
+        outs[variant] = {
+            r.vec_id: (r.rep_id, r.is_dup)
+            for r in semantic_ingest_epoch(
+                spark.createDataFrame(probe, schema), sd,
+                tau=0.95).collect()}
+    assert outs["folded"] == outs["plain"]
+
+
+def test_semantic_reseed_generation_switch(spark, tmp_path):
+    """Generational re-seed (the drift loop): a new centroid model
+    trains from the CURRENT survivors, the survivors re-cell
+    engine-side, and (centroids, vectors) commit atomically under
+    one marker PUT — readers before the PUT stay on the old
+    generation, a replayed reseed reuses its generation, post-switch
+    epochs stay pinned to the batch twin under the NEW model, and
+    the vacuum keeps exactly one generation of grace."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        semantic_dedup)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy, semantic_current_gen,
+        semantic_ingest_epoch, semantic_read_centroids,
+        semantic_reseed, semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    seeds = [(i, _axis(i - 1)) for i in range(1, 5)]  # axes e0..e3
+    semantic_store_seed(spark.createDataFrame(seeds, schema), sd, k=2)
+    assert semantic_current_gen(spark, sd) == \
+        {"gen": 0, "k": None, "epoch": None}
+
+    # A stale next-gen dir from a "crashed" earlier attempt (vectors
+    # written, marker never PUT) is invisible to readers...
+    os.makedirs(f"{sd}/sem_vectors_g1")
+    with open(f"{sd}/sem_vectors_g1/garbage.txt", "w") as f:
+        f.write("torn")
+    assert semantic_current_gen(spark, sd)["gen"] == 0
+    cents_g0 = semantic_read_centroids(spark, sd)
+    assert len(cents_g0) == 2
+
+    # Grow the corpus so k=2 cells are crowded (ids 10-13 duplicate
+    # the seeds; 14/15 are novel axes e4/e5 — axes e6/e7 stay free
+    # for the post-switch epoch), then reseed with a target cell
+    # size — k re-derives from the survivor count.
+    epoch0 = [(10 + j, _axis(j)) for j in range(6)]
+    semantic_ingest_epoch(spark.createDataFrame(epoch0, schema), sd,
+                          tau=0.999)
+    occ0 = semantic_cell_occupancy(spark, sd)
+    assert occ0["gen"] == 0 and occ0["k"] == 2
+    assert occ0["vectors"] == 6  # seeds 1-4 + novel 14, 15
+    assert occ0["max_cell"] >= occ0["vectors"] / 2
+
+    g = semantic_reseed(spark, sd, target_cell=2, epoch=0)
+    assert g == 1
+    marker = semantic_current_gen(spark, sd)
+    assert marker["gen"] == 1 and marker["epoch"] == 0
+    # k = ceil(survivors / 2); the crashed attempt's dir was replaced.
+    n_surv = occ0["vectors"]
+    assert marker["k"] == -(-n_surv // 2)
+    assert not os.path.exists(f"{sd}/sem_vectors_g1/garbage.txt")
+    cents_g1 = semantic_read_centroids(spark, sd)
+    assert len(cents_g1) == marker["k"]
+
+    # Survivor SET is preserved across the re-cell (ids, no dups).
+    import collections
+    g1_ids = [r.vec_id for r in
+              spark.read.parquet(f"{sd}/sem_vectors_g1").collect()]
+    g0_ids = {r.vec_id for r in
+              spark.read.parquet(f"{sd}/sem_vectors").collect()}
+    assert collections.Counter(g1_ids) == \
+        {i: 1 for i in g0_ids}
+
+    # Replayed reseed (same triggering epoch) reuses generation 1.
+    assert semantic_reseed(spark, sd, target_cell=2, epoch=0) == 1
+    assert semantic_current_gen(spark, sd)["gen"] == 1
+    assert not os.path.exists(f"{sd}/sem_vectors_g2")
+
+    # Post-switch epoch: pinned to the batch twin under the NEW
+    # model over (survivors ∪ epoch). Snapshot the survivor store
+    # BEFORE the epoch appends to it.
+    pre_epoch = [(int(r.vec_id), [float(x) for x in r.embedding])
+                 for r in
+                 spark.read.parquet(f"{sd}/sem_vectors_g1").collect()]
+    epoch1 = [(30, _axis(0, scale=1.0001)),  # dup of survivor 1
+              (31, _axis(6))]                 # novel (e6 unused)
+    got = {r.vec_id: (r.rep_id, r.is_dup)
+           for r in semantic_ingest_epoch(
+               spark.createDataFrame(epoch1, schema), sd,
+               tau=0.95).collect()}
+    full = spark.createDataFrame(pre_epoch + epoch1, schema)
+    want = {r.vec_id: (r.rep_id, r.is_dup)
+            for r in semantic_dedup(full, tau=0.95,
+                                    centroids=cents_g1).collect()
+            if r.vec_id >= 30}
+    assert got == want
+    assert got[31] == (31, False)
+
+    # Second reseed (manual, untagged): gen 2 commits and the vacuum
+    # removes generation 0, keeping generation 1 as the grace copy.
+    assert semantic_reseed(spark, sd) == 2
+    assert os.path.exists(f"{sd}/sem_vectors_g2")
+    assert os.path.exists(f"{sd}/sem_vectors_g1")
+    assert not os.path.exists(f"{sd}/sem_vectors")
+    assert not os.path.exists(f"{sd}/sem_centroids")
+    # Carried-over k (no target): same k as generation 1.
+    assert semantic_current_gen(spark, sd)["k"] == marker["k"]
+
+
+def test_semantic_reseed_replayed_trigger_epoch_is_identical(
+        spark, tmp_path):
+    """The replay pin across a generation switch: the epoch whose
+    trigger committed a reseed recomputes BYTE-IDENTICALLY when
+    replayed — the streaming hook pins its assignment back to the
+    previous generation (kept by the vacuum grace), and the reseed
+    itself no-ops on the marker's epoch tag."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_current_gen, semantic_ingest_epoch,
+        semantic_read_centroids, semantic_reseed, semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(i, _axis(i - 1)) for i in range(1, 5)],
+                              schema), sd, k=2)
+    cents_g0 = semantic_read_centroids(spark, sd)
+
+    # Epoch 7 runs under gen 0, then its trigger commits a reseed.
+    e7 = [(70, _axis(0, scale=1.0004)), (71, _axis(5))]
+    first = {r.vec_id: (r.rep_id, r.is_dup)
+             for r in semantic_ingest_epoch(
+                 spark.createDataFrame(e7, schema), sd, tau=0.95,
+                 centroids=cents_g0, gen=0).collect()}
+    assert semantic_reseed(spark, sd, epoch=7) == 1
+
+    # Crash before the checkpoint commit; epoch 7 replays. The hook's
+    # logic: marker epoch == 7 -> use gen 0 for the assignment and
+    # skip the reseed.
+    cur = semantic_current_gen(spark, sd)
+    assert cur["epoch"] == 7
+    use_gen = cur["gen"] - 1
+    replay = {r.vec_id: (r.rep_id, r.is_dup)
+              for r in semantic_ingest_epoch(
+                  spark.createDataFrame(e7, schema), sd, tau=0.95,
+                  centroids=semantic_read_centroids(spark, sd,
+                                                    gen=use_gen),
+                  gen=use_gen).collect()}
+    assert replay == first
+    assert semantic_reseed(spark, sd, epoch=7) == 1  # still gen 1
+
+
+@pytest.mark.slow
+def test_streaming_semantic_ingest_hooks(spark, tmp_path):
+    """The foreachBatch twin self-maintains: compact_every bounds the
+    vector store's files, and the occupancy trigger commits a new
+    generation mid-stream whose later epochs dedup correctly against
+    the re-celled survivors."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_current_gen, semantic_store_seed,
+        streaming_semantic_ingest)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(i, _axis(i - 1)) for i in range(1, 3)],
+                              schema), sd, k=1)
+    src = os.path.join(str(tmp_path), "vecs_in")
+    # Epochs 0-2 pile distinct directions into k=1's single cell
+    # (occupancy rises past the trigger); epoch 3 lands dups.
+    batches = [
+        [(10, _axis(2)), (11, _axis(3))],
+        [(20, _axis(4)), (21, _axis(5))],
+        [(30, _axis(6)), (31, _axis(7))],
+        [(40, _axis(6, scale=1.0003)),   # dup of 30 (post-reseed)
+         (41, _axis(2, scale=0.9996))],  # dup of 10
+    ]
+    for e, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(os.path.join(src, f"batch={e}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    seen: dict[int, dict] = {}
+    writer = streaming_semantic_ingest(
+        stream, sd,
+        lambda out, eid: seen.setdefault(
+            eid, {r.vec_id: (r.rep_id, r.is_dup)
+                  for r in out.collect()}),
+        compact_every=2, reseed_max_cell=5, reseed_target_cell=3)
+    q = writer.option("checkpointLocation",
+                      os.path.join(str(tmp_path), "ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 4
+    # All pre-reseed epochs were novel directions.
+    for e in range(3):
+        assert all(not d for _, d in seen[e].values()), seen[e]
+    # The occupancy trigger fired mid-stream (8 survivors > 5 in the
+    # single k=1 cell) and epoch 3's dups resolve against re-celled
+    # survivors under the new generation.
+    assert semantic_current_gen(spark, sd)["gen"] >= 1
+    assert seen[3] == {40: (30, True), 41: (10, True)}
