@@ -12,6 +12,11 @@ never a corpus re-scan:
     near-dup              `streaming.dedup.near_dup_ingest_epoch`
                           against the persisted signature index +
                           shingle store (appends survivors' state)
+    semantic (optional)   `streaming.dedup.semantic_ingest_epoch`
+                          against the seed-trained cell model +
+                          celled survivor store (the assembly's
+                          stage 4b, composed into the same loop via
+                          the ``embeddings`` side input)
     quality               Gopher repetition rules (stateless)
 
 The per-epoch work item is `corpus_ingest_epoch`, with
@@ -84,6 +89,18 @@ def _paths(state_dir: str) -> dict[str, str]:
     sd = state_dir.rstrip("/")
     return {"url": f"{sd}/url_store", "line": f"{sd}/line_store",
             "index": f"{sd}/nd_index", "shingles": f"{sd}/nd_shingles"}
+
+
+def _sem_present(spark: SparkSession, state_dir: str) -> bool:
+    """Whether `streaming.dedup.semantic_store_seed` stores live under
+    ``state_dir`` — the semantic axis is optional, so the maintenance
+    and report passes auto-include it only when seeded."""
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_store_roots)
+    cent_path, _ = semantic_store_roots(spark, state_dir)
+    jvm, fs, _ = _hadoop_fs(spark, cent_path)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(cent_path))
 
 
 def corpus_ingest_init(spark: SparkSession, state_dir: str,
@@ -164,18 +181,31 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                         line_min_repeat: int = 2,
                         redact_kinds=None,
                         jaccard_num: int = 7, jaccard_den: int = 10,
+                        embeddings: DataFrame | None = None,
+                        semantic_tau: float = 0.95,
                         gopher_thresholds: dict | None = None
                         ) -> DataFrame:
     """One ingest epoch over ``batch_df`` (doc_id, url, text): apply
-    hygiene + URL dedup + line dedup + near-dup against the persisted
-    stores, append the new state, and return the epoch's surviving
-    (doc_id, url, norm_url, text) rows, eagerly materialized.
+    hygiene + URL dedup + line dedup + near-dup (+ optional semantic
+    dedup) against the persisted stores, append the new state, and
+    return the epoch's surviving (doc_id, url, norm_url, text) rows,
+    eagerly materialized.
 
     ``line_min_repeat`` > 2 uses the line store's epoch-tagged
     occurrence counts (prefix policy — the first k-1 corpus-wide
     occurrences of a line survive; see
     `streaming.dedup.line_dedup_ingest_epoch`); keep it constant per
     state_dir (counts saturate at the k they were recorded under).
+
+    ``embeddings`` (doc_id, embedding — the epoch's docs' vectors, a
+    doc_id-keyed side frame) switches on the SEMANTIC stage between
+    near-dup and the Gopher rules — the same slot the batch
+    assembly's stage 4b occupies — running
+    `streaming.dedup.semantic_ingest_epoch` against the
+    `semantic_store_seed` stores under the SAME ``state_dir`` (seed
+    them first). Docs without an embedding pass through
+    (flag-never-drop, the stage-4b convention); semantic survivors'
+    vectors append so later epochs dedup against them.
 
     Store appends happen inside; the caller owns durable output (see
     `streaming_corpus_ingest`). Replay-safe per the module docstring.
@@ -242,6 +272,27 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     non_dups = staged.join(asg.filter(~F.col("is_dup"))
                            .select("doc_id"), "doc_id", "left_semi")
 
+    # -- semantic (embedding) dedup vs the persisted cell store --------
+    # Optional stage 4b, same slot as assemble_corpus: catches
+    # paraphrased/re-rendered duplicates whose shingle sets no longer
+    # collide. Incremental against the seed-trained model + celled
+    # survivor store; docs without an embedding pass through.
+    if embeddings is not None:
+        from lisp_batch_processor_spark.streaming.dedup import (
+            semantic_ingest_epoch)
+        batch_emb = (embeddings
+                     .select(F.col("doc_id").alias("vec_id"),
+                             "embedding")
+                     .join(non_dups.select(
+                         F.col("doc_id").alias("vec_id")),
+                         "vec_id", "left_semi"))
+        sem = semantic_ingest_epoch(batch_emb, state_dir,
+                                    tau=semantic_tau)
+        non_dups = non_dups.join(
+            sem.filter(F.col("is_dup"))
+               .select(F.col("vec_id").alias("doc_id")),
+            "doc_id", "left_anti")
+
     # -- Gopher repetition rules (stateless) ---------------------------
     gop = gopher_repetition_filter(non_dups,
                                    thresholds=gopher_thresholds)
@@ -273,7 +324,12 @@ def corpus_ingest_compact(spark: SparkSession, state_dir: str,
     - near-dup index + shingle store and (when given) the corpus
       dir: `sources.writers.compact` size-targeted rewrites — their
       reads tolerate duplicate rows, so a plain rewrite preserves
-      semantics while folding per-epoch file accretion.
+      semantics while folding per-epoch file accretion;
+    - semantic stores, AUTO-INCLUDED when seeded under this
+      ``state_dir`` (`streaming.dedup.semantic_store_seed`):
+      `streaming.dedup.semantic_store_compact` rewrites the current
+      generation's vector store the same way (duplicate survivor
+      vectors never move the min-id assignment).
 
     Every rewrite publishes through the store's own backend
     (recoverable staged swap, or the next pointer-committed version
@@ -329,6 +385,11 @@ def corpus_ingest_compact(spark: SparkSession, state_dir: str,
     if corpus_path is not None:
         report["corpus_files"] = compact(
             spark, corpus_path, target_file_bytes=target_file_bytes)
+    if _sem_present(spark, state_dir):
+        from lisp_batch_processor_spark.streaming.dedup import (
+            semantic_store_compact)
+        report["semantic"] = semantic_store_compact(
+            spark, state_dir, target_file_bytes=target_file_bytes)
     return report
 
 
@@ -338,6 +399,10 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                             line_min_repeat: int = 2,
                             redact_kinds=None,
                             jaccard_num: int = 7, jaccard_den: int = 10,
+                            embeddings: DataFrame
+                            | Callable[[SparkSession, int], DataFrame]
+                            | None = None,
+                            semantic_tau: float = 0.95,
                             gopher_thresholds: dict | None = None,
                             compact_every: int | None = None,
                             compact_target_bytes: int
@@ -350,16 +415,26 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     starts it with a checkpointLocation. ``sink(out, epoch_id)``, if
     given, additionally receives each epoch's survivor frame.
 
+    ``embeddings`` composes the SEMANTIC axis into the same loop (no
+    second, separately-stateful stream): a doc_id-keyed side frame —
+    static, or a ``callable(spark, epoch_id)`` for sources that grow
+    with the stream — whose vectors drive `corpus_ingest_epoch`'s
+    stage 4b against `semantic_store_seed` stores under this
+    ``state_dir``. The ingested corpus then satisfies the
+    ingest ≡ assembly composition contract INCLUDING the semantic
+    stage (assemble_corpus's 4b over it is a no-op pass).
+
     ``compact_every=N`` runs :func:`corpus_ingest_compact` after
     every Nth epoch — inside foreachBatch IS the single-writer
     maintenance window the folds require (the same self-scheduling
     hook as the sketch/CDC/SCD2 appliers), so file counts across all
-    five stores stay bounded over stream lifetime with no external
-    scheduler. Replay-safe: the folds preserve the strictly-earlier
-    membership/count semantics (epoch −1 base), so a replayed epoch
-    recomputes identical output whether it lands before or after a
-    compaction; a replay that re-compacts performs a no-op-shaped
-    rewrite at worst."""
+    stores — the semantic pair included, when seeded — stay bounded
+    over stream lifetime with no external scheduler. Replay-safe:
+    the folds preserve the strictly-earlier membership/count
+    semantics (epoch −1 base), so a replayed epoch recomputes
+    identical output whether it lands before or after a compaction;
+    a replay that re-compacts performs a no-op-shaped rewrite at
+    worst."""
     from lisp_batch_processor_spark.sources.writers import store_append
 
     if compact_every is not None and compact_every < 1:
@@ -367,11 +442,14 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                          f"got {compact_every}")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        emb = (embeddings(batch_df.sparkSession, int(epoch_id))
+               if callable(embeddings) else embeddings)
         out = corpus_ingest_epoch(
             batch_df, state_dir, epoch_id, min_chars=min_chars,
             line_min_repeat=line_min_repeat,
             redact_kinds=redact_kinds,
             jaccard_num=jaccard_num, jaccard_den=jaccard_den,
+            embeddings=emb, semantic_tau=semantic_tau,
             gopher_thresholds=gopher_thresholds)
         store_append(out.withColumn("epoch_id",
                                     F.lit(int(epoch_id)).cast("long")),
@@ -404,6 +482,10 @@ def corpus_ingest_batch(docs: DataFrame, *,
                         line_min_repeat: int = 2,
                         redact_kinds=None,
                         jaccard_num: int = 7, jaccard_den: int = 10,
+                        embeddings: DataFrame | None = None,
+                        semantic_tau: float = 0.95,
+                        semantic_centroids: list[list[float]]
+                        | None = None,
                         gopher_thresholds: dict | None = None
                         ) -> DataFrame:
     """The batch reference the streaming ingest is pinned against:
@@ -411,8 +493,13 @@ def corpus_ingest_batch(docs: DataFrame, *,
     hygiene, min-id URL dedup, corpus-wide line dedup (the PREFIX
     policy, which at the default min_repeat=2 IS the winner
     semantics), full MinHash+LSH near-dup with min-id
-    representatives, Gopher rules. With ingest-ordered ids the epoch
-    concatenation equals this exactly."""
+    representatives, optional semantic dedup, Gopher rules. With
+    ingest-ordered ids the epoch concatenation equals this exactly.
+    For the semantic stage the pin needs the SAME fixed cell model
+    the epochs used: pass ``semantic_centroids`` =
+    `streaming.dedup.semantic_read_centroids` of the ingest
+    state_dir, and include the seed docs (+ their ``embeddings``
+    rows) in ``docs`` exactly as for the other stores."""
     from lisp_batch_processor_spark.operators.dedup import (
         assignment, line_dedup, lsh_candidate_pairs, minhash_signatures,
         verify_jaccard)
@@ -439,6 +526,16 @@ def corpus_ingest_batch(docs: DataFrame, *,
                      confirmed, "doc_a", "doc_b")
     non_dups = ld.join(asg.filter(~F.col("is_dup")).select("doc_id"),
                        "doc_id", "left_semi")
+    if embeddings is not None:
+        from lisp_batch_processor_spark.operators.dedup import (
+            semantic_dedup)
+        emb = (embeddings.select("doc_id", "embedding")
+               .join(non_dups.select("doc_id"), "doc_id", "left_semi"))
+        sem = semantic_dedup(emb, tau=semantic_tau, id_col="doc_id",
+                             centroids=semantic_centroids)
+        non_dups = non_dups.join(
+            sem.filter(F.col("is_dup")).select("doc_id"),
+            "doc_id", "left_anti")
     gop = gopher_repetition_filter(non_dups,
                                    thresholds=gopher_thresholds)
     return (non_dups.join(gop.filter("keep").select("doc_id"),
@@ -450,7 +547,9 @@ def ingest_report(spark: SparkSession, state_dir: str,
                   corpus_path: str | None = None) -> dict:
     """Observability over the persisted ingest state — the streaming
     side's counterpart to `pipelines.report.corpus_report`: per store
-    (URL keys, line digests, near-dup index, shingle sets, and the
+    (URL keys, line digests, near-dup index, shingle sets, the
+    SEMANTIC pair when seeded under ``state_dir`` — current
+    generation's centroid + vector stores, auto-included — and the
     corpus dir when given) its committed row count, epoch span
     (epoch-tagged stores; −1 rows are migrated seed state), parquet
     FILE count — the number that tells the single-writer maintenance
@@ -459,6 +558,10 @@ def ingest_report(spark: SparkSession, state_dir: str,
     versioned stores), and, on swap stores, any LIVE writer lease
     (between epochs that means a maintenance writer crashed less
     than a TTL ago; maintenance inside the loop always releases).
+    With semantic stores present the report also carries
+    ``sem_cells`` = `streaming.dedup.semantic_cell_occupancy`
+    (generation, k, survivors, max/mean vectors per cell — the
+    reseed-due signal, one bounded k-row aggregate).
 
     Every number is a bounded aggregate (counts, min/max) or a
     driver-side file listing; nothing row-sized is collected. Reads
@@ -485,6 +588,13 @@ def ingest_report(spark: SparkSession, state_dir: str,
     targets = dict(_paths(state_dir))
     if corpus_path is not None:
         targets["corpus"] = corpus_path
+    if _sem_present(spark, state_dir):
+        from lisp_batch_processor_spark.streaming.dedup import (
+            semantic_cell_occupancy, semantic_store_roots)
+        cent_path, vec_path = semantic_store_roots(spark, state_dir)
+        targets["sem_centroids"] = cent_path
+        targets["sem_vectors"] = vec_path
+        report["sem_cells"] = semantic_cell_occupancy(spark, state_dir)
     for name, root in targets.items():
         r_ = root.rstrip("/")
         versioned = store_is_versioned(spark, r_)

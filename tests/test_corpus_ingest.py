@@ -442,3 +442,155 @@ def test_seeded_counts_make_min_repeat3_exact(spark, tmp_path):
             corpus_ingest_batch(full, line_min_repeat=3).collect()
             if r.doc_id >= 10}
     assert {d: t for d, t in out.items()} == want
+
+
+def _e(i, dim=8, scale=1.0):
+    v = [0.0] * dim
+    v[i] = scale
+    return v
+
+
+def test_semantic_axis_composes_into_ingest(spark, tmp_path):
+    """The semantic axis runs INSIDE the ingest loop (no second,
+    separately-stateful stream): an ``embeddings`` side input drives
+    stage 4b of each epoch against semantic stores seeded under the
+    same state_dir — a tau-level pair whose texts never MinHash-
+    collide dies there, cross-epoch and within-epoch; docs without
+    an embedding pass through; the epoch concatenation equals
+    corpus_ingest_batch with the SAME seed-trained centroids; the
+    report and compact passes auto-include the semantic pair; and
+    assemble_corpus's own stage 4b over the ingested corpus is a
+    no-op."""
+    from lisp_batch_processor_spark.pipelines import (
+        assemble_corpus, corpus_ingest_compact, ingest_report)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_read_centroids, semantic_store_seed)
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    # Semantic-store seed on axes e6/e7 — off the epochs' axes, so
+    # the seed provides only the fixed cell model + history that
+    # nothing collides with (the URL/line/near-dup stores saw no
+    # seed docs, and the batch twin must agree).
+    semantic_store_seed(
+        spark.createDataFrame([(9001, _e(6)), (9002, _e(7))],
+                              "vec_id long, embedding array<double>"),
+        sd, k=2)
+    cents = semantic_read_centroids(spark, sd)
+
+    e0 = [(1, "https://s1.example.com/", base_text(1)),
+          (2, "https://s2.example.com/", base_text(2)),
+          (4, "https://s4.example.com/", base_text(4))]
+    e1 = [(20, "https://s20.example.com/", base_text(20)),
+          (21, "https://s21.example.com/", base_text(21)),
+          (22, "https://s22.example.com/", base_text(22)),
+          (23, "https://s23.example.com/", base_text(23)),
+          (24, "https://s24.example.com/", base_text(24))]
+    emb = spark.createDataFrame(
+        [(1, _e(0)), (2, _e(1)), (4, _e(2)),
+         (20, _e(0, scale=1.001)),   # semantic dup of epoch-0 doc 1
+         (21, _e(3)),
+         (22, _e(3, scale=0.999)),   # within-epoch dup of doc 21
+         (23, _e(4))],               # doc 24 has NO embedding
+        "doc_id bigint, embedding array<double>")
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA)
+
+    outs = [corpus_ingest_epoch(mk(b), sd, e, embeddings=emb)
+            for e, b in enumerate((e0, e1))]
+    got = sorted(sum((rows_of(o) for o in outs), []))
+    ids = {t[0] for t in got}
+    assert 20 not in ids   # cross-epoch semantic dup (of survivor 1)
+    assert 22 not in ids   # within-epoch semantic dup (of 21)
+    assert {1, 2, 4, 21, 23, 24} == ids  # 24: no embedding, passes
+
+    want = rows_of(corpus_ingest_batch(mk(e0 + e1), embeddings=emb,
+                                       semantic_centroids=cents))
+    assert got == want
+
+    # Replay of epoch 1 after its own semantic-store append: the
+    # replayed stage meets its survivors as self-pairs only.
+    assert rows_of(corpus_ingest_epoch(mk(e1), sd, 1,
+                                       embeddings=emb)) \
+        == rows_of(outs[1])
+
+    # Observability + maintenance auto-include the semantic pair.
+    rep = ingest_report(spark, sd)
+    assert rep["sem_centroids"]["rows"] == 2
+    assert rep["sem_cells"]["gen"] == 0 and rep["sem_cells"]["k"] == 2
+    # seed 2 + survivors-with-embeddings {1, 2, 4, 21, 23}
+    assert rep["sem_cells"]["vectors"] == 7
+    assert rep["sem_vectors"]["files"] >= 3   # seed + 2 epochs + replay
+    comp = corpus_ingest_compact(spark, sd)
+    assert comp["semantic"]["vector_files"] >= 1
+    assert ingest_report(spark, sd)["sem_vectors"]["files"] \
+        == comp["semantic"]["vector_files"]
+
+    # Composition contract extends to the semantic stage: assembly's
+    # stage 4b over the ingested corpus is a no-op pass.
+    ingested = outs[0]
+    for p in outs[1:]:
+        ingested = ingested.unionByName(p)
+    evals = spark.createDataFrame(
+        [("benchmark only words never in corpus at all today forever",)],
+        "text string")
+    out = assemble_corpus(spark,
+                          ingested.select("doc_id", "url", "text"),
+                          evals, str(tmp_path / "asm"),
+                          embeddings=emb, pack_budget=64,
+                          pack_buckets=2, salt="sem-ingest")
+    c = out.counters()
+    n = len(got)
+    assert (c["semantic"]["rows_in"], c["semantic"]["rows_out"]) \
+        == (n, n)
+    assert (c["near_dup"]["rows_in"], c["near_dup"]["rows_out"]) \
+        == (n, n)
+
+
+@pytest.mark.slow
+def test_streaming_ingest_with_embeddings_round_trips(spark, tmp_path):
+    """The foreachBatch wrapper takes the embeddings side input and
+    the compact hook folds the semantic stores too: a real stream
+    with compact_every=1 lands the same corpus as the batch twin
+    with the same centroids."""
+    from lisp_batch_processor_spark.pipelines import ingest_report
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_read_centroids, semantic_store_seed)
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    semantic_store_seed(
+        spark.createDataFrame([(9001, _e(6)), (9002, _e(7))],
+                              "vec_id long, embedding array<double>"),
+        sd, k=2)
+    cents = semantic_read_centroids(spark, sd)
+    e0 = [(1, "https://s1.example.com/", base_text(1)),
+          (2, "https://s2.example.com/", base_text(2))]
+    e1 = [(20, "https://s20.example.com/", base_text(20)),
+          (21, "https://s21.example.com/", base_text(21))]
+    emb = spark.createDataFrame(
+        [(1, _e(0)), (2, _e(1)),
+         (20, _e(0, scale=1.001)),   # semantic dup of doc 1
+         (21, _e(3))],
+        "doc_id bigint, embedding array<double>")
+    src = os.path.join(str(tmp_path), "docs_in")
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA)
+    for i, b in enumerate((e0, e1)):
+        mk(b).coalesce(1).write.parquet(os.path.join(src, f"batch={i}"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    corpus = os.path.join(str(tmp_path), "corpus")
+    q = (streaming_corpus_ingest(stream, sd, corpus, embeddings=emb,
+                                 compact_every=1)
+         .option("checkpointLocation",
+                 os.path.join(str(tmp_path), "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = rows_of(corpus_read(spark, corpus))
+    assert {t[0] for t in got} == {1, 2, 21}   # 20 died semantically
+    assert got == rows_of(corpus_ingest_batch(
+        mk(e0 + e1), embeddings=emb, semantic_centroids=cents))
+    # The hook's final pass folded the semantic vector store too.
+    assert ingest_report(spark, sd)["sem_vectors"]["files"] <= 2
