@@ -165,8 +165,44 @@ def line_digest_keys(docs: DataFrame, text_col: str = "text",
 _LINE_SCHEMA = "line_key string, epoch_id long, n long"
 
 
+def _line_meta_path(line_store_path: str) -> str:
+    from lisp_batch_processor_spark.sources.writers import (
+        _hidden_sibling)
+    return _hidden_sibling(line_store_path, "meta")
+
+
+def _line_check_min_repeat(spark, line_store_path: str,
+                           min_repeat: int) -> None:
+    """Machine-check the ONE-min_repeat-per-store contract: counts
+    stop accruing at saturation (``prior >= min_repeat - 1``), so a
+    store built at k silently UNDERCOUNTS for any k' > k — what used
+    to be a docstring warning is now an error. The store's
+    ``min_repeat`` is recorded in a hidden-sibling meta file at
+    first use (or at `line_store_init` when passed there); every
+    later epoch must match. A torn meta file (crash mid-PUT) reads
+    as absent and re-records — the recording epoch's own semantics
+    are unaffected either way."""
+    from lisp_batch_processor_spark.sources.writers import (
+        read_json_file, write_json_file)
+    mp = _line_meta_path(line_store_path)
+    meta = read_json_file(spark, mp, default=None, absent=None)
+    if not isinstance(meta, dict) or "min_repeat" not in meta:
+        write_json_file(spark, mp, {"min_repeat": int(min_repeat)})
+        return
+    stored = int(meta["min_repeat"])
+    if stored != int(min_repeat):
+        raise ValueError(
+            f"line store at {line_store_path} was built with "
+            f"min_repeat={stored} but this epoch passed "
+            f"min_repeat={min_repeat}: occurrence counts saturate at "
+            "the threshold they were recorded under, so mixing "
+            "thresholds silently undercounts — use one min_repeat "
+            "per store (seed a new store to change it)")
+
+
 def line_store_init(spark, line_store_path: str,
-                    backend: str = "swap") -> None:
+                    backend: str = "swap",
+                    min_repeat: int | None = None) -> None:
     """Create an empty epoch-tagged line-digest store — the persisted
     state `streaming_line_dedup_ingest` and `line_dedup_ingest_epoch`
     maintain: (line_key, epoch_id, n) where ``n`` is the line's
@@ -179,7 +215,13 @@ def line_store_init(spark, line_store_path: str,
     ``backend="versioned"`` publishes through pointer-committed
     version dirs instead of the root + staged swap (`sources.writers`
     store backends) — the object-store-safe mode; all
-    ingest/compact/read semantics are identical."""
+    ingest/compact/read semantics are identical.
+
+    ``min_repeat`` (optional) pins the store's threshold up front —
+    otherwise the first `line_dedup_ingest_epoch` records the one it
+    was called with; either way, later epochs at a DIFFERENT
+    min_repeat raise instead of silently undercounting (counts
+    saturate at the recorded threshold)."""
     from lisp_batch_processor_spark.sources.writers import (
         store_append, versioned_store_init)
 
@@ -190,6 +232,14 @@ def line_store_init(spark, line_store_path: str,
         versioned_store_init(spark, line_store_path)
     empty = spark.createDataFrame([], _LINE_SCHEMA)
     store_append(empty, line_store_path)
+    if min_repeat is not None:
+        if min_repeat < 2:
+            raise ValueError(
+                f"min_repeat must be >= 2, got {min_repeat}")
+        from lisp_batch_processor_spark.sources.writers import (
+            write_json_file)
+        write_json_file(spark, _line_meta_path(line_store_path),
+                        {"min_repeat": int(min_repeat)})
 
 
 def _line_store_data_path(spark, line_store_path: str) -> str:
@@ -291,10 +341,13 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
     batch's occurrences rank against the remaining slots, and keys
     already at the threshold stop accruing rows (so the store stays
     ~one row per distinct line per epoch it was still novel in).
-    Use ONE min_repeat per store: counts stop at saturation, so a
-    store built at k undercounts for any k' > k. Rows written before
-    round 8 (and seed rows) lack the count column and read as n=1 —
-    a documented membership lower bound, exact at min_repeat=2.
+    ONE min_repeat per store — now MACHINE-CHECKED: counts stop at
+    saturation, so a store built at k undercounts for any k' > k;
+    the store's threshold is recorded in its meta sidecar at first
+    use (or at `line_store_init`) and a mismatching epoch raises
+    instead of silently undercounting. Rows written before round 8
+    (and seed rows) lack the count column and read as n=1 — a
+    documented membership lower bound, exact at min_repeat=2.
 
     REPLAY-SAFE BY EPOCH TAG: the count read filters the store to
     ``epoch_id < this epoch`` and collapses duplicate
@@ -313,6 +366,7 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
     if min_repeat < 2:
         raise ValueError(f"min_repeat must be >= 2, got {min_repeat}")
     spark = batch_df.sparkSession
+    _line_check_min_repeat(spark, line_store_path, min_repeat)
     batch = batch_df.localCheckpoint(eager=True)
     # Resolve the store's data through its backend (repairs a crashed
     # compact on a swap store; resolves the committed pointer on a

@@ -1002,3 +1002,39 @@ def test_streaming_semantic_ingest_hooks(spark, tmp_path):
     # survivors under the new generation.
     assert semantic_current_gen(spark, sd)["gen"] >= 1
     assert seen[3] == {40: (30, True), 41: (10, True)}
+
+
+def test_line_store_min_repeat_contract_is_machine_checked(
+        spark, tmp_path):
+    """ONE min_repeat per store, enforced: the threshold records in
+    the store meta at first use (or at init), and a later epoch at a
+    different k raises instead of silently undercounting against
+    saturated counts."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_init)
+
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "aa\nbb"), (2, "aa\ncc")], schema)
+    b1 = spark.createDataFrame([(3, "aa\ndd")], schema)
+
+    # First-use recording.
+    s1 = os.path.join(str(tmp_path), "s1")
+    line_store_init(spark, s1)
+    line_dedup_ingest_epoch(b0, s1, 0, min_repeat=3)
+    line_dedup_ingest_epoch(b1, s1, 1, min_repeat=3)  # same k: fine
+    with pytest.raises(ValueError, match="min_repeat=3"):
+        line_dedup_ingest_epoch(b1, s1, 2, min_repeat=2)
+
+    # Init-time pinning.
+    s2 = os.path.join(str(tmp_path), "s2")
+    line_store_init(spark, s2, min_repeat=2)
+    with pytest.raises(ValueError, match="min_repeat=2"):
+        line_dedup_ingest_epoch(b0, s2, 0, min_repeat=4)
+    out = {r.doc_id: r.text
+           for r in line_dedup_ingest_epoch(b0, s2, 0,
+                                            min_repeat=2).collect()}
+    assert out == {1: "aa\nbb", 2: "cc"}
+
+    with pytest.raises(ValueError, match="min_repeat must be >= 2"):
+        line_store_init(spark, os.path.join(str(tmp_path), "s3"),
+                        min_repeat=1)
