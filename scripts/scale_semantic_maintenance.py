@@ -1,0 +1,190 @@
+"""Measure the round-9 semantic-maintenance additions (VERDICT r8
+ask #7 — touched operators only, not the full sweep):
+
+1. Semantic-store compaction (`streaming.dedup.semantic_store_compact`
+   via `streaming_semantic_ingest`'s `compact_every` hook): E epochs
+   of `semantic_ingest_epoch` with and without the hook — per-epoch
+   cost trend (first-third vs last-third medians: the raw loop's
+   store read degrades with one appended file set per epoch, the
+   hooked loop's stays flat), final vector-store file counts, and
+   the fold's own cost.
+
+2. Generational reseed (`streaming.dedup.semantic_reseed`): after the
+   hooked run, one reseed with k re-derived from a target cell size —
+   its cost as a multiple of the median epoch, occupancy before and
+   after (max_cell must drop), and the first post-reseed epoch's cost
+   vs the pre-reseed median (the re-celled store must not be slower).
+
+Run:  python scripts/scale_semantic_maintenance.py
+      SEM_CORPUS=4000 SEM_EPOCHS=16 SEM_BATCH=500 to override.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lisp_batch_processor_spark.session import get_spark  # noqa: E402
+from lisp_batch_processor_spark.streaming.dedup import (  # noqa: E402
+    semantic_cell_occupancy, semantic_ingest_epoch, semantic_read_centroids,
+    semantic_reseed, semantic_store_compact, semantic_store_seed,
+    semantic_store_roots)
+
+
+def median(v):
+    s = sorted(v)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _seed(spark, n, dim=32):
+    # i.i.d. hash-uniform components (see scale_ingest._emb_docs for
+    # why correlated components degenerate the cell join).
+    return spark.range(n).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(0, {dim - 1}), j -> "
+        " CAST(pmod(xxhash64(id, j), 2001) - 1000 AS DOUBLE)"
+        " / 1000.0) AS embedding")
+
+
+def _batch(spark, e, rows, corpus_n, dim=32, novel_every=10):
+    # Mostly dups of seed vectors (the store grows ~rows/novel_every
+    # per epoch, so per-cell occupancy — the join's cost term — stays
+    # near-constant and the FILE-ACCRETION term is what the raw-vs-
+    # hooked comparison isolates); novel ids are epoch-unique.
+    return spark.range(rows).selectExpr(
+        f"id + {corpus_n + e * rows} AS vec_id",
+        f"CASE WHEN id % {novel_every} != 0 THEN"
+        f" transform(sequence(0, {dim - 1}),"
+        f" j -> CAST(pmod(xxhash64(pmod(id + {e}, {corpus_n}), j),"
+        " 2001) - 1000 AS DOUBLE) / 1000.0 * 1.0001)"
+        f" ELSE transform(sequence(0, {dim - 1}), j ->"
+        f" CAST(pmod(xxhash64(id + {10 * corpus_n} + {e * rows}, j),"
+        " 2001) - 1000 AS DOUBLE) / 1000.0) END AS embedding"
+    ).repartition(8)  # several files per append — the accretion
+
+
+def _n_files(path):
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def maintenance_experiment(spark, base, corpus_n, epochs, batch_rows,
+                           compact_every):
+    out = {}
+    per_epoch_hooked = []
+    # Untimed warmup on a throwaway store: JVM/codegen warmup
+    # otherwise lands entirely in the first mode's first-third.
+    wsd = f"{base}/sem_warmup"
+    semantic_store_seed(_seed(spark, corpus_n // 4), wsd, k=4)
+    for e in range(2):
+        semantic_ingest_epoch(_batch(spark, e, 100, corpus_n // 4),
+                              wsd, tau=0.95)
+    for mode in ("raw", "hooked"):
+        sd = f"{base}/sem_{mode}"
+        semantic_store_seed(_seed(spark, corpus_n), sd,
+                            k=max(2, corpus_n // 128))
+        cents = semantic_read_centroids(spark, sd)
+        per_epoch, folds = [], []
+        for e in range(epochs):
+            batch = _batch(spark, e, batch_rows, corpus_n)
+            t0 = time.perf_counter()
+            semantic_ingest_epoch(batch, sd, tau=0.95,
+                                  centroids=cents)
+            per_epoch.append(time.perf_counter() - t0)
+            if mode == "hooked" and (e + 1) % compact_every == 0:
+                t0 = time.perf_counter()
+                semantic_store_compact(spark, sd)
+                folds.append(time.perf_counter() - t0)
+        third = max(1, epochs // 3)
+        _, vec_path = semantic_store_roots(spark, sd)
+        out[mode] = {
+            "epoch_first_third_median_sec":
+                round(median(per_epoch[:third]), 3),
+            "epoch_last_third_median_sec":
+                round(median(per_epoch[-third:]), 3),
+            "vector_files": _n_files(vec_path),
+        }
+        if folds:
+            out[mode]["fold_median_sec"] = round(median(folds), 3)
+        if mode == "hooked":
+            per_epoch_hooked = per_epoch
+    out["file_ratio_raw_over_hooked"] = round(
+        out["raw"]["vector_files"]
+        / max(1, out["hooked"]["vector_files"]), 2)
+    return out, per_epoch_hooked
+
+
+def reseed_experiment(spark, base, corpus_n, batch_rows,
+                      epoch_median_sec):
+    sd = f"{base}/sem_hooked"  # continue from the hooked run's state
+    occ_before = semantic_cell_occupancy(spark, sd)
+    t0 = time.perf_counter()
+    gen = semantic_reseed(spark, sd,
+                          target_cell=128, epoch=10_000)
+    reseed_sec = time.perf_counter() - t0
+    occ_after = semantic_cell_occupancy(spark, sd)
+    # First post-reseed epoch: cost against the re-celled store.
+    batch = _batch(spark, 999, batch_rows, corpus_n)
+    t0 = time.perf_counter()
+    semantic_ingest_epoch(batch, sd, tau=0.95)
+    post_epoch_sec = time.perf_counter() - t0
+    return {
+        "gen": gen,
+        "occupancy_before": occ_before,
+        "occupancy_after": occ_after,
+        "reseed_sec": round(reseed_sec, 3),
+        "reseed_over_median_epoch": round(
+            reseed_sec / max(1e-9, epoch_median_sec), 2),
+        "post_reseed_epoch_sec": round(post_epoch_sec, 3),
+        "pre_reseed_epoch_median_sec": round(epoch_median_sec, 3),
+    }
+
+
+def main() -> None:
+    corpus_n = int(os.environ.get("SEM_CORPUS", "4000"))
+    epochs = int(os.environ.get("SEM_EPOCHS", "32"))
+    batch_rows = int(os.environ.get("SEM_BATCH", "500"))
+    compact_every = int(os.environ.get("SEM_COMPACT_EVERY", "8"))
+    out_path = os.environ.get("SEM_OUT", "SCALE_SEMANTIC_r09.json")
+
+    spark = get_spark("scale-semantic", cpus=8, shuffle_partitions=8)
+    base = "/tmp/scale_semantic"
+    shutil.rmtree(base, ignore_errors=True)
+
+    maint, per_epoch_hooked = maintenance_experiment(
+        spark, base, corpus_n, epochs, batch_rows, compact_every)
+    result = {
+        "params": {"corpus_n": corpus_n, "epochs": epochs,
+                   "batch_rows": batch_rows,
+                   "compact_every": compact_every},
+        "semantic_maintenance": maint,
+        "semantic_reseed": reseed_experiment(
+            spark, base, corpus_n, batch_rows,
+            median(per_epoch_hooked)),
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({
+        "raw_last_third_sec":
+            maint["raw"]["epoch_last_third_median_sec"],
+        "hooked_last_third_sec":
+            maint["hooked"]["epoch_last_third_median_sec"],
+        "file_ratio_raw_over_hooked":
+            maint["file_ratio_raw_over_hooked"],
+        "reseed_over_median_epoch":
+            result["semantic_reseed"]["reseed_over_median_epoch"],
+        "max_cell_before":
+            result["semantic_reseed"]["occupancy_before"]["max_cell"],
+        "max_cell_after":
+            result["semantic_reseed"]["occupancy_after"]["max_cell"],
+    }))
+    shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
