@@ -183,6 +183,9 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                         jaccard_num: int = 7, jaccard_den: int = 10,
                         embeddings: DataFrame | None = None,
                         semantic_tau: float = 0.95,
+                        semantic_centroids: list[list[float]]
+                        | None = None,
+                        semantic_gen: int | None = None,
                         gopher_thresholds: dict | None = None
                         ) -> DataFrame:
     """One ingest epoch over ``batch_df`` (doc_id, url, text): apply
@@ -206,6 +209,10 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     them first). Docs without an embedding pass through
     (flag-never-drop, the stage-4b convention); semantic survivors'
     vectors append so later epochs dedup against them.
+    ``semantic_centroids``/``semantic_gen`` are the long-lived
+    caller's pass-throughs (the streaming wrapper's per-generation
+    centroid cache and replay generation pin — see
+    `streaming.dedup.semantic_ingest_epoch`).
 
     Store appends happen inside; the caller owns durable output (see
     `streaming_corpus_ingest`). Replay-safe per the module docstring.
@@ -287,7 +294,9 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                          F.col("doc_id").alias("vec_id")),
                          "vec_id", "left_semi"))
         sem = semantic_ingest_epoch(batch_emb, state_dir,
-                                    tau=semantic_tau)
+                                    tau=semantic_tau,
+                                    centroids=semantic_centroids,
+                                    gen=semantic_gen)
         non_dups = non_dups.join(
             sem.filter(F.col("is_dup"))
                .select(F.col("vec_id").alias("doc_id")),
@@ -359,6 +368,10 @@ def corpus_ingest_compact(spark: SparkSession, state_dir: str,
     folded_epochs = 0
     if dp is not None:
         df = spark.read.schema(_URL_SCHEMA).parquet(dp)
+        # O(#distinct epochs) driver rows — bounded by the fold
+        # itself: everything below the keep_live newest epochs
+        # collapses to the single -1 base each pass, so the listing
+        # never exceeds keep_live + epochs-since-last-compaction + 1.
         eps = sorted(r[0] for r in
                      df.select("epoch_id").distinct().collect())
         live = set(eps[-keep_live:])
@@ -403,6 +416,10 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                             | Callable[[SparkSession, int], DataFrame]
                             | None = None,
                             semantic_tau: float = 0.95,
+                            semantic_reseed_max_cell: int | None = None,
+                            semantic_reseed_target_cell: int
+                            | None = None,
+                            semantic_reseed_iters: int = 1,
                             gopher_thresholds: dict | None = None,
                             compact_every: int | None = None,
                             compact_target_bytes: int
@@ -422,7 +439,16 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     stage 4b against `semantic_store_seed` stores under this
     ``state_dir``. The ingested corpus then satisfies the
     ingest ≡ assembly composition contract INCLUDING the semantic
-    stage (assemble_corpus's 4b over it is a no-op pass).
+    stage (assemble_corpus's 4b over it is a no-op pass). The
+    centroid model is cached per GENERATION (one driver collect per
+    generation, not per epoch), and ``semantic_reseed_max_cell``
+    closes the drift loop exactly as in
+    `streaming.dedup.streaming_semantic_ingest`: when the occupancy
+    aggregate exceeds it after an epoch's appends,
+    `streaming.dedup.semantic_reseed` commits a new generation
+    tagged with the epoch id — a checkpoint replay of that epoch
+    reuses the generation AND pins its semantic stage back to the
+    previous generation's model for byte-identical output.
 
     ``compact_every=N`` runs :func:`corpus_ingest_compact` after
     every Nth epoch — inside foreachBatch IS the single-writer
@@ -440,16 +466,41 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     if compact_every is not None and compact_every < 1:
         raise ValueError(f"compact_every must be >= 1, "
                          f"got {compact_every}")
+    if (semantic_reseed_max_cell is not None
+            and semantic_reseed_max_cell < 1):
+        raise ValueError(f"semantic_reseed_max_cell must be >= 1, "
+                         f"got {semantic_reseed_max_cell}")
+
+    sem_cache: dict = {"gen": None, "cents": None}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        emb = (embeddings(batch_df.sparkSession, int(epoch_id))
+        spark = batch_df.sparkSession
+        emb = (embeddings(spark, int(epoch_id))
                if callable(embeddings) else embeddings)
+        use_gen = None
+        replayed_trigger = False
+        if emb is not None:
+            from lisp_batch_processor_spark.streaming.dedup import (
+                semantic_current_gen, semantic_read_centroids)
+            cur = semantic_current_gen(spark, state_dir)
+            use_gen = cur["gen"]
+            replayed_trigger = (cur.get("epoch") is not None
+                                and int(cur["epoch"]) == int(epoch_id))
+            if replayed_trigger:
+                use_gen = cur["gen"] - 1
+            if sem_cache["gen"] != use_gen:
+                sem_cache["cents"] = semantic_read_centroids(
+                    spark, state_dir, gen=use_gen)
+                sem_cache["gen"] = use_gen
         out = corpus_ingest_epoch(
             batch_df, state_dir, epoch_id, min_chars=min_chars,
             line_min_repeat=line_min_repeat,
             redact_kinds=redact_kinds,
             jaccard_num=jaccard_num, jaccard_den=jaccard_den,
             embeddings=emb, semantic_tau=semantic_tau,
+            semantic_centroids=sem_cache["cents"]
+            if emb is not None else None,
+            semantic_gen=use_gen,
             gopher_thresholds=gopher_thresholds)
         store_append(out.withColumn("epoch_id",
                                     F.lit(int(epoch_id)).cast("long")),
@@ -458,8 +509,19 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
             sink(out, int(epoch_id))
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             corpus_ingest_compact(
-                batch_df.sparkSession, state_dir, corpus_path,
+                spark, state_dir, corpus_path,
                 target_file_bytes=compact_target_bytes)
+        if (emb is not None and semantic_reseed_max_cell is not None
+                and not replayed_trigger):
+            from lisp_batch_processor_spark.streaming.dedup import (
+                semantic_cell_occupancy, semantic_reseed)
+            occ = semantic_cell_occupancy(spark, state_dir)
+            if occ["max_cell"] > semantic_reseed_max_cell:
+                semantic_reseed(
+                    spark, state_dir,
+                    target_cell=semantic_reseed_target_cell,
+                    iters=semantic_reseed_iters,
+                    epoch=int(epoch_id))
 
     return stream_docs.writeStream.foreachBatch(_process)
 

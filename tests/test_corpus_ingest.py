@@ -594,3 +594,57 @@ def test_streaming_ingest_with_embeddings_round_trips(spark, tmp_path):
         mk(e0 + e1), embeddings=emb, semantic_centroids=cents))
     # The hook's final pass folded the semantic vector store too.
     assert ingest_report(spark, sd)["sem_vectors"]["files"] <= 2
+
+
+@pytest.mark.slow
+def test_composed_ingest_reseeds_mid_stream(spark, tmp_path):
+    """The composed loop closes the semantic drift loop too: with a
+    small seed model (k=1) and a low occupancy trigger, the stream
+    commits a new generation mid-run, later epochs dedup against the
+    re-celled survivors, and the per-generation centroid cache +
+    marker reads keep the loop correct end to end."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_current_gen, semantic_store_seed)
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    semantic_store_seed(
+        spark.createDataFrame([(9001, _e(6)), (9002, _e(7))],
+                              "vec_id long, embedding array<double>"),
+        sd, k=1)
+    # Epochs 0-1 add novel directions (occupancy climbs past the
+    # trigger in k=1's single cell); epoch 2 lands a semantic dup of
+    # an epoch-0 survivor — caught only through the re-celled store.
+    e0 = [(1, "https://s1.example.com/", base_text(1)),
+          (2, "https://s2.example.com/", base_text(2))]
+    e1 = [(10, "https://s10.example.com/", base_text(10)),
+          (11, "https://s11.example.com/", base_text(11))]
+    e2 = [(20, "https://s20.example.com/", base_text(20)),
+          (21, "https://s21.example.com/", base_text(21))]
+    emb = spark.createDataFrame(
+        [(1, _e(0)), (2, _e(1)), (10, _e(2)), (11, _e(3)),
+         (20, _e(0, scale=1.001)),   # semantic dup of doc 1
+         (21, _e(4))],
+        "doc_id bigint, embedding array<double>")
+    src = os.path.join(str(tmp_path), "docs_in")
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA)
+    for i, b in enumerate((e0, e1, e2)):
+        mk(b).coalesce(1).write.parquet(os.path.join(src, f"batch={i}"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "batch=*")))
+    corpus = os.path.join(str(tmp_path), "corpus")
+    q = (streaming_corpus_ingest(
+            stream, sd, corpus, embeddings=emb,
+            semantic_reseed_max_cell=5,
+            semantic_reseed_target_cell=3)
+         .option("checkpointLocation",
+                 os.path.join(str(tmp_path), "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 2 seed + 4 survivors by epoch 1 > trigger 5 -> reseed fired.
+    assert semantic_current_gen(spark, sd)["gen"] >= 1
+    got_ids = {t[0] for t in rows_of(corpus_read(spark, corpus))}
+    assert got_ids == {1, 2, 10, 11, 21}  # 20 died post-reseed
