@@ -1038,3 +1038,142 @@ def test_line_store_min_repeat_contract_is_machine_checked(
     with pytest.raises(ValueError, match="min_repeat must be >= 2"):
         line_store_init(spark, os.path.join(str(tmp_path), "s3"),
                         min_repeat=1)
+
+
+@pytest.mark.slow
+def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
+    """Randomized epochs / replays / compactions / generational
+    reseeds (including a crash-injected marker PUT) over the
+    persisted semantic stores, against a numpy oracle: every epoch's
+    assignment must match single-hop min-id dedup recomputed from
+    the CURRENT generation's collected centroids + the pre-epoch
+    survivor set; replays after the store append are byte-identical;
+    compaction and committed reseeds never change later assignments;
+    a reseed that crashes before the marker PUT leaves readers on
+    the previous generation; the survivor ID set survives every
+    re-cell exactly."""
+    import random
+
+    import numpy as np
+
+    from lisp_batch_processor_spark.sources import writers as W
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_current_gen, semantic_ingest_epoch,
+        semantic_read_centroids, semantic_reseed, semantic_store_compact,
+        semantic_store_seed, semantic_store_roots)
+
+    DIM, TAU = 16, 0.95
+    schema = "vec_id long, embedding array<double>"
+
+    def _unit(rng):
+        v = rng.standard_normal(DIM)
+        return v / np.linalg.norm(v)
+
+    def oracle_epoch(cents, store_vecs, batch):
+        """store_vecs: {id: np.unit}; batch: [(id, list)] with ids >
+        every store id. Returns {id: (rep, is_dup)} + survivors."""
+        c = np.array(cents, dtype=np.float64)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
+                           1e-12)
+        cell_of, unit_of = {}, {}
+        for i, v in sorted(store_vecs.items()):
+            cell_of[i] = int(np.argmax(c @ v))
+            unit_of[i] = v
+        border = min(i for i, _ in batch)
+        for i, v in batch:
+            u = np.asarray(v, dtype=np.float64)
+            u = u / np.linalg.norm(u)
+            cell_of[i] = int(np.argmax(c @ u))
+            unit_of[i] = u
+        out = {}
+        for i, _ in batch:
+            partners = [j for j in cell_of
+                        if j < i and cell_of[j] == cell_of[i]
+                        and float(unit_of[j] @ unit_of[i]) >= TAU]
+            out[i] = (min(partners), True) if partners else (i, False)
+        survivors = {i: unit_of[i] for i, _ in batch
+                     if not out[i][1] and i >= border}
+        return out, survivors
+
+    rng = random.Random(9090)
+    nprng = np.random.default_rng(909)
+    sd = str(tmp_path / "state")
+    seed_vecs = {i: _unit(nprng) for i in range(12)}
+    semantic_store_seed(
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in seed_vecs.items()],
+            schema), sd, k=4)
+    cents = semantic_read_centroids(spark, sd)
+    store = dict(seed_vecs)   # the oracle's survivor mirror
+    next_id = 100
+
+    for e in range(8):
+        # Build a batch: each vector a dup of a random survivor or a
+        # novel direction (cosines sit far from tau either way).
+        batch = []
+        for _ in range(rng.randint(2, 6)):
+            if store and rng.random() < 0.4:
+                base = store[rng.choice(sorted(store))]
+                batch.append((next_id,
+                              [float(x) * 1.0001 for x in base]))
+            else:
+                batch.append((next_id,
+                              [float(x) for x in _unit(nprng)]))
+            next_id += 1
+        want, new_surv = oracle_epoch(cents, store, batch)
+
+        bdf = spark.createDataFrame(batch, schema)
+        got = {r.vec_id: (r.rep_id, r.is_dup)
+               for r in semantic_ingest_epoch(bdf, sd,
+                                              tau=TAU).collect()}
+        assert got == want, (e, "oracle")
+        if rng.random() < 0.4:   # replay after the append
+            replay = {r.vec_id: (r.rep_id, r.is_dup)
+                      for r in semantic_ingest_epoch(
+                          bdf, sd, tau=TAU).collect()}
+            assert replay == got, (e, "replay")
+        store.update(new_surv)
+
+        # The persisted survivor set mirrors the oracle's exactly.
+        _, vec_path = semantic_store_roots(spark, sd)
+        disk_ids = {r.vec_id for r in spark.read.parquet(
+            W.store_data_path(spark, vec_path)).select("vec_id")
+            .distinct().collect()}
+        assert disk_ids == set(store), (e, "store-mirror")
+
+        if rng.random() < 0.4:
+            semantic_store_compact(spark, sd)
+        if rng.random() < 0.4:
+            g_before = semantic_current_gen(spark, sd)["gen"]
+            if rng.random() < 0.5:
+                # Crash INSIDE the commit: the marker PUT raises.
+                real_put = W.write_json_file
+
+                def torn_put(spark_, path, obj):
+                    if path.endswith("_sem_gen.json"):
+                        raise IOError("injected crash before commit")
+                    real_put(spark_, path, obj)
+
+                W.write_json_file = torn_put
+                try:
+                    with pytest.raises(IOError, match="injected"):
+                        semantic_reseed(spark, sd,
+                                        target_cell=rng.choice([3, 5]))
+                finally:
+                    W.write_json_file = real_put
+                # Readers stay on the previous generation — both of
+                # its stores intact, centroids unchanged.
+                assert semantic_current_gen(spark, sd)["gen"] \
+                    == g_before, (e, "crash-gen")
+                assert semantic_read_centroids(spark, sd) == cents, \
+                    (e, "crash-cents")
+            else:
+                g = semantic_reseed(spark, sd,
+                                    target_cell=rng.choice([3, 5]))
+                assert g == g_before + 1, (e, "gen-advance")
+                cents = semantic_read_centroids(spark, sd)
+                _, vec_path = semantic_store_roots(spark, sd)
+                recelled = {r.vec_id for r in spark.read.parquet(
+                    W.store_data_path(spark, vec_path))
+                    .select("vec_id").distinct().collect()}
+                assert recelled == set(store), (e, "reseed-mirror")
