@@ -525,7 +525,7 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
             _manifest_commit(spark, cur, _next_seq(spark, cur),
                              bmap, int(epoch_id))
         _manifest_vacuum(spark, cur,
-                         keep=int(meta.get("vacuum_keep", 1)))
+                         keep=int(meta.get("vacuum_keep", 2)))
         return True
     if touched:
         # Writer lease across the whole multi-bucket window: readers
@@ -669,7 +669,7 @@ def upsert_compact(spark: SparkSession, path: str,
         _manifest_commit(spark, cur, seq, bmap,
                          int(latest[1].get("epoch", -1)))
         _manifest_vacuum(spark, cur,
-                         keep=int(meta.get("vacuum_keep", 1)))
+                         keep=int(meta.get("vacuum_keep", 2)))
         return len(todo)
 
     # Hold the TABLE-level lease across the per-bucket pass: a

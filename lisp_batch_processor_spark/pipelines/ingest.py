@@ -132,7 +132,10 @@ def corpus_ingest_init(spark: SparkSession, state_dir: str,
 
 
 def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
-                       min_chars: int = 1) -> None:
+                       min_chars: int = 1,
+                       embeddings: DataFrame | None = None,
+                       semantic_k: int = 64,
+                       semantic_iters: int = 1) -> None:
     """Seed freshly-initialized ingest stores from an EXISTING corpus
     (doc_id, url, text) — the migration path from batch assembly to
     continuous ingest: every later epoch then dedups against the
@@ -146,7 +149,16 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
     should itself be deduped (e.g. `corpus_read` output or a batch
     assembly's survivors) — seeding does not dedup it. Seed a FRESH
     store only (the compaction fold assumes one epoch −1 row per
-    key)."""
+    key).
+
+    ``embeddings`` (doc_id, embedding — the seed docs' vectors)
+    additionally seeds the SEMANTIC stores
+    (`streaming.dedup.semantic_store_seed`: the generation-0 IVF
+    cell model trained on these vectors at ``semantic_k`` /
+    ``semantic_iters``, plus the celled survivor store), so the
+    migrated stream can pass ``embeddings`` to
+    `streaming_corpus_ingest` and dedup semantically against the
+    seeded history from its first epoch."""
     from lisp_batch_processor_spark.functions.urls import normalize_url
     from lisp_batch_processor_spark.operators.dedup import (
         banded_signatures, minhash_signatures, shingle_store)
@@ -173,6 +185,15 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
     docs = seed.select("doc_id", "text")
     store_append(banded_signatures(minhash_signatures(docs)), p["index"])
     store_append(shingle_store(docs), p["shingles"])
+    if embeddings is not None:
+        from lisp_batch_processor_spark.streaming.dedup import (
+            semantic_store_seed)
+        semantic_store_seed(
+            embeddings.select(F.col("doc_id").alias("vec_id"),
+                              "embedding")
+            .join(seed.select(F.col("doc_id").alias("vec_id")),
+                  "vec_id", "left_semi"),
+            state_dir, k=semantic_k, iters=semantic_iters)
 
 
 def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,

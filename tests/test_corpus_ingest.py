@@ -648,3 +648,41 @@ def test_composed_ingest_reseeds_mid_stream(spark, tmp_path):
     assert semantic_current_gen(spark, sd)["gen"] >= 1
     got_ids = {t[0] for t in rows_of(corpus_read(spark, corpus))}
     assert got_ids == {1, 2, 10, 11, 21}  # 20 died post-reseed
+
+
+def test_seed_with_embeddings_suppresses_semantic_history_dups(
+        spark, tmp_path):
+    """corpus_ingest_seed(embeddings=) also seeds the semantic
+    stores, so the migrated stream's first epoch already dedups
+    semantically against the seeded history — a doc whose text never
+    MinHash-collides with the seed but whose vector does is dropped,
+    and the generation-0 model is the seed-trained one."""
+    from lisp_batch_processor_spark.pipelines import (
+        corpus_ingest_seed, ingest_report)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_read_centroids)
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    seed = spark.createDataFrame(
+        [(1, "https://s1.example.com/", base_text(1)),
+         (2, "https://s2.example.com/", base_text(2))], SCHEMA)
+    seed_emb = spark.createDataFrame(
+        [(1, _e(0)), (2, _e(1)),
+         (999, _e(5))],   # not a seed doc: semi-join drops it
+        "doc_id bigint, embedding array<double>")
+    corpus_ingest_seed(seed, sd, embeddings=seed_emb, semantic_k=2)
+    assert len(semantic_read_centroids(spark, sd)) == 2
+    assert ingest_report(spark, sd)["sem_cells"]["vectors"] == 2
+
+    batch = spark.createDataFrame(
+        [(10, "https://s10.example.com/", base_text(10)),   # sem dup
+         (11, "https://s11.example.com/", base_text(11))],  # novel
+        SCHEMA)
+    emb = spark.createDataFrame(
+        [(10, _e(0, scale=1.001)),   # vector-dup of SEED doc 1
+         (11, _e(3))],
+        "doc_id bigint, embedding array<double>")
+    out = {r.doc_id for r in
+           corpus_ingest_epoch(batch, sd, 0, embeddings=emb).collect()}
+    assert out == {11}
