@@ -290,12 +290,33 @@ def acquire_lease(spark: SparkSession, dest: str,
 def release_lease(spark: SparkSession, dest: str, owner: str) -> None:
     """Release `owner`'s lease on `dest` (no-op if absent or held by
     someone else — a stolen-after-expiry lease must not be deleted
-    by the crashed original writer's late release)."""
-    d = read_json_file(spark, lease_path(dest), default={})
+    by the crashed original writer's late release).
+
+    Removal is rename-then-verify, not read-then-delete: a stealer
+    replacing the file between this owner's read and its delete
+    would otherwise lose ITS live lease to the late release (the
+    same race shape acquire_lease closes). The tombstoned content is
+    checked — anyone else's lease is renamed back (or, if the other
+    writer already re-created, left to their new file) and only this
+    owner's file is actually removed."""
+    import uuid as _uuid
+    lp = lease_path(dest)
+    d = read_json_file(spark, lp, default={})
     if d is None or d.get("owner") != owner:
         return
     jvm, fs, _ = _hadoop_fs(spark, dest)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(lease_path(dest)), False)
+    jlp = jvm.org.apache.hadoop.fs.Path(lp)
+    tomb = f"{lp}.tomb.{_uuid.uuid4().hex[:8]}"
+    jtomb = jvm.org.apache.hadoop.fs.Path(tomb)
+    if not fs.rename(jlp, jtomb):
+        return  # already released or replaced — nothing of ours left
+    d2 = read_json_file(spark, tomb, default=None, absent=None)
+    if not (isinstance(d2, dict) and d2.get("owner") == owner):
+        # We grabbed someone else's (or a torn) lease — restore it.
+        if not fs.rename(jtomb, jlp):
+            fs.delete(jtomb, False)
+        return
+    fs.delete(jtomb, False)
 
 
 def recover_swap(spark: SparkSession, dest: str,

@@ -278,3 +278,46 @@ def test_acquire_lease_steal_leaves_no_tombstone(spark, tmp_path):
                 if ".tomb." in f]
     release_lease(spark, d, "thief")
     assert lease_holder(spark, d) is None
+
+
+def test_release_lease_never_deletes_a_stealers_fresh_lease(
+        spark, tmp_path):
+    """The release-side race twin of the acquire fix: an owner whose
+    read saw its own (expired) lease must not delete a stealer's
+    replacement that landed between the read and the removal —
+    removal is rename-then-verify, so the foreign lease is restored
+    and stays live."""
+    from lisp_batch_processor_spark.sources import writers as W
+
+    d = os.path.join(str(tmp_path), "store")
+    os.makedirs(d)
+    acquire_lease(spark, d, owner="old", ttl_s=60)
+
+    # Blind the release's initial read once: it sees "old" (the state
+    # before the steal), then the steal happens, then release runs
+    # its removal against the stealer's file.
+    real = W.read_json_file
+    state = {"first": True}
+
+    def stale_read(spark_, path, default=None, absent=None):
+        if state["first"] and path == lease_path(d):
+            state["first"] = False
+            # Steal happens "now": replace with thief's lease.
+            real_d = real(spark_, path, default=default, absent=absent)
+            W.write_json_file(spark_, path,
+                              {"owner": "thief",
+                               "expires": time.time() + 60})
+            return real_d
+        return real(spark_, path, default=default, absent=absent)
+
+    W.read_json_file = stale_read
+    try:
+        release_lease(spark, d, "old")
+    finally:
+        W.read_json_file = real
+    # The thief's lease survived the old owner's late release.
+    assert lease_holder(spark, d) == "thief"
+    assert not [f for f in os.listdir(str(tmp_path))
+                if ".tomb." in f]
+    release_lease(spark, d, "thief")
+    assert lease_holder(spark, d) is None
