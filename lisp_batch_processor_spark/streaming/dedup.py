@@ -940,8 +940,13 @@ def streaming_semantic_ingest(stream_emb, state_dir: str, sink,
     (`semantic_cell_occupancy`) runs, and when the fullest cell
     exceeds M survivors, `semantic_reseed` commits a new generation
     (k re-derived from ``reseed_target_cell`` when given, else
-    carried over) tagged with this epoch id. Checkpoint replay of
-    the TRIGGERING epoch is byte-identical twice over: the epoch id
+    carried over) tagged with this epoch id. ONE STREAM LINEAGE PER
+    STATE_DIR: the tag is matched against raw epoch ids, so a new
+    checkpoint restarting at epoch 0 over an old state_dir could
+    collide with a previous lineage's tag — the same monotonic-epoch
+    contract every epoch-tagged store here already requires.
+    Checkpoint replay of the TRIGGERING epoch is byte-identical
+    twice over: the epoch id
     in the marker makes the reseed itself a no-op (no generation
     g+2), and the replayed ASSIGNMENT is pinned back to the previous
     generation — the one it originally ran under, whose stores the
