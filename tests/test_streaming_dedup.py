@@ -1177,3 +1177,50 @@ def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
                     W.store_data_path(spark, vec_path))
                     .select("vec_id").distinct().collect()}
                 assert recelled == set(store), (e, "reseed-mirror")
+
+
+def test_semantic_generations_on_the_versioned_backend(spark, tmp_path):
+    """The semantic stores' whole lifecycle — seed, epochs, compact,
+    generational reseed — on the versioned (pointer-committed)
+    backend: every generation's stores carry the backend tag, reads
+    resolve pointers, compaction publishes a new version, and the
+    reseed's new-generation stores inherit the backend."""
+    from lisp_batch_processor_spark.sources.writers import (
+        store_is_versioned)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_current_gen, semantic_ingest_epoch, semantic_reseed,
+        semantic_store_compact, semantic_store_roots,
+        semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(i, _axis(i - 1)) for i in range(1, 5)],
+                              schema), sd, k=2, backend="versioned")
+    cent0, vec0 = semantic_store_roots(spark, sd)
+    assert store_is_versioned(spark, vec0)
+    assert store_is_versioned(spark, cent0)
+
+    got = {r.vec_id: (r.rep_id, r.is_dup)
+           for r in semantic_ingest_epoch(
+               spark.createDataFrame(
+                   [(10, _axis(0, scale=1.001)),  # dup of seed 1
+                    (11, _axis(5))], schema), sd, tau=0.95).collect()}
+    assert got == {10: (1, True), 11: (11, False)}
+
+    rep = semantic_store_compact(spark, sd)
+    assert rep["vector_files"] >= 1   # versioned rewrite published
+
+    g = semantic_reseed(spark, sd, target_cell=2)
+    assert g == 1 and semantic_current_gen(spark, sd)["gen"] == 1
+    cent1, vec1 = semantic_store_roots(spark, sd)
+    assert vec1.endswith("_g1") and store_is_versioned(spark, vec1)
+    assert store_is_versioned(spark, cent1)
+
+    # Post-switch epoch still dedups against the re-celled survivors.
+    got2 = {r.vec_id: (r.rep_id, r.is_dup)
+            for r in semantic_ingest_epoch(
+                spark.createDataFrame(
+                    [(20, _axis(5, scale=0.999)),  # dup of survivor 11
+                     (21, _axis(6))], schema), sd, tau=0.95).collect()}
+    assert got2 == {20: (11, True), 21: (21, False)}
