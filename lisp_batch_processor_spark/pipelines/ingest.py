@@ -186,14 +186,24 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
     store_append(banded_signatures(minhash_signatures(docs)), p["index"])
     store_append(shingle_store(docs), p["shingles"])
     if embeddings is not None:
+        from lisp_batch_processor_spark.sources.writers import (
+            store_is_versioned)
         from lisp_batch_processor_spark.streaming.dedup import (
             semantic_store_seed)
+        # Inherit the state_dir's backend (corpus_ingest_init tagged
+        # the URL store): a versioned deployment — the object-store
+        # mode that opted OUT of rename-based swaps — must not get
+        # swap-published semantic stores on the side.
         semantic_store_seed(
             embeddings.select(F.col("doc_id").alias("vec_id"),
                               "embedding")
             .join(seed.select(F.col("doc_id").alias("vec_id")),
                   "vec_id", "left_semi"),
-            state_dir, k=semantic_k, iters=semantic_iters)
+            state_dir, k=semantic_k, iters=semantic_iters,
+            backend=("versioned"
+                     if store_is_versioned(seed_docs.sparkSession,
+                                           p["url"])
+                     else "swap"))
 
 
 def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
@@ -502,17 +512,9 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
         replayed_trigger = False
         if emb is not None:
             from lisp_batch_processor_spark.streaming.dedup import (
-                semantic_current_gen, semantic_read_centroids)
-            cur = semantic_current_gen(spark, state_dir)
-            use_gen = cur["gen"]
-            replayed_trigger = (cur.get("epoch") is not None
-                                and int(cur["epoch"]) == int(epoch_id))
-            if replayed_trigger:
-                use_gen = cur["gen"] - 1
-            if sem_cache["gen"] != use_gen:
-                sem_cache["cents"] = semantic_read_centroids(
-                    spark, state_dir, gen=use_gen)
-                sem_cache["gen"] = use_gen
+                _sem_epoch_model)
+            use_gen, _, replayed_trigger = _sem_epoch_model(
+                spark, state_dir, int(epoch_id), sem_cache)
         out = corpus_ingest_epoch(
             batch_df, state_dir, epoch_id, min_chars=min_chars,
             line_min_repeat=line_min_repeat,
@@ -535,14 +537,11 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
         if (emb is not None and semantic_reseed_max_cell is not None
                 and not replayed_trigger):
             from lisp_batch_processor_spark.streaming.dedup import (
-                semantic_cell_occupancy, semantic_reseed)
-            occ = semantic_cell_occupancy(spark, state_dir)
-            if occ["max_cell"] > semantic_reseed_max_cell:
-                semantic_reseed(
-                    spark, state_dir,
-                    target_cell=semantic_reseed_target_cell,
-                    iters=semantic_reseed_iters,
-                    epoch=int(epoch_id))
+                _sem_reseed_if_due)
+            _sem_reseed_if_due(spark, state_dir, int(epoch_id),
+                               semantic_reseed_max_cell,
+                               semantic_reseed_target_cell,
+                               semantic_reseed_iters)
 
     return stream_docs.writeStream.foreachBatch(_process)
 

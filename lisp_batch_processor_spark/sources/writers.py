@@ -246,10 +246,24 @@ def acquire_lease(spark: SparkSession, dest: str,
             raise LeaseHeldError(
                 f"{dest} is leased by {holder!r}; wait for its "
                 "release or expiry before writing")
+        if holder == me:
+            # Mid-window refresh of my own LIVE lease: overwrite in
+            # place. The rename-away path below would leave the file
+            # transiently ABSENT — a window where a concurrent
+            # reader's recover_swap sees no holder and repairs inside
+            # my live rewrite, the exact race the lease closes. An
+            # overwrite's worst crash state is a torn file, which
+            # reads fail-safe as held; and no one steals a live
+            # lease, so nothing can be clobbered.
+            write_json_file(spark, lp,
+                            {"owner": me,
+                             "expires": _time.time() + ttl_s})
+            return me
         if fs.exists(jlp):
-            # Residual file: expired, torn-expired, or my own
-            # (refresh). Remove it atomically via rename so two
-            # stealers cannot both clear-and-recreate.
+            # Residual DEAD file (expired, or torn past the mtime
+            # TTL — lease_holder returned None for it). Remove it
+            # atomically via rename so two stealers cannot both
+            # clear-and-recreate.
             tomb = f"{lp}.tomb.{_uuid.uuid4().hex[:8]}"
             jtomb = jvm.org.apache.hadoop.fs.Path(tomb)
             if not fs.rename(jlp, jtomb):
@@ -258,11 +272,24 @@ def acquire_lease(spark: SparkSession, dest: str,
                                absent=None)
             fresh_foreign = False
             if d == "_torn_":
-                # Can't prove the renamed file is the expired one we
-                # read (a racer's create could have landed between);
-                # fail safe: put it back and let lease_holder's
-                # mtime rule govern.
-                fresh_foreign = True
+                # Can't prove the renamed file is the dead one we
+                # read (a racer's fresh create could have landed in
+                # between, torn only by ITS in-flight write). The
+                # file's mtime disambiguates — rename preserves it:
+                # older than the fallback TTL means the long-dead
+                # torn lease we decided to steal (delete it — the
+                # old overwrite semantics; a torn file must not
+                # wedge the store forever once expired); recent
+                # means possibly a racer's mid-write file — restore
+                # and fail safe.
+                from py4j.protocol import Py4JJavaError
+                try:
+                    mtime = (fs.getFileStatus(jtomb)
+                             .getModificationTime() / 1000.0)
+                    fresh_foreign = (_time.time()
+                                     < mtime + _LEASE_DEFAULT_TTL_S)
+                except Py4JJavaError:
+                    fresh_foreign = True
             elif isinstance(d, dict):
                 try:
                     live = _time.time() < float(d["expires"])

@@ -181,13 +181,34 @@ def _line_check_min_repeat(spark, line_store_path: str,
     first use (or at `line_store_init` when passed there); every
     later epoch must match. A torn meta file (crash mid-PUT) reads
     as absent and re-records — the recording epoch's own semantics
-    are unaffected either way."""
+    are unaffected either way.
+
+    ADOPTION caveat: a pre-meta store (built before this check
+    existed) that already ran stream epochs is adopted at THIS
+    epoch's threshold — its historical counts saturated at whatever
+    threshold wrote them, which is unknowable now, so continuation
+    at a DIFFERENT k than the store's past silently undercounts for
+    the historical keys exactly as before. The meta records
+    ``adopted_with_history: true`` for such stores so the adoption
+    is auditable; raising instead would break the legitimate
+    same-k upgrade path. Stores needing a threshold change should
+    be rebuilt (re-seeded) either way."""
+    from pyspark.sql import functions as F
+
     from lisp_batch_processor_spark.sources.writers import (
         read_json_file, write_json_file)
     mp = _line_meta_path(line_store_path)
     meta = read_json_file(spark, mp, default=None, absent=None)
     if not isinstance(meta, dict) or "min_repeat" not in meta:
-        write_json_file(spark, mp, {"min_repeat": int(min_repeat)})
+        rec: dict = {"min_repeat": int(min_repeat)}
+        try:
+            dp = _line_store_data_path(spark, line_store_path)
+            if spark.read.schema(_LINE_SCHEMA).parquet(dp) \
+                    .filter(F.col("epoch_id") >= 0).head(1):
+                rec["adopted_with_history"] = True
+        except ValueError:
+            pass  # store not committed yet: truly fresh
+        write_json_file(spark, mp, rec)
         return
     stored = int(meta["min_repeat"])
     if stored != int(min_repeat):
@@ -560,11 +581,37 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
 # atomically under one generation-marker PUT.
 # ---------------------------------------------------------------------------
 
+import re as _re_mod
+
+# Legacy single-file marker (early round 9): read-only back-compat.
 _SEM_GEN_FILE = "_sem_gen.json"
+_SEM_GEN_RE = _re_mod.compile(r"_sem_gen_(\d+)\.json")
 
 
-def _sem_gen_marker(sd: str) -> str:
-    return f"{sd.rstrip('/')}/{_SEM_GEN_FILE}"
+def _sem_gen_marker(sd: str, gen: int) -> str:
+    """Generation ``gen``'s marker file. Markers are SEQUENCE-NAMED
+    and never overwritten (the `operators.cdc` manifest discipline):
+    each reseed commits by creating a NEW ``_sem_gen_<g>.json``, so
+    there is no truncate-then-write window on the committed state —
+    a torn top marker (crash mid-create) is invalid JSON that the
+    reader's walk steps past, landing on the previous generation."""
+    return f"{sd.rstrip('/')}/_sem_gen_{int(gen)}.json"
+
+
+def _sem_marker_gens(spark, sd: str) -> list[int]:
+    """Generation numbers of every marker FILE under ``sd`` (valid or
+    torn) — one driver-side listing."""
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, sd)
+    jsd = jvm.org.apache.hadoop.fs.Path(sd.rstrip("/"))
+    if not fs.exists(jsd):
+        return []
+    out = []
+    for st in fs.listStatus(jsd):
+        m = _SEM_GEN_RE.fullmatch(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def _sem_paths(sd: str, gen: int) -> tuple[str, str]:
@@ -583,15 +630,25 @@ def _sem_paths(sd: str, gen: int) -> tuple[str, str]:
 
 def semantic_current_gen(spark, state_dir: str) -> dict:
     """The committed semantic-store generation: ``{"gen": g, "k": k,
-    "epoch": e}`` from the marker file, or the implicit
-    ``{"gen": 0, "k": None, "epoch": None}`` when no reseed has ever
-    committed (the seed layout). A torn marker (crash mid-PUT —
-    impossible on stores with atomic single-object PUT) reads as the
-    previous generation: the walk is one JSON file, the commit point
-    of `semantic_reseed`."""
+    "epoch": e}`` from the highest VALID sequence-named marker, or
+    the implicit ``{"gen": 0, "k": None, "epoch": None}`` when no
+    reseed has ever committed (the seed layout). A torn top marker
+    (crash mid-create) is invalid JSON and the walk steps DOWN to
+    the previous committed generation — whose stores the reseed
+    vacuum's one-generation grace keeps — so a crashed commit can
+    never strand readers on a vacuumed generation 0 (markers are
+    never overwritten in place; see `_sem_gen_marker`)."""
     from lisp_batch_processor_spark.sources.writers import (
         read_json_file)
-    d = read_json_file(spark, _sem_gen_marker(state_dir),
+    sd = state_dir.rstrip("/")
+    for g in reversed(_sem_marker_gens(spark, sd)):
+        d = read_json_file(spark, _sem_gen_marker(sd, g),
+                           default=None, absent=None)
+        if isinstance(d, dict) and "gen" in d:
+            return {"gen": int(d["gen"]), "k": d.get("k"),
+                    "epoch": d.get("epoch")}
+    # Back-compat: the early-round-9 single overwritten marker.
+    d = read_json_file(spark, f"{sd}/{_SEM_GEN_FILE}",
                        default=None, absent=None)
     if isinstance(d, dict) and "gen" in d:
         return {"gen": int(d["gen"]), "k": d.get("k"),
@@ -642,8 +699,12 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
     spark = seed_emb.sparkSession
     sd = state_dir.rstrip("/")
     jvm, fs, _ = _hadoop_fs(spark, sd)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(_sem_gen_marker(sd)),
-              False)  # fresh lineage: generation 0
+    # Fresh lineage: generation 0 — remove every stale marker.
+    for g in _sem_marker_gens(spark, sd):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            _sem_gen_marker(sd, g)), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        f"{sd}/{_SEM_GEN_FILE}"), False)
     cent_path, vec_path = _sem_paths(sd, 0)
     if backend == "versioned":
         versioned_store_init(spark, cent_path)
@@ -776,21 +837,26 @@ def semantic_store_compact(spark, state_dir: str,
 
 def semantic_cell_occupancy(spark, state_dir: str) -> dict:
     """The re-seed-due signal: per-cell survivor counts of the
-    CURRENT generation's vector store, reduced to
-    ``{"gen", "k", "vectors", "max_cell", "mean_cell"}`` — one
+    CURRENT generation's vector store, reduced to ``{"gen", "k",
+    "cells_occupied", "vectors", "max_cell", "mean_cell"}`` — one
     bounded k-row aggregate (distinct vec_id per cell, so replay
-    duplicates don't inflate the signal). At a fixed cell model,
-    occupancy grows linearly with survivors and the within-cell
-    verify term with its square — when ``max_cell`` drifts far above
-    the seed's cell size, schedule `semantic_reseed` (the
-    ``reseed_max_cell`` hook in `streaming_semantic_ingest` does
-    exactly this)."""
+    duplicates don't inflate the signal). ``k`` is the MODEL's cell
+    count (the marker's recorded k, else the centroid store's row
+    count — NOT the number of occupied cells, which is reported
+    separately: an operator sizing ``target_cell`` from this report
+    must see the real k even when many cells are empty), and
+    ``mean_cell`` = vectors / k for the same reason. At a fixed cell
+    model, occupancy grows linearly with survivors and the
+    within-cell verify term with its square — when ``max_cell``
+    drifts far above the seed's cell size, schedule
+    `semantic_reseed` (the ``reseed_max_cell`` hook in
+    `streaming_semantic_ingest` does exactly this)."""
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.sources.writers import (
         store_data_path)
     gen = semantic_current_gen(spark, state_dir)
-    _, vec_path = _sem_paths(state_dir, gen["gen"])
+    cent_path, vec_path = _sem_paths(state_dir, gen["gen"])
     dp = store_data_path(spark, vec_path)
     if dp is None:
         raise ValueError(f"no vector store under {state_dir} "
@@ -798,15 +864,21 @@ def semantic_cell_occupancy(spark, state_dir: str) -> dict:
     occ = (spark.read.parquet(dp)
            .groupBy("cell")
            .agg(F.count_distinct("vec_id").alias("n"))
-           .agg(F.count(F.lit(1)).alias("k"),
+           .agg(F.count(F.lit(1)).alias("occ"),
                 F.sum("n").alias("total"),
-                F.max("n").alias("mx"),
-                F.avg("n").alias("mean"))
+                F.max("n").alias("mx"))
            .first())
-    return {"gen": gen["gen"], "k": int(occ["k"] or 0),
-            "vectors": int(occ["total"] or 0),
+    if gen.get("k") is not None:
+        k = int(gen["k"])
+    else:
+        cdp = store_data_path(spark, cent_path)
+        k = spark.read.parquet(cdp).count() if cdp else 0
+    total = int(occ["total"] or 0)
+    return {"gen": gen["gen"], "k": int(k),
+            "cells_occupied": int(occ["occ"] or 0),
+            "vectors": total,
             "max_cell": int(occ["mx"] or 0),
-            "mean_cell": float(occ["mean"] or 0.0)}
+            "mean_cell": (total / k) if k else 0.0}
 
 
 def semantic_reseed(spark, state_dir: str, *,
@@ -899,15 +971,26 @@ def semantic_reseed(spark, state_dir: str, *,
     store_append(survivors.select(
         "vec_id", one_cell("embedding")[0].alias("cell"), "embedding"),
         nvec)
-    # COMMIT: one marker PUT switches readers to (centroids, vectors)
-    # of generation new_g together.
-    write_json_file(spark, _sem_gen_marker(sd),
+    # COMMIT: one NEW sequence-named marker file switches readers to
+    # (centroids, vectors) of generation new_g together. Never an
+    # in-place overwrite — a torn create is invalid JSON that
+    # semantic_current_gen's walk steps past (back to gen g, whose
+    # stores are intact); a torn leftover from a crashed attempt of
+    # THIS generation is deleted before the fresh create.
+    jm = jvm.org.apache.hadoop.fs.Path(_sem_gen_marker(sd, new_g))
+    fs.delete(jm, False)
+    write_json_file(spark, _sem_gen_marker(sd, new_g),
                     {"gen": new_g, "k": len(cents),
                      "epoch": None if epoch is None else int(epoch)})
-    # Vacuum generations older than the PREVIOUS one.
+    # Vacuum generations older than the PREVIOUS one — stores AND
+    # markers (the legacy single-file marker is superseded too).
     for og in range(0, g):
         for pth in _sem_paths(sd, og):
             fs.delete(jvm.org.apache.hadoop.fs.Path(pth), True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            _sem_gen_marker(sd, og)), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        f"{sd}/{_SEM_GEN_FILE}"), False)
     return new_g
 
 
@@ -963,21 +1046,11 @@ def streaming_semantic_ingest(stream_emb, state_dir: str, sink,
 
     def _process(batch_df, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        cur = semantic_current_gen(spark, state_dir)
-        use_gen = cur["gen"]
-        replayed_trigger = (cur.get("epoch") is not None
-                            and int(cur["epoch"]) == int(epoch_id))
-        if replayed_trigger:
-            # This epoch's first run committed the reseed AFTER its
-            # assignment — recompute under the generation it ran with.
-            use_gen = cur["gen"] - 1
-        if cache["gen"] != use_gen:
-            cache["cents"] = semantic_read_centroids(
-                spark, state_dir, gen=use_gen)
-            cache["gen"] = use_gen
+        use_gen, cents, replayed_trigger = _sem_epoch_model(
+            spark, state_dir, int(epoch_id), cache)
         out = semantic_ingest_epoch(batch_df, state_dir, tau=tau,
                                     id_col=id_col,
-                                    centroids=cache["cents"],
+                                    centroids=cents,
                                     gen=use_gen)
         sink(out, int(epoch_id))
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
@@ -985,11 +1058,54 @@ def streaming_semantic_ingest(stream_emb, state_dir: str, sink,
                 spark, state_dir,
                 target_file_bytes=compact_target_bytes)
         if reseed_max_cell is not None and not replayed_trigger:
-            occ = semantic_cell_occupancy(spark, state_dir)
-            if occ["max_cell"] > reseed_max_cell:
-                semantic_reseed(spark, state_dir,
-                                target_cell=reseed_target_cell,
-                                iters=reseed_iters,
-                                epoch=int(epoch_id))
+            _sem_reseed_if_due(spark, state_dir, int(epoch_id),
+                               reseed_max_cell, reseed_target_cell,
+                               reseed_iters)
 
     return stream_emb.writeStream.foreachBatch(_process)
+
+
+def _sem_epoch_model(spark, state_dir: str, epoch_id: int,
+                     cache: dict) -> tuple[int, list, bool]:
+    """The shared per-epoch generation resolution for both streaming
+    loops: read the marker once, detect the REPLAYED-TRIGGER case
+    (the marker's epoch tag equals this epoch — its first run
+    committed a reseed AFTER its assignment, so the replay must
+    recompute under the PREVIOUS generation, kept by the vacuum
+    grace), and serve the centroid model from the per-generation
+    ``cache`` (one driver collect per generation, not per epoch).
+    Returns (use_gen, centroids, replayed_trigger)."""
+    cur = semantic_current_gen(spark, state_dir)
+    use_gen = cur["gen"]
+    replayed_trigger = (cur.get("epoch") is not None
+                        and int(cur["epoch"]) == int(epoch_id))
+    if replayed_trigger:
+        use_gen = cur["gen"] - 1
+    if cache.get("gen") != use_gen:
+        cache["cents"] = semantic_read_centroids(spark, state_dir,
+                                                 gen=use_gen)
+        cache["gen"] = use_gen
+    return use_gen, cache["cents"], replayed_trigger
+
+
+def _sem_reseed_if_due(spark, state_dir: str, epoch_id: int,
+                       max_cell: int, target_cell: int | None,
+                       iters: int) -> None:
+    """The shared occupancy-trigger body for both streaming loops
+    (`streaming_semantic_ingest` and
+    `pipelines.ingest.streaming_corpus_ingest`): run the bounded
+    occupancy aggregate and commit a reseed when the fullest cell
+    exceeds ``max_cell``. With no explicit ``target_cell`` the
+    reseed aims for a MEAN occupancy of ``max_cell // 2`` — carrying
+    k over instead would be degenerate: once survivors exceed
+    k * max_cell, the mean (hence the max) can never drop below the
+    threshold at the same k, and the trigger would fire a full
+    retrain + re-cell after EVERY epoch."""
+    occ = semantic_cell_occupancy(spark, state_dir)
+    if occ["max_cell"] > max_cell:
+        semantic_reseed(spark, state_dir,
+                        target_cell=(target_cell if target_cell
+                                     is not None
+                                     else max(1, max_cell // 2)),
+                        iters=iters,
+                        epoch=epoch_id)

@@ -128,10 +128,15 @@ def reseed_experiment(spark, base, corpus_n, batch_rows,
                           target_cell=128, epoch=10_000)
     reseed_sec = time.perf_counter() - t0
     occ_after = semantic_cell_occupancy(spark, sd)
-    # First post-reseed epoch: cost against the re-celled store.
+    # First post-reseed epoch: cost against the re-celled store —
+    # with the centroid model pre-collected OUTSIDE the timed
+    # region, exactly like every pre-reseed epoch (the streaming
+    # loop's per-generation cache), so the comparison isolates the
+    # store shape rather than an extra driver collect.
+    cents_new = semantic_read_centroids(spark, sd)
     batch = _batch(spark, 999, batch_rows, corpus_n)
     t0 = time.perf_counter()
-    semantic_ingest_epoch(batch, sd, tau=0.95)
+    semantic_ingest_epoch(batch, sd, tau=0.95, centroids=cents_new)
     post_epoch_sec = time.perf_counter() - t0
     return {
         "gen": gen,

@@ -321,3 +321,29 @@ def test_release_lease_never_deletes_a_stealers_fresh_lease(
                 if ".tomb." in f]
     release_lease(spark, d, "thief")
     assert lease_holder(spark, d) is None
+
+
+def test_torn_expired_lease_is_stealable(spark, tmp_path):
+    """A lease file torn by a crash mid-PUT must not wedge the store
+    forever: once its mtime + the fallback TTL passes, acquire_lease
+    steals it (the tombstone's preserved mtime proves it is the
+    long-dead file, not a racer's fresh mid-write lease)."""
+    d = os.path.join(str(tmp_path), "store")
+    os.makedirs(d)
+    with open(lease_path(d), "w") as f:
+        f.write('{"owner": "wr')   # torn mid-PUT
+    crc = os.path.join(os.path.dirname(lease_path(d)),
+                       "." + os.path.basename(lease_path(d)) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # Fresh torn file: fail safe — held by an unknown owner.
+    assert lease_holder(spark, d) == "<torn-lease>"
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(spark, d, owner="w1")
+    # Aged past the fallback TTL: dead — steal succeeds.
+    os.utime(lease_path(d), (1, 1))
+    assert lease_holder(spark, d) is None
+    assert acquire_lease(spark, d, owner="w1", ttl_s=60) == "w1"
+    assert lease_holder(spark, d) == "w1"
+    assert not [f for f in os.listdir(str(tmp_path)) if ".tomb." in f]
+    release_lease(spark, d, "w1")

@@ -1150,7 +1150,7 @@ def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
                 real_put = W.write_json_file
 
                 def torn_put(spark_, path, obj):
-                    if path.endswith("_sem_gen.json"):
+                    if "/_sem_gen" in path:
                         raise IOError("injected crash before commit")
                     real_put(spark_, path, obj)
 
@@ -1224,3 +1224,43 @@ def test_semantic_generations_on_the_versioned_backend(spark, tmp_path):
                     [(20, _axis(5, scale=0.999)),  # dup of survivor 11
                      (21, _axis(6))], schema), sd, tau=0.95).collect()}
     assert got2 == {20: (11, True), 21: (21, False)}
+
+
+def test_torn_generation_marker_steps_down_not_to_gen0(
+        spark, tmp_path):
+    """Markers are sequence-named commits, never overwritten: a torn
+    top marker (crash mid-create during a reseed) must resolve to
+    the PREVIOUS committed generation — whose stores the vacuum
+    grace keeps — never to a long-vacuumed generation 0; the next
+    reseed deletes the torn leftover and commits cleanly."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_current_gen, semantic_ingest_epoch,
+        semantic_read_centroids, semantic_reseed, semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(i, _axis(i - 1)) for i in range(1, 5)],
+                              schema), sd, k=2)
+    assert semantic_reseed(spark, sd, target_cell=2) == 1
+    assert semantic_current_gen(spark, sd)["gen"] == 1
+
+    # Crash mid-create of generation 2's marker: torn JSON on disk.
+    with open(os.path.join(sd, "_sem_gen_2.json"), "w") as f:
+        f.write('{"gen": 2, "k"')
+    crc = os.path.join(sd, "._sem_gen_2.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    cur = semantic_current_gen(spark, sd)
+    assert cur["gen"] == 1                       # stepped DOWN, not 0
+    assert len(semantic_read_centroids(spark, sd)) == 2  # gen-1 model
+    # Epochs still run against generation 1's stores.
+    got = {r.vec_id: r.is_dup for r in semantic_ingest_epoch(
+        spark.createDataFrame([(10, _axis(0, scale=1.001))], schema),
+        sd, tau=0.95).collect()}
+    assert got == {10: True}
+
+    # The retry reseed clears the torn leftover and commits gen 2.
+    assert semantic_reseed(spark, sd, target_cell=2) == 2
+    assert semantic_current_gen(spark, sd)["gen"] == 2
+    assert os.path.exists(os.path.join(sd, "sem_vectors_g2"))
