@@ -317,7 +317,8 @@ def quantile_hist_retrain_epoch(batch_df: DataFrame, store_path: str,
                                 splits: list[float],
                                 retrain_tvd: float,
                                 retrain_min_rows: int,
-                                epoch_id: int) -> int:
+                                epoch_id: int,
+                                lineage: str | None = None) -> int:
     """One epoch of drift-aware histogram maintenance — the per-epoch
     work item :func:`quantile_hist_stream_apply` runs when retraining
     is enabled (public so batch replays and tests share the exact
@@ -345,12 +346,22 @@ def quantile_hist_retrain_epoch(batch_df: DataFrame, store_path: str,
     Scale notes: the drift check aggregates the batch's histogram
     rows (<= B per group — kilobytes); a retrain is one extra
     approxQuantile pass over the batch only, never the store.
+
+    MONOTONIC EPOCHS / ONE LINEAGE — machine-checked (round 10,
+    `sources.writers.check_store_epoch_lineage`): the replay dedup
+    on (keys, bucket, epoch_id) and the trained_epoch generation
+    reuse both compare raw epoch ids, so a NEW checkpoint restarting
+    at 0 over this store would have its counts silently DROPPED as
+    presumed replays (and could resurrect a foreign generation); an
+    epoch regression or a foreign ``lineage`` token raises instead.
     """
     from lisp_batch_processor_spark.sources.writers import (
-        store_append, store_data_path, store_is_versioned)
+        check_store_epoch_lineage, store_append, store_data_path,
+        store_is_versioned)
 
     spark = batch_df.sparkSession
     e = int(epoch_id)
+    check_store_epoch_lineage(spark, store_path, e, lineage)
     gens = quantile_bounds_read(spark, store_path)
     if not gens:
         # Legacy-layout guard at ENABLE time (no bounds yet — once a
@@ -471,7 +482,8 @@ def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
                                splits: list[float],
                                compact_every: int | None = None,
                                retrain_tvd: float | None = None,
-                               retrain_min_rows: int = 1000):
+                               retrain_min_rows: int = 1000,
+                               lineage: str | None = None):
     """Streaming percentile maintenance: each micro-batch reduces to
     its exact per-bucket counts (<= B rows per group) which append
     EPOCH-TAGGED to the store — row data is touched once, at arrival;
@@ -528,14 +540,19 @@ def quantile_hist_stream_apply(stream_df: DataFrame, store_path: str,
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         from lisp_batch_processor_spark.sources.writers import (
-            store_append)
+            check_store_epoch_lineage, store_append)
         if retrain_tvd is not None:
             quantile_hist_retrain_epoch(
                 batch_df, store_path, keys, col, splits,
                 retrain_tvd=retrain_tvd,
                 retrain_min_rows=retrain_min_rows,
-                epoch_id=int(epoch_id))
+                epoch_id=int(epoch_id), lineage=lineage)
         else:
+            # Same contract as the retrain path: the read-side
+            # (keys, bucket, epoch_id) replay dedup silently drops a
+            # restarted-at-0 lineage's counts as presumed replays.
+            check_store_epoch_lineage(spark, store_path,
+                                      int(epoch_id), lineage)
             store_append(
                 quantile_hist_build(batch_df, keys, col, splits)
                 .withColumn("epoch_id", F.lit(int(epoch_id))),

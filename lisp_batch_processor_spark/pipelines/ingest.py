@@ -119,6 +119,11 @@ def corpus_ingest_init(spark: SparkSession, state_dir: str,
     if backend not in ("swap", "versioned"):
         raise ValueError(f"backend must be 'swap' or 'versioned', "
                          f"got {backend!r}")
+    # No lineage-meta reset here: the meta lives INSIDE state_dir, so
+    # the legitimate fresh-dir path never has one, and re-init over a
+    # LIVE state_dir must not weaken the monotonic-epoch guard
+    # (`streaming.dedup.ingest_lineage_check`) — the appends below
+    # don't clear the stores it protects.
     p = _paths(state_dir)
     if backend == "versioned":
         for path in (p["url"], p["index"], p["shingles"]):
@@ -217,7 +222,8 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                         semantic_centroids: list[list[float]]
                         | None = None,
                         semantic_gen: int | None = None,
-                        gopher_thresholds: dict | None = None
+                        gopher_thresholds: dict | None = None,
+                        lineage: str | None = None
                         ) -> DataFrame:
     """One ingest epoch over ``batch_df`` (doc_id, url, text): apply
     hygiene + URL dedup + line dedup + near-dup (+ optional semantic
@@ -247,15 +253,27 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
 
     Store appends happen inside; the caller owns durable output (see
     `streaming_corpus_ingest`). Replay-safe per the module docstring.
+
+    MONOTONIC EPOCHS / ONE LINEAGE PER STATE_DIR — machine-checked
+    (round 10): every membership read filters to strictly-earlier
+    epochs, so the epoch ids must be monotonic within one stream
+    lineage. `streaming.dedup.ingest_lineage_check` records a
+    high-water epoch (and the optional ``lineage`` token — pass the
+    checkpoint location) in ``state_dir``'s meta and RAISES on an
+    epoch regression or a foreign lineage (a new checkpoint
+    restarting at 0 over old state) instead of silently re-admitting
+    every previously-seen key. Replays (epoch == high-water) pass.
     """
     from lisp_batch_processor_spark.sources.writers import (
         store_append, store_data_path)
     from lisp_batch_processor_spark.streaming.dedup import (
-        line_dedup_ingest_epoch, near_dup_ingest_epoch)
+        ingest_lineage_check, line_dedup_ingest_epoch,
+        near_dup_ingest_epoch)
 
     spark = batch_df.sparkSession
     p = _paths(state_dir)
     e = int(epoch_id)
+    ingest_lineage_check(spark, state_dir, e, lineage)
 
     # -- hygiene + URL dedup ------------------------------------------
     # Within-batch winners via the SHARED rule (pipelines.corpus.
@@ -327,7 +345,8 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
         sem = semantic_ingest_epoch(batch_emb, state_dir,
                                     tau=semantic_tau,
                                     centroids=semantic_centroids,
-                                    gen=semantic_gen)
+                                    gen=semantic_gen,
+                                    epoch=e)
         non_dups = non_dups.join(
             sem.filter(F.col("is_dup"))
                .select(F.col("vec_id").alias("doc_id")),
@@ -456,7 +475,8 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                             compact_target_bytes: int
                             = 128 * 1024 * 1024,
                             sink: Callable[[DataFrame, int], None]
-                            | None = None):
+                            | None = None,
+                            lineage: str | None = None):
     """foreachBatch wrapper: run `corpus_ingest_epoch` per micro-batch
     and append the survivors EPOCH-TAGGED to ``corpus_path`` (read
     back with `corpus_read`). Returns the DataStreamWriter — caller
@@ -474,12 +494,20 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     centroid model is cached per GENERATION (one driver collect per
     generation, not per epoch), and ``semantic_reseed_max_cell``
     closes the drift loop exactly as in
-    `streaming.dedup.streaming_semantic_ingest`: when the occupancy
-    aggregate exceeds it after an epoch's appends,
+    `streaming.dedup.streaming_semantic_ingest`: when the O(k)
+    occupancy signal (`semantic_cell_occupancy_fast` over the
+    per-epoch cell-count ledger; full-scan fallback for adopted
+    pre-r10 state) exceeds it after an epoch's appends,
     `streaming.dedup.semantic_reseed` commits a new generation
     tagged with the epoch id — a checkpoint replay of that epoch
     reuses the generation AND pins its semantic stage back to the
     previous generation's model for byte-identical output.
+
+    ``lineage`` (pass the checkpoint location) strengthens the
+    machine-checked monotonic-epoch / one-lineage contract
+    (`corpus_ingest_epoch`): with it, a DIFFERENT stream resuming at
+    a higher epoch over this state_dir raises too, not just an
+    epoch regression.
 
     ``compact_every=N`` runs :func:`corpus_ingest_compact` after
     every Nth epoch — inside foreachBatch IS the single-writer
@@ -524,7 +552,8 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
             semantic_centroids=sem_cache["cents"]
             if emb is not None else None,
             semantic_gen=use_gen,
-            gopher_thresholds=gopher_thresholds)
+            gopher_thresholds=gopher_thresholds,
+            lineage=lineage)
         store_append(out.withColumn("epoch_id",
                                     F.lit(int(epoch_id)).cast("long")),
                      corpus_path)
@@ -672,11 +701,20 @@ def ingest_report(spark: SparkSession, state_dir: str,
         targets["corpus"] = corpus_path
     if _sem_present(spark, state_dir):
         from lisp_batch_processor_spark.streaming.dedup import (
-            semantic_cell_occupancy, semantic_store_roots)
+            _sem_counts_data_path, _sem_counts_path,
+            semantic_cell_occupancy, semantic_current_gen,
+            semantic_store_roots)
         cent_path, vec_path = semantic_store_roots(spark, state_dir)
         targets["sem_centroids"] = cent_path
         targets["sem_vectors"] = vec_path
+        # The report's occupancy stays the EXACT full-scan signal —
+        # it is on-demand observability, and disagreement with the
+        # per-epoch ledger signal would itself be worth seeing.
         report["sem_cells"] = semantic_cell_occupancy(spark, state_dir)
+        gen = semantic_current_gen(spark, state_dir)["gen"]
+        if _sem_counts_data_path(spark, state_dir, gen) is not None:
+            targets["sem_cellcounts"] = _sem_counts_path(
+                state_dir, gen)
     for name, root in targets.items():
         r_ = root.rstrip("/")
         versioned = store_is_versioned(spark, r_)

@@ -89,6 +89,70 @@ def read_json_file(spark: SparkSession, path: str,
         return default
 
 
+def _check_epoch_lineage(meta: dict, epoch_id: int,
+                         lineage: str | None, what: str) -> bool:
+    """Enforce the monotonic-epoch / one-lineage contract against
+    (and update) a store's ``meta`` dict in place; returns True when
+    the caller must persist the updated meta. Rules: a recorded
+    lineage only ever matches itself (a caller passing None skips
+    the token comparison — back-compat for direct epoch calls — but
+    never weakens the epoch check); the epoch must be >= the
+    recorded high-water mark (EQUAL is the checkpoint-replay path,
+    strictly greater is progress). Every epoch-tagged store here
+    assumes this contract — strictly-earlier membership filters,
+    replay dedup on epoch tags, and epoch-tagged generation markers
+    are all silently corrupted by a NEW checkpoint restarting at
+    epoch 0 over OLD state, which is exactly the operator error this
+    turns into an error."""
+    changed = False
+    rec = meta.get("lineage")
+    if lineage is not None:
+        if rec is None:
+            meta["lineage"] = str(lineage)
+            changed = True
+        elif str(rec) != str(lineage):
+            raise ValueError(
+                f"{what} belongs to stream lineage {rec!r} but this "
+                f"epoch was tagged lineage {lineage!r}: one stream "
+                "lineage per state — a new checkpoint over old state "
+                "violates the strictly-earlier epoch semantics every "
+                "epoch-tagged store assumes (seed a fresh state dir, "
+                "or resume the original checkpoint)")
+    hw = meta.get("high_water_epoch")
+    e = int(epoch_id)
+    if hw is None or e > int(hw):
+        meta["high_water_epoch"] = e
+        changed = True
+    elif e < int(hw):
+        raise ValueError(
+            f"{what} already ingested up to epoch {int(hw)} but this "
+            f"epoch is {e}: an epoch regression means a NEW checkpoint "
+            "is restarting over OLD state — its strictly-earlier "
+            "membership filters would silently re-admit every "
+            "previously-seen key (seed a fresh state dir, or resume "
+            "the original checkpoint)")
+    return changed
+
+
+def check_store_epoch_lineage(spark: SparkSession, store_root: str,
+                              epoch_id: int,
+                              lineage: str | None = None) -> None:
+    """The STORE-scoped monotonic-epoch / one-lineage check: meta in
+    a hidden sibling of ``store_root`` (`_check_epoch_lineage` for
+    the rules). One tiny JSON get per epoch plus one PUT per
+    PROGRESSING epoch. A torn meta (crash mid-PUT) reads as absent
+    and re-records — fail-open, like every meta sidecar here: the
+    contract's target is the operator error (restarted checkpoint
+    over live state), where the meta is intact."""
+    mp = _hidden_sibling(store_root.rstrip("/"), "lineage")
+    meta = read_json_file(spark, mp, default=None, absent=None)
+    if not isinstance(meta, dict):
+        meta = {}
+    if _check_epoch_lineage(meta, epoch_id, lineage,
+                            f"store at {store_root}"):
+        write_json_file(spark, mp, meta)
+
+
 def write_epoch_marker(spark: SparkSession, dir_path: str,
                        epoch_id: int,
                        name: str = "_epoch") -> None:

@@ -162,6 +162,73 @@ def line_digest_keys(docs: DataFrame, text_col: str = "text",
     return keyed.distinct()
 
 
+# ---------------------------------------------------------------------------
+# Monotonic-epoch / one-lineage-per-state contract — MACHINE-CHECKED.
+#
+# Every epoch-tagged store here (line store, URL store, the semantic
+# generation marker's epoch tag) assumes epochs are MONOTONIC within
+# one stream lineage: membership/count reads filter to strictly-
+# earlier epochs, and the reseed marker's replayed-trigger detection
+# compares raw epoch ids. A NEW checkpoint restarting at epoch 0 over
+# an OLD state dir silently violates both — epoch 0's
+# ``epoch_id < 0`` filter excludes the entire prior lineage (seen
+# keys re-admit), and its id can collide with the old lineage's
+# reseed tag. What round 9 did for the line store's min_repeat
+# (a meta pin that raises on mismatch) round 10 does for this
+# contract: a lineage token + high-water epoch recorded in meta,
+# with an epoch REGRESSION or a FOREIGN lineage raising instead of
+# silently corrupting membership semantics.
+# ---------------------------------------------------------------------------
+
+
+def _check_epoch_lineage(meta: dict, epoch_id: int,
+                         lineage: str | None, what: str) -> bool:
+    """The shared pure-dict rule body — ONE implementation, in
+    `sources.writers` (the sketch stores' store-scoped
+    `check_store_epoch_lineage` enforces the same contract there)."""
+    from lisp_batch_processor_spark.sources.writers import (
+        _check_epoch_lineage as impl)
+    return impl(meta, epoch_id, lineage, what)
+
+
+def _ingest_lineage_path(state_dir: str) -> str:
+    return f"{state_dir.rstrip('/')}/_ingest_lineage.json"
+
+
+def ingest_lineage_check(spark, state_dir: str, epoch_id: int,
+                         lineage: str | None = None) -> None:
+    """The state_dir-scoped contract check (one meta file shared by
+    every store under ``state_dir`` — they all ride the SAME stream):
+    record/advance the high-water epoch and optional lineage token
+    (pass the checkpoint location), raising on regression or a
+    foreign token per `_check_epoch_lineage`. One tiny JSON get per
+    epoch plus one PUT per PROGRESSING epoch (replays re-read only).
+    A torn meta (crash mid-PUT) reads as absent and re-records —
+    fail-open, like the min_repeat meta: the contract's target is
+    the operator error (restarted checkpoint over live state), where
+    the meta is intact."""
+    from lisp_batch_processor_spark.sources.writers import (
+        read_json_file, write_json_file)
+    mp = _ingest_lineage_path(state_dir)
+    meta = read_json_file(spark, mp, default=None, absent=None)
+    if not isinstance(meta, dict):
+        meta = {}
+    if _check_epoch_lineage(meta, epoch_id, lineage,
+                            f"ingest state at {state_dir}"):
+        write_json_file(spark, mp, meta)
+
+
+def ingest_lineage_reset(spark, state_dir: str) -> None:
+    """Forget the recorded lineage/high-water — what a SEED does:
+    seeding declares a fresh lineage over a fresh state dir
+    (`pipelines.ingest.corpus_ingest_init` / `semantic_store_seed`
+    call this), so the first stream over it records cleanly."""
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, state_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        _ingest_lineage_path(state_dir)), False)
+
+
 _LINE_SCHEMA = "line_key string, epoch_id long, n long"
 
 
@@ -171,17 +238,26 @@ def _line_meta_path(line_store_path: str) -> str:
     return _hidden_sibling(line_store_path, "meta")
 
 
-def _line_check_min_repeat(spark, line_store_path: str,
-                           min_repeat: int) -> None:
-    """Machine-check the ONE-min_repeat-per-store contract: counts
-    stop accruing at saturation (``prior >= min_repeat - 1``), so a
-    store built at k silently UNDERCOUNTS for any k' > k — what used
-    to be a docstring warning is now an error. The store's
-    ``min_repeat`` is recorded in a hidden-sibling meta file at
-    first use (or at `line_store_init` when passed there); every
-    later epoch must match. A torn meta file (crash mid-PUT) reads
-    as absent and re-records — the recording epoch's own semantics
-    are unaffected either way.
+def _line_check_meta(spark, line_store_path: str, min_repeat: int,
+                     epoch_id: int, lineage: str | None = None) -> None:
+    """Machine-check BOTH per-store contracts in one meta read/write:
+
+    ONE min_repeat per store: counts stop accruing at saturation
+    (``prior >= min_repeat - 1``), so a store built at k silently
+    UNDERCOUNTS for any k' > k — what used to be a docstring warning
+    is now an error. The store's ``min_repeat`` is recorded in a
+    hidden-sibling meta file at first use (or at `line_store_init`
+    when passed there); every later epoch must match.
+
+    MONOTONIC EPOCHS / ONE LINEAGE (round 10, same pin): the meta
+    also carries the high-water epoch and an optional lineage token
+    — an epoch regression or a foreign lineage raises per
+    `_check_epoch_lineage` instead of silently re-admitting every
+    previously-seen line (the ``epoch_id < e`` membership filter
+    over a restarted-at-0 stream sees only seed rows).
+
+    A torn meta file (crash mid-PUT) reads as absent and re-records
+    — the recording epoch's own semantics are unaffected either way.
 
     ADOPTION caveat: a pre-meta store (built before this check
     existed) that already ran stream epochs is adopted at THIS
@@ -192,33 +268,38 @@ def _line_check_min_repeat(spark, line_store_path: str,
     ``adopted_with_history: true`` for such stores so the adoption
     is auditable; raising instead would break the legitimate
     same-k upgrade path. Stores needing a threshold change should
-    be rebuilt (re-seeded) either way."""
+    be rebuilt (re-seeded) either way. The high-water epoch adopts
+    at this epoch for the same reason."""
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.sources.writers import (
         read_json_file, write_json_file)
     mp = _line_meta_path(line_store_path)
     meta = read_json_file(spark, mp, default=None, absent=None)
+    changed = False
     if not isinstance(meta, dict) or "min_repeat" not in meta:
-        rec: dict = {"min_repeat": int(min_repeat)}
+        meta = meta if isinstance(meta, dict) else {}
+        meta["min_repeat"] = int(min_repeat)
+        changed = True
         try:
             dp = _line_store_data_path(spark, line_store_path)
             if spark.read.schema(_LINE_SCHEMA).parquet(dp) \
                     .filter(F.col("epoch_id") >= 0).head(1):
-                rec["adopted_with_history"] = True
+                meta["adopted_with_history"] = True
         except ValueError:
             pass  # store not committed yet: truly fresh
-        write_json_file(spark, mp, rec)
-        return
-    stored = int(meta["min_repeat"])
-    if stored != int(min_repeat):
+    elif int(meta["min_repeat"]) != int(min_repeat):
         raise ValueError(
             f"line store at {line_store_path} was built with "
-            f"min_repeat={stored} but this epoch passed "
-            f"min_repeat={min_repeat}: occurrence counts saturate at "
-            "the threshold they were recorded under, so mixing "
-            "thresholds silently undercounts — use one min_repeat "
-            "per store (seed a new store to change it)")
+            f"min_repeat={int(meta['min_repeat'])} but this epoch "
+            f"passed min_repeat={min_repeat}: occurrence counts "
+            "saturate at the threshold they were recorded under, so "
+            "mixing thresholds silently undercounts — use one "
+            "min_repeat per store (seed a new store to change it)")
+    changed |= _check_epoch_lineage(
+        meta, epoch_id, lineage, f"line store at {line_store_path}")
+    if changed:
+        write_json_file(spark, mp, meta)
 
 
 def line_store_init(spark, line_store_path: str,
@@ -342,7 +423,8 @@ def line_store_compact(spark, line_store_path: str,
 def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
                             epoch_id: int, delim: str = "\n",
                             min_chars: int = 1,
-                            min_repeat: int = 2) -> DataFrame:
+                            min_repeat: int = 2,
+                            lineage: str | None = None) -> DataFrame:
     """One epoch of incremental line dedup against the persisted
     digest store: rebuild the batch's docs with every over-threshold
     line removed, append the epoch's digest counts (tagged with
@@ -362,11 +444,16 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
     batch's occurrences rank against the remaining slots, and keys
     already at the threshold stop accruing rows (so the store stays
     ~one row per distinct line per epoch it was still novel in).
-    ONE min_repeat per store — now MACHINE-CHECKED: counts stop at
+    ONE min_repeat per store — MACHINE-CHECKED: counts stop at
     saturation, so a store built at k undercounts for any k' > k;
     the store's threshold is recorded in its meta sidecar at first
     use (or at `line_store_init`) and a mismatching epoch raises
-    instead of silently undercounting. Rows written before round 8
+    instead of silently undercounting. The same meta pins the
+    MONOTONIC-EPOCH / ONE-LINEAGE contract (round 10): an epoch
+    below the recorded high-water mark, or a ``lineage`` token
+    (pass the checkpoint location) differing from the recorded one,
+    raises instead of silently re-admitting every seen line — see
+    `_check_epoch_lineage`. Rows written before round 8
     (and seed rows) lack the count column and read as n=1 — a
     documented membership lower bound, exact at min_repeat=2.
 
@@ -387,7 +474,8 @@ def line_dedup_ingest_epoch(batch_df: DataFrame, line_store_path: str,
     if min_repeat < 2:
         raise ValueError(f"min_repeat must be >= 2, got {min_repeat}")
     spark = batch_df.sparkSession
-    _line_check_min_repeat(spark, line_store_path, min_repeat)
+    _line_check_meta(spark, line_store_path, min_repeat,
+                     epoch_id, lineage)
     batch = batch_df.localCheckpoint(eager=True)
     # Resolve the store's data through its backend (repairs a crashed
     # compact on a swap store; resolves the committed pointer on a
@@ -523,7 +611,8 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
                                 line_store_path: str, sink,
                                 delim: str = "\n",
                                 min_chars: int = 1,
-                                min_repeat: int = 2):
+                                min_repeat: int = 2,
+                                lineage: str | None = None):
     """Streaming ingest with ever-growing LINE-level boilerplate
     suppression — the streaming twin of `operators.dedup.line_dedup`
     with the PREFIX policy: each micro-batch of (doc_id, text) docs
@@ -565,7 +654,8 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
         out = line_dedup_ingest_epoch(batch_df, line_store_path,
                                       epoch_id, delim=delim,
                                       min_chars=min_chars,
-                                      min_repeat=min_repeat)
+                                      min_repeat=min_repeat,
+                                      lineage=lineage)
         sink(out, epoch_id)
 
     return stream_docs.writeStream.foreachBatch(_process)
@@ -626,6 +716,57 @@ def _sem_paths(sd: str, gen: int) -> tuple[str, str]:
         return f"{sd}/sem_centroids", f"{sd}/sem_vectors"
     return f"{sd}/sem_centroids_g{int(gen)}", \
         f"{sd}/sem_vectors_g{int(gen)}"
+
+
+_SEM_COUNTS_SCHEMA = "cell int, epoch_id long, n long"
+
+
+def _sem_counts_path(sd: str, gen: int) -> str:
+    """Generation ``gen``'s cell-count store root — the O(k)-per-epoch
+    occupancy ledger behind `semantic_cell_occupancy_fast`: one
+    (cell, epoch_id, n) row per occupied cell per epoch, appended
+    from the SAME celled-survivor frame the vector store receives
+    (seed and reseed baselines land at epoch −1). Same generation
+    suffixing as `_sem_paths`."""
+    sd = sd.rstrip("/")
+    if int(gen) == 0:
+        return f"{sd}/sem_cellcounts"
+    return f"{sd}/sem_cellcounts_g{int(gen)}"
+
+
+def _sem_counts_data_path(spark, sd: str, gen: int) -> str | None:
+    """The counts store's committed data dir, or None when the store
+    does not exist — pre-r10 state dirs have no counts store until
+    their first `semantic_reseed` writes the next generation's
+    baseline; callers fall back to the full occupancy scan."""
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, store_data_path)
+    dp = store_data_path(spark, _sem_counts_path(sd, gen))
+    if dp is None:
+        return None
+    jvm, fs, _ = _hadoop_fs(spark, dp)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(dp)):
+        return None
+    return dp
+
+
+def _sem_counts_append(celled_survivors, cc_path: str,
+                       epoch_id: int) -> None:
+    """Append one epoch's (cell, epoch, n) occupancy rows — a k-row
+    map-side-combined aggregate over the already-materialized celled
+    survivor frame, the sketch stores' additive pattern. Replay-safe
+    by epoch tag: a replayed epoch re-appends IDENTICAL rows (the
+    assignment is pinned deterministic), and every read collapses
+    duplicate (cell, epoch) rows before summing."""
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.sources.writers import store_append
+    store_append(
+        celled_survivors.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+        .select("cell", "epoch_id", "n"),
+        cc_path)
 
 
 def semantic_current_gen(spark, state_dir: str) -> dict:
@@ -699,16 +840,20 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
     spark = seed_emb.sparkSession
     sd = state_dir.rstrip("/")
     jvm, fs, _ = _hadoop_fs(spark, sd)
-    # Fresh lineage: generation 0 — remove every stale marker.
+    # Fresh lineage: generation 0 — remove every stale marker and the
+    # recorded lineage/high-water meta (a seed DECLARES a new stream).
     for g in _sem_marker_gens(spark, sd):
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             _sem_gen_marker(sd, g)), False)
     fs.delete(jvm.org.apache.hadoop.fs.Path(
         f"{sd}/{_SEM_GEN_FILE}"), False)
+    ingest_lineage_reset(spark, sd)
     cent_path, vec_path = _sem_paths(sd, 0)
+    cc_path = _sem_counts_path(sd, 0)
     if backend == "versioned":
         versioned_store_init(spark, cent_path)
         versioned_store_init(spark, vec_path)
+        versioned_store_init(spark, cc_path)
     nz = (seed_emb.select(F.col(id_col).alias("vec_id"), "embedding")
           .filter(dot(F.col("embedding"), F.col("embedding")) > 0)
           .localCheckpoint(eager=True))  # feeds train AND the cell UDF
@@ -719,10 +864,13 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
             "cell int, embedding array<double>"),
         cent_path)
     one_cell = _ivf_cells_udf(cents, 1)
-    store_append(nz.select("vec_id",
-                           one_cell("embedding")[0].alias("cell"),
-                           "embedding"),
-                 vec_path)
+    celled = (nz.select("vec_id",
+                        one_cell("embedding")[0].alias("cell"),
+                        "embedding")
+              .localCheckpoint(eager=True))  # one matmul pass, 2 writes
+    store_append(celled, vec_path)
+    # Seed baseline of the O(k) occupancy ledger, at epoch −1.
+    _sem_counts_append(celled, cc_path, -1)
 
 
 def semantic_read_centroids(spark, state_dir: str,
@@ -750,7 +898,9 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
                           tau: float = 0.95,
                           id_col: str = "vec_id",
                           centroids: list[list[float]] | None = None,
-                          gen: int | None = None):
+                          gen: int | None = None,
+                          epoch: int | None = None,
+                          lineage: str | None = None):
     """One epoch of incremental semantic dedup against the persisted
     stores (CURRENT generation): assign the batch's vectors against
     the fixed centroid model + the celled survivor store
@@ -765,7 +915,13 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
     the replay path for the epoch whose trigger COMMITTED a reseed
     (its assignment originally ran under the previous generation,
     whose stores the reseed's one-generation vacuum grace keeps;
-    see `streaming_semantic_ingest`).
+    see `streaming_semantic_ingest`). ``epoch`` (the stream's epoch
+    id) turns on the two per-epoch contracts the streaming loops
+    always use: the lineage/high-water check
+    (`ingest_lineage_check`, with the optional ``lineage`` token)
+    and the O(k) occupancy-ledger append that keeps
+    `semantic_cell_occupancy_fast` exact — direct callers that omit
+    it keep the pre-r10 behavior (full-scan reseed signal).
 
     With ingest-ordered ids the epoch concatenation equals
     `semantic_dedup(seed ∪ epochs, centroids=the seed-trained model)`
@@ -789,12 +945,13 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
 
     spark = batch_emb.sparkSession
     sd = state_dir.rstrip("/")
-    if gen is None:
-        _, vec_path = semantic_store_roots(spark, sd)
-    else:
-        _, vec_path = _sem_paths(sd, gen)
+    if epoch is not None:
+        ingest_lineage_check(spark, sd, int(epoch), lineage)
+    use_gen = (semantic_current_gen(spark, sd)["gen"]
+               if gen is None else int(gen))
+    _, vec_path = _sem_paths(sd, use_gen)
     cents = (centroids if centroids is not None
-             else semantic_read_centroids(spark, sd, gen=gen))
+             else semantic_read_centroids(spark, sd, gen=use_gen))
     vec_dp = store_data_path(spark, vec_path)
     if vec_dp is None:
         raise ValueError(f"no vector store under {state_dir} "
@@ -803,11 +960,21 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
     asg, celled = incremental_semantic_dups(
         batch_emb, cents, store, tau=tau, id_col=id_col)
     asg = asg.localCheckpoint(eager=True)  # snapshot pre-append
-    store_append(
-        celled.join(asg.filter(~F.col("is_dup"))
-                    .select(F.col(id_col).alias("vec_id")),
-                    "vec_id", "left_semi"),
-        vec_path)
+    surv = (celled.join(asg.filter(~F.col("is_dup"))
+                        .select(F.col(id_col).alias("vec_id")),
+                        "vec_id", "left_semi")
+            .localCheckpoint(eager=True))  # one pass, two appends
+    store_append(surv, vec_path)
+    if (epoch is not None
+            and _sem_counts_data_path(spark, sd, use_gen) is not None):
+        # O(k) occupancy-ledger append — the reseed-due signal's
+        # input. Gated on the ledger EXISTING: an adopted pre-r10
+        # state dir has none, and appending a partial history would
+        # silently understate the fast signal (it falls back to the
+        # full scan instead, until the first reseed writes the next
+        # generation's complete baseline).
+        _sem_counts_append(surv, _sem_counts_path(sd, use_gen),
+                           int(epoch))
     return asg
 
 
@@ -821,26 +988,66 @@ def semantic_store_compact(spark, state_dir: str,
     rewrite preserves semantics — duplicate survivor vectors from
     replays never change the min-id assignment, and the centroid
     store is one tiny file set that compact skips below its
-    min-files floor). Single-writer window required — which the
+    min-files floor). The cell-count ledger (when present) gets the
+    LINE STORE's epoch fold instead of a plain rewrite: every epoch
+    below the newest folds to one summed row per cell at epoch −1,
+    keeping the newest epoch live so a replayed epoch's re-append
+    still collapses in the read-side (cell, epoch) dedup — rows AND
+    files stay bounded. Single-writer window required — which the
     ``compact_every`` hook in `streaming_semantic_ingest` IS.
-    Returns {"vector_files": n, "centroid_files": n} (files written;
+    Returns {"vector_files": n, "centroid_files": n,
+    "cellcount_epochs_folded": n} (files written / epochs folded;
     0 = nothing to fold)."""
-    from lisp_batch_processor_spark.sources.writers import compact
-    cent_path, vec_path = semantic_store_roots(spark, state_dir)
-    return {
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, compact, store_publish_rewrite)
+    gen = semantic_current_gen(spark, state_dir)["gen"]
+    cent_path, vec_path = _sem_paths(state_dir, gen)
+    out = {
         "vector_files": compact(spark, vec_path,
                                 target_file_bytes=target_file_bytes),
         "centroid_files": compact(spark, cent_path,
                                   target_file_bytes=target_file_bytes),
+        "cellcount_epochs_folded": 0,
     }
+    cc_dp = _sem_counts_data_path(spark, state_dir, gen)
+    if cc_dp is not None:
+        df = spark.read.schema(_SEM_COUNTS_SCHEMA).parquet(cc_dp)
+        epochs = sorted(r[0] for r in
+                        df.select("epoch_id").distinct().collect())
+        foldable = [e for e in epochs if e not in set(epochs[-1:])]
+        if len(foldable) >= 2:
+            base = (df.filter(F.col("epoch_id").isin(foldable))
+                    .dropDuplicates(["cell", "epoch_id"])
+                    .groupBy("cell")
+                    .agg(F.sum("n").cast("long").alias("n"))
+                    .withColumn("epoch_id", F.lit(-1).cast("long"))
+                    .select("cell", "epoch_id", "n"))
+            folded = base.unionByName(
+                df.filter(~F.col("epoch_id").isin(foldable))
+                  .dropDuplicates(["cell", "epoch_id"]))
+            cc_root = _sem_counts_path(state_dir, gen)
+            jvm, fs, _ = _hadoop_fs(spark, cc_root)
+            size = fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(cc_dp)).getLength()
+            store_publish_rewrite(
+                spark, folded, cc_root,
+                max(1, -(-size // target_file_bytes)))
+            out["cellcount_epochs_folded"] = len(foldable)
+    return out
 
 
 def semantic_cell_occupancy(spark, state_dir: str) -> dict:
-    """The re-seed-due signal: per-cell survivor counts of the
+    """The EXACT re-seed-due signal: per-cell survivor counts of the
     CURRENT generation's vector store, reduced to ``{"gen", "k",
     "cells_occupied", "vectors", "max_cell", "mean_cell"}`` — one
-    bounded k-row aggregate (distinct vec_id per cell, so replay
-    duplicates don't inflate the signal). ``k`` is the MODEL's cell
+    k-row aggregate whose INPUT is a full survivor-store scan
+    (distinct vec_id per cell, so replay duplicates don't inflate
+    the signal). Right for on-demand observability (`ingest_report`)
+    and one-off sizing; the PER-EPOCH trigger in the streaming loops
+    uses `semantic_cell_occupancy_fast` instead — same numbers from
+    the O(k)-per-epoch count ledger, no O(corpus) pass. ``k`` is the MODEL's cell
     count (the marker's recorded k, else the centroid store's row
     count — NOT the number of occupied cells, which is reported
     separately: an operator sizing ``target_cell`` from this report
@@ -881,6 +1088,51 @@ def semantic_cell_occupancy(spark, state_dir: str) -> dict:
             "mean_cell": (total / k) if k else 0.0}
 
 
+def semantic_cell_occupancy_fast(spark, state_dir: str) -> dict | None:
+    """`semantic_cell_occupancy` from the per-epoch cell-count ledger
+    instead of a survivor-store scan — the O(k)-per-epoch reseed-due
+    signal the streaming loops poll (round 10; the full scan was the
+    only O(corpus)-per-epoch term left in the ingest loop when the
+    drift hook was on). Each epoch appended its own (cell, epoch, n)
+    counts from the SAME celled-survivor frame the vector store
+    received, so folding the ledger — duplicate (cell, epoch) rows
+    from replays collapse first, exactly the line store's read
+    discipline — reproduces the exact signal: sums per cell over a
+    k x epochs ledger, never the survivors themselves. Returns None
+    when the ledger is absent (a pre-r10 state dir, or epochs run
+    without ``epoch=``) — callers fall back to the full scan; the
+    first `semantic_reseed` writes the next generation's complete
+    baseline and the fast path takes over."""
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.sources.writers import (
+        store_data_path)
+    gen = semantic_current_gen(spark, state_dir)
+    dp = _sem_counts_data_path(spark, state_dir, gen["gen"])
+    if dp is None:
+        return None
+    occ = (spark.read.schema(_SEM_COUNTS_SCHEMA).parquet(dp)
+           .dropDuplicates(["cell", "epoch_id"])
+           .groupBy("cell")
+           .agg(F.sum("n").alias("n"))
+           .agg(F.count(F.lit(1)).alias("occ"),
+                F.sum("n").alias("total"),
+                F.max("n").alias("mx"))
+           .first())
+    if gen.get("k") is not None:
+        k = int(gen["k"])
+    else:
+        cdp = store_data_path(
+            spark, _sem_paths(state_dir, gen["gen"])[0])
+        k = spark.read.parquet(cdp).count() if cdp else 0
+    total = int(occ["total"] or 0)
+    return {"gen": gen["gen"], "k": int(k),
+            "cells_occupied": int(occ["occ"] or 0),
+            "vectors": total,
+            "max_cell": int(occ["mx"] or 0),
+            "mean_cell": (total / k) if k else 0.0}
+
+
 def semantic_reseed(spark, state_dir: str, *,
                     k: int | None = None,
                     target_cell: int | None = None,
@@ -900,8 +1152,9 @@ def semantic_reseed(spark, state_dir: str, *,
        or carried over from the current model),
     3. re-cell the survivors ENGINE-SIDE against the new model (one
        Arrow matmul scan — vectors are re-celled, never re-embedded),
-    4. write both gen-(g+1) stores (suffixed sibling roots, same
-       backend as the current generation), then COMMIT with one
+    4. write both gen-(g+1) stores plus the gen-(g+1) cell-count
+       ledger's complete epoch −1 baseline (suffixed sibling roots,
+       same backend as the current generation), then COMMIT with one
        generation-marker PUT — the atomic switch: a crash anywhere
        before the PUT leaves readers on generation g with both of
        its stores intact (stale g+1 dirs are overwritten by the
@@ -956,9 +1209,10 @@ def semantic_reseed(spark, state_dir: str, *,
     cents = ivf_train(survivors, k=int(k), iters=iters)
     new_g = g + 1
     ncent, nvec = _sem_paths(sd, new_g)
+    ncc = _sem_counts_path(sd, new_g)
     versioned = store_is_versioned(spark, vec_path)
     jvm, fs, _ = _hadoop_fs(spark, sd)
-    for pth in (ncent, nvec):  # stale dirs from a crashed attempt
+    for pth in (ncent, nvec, ncc):  # stale dirs from a crashed attempt
         fs.delete(jvm.org.apache.hadoop.fs.Path(pth), True)
         if versioned:
             versioned_store_init(spark, pth)
@@ -968,9 +1222,14 @@ def semantic_reseed(spark, state_dir: str, *,
             "cell int, embedding array<double>"),
         ncent)
     one_cell = _ivf_cells_udf(cents, 1)
-    store_append(survivors.select(
-        "vec_id", one_cell("embedding")[0].alias("cell"), "embedding"),
-        nvec)
+    recelled = (survivors.select(
+        "vec_id", one_cell("embedding")[0].alias("cell"), "embedding")
+        .localCheckpoint(eager=True))  # one matmul pass, two writes
+    store_append(recelled, nvec)
+    # The new generation's COMPLETE occupancy baseline at epoch −1 —
+    # also the ADOPTION path: a pre-r10 state dir gains its first
+    # ledger here and `semantic_cell_occupancy_fast` takes over.
+    _sem_counts_append(recelled, ncc, -1)
     # COMMIT: one NEW sequence-named marker file switches readers to
     # (centroids, vectors) of generation new_g together. Never an
     # in-place overwrite — a torn create is invalid JSON that
@@ -985,7 +1244,7 @@ def semantic_reseed(spark, state_dir: str, *,
     # Vacuum generations older than the PREVIOUS one — stores AND
     # markers (the legacy single-file marker is superseded too).
     for og in range(0, g):
-        for pth in _sem_paths(sd, og):
+        for pth in (*_sem_paths(sd, og), _sem_counts_path(sd, og)):
             fs.delete(jvm.org.apache.hadoop.fs.Path(pth), True)
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             _sem_gen_marker(sd, og)), False)
@@ -1002,7 +1261,8 @@ def streaming_semantic_ingest(stream_emb, state_dir: str, sink,
                               = 128 * 1024 * 1024,
                               reseed_max_cell: int | None = None,
                               reseed_target_cell: int | None = None,
-                              reseed_iters: int = 1):
+                              reseed_iters: int = 1,
+                              lineage: str | None = None):
     """foreachBatch wrapper over `semantic_ingest_epoch` — the
     streaming twin of the SemDeDup assembly stage, against stores
     seeded by `semantic_store_seed`. ``sink(asg, epoch_id)`` receives
@@ -1019,15 +1279,19 @@ def streaming_semantic_ingest(stream_emb, state_dir: str, sink,
     the same self-scheduling hook as every other ingest store.
 
     ``reseed_max_cell=M`` closes the drift loop: after each epoch's
-    append, the bounded k-row occupancy aggregate
-    (`semantic_cell_occupancy`) runs, and when the fullest cell
-    exceeds M survivors, `semantic_reseed` commits a new generation
-    (k re-derived from ``reseed_target_cell`` when given, else
-    carried over) tagged with this epoch id. ONE STREAM LINEAGE PER
-    STATE_DIR: the tag is matched against raw epoch ids, so a new
-    checkpoint restarting at epoch 0 over an old state_dir could
-    collide with a previous lineage's tag — the same monotonic-epoch
-    contract every epoch-tagged store here already requires.
+    append, the O(k)-per-epoch occupancy signal
+    (`semantic_cell_occupancy_fast` over the cell-count ledger each
+    epoch also appends; full-scan fallback for adopted pre-r10
+    state) runs, and when the fullest cell exceeds M survivors,
+    `semantic_reseed` commits a new generation (k re-derived from
+    ``reseed_target_cell`` when given, else sized from the trigger)
+    tagged with this epoch id. ONE STREAM LINEAGE PER STATE_DIR —
+    MACHINE-CHECKED since round 10 (`ingest_lineage_check`): the
+    reseed tag is matched against raw epoch ids and every membership
+    filter assumes monotonic epochs, so an epoch regression (a new
+    checkpoint restarting at 0 over old state) or a foreign
+    ``lineage`` token (pass the checkpoint location) raises instead
+    of silently corrupting either.
     Checkpoint replay of the TRIGGERING epoch is byte-identical
     twice over: the epoch id
     in the marker makes the reseed itself a no-op (no generation
@@ -1051,7 +1315,9 @@ def streaming_semantic_ingest(stream_emb, state_dir: str, sink,
         out = semantic_ingest_epoch(batch_df, state_dir, tau=tau,
                                     id_col=id_col,
                                     centroids=cents,
-                                    gen=use_gen)
+                                    gen=use_gen,
+                                    epoch=int(epoch_id),
+                                    lineage=lineage)
         sink(out, int(epoch_id))
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             semantic_store_compact(
@@ -1093,15 +1359,20 @@ def _sem_reseed_if_due(spark, state_dir: str, epoch_id: int,
                        iters: int) -> None:
     """The shared occupancy-trigger body for both streaming loops
     (`streaming_semantic_ingest` and
-    `pipelines.ingest.streaming_corpus_ingest`): run the bounded
-    occupancy aggregate and commit a reseed when the fullest cell
-    exceeds ``max_cell``. With no explicit ``target_cell`` the
+    `pipelines.ingest.streaming_corpus_ingest`): read the occupancy
+    signal — the O(k) ledger fold (`semantic_cell_occupancy_fast`)
+    when the ledger exists, else the full survivor scan (adopted
+    pre-r10 state, until its first reseed writes a baseline) — and
+    commit a reseed when the fullest cell exceeds ``max_cell``.
+    With no explicit ``target_cell`` the
     reseed aims for a MEAN occupancy of ``max_cell // 2`` — carrying
     k over instead would be degenerate: once survivors exceed
     k * max_cell, the mean (hence the max) can never drop below the
     threshold at the same k, and the trigger would fire a full
     retrain + re-cell after EVERY epoch."""
-    occ = semantic_cell_occupancy(spark, state_dir)
+    occ = semantic_cell_occupancy_fast(spark, state_dir)
+    if occ is None:
+        occ = semantic_cell_occupancy(spark, state_dir)
     if occ["max_cell"] > max_cell:
         semantic_reseed(spark, state_dir,
                         target_cell=(target_cell if target_cell

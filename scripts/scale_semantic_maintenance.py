@@ -1,5 +1,5 @@
-"""Measure the round-9 semantic-maintenance additions (VERDICT r8
-ask #7 — touched operators only, not the full sweep):
+"""Measure the semantic-maintenance loop (touched operators only,
+not the full sweep):
 
 1. Semantic-store compaction (`streaming.dedup.semantic_store_compact`
    via `streaming_semantic_ingest`'s `compact_every` hook): E epochs
@@ -14,6 +14,15 @@ ask #7 — touched operators only, not the full sweep):
    its cost as a multiple of the median epoch, occupancy before and
    after (max_cell must drop), and the first post-reseed epoch's cost
    vs the pre-reseed median (the re-celled store must not be slower).
+
+3. The reseed-due signal (round 10): every hooked epoch also reads
+   BOTH occupancy signals — the O(k)-per-epoch ledger fold
+   (`semantic_cell_occupancy_fast`) and the full survivor scan
+   (`semantic_cell_occupancy`) — asserting identical numbers (so the
+   trigger decisions match at every epoch, including across
+   compactions) and recording each signal's median cost. The fast
+   one is what `_sem_reseed_if_due` polls; the full scan was the
+   only O(corpus)-per-epoch term left in the ingest loop.
 
 Run:  python scripts/scale_semantic_maintenance.py
       SEM_CORPUS=4000 SEM_EPOCHS=16 SEM_BATCH=500 to override.
@@ -31,9 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lisp_batch_processor_spark.session import get_spark  # noqa: E402
 from lisp_batch_processor_spark.streaming.dedup import (  # noqa: E402
-    semantic_cell_occupancy, semantic_ingest_epoch, semantic_read_centroids,
-    semantic_reseed, semantic_store_compact, semantic_store_seed,
-    semantic_store_roots)
+    semantic_cell_occupancy, semantic_cell_occupancy_fast,
+    semantic_ingest_epoch, semantic_read_centroids, semantic_reseed,
+    semantic_store_compact, semantic_store_seed, semantic_store_roots)
 
 
 def median(v):
@@ -90,12 +99,34 @@ def maintenance_experiment(spark, base, corpus_n, epochs, batch_rows,
                             k=max(2, corpus_n // 128))
         cents = semantic_read_centroids(spark, sd)
         per_epoch, folds = [], []
+        fast_s, full_s = [], []
+        signals_equal = True
         for e in range(epochs):
             batch = _batch(spark, e, batch_rows, corpus_n)
             t0 = time.perf_counter()
-            semantic_ingest_epoch(batch, sd, tau=0.95,
-                                  centroids=cents)
+            # The hooked loop passes the epoch id, as the streaming
+            # wrappers do — the O(k) occupancy-ledger append is part
+            # of its per-epoch cost; the raw loop stays pre-r10.
+            semantic_ingest_epoch(batch, sd, tau=0.95, centroids=cents,
+                                  epoch=(e if mode == "hooked"
+                                         else None))
             per_epoch.append(time.perf_counter() - t0)
+            if mode == "hooked":
+                # Both reseed-due signals, timed OUTSIDE the epoch
+                # timer: the ledger fold the trigger polls, and the
+                # full survivor scan it replaced — numbers must
+                # match at every epoch (same trigger decisions),
+                # including across the compaction folds below.
+                t0 = time.perf_counter()
+                occ_fast = semantic_cell_occupancy_fast(spark, sd)
+                fast_s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                occ_full = semantic_cell_occupancy(spark, sd)
+                full_s.append(time.perf_counter() - t0)
+                if occ_fast != occ_full:
+                    signals_equal = False
+                    print(f"SIGNAL MISMATCH at epoch {e}: "
+                          f"fast={occ_fast} full={occ_full}")
             if mode == "hooked" and (e + 1) % compact_every == 0:
                 t0 = time.perf_counter()
                 semantic_store_compact(spark, sd)
@@ -113,6 +144,11 @@ def maintenance_experiment(spark, base, corpus_n, epochs, batch_rows,
             out[mode]["fold_median_sec"] = round(median(folds), 3)
         if mode == "hooked":
             per_epoch_hooked = per_epoch
+            out["trigger_signal"] = {
+                "decisions_equal_all_epochs": signals_equal,
+                "fast_median_sec": round(median(fast_s), 3),
+                "full_scan_median_sec": round(median(full_s), 3),
+            }
     out["file_ratio_raw_over_hooked"] = round(
         out["raw"]["vector_files"]
         / max(1, out["hooked"]["vector_files"]), 2)
@@ -128,6 +164,9 @@ def reseed_experiment(spark, base, corpus_n, batch_rows,
                           target_cell=128, epoch=10_000)
     reseed_sec = time.perf_counter() - t0
     occ_after = semantic_cell_occupancy(spark, sd)
+    # The reseed wrote the new generation's complete ledger baseline:
+    # the fast signal must agree with the full scan immediately.
+    occ_after_fast = semantic_cell_occupancy_fast(spark, sd)
     # First post-reseed epoch: cost against the re-celled store —
     # with the centroid model pre-collected OUTSIDE the timed
     # region, exactly like every pre-reseed epoch (the streaming
@@ -136,12 +175,16 @@ def reseed_experiment(spark, base, corpus_n, batch_rows,
     cents_new = semantic_read_centroids(spark, sd)
     batch = _batch(spark, 999, batch_rows, corpus_n)
     t0 = time.perf_counter()
-    semantic_ingest_epoch(batch, sd, tau=0.95, centroids=cents_new)
+    # epoch passed, like every timed pre-reseed epoch (the ledger
+    # append is part of the per-epoch cost being compared).
+    semantic_ingest_epoch(batch, sd, tau=0.95, centroids=cents_new,
+                          epoch=10_001)
     post_epoch_sec = time.perf_counter() - t0
     return {
         "gen": gen,
         "occupancy_before": occ_before,
         "occupancy_after": occ_after,
+        "post_reseed_fast_signal_equal": occ_after_fast == occ_after,
         "reseed_sec": round(reseed_sec, 3),
         "reseed_over_median_epoch": round(
             reseed_sec / max(1e-9, epoch_median_sec), 2),
@@ -155,7 +198,7 @@ def main() -> None:
     epochs = int(os.environ.get("SEM_EPOCHS", "32"))
     batch_rows = int(os.environ.get("SEM_BATCH", "500"))
     compact_every = int(os.environ.get("SEM_COMPACT_EVERY", "8"))
-    out_path = os.environ.get("SEM_OUT", "SCALE_SEMANTIC_r09.json")
+    out_path = os.environ.get("SEM_OUT", "SCALE_SEMANTIC_r10.json")
 
     spark = get_spark("scale-semantic", cpus=8, shuffle_partitions=8)
     base = "/tmp/scale_semantic"

@@ -686,3 +686,229 @@ def test_seed_with_embeddings_suppresses_semantic_history_dups(
     out = {r.doc_id for r in
            corpus_ingest_epoch(batch, sd, 0, embeddings=emb).collect()}
     assert out == {11}
+
+
+def test_corpus_ingest_lineage_contract(spark, tmp_path):
+    """The composed loop's monotonic-epoch / one-lineage contract is
+    machine-checked at the state_dir (round 10): an epoch regression
+    (a new checkpoint restarting at 0 over old state — its
+    strictly-earlier membership filters would re-admit every seen
+    URL/line key) or a foreign ``lineage`` token raises; replays and
+    same-lineage progress pass."""
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    corpus_ingest_epoch(e0, sd, 0, lineage="ckptA")
+    out1 = rows_of(corpus_ingest_epoch(e1, sd, 1, lineage="ckptA"))
+    # Replay (crash pre-commit): equal epoch passes, output identical.
+    assert rows_of(corpus_ingest_epoch(e1, sd, 1,
+                                       lineage="ckptA")) == out1
+    with pytest.raises(ValueError, match="epoch regression"):
+        corpus_ingest_epoch(e2, sd, 0)
+    with pytest.raises(ValueError, match="lineage"):
+        corpus_ingest_epoch(e2, sd, 2, lineage="ckptB")
+    corpus_ingest_epoch(e2, sd, 2, lineage="ckptA")  # progress: fine
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backend,crash_point",
+                         [("swap", "before_marker"),
+                          ("versioned", "after_reseed")])
+def test_fuzz_composed_ingest_semantic_lifecycle(spark, tmp_path,
+                                                 backend, crash_point):
+    """End-to-end lifecycle fuzz of the COMPOSED loop (VERDICT r9 ask
+    #5): `streaming_corpus_ingest(embeddings=…,
+    semantic_reseed_max_cell=…)` driven through a real checkpointed
+    stream whose mid-run reseed CRASHES — either before the marker
+    PUT (generation never committed; the restarted stream replays
+    the epoch under gen 0 and the retried reseed commits) or right
+    after the reseed committed but before the epoch's checkpoint
+    commit (the replay must pin its semantic stage back to the
+    previous generation for byte-identical output) — on both store
+    backends. Every epoch's surviving doc set must match the same
+    numpy oracle the axis-level generation fuzz uses (single-hop
+    min-id dedup from the generation's collected centroids + the
+    pre-epoch survivor mirror), with the generation each epoch ran
+    under recovered from the sink-time marker snapshot exactly as
+    `_sem_epoch_model` resolves it. Doc texts are unique and
+    Gopher-clean, so the semantic stage is the only one dropping
+    docs — the oracle is the semantic oracle."""
+    import numpy as np
+
+    from lisp_batch_processor_spark.sources import writers as W
+    from lisp_batch_processor_spark.streaming import dedup as SD
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy, semantic_cell_occupancy_fast,
+        semantic_current_gen, semantic_read_centroids,
+        semantic_store_seed)
+
+    DIM, TAU = 16, 0.95
+    nprng = np.random.default_rng(7)
+
+    def unit():
+        v = nprng.standard_normal(DIM)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    def oracle_epoch(cents, store_vecs, batch):
+        """Same single-hop min-id oracle as the axis fuzz
+        (test_streaming_dedup.test_fuzz_semantic_generation_lifecycle):
+        store_vecs {id: unit}, batch [(id, vec)] with ids > store's."""
+        c = np.array(cents, dtype=np.float64)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
+                           1e-12)
+        cell_of, unit_of = {}, {}
+        for i, v in sorted(store_vecs.items()):
+            cell_of[i] = int(np.argmax(c @ v))
+            unit_of[i] = v
+        for i, v in batch:
+            u = np.asarray(v, dtype=np.float64)
+            u = u / np.linalg.norm(u)
+            cell_of[i] = int(np.argmax(c @ u))
+            unit_of[i] = u
+        out = {}
+        for i, _ in batch:
+            partners = [j for j in cell_of
+                        if j < i and cell_of[j] == cell_of[i]
+                        and float(unit_of[j] @ unit_of[i]) >= TAU]
+            out[i] = (min(partners), True) if partners else (i, False)
+        border = min(i for i, _ in batch)
+        survivors = {i: np.asarray(unit_of[i]) for i, _ in batch
+                     if not out[i][1] and i >= border}
+        return out, survivors
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd, backend=backend)
+    seed_vecs = {1: unit(), 2: unit()}
+    semantic_store_seed(
+        spark.createDataFrame(sorted(seed_vecs.items()),
+                              "vec_id long, embedding array<double>"),
+        sd, k=1, backend=backend)
+
+    # Vectors per epoch: dups at x1.0001 of a prior survivor, novel
+    # otherwise. k=1 puts everything in one cell, so occupancy = all
+    # survivors and the trigger epoch is deterministic.
+    vecs = {100: unit(), 101: unit(), 102: unit()}
+    vecs.update({110: [x * 1.0001 for x in vecs[100]],   # dup of 100
+                 111: unit(), 112: unit()})
+    vecs.update({120: unit(), 121: unit(), 122: unit()})
+    vecs.update({130: [x * 1.0001 for x in seed_vecs[1]],  # dup of seed
+                 131: [x * 1.0001 for x in vecs[120]],     # dup of 120
+                 132: unit()})
+    batches = [[100, 101, 102], [110, 111, 112],
+               [120, 121, 122], [130, 131, 132]]
+    emb = spark.createDataFrame(
+        sorted(vecs.items()), "doc_id bigint, embedding array<double>")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"https://s{i}.example.com/", base_text(i)) for i in ids],
+        SCHEMA)
+    src = os.path.join(str(tmp_path), "docs_in")
+    for e, ids in enumerate(batches):
+        mk(ids).coalesce(1).write.parquet(
+            os.path.join(src, f"batch={e}"))
+    corpus = os.path.join(str(tmp_path), "corpus")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    deliveries: list[tuple[int, frozenset, dict]] = []
+
+    def sink(out, eid):
+        deliveries.append((int(eid),
+                           frozenset(r.doc_id for r in out.collect()),
+                           semantic_current_gen(spark, sd)))
+
+    def start():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(src, "batch=*")))
+        return (streaming_corpus_ingest(
+            stream, sd, corpus, embeddings=emb,
+            semantic_reseed_max_cell=8,
+            semantic_reseed_target_cell=4,
+            lineage=ckpt, sink=sink)
+            .option("checkpointLocation", ckpt).start())
+
+    # --- first run, with the injected crash armed --------------------
+    if crash_point == "before_marker":
+        real_put = W.write_json_file
+
+        def torn_put(spark_, path, obj):
+            if "/_sem_gen" in path:
+                raise IOError("injected crash before marker commit")
+            real_put(spark_, path, obj)
+
+        W.write_json_file = torn_put
+        unpatch = lambda: setattr(W, "write_json_file", real_put)
+    else:
+        real_reseed = SD.semantic_reseed
+
+        def exploding_reseed(*args, **kwargs):
+            real_reseed(*args, **kwargs)
+            raise IOError("injected crash after reseed commit")
+
+        SD.semantic_reseed = exploding_reseed
+        unpatch = lambda: setattr(SD, "semantic_reseed", real_reseed)
+
+    q = start()
+    try:
+        err = None
+        try:
+            q.processAllAvailable()
+            err = q.exception()
+        except Exception as ex:      # noqa: BLE001 — asserted below
+            err = ex
+        assert err is not None and "injected" in str(err), err
+    finally:
+        q.stop()
+        unpatch()
+
+    # The crash landed where intended.
+    mid = semantic_current_gen(spark, sd)
+    if crash_point == "before_marker":
+        assert mid["gen"] == 0, mid           # never committed
+    else:
+        assert mid["gen"] == 1, mid           # committed, epoch tagged
+        assert mid["epoch"] is not None
+
+    # --- restart on the same checkpoint: replay + finish -------------
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    cur = semantic_current_gen(spark, sd)
+    assert cur["gen"] == 1 and cur["epoch"] == 2, cur  # one reseed
+
+    # Duplicate deliveries of the crashed epoch are byte-identical.
+    by_epoch: dict[int, list] = {}
+    for eid, ids, snap in deliveries:
+        by_epoch.setdefault(eid, []).append((ids, snap))
+    assert sorted(by_epoch) == [0, 1, 2, 3]
+    assert len(by_epoch[2]) == 2               # crashed epoch replayed
+    assert by_epoch[2][0][0] == by_epoch[2][1][0]
+
+    # --- numpy oracle over the recovered per-epoch generations -------
+    cents_by_gen = {g: semantic_read_centroids(spark, sd, gen=g)
+                    for g in (0, 1)}
+    store = {i: np.asarray(v) / np.linalg.norm(v)
+             for i, v in seed_vecs.items()}
+    expected_ids: set[int] = set()
+    for e, ids in enumerate(batches):
+        last_ids, snap = by_epoch[e][-1]
+        use_gen = (snap["gen"] - 1
+                   if snap.get("epoch") == e else snap["gen"])
+        want, new_surv = oracle_epoch(
+            cents_by_gen[use_gen], store, [(i, vecs[i]) for i in ids])
+        survive = {i for i in ids if not want[i][1]}
+        for ids_got, _ in by_epoch[e]:
+            assert ids_got == frozenset(survive), (e, ids_got, want)
+        expected_ids |= survive
+        store.update(new_surv)
+
+    # Planted artifacts resolved as designed.
+    assert expected_ids == {100, 101, 102, 111, 112,
+                            120, 121, 122, 132}
+    assert {t[0] for t in rows_of(corpus_read(spark, corpus))} \
+        == expected_ids
+
+    # The O(k) ledger signal still mirrors the full scan at the end.
+    assert semantic_cell_occupancy_fast(spark, sd) \
+        == semantic_cell_occupancy(spark, sd)

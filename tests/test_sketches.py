@@ -845,3 +845,37 @@ def test_retrain_and_compaction_compose(spark, tmp_path):
         _store_data_path_strict(spark, a)).select("epoch_id")
         .distinct().collect()}
     assert COMPACT_EPOCH in ea
+
+
+def test_sketch_store_epoch_lineage_guard(spark, tmp_path):
+    """The quantile store's monotonic-epoch / one-lineage contract is
+    machine-checked (round 10): its (keys, bucket, epoch_id) replay
+    dedup and trained_epoch generation reuse compare raw epoch ids,
+    so a new checkpoint restarting at 0 over the store would have
+    its counts silently DROPPED as presumed replays — an epoch
+    regression or a foreign lineage token raises instead; replays
+    (equal epoch) and same-lineage progress pass."""
+    import os
+
+    import pytest as _pytest
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_hist_retrain_epoch)
+
+    store = os.path.join(str(tmp_path), "store")
+    b = _drift_batch(spark, 0)
+    splits = quantile_bins_train(b, "v", n_buckets=8)
+
+    def run(eid, lineage=None):
+        return quantile_hist_retrain_epoch(
+            b, store, ["g"], "v", splits, retrain_tvd=0.5,
+            retrain_min_rows=100, epoch_id=eid, lineage=lineage)
+
+    run(0, lineage="ckptA")
+    run(1, lineage="ckptA")
+    run(1, lineage="ckptA")          # replay: equal epoch passes
+    run(2)                           # tokenless same lineage: passes
+    with _pytest.raises(ValueError, match="epoch regression"):
+        run(0)
+    with _pytest.raises(ValueError, match="lineage"):
+        run(3, lineage="ckptB")

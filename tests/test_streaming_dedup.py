@@ -288,10 +288,13 @@ def test_line_store_compact_preserves_membership_and_replay(
         spark.createDataFrame(
             [(2, "beta two\nepsilon five")], schema),
     ]
-    for e, b in enumerate(batches):
-        line_dedup_ingest_epoch(b, store, e)
-    # A replay duplicate of epoch 1's append (crash pre-commit).
+    line_dedup_ingest_epoch(batches[0], store, 0)
     line_dedup_ingest_epoch(batches[1], store, 1)
+    # A replay duplicate of epoch 1's append (crash pre-commit) —
+    # BEFORE epoch 2, the only ordering a real stream can produce
+    # (and the only one the round-10 high-water check admits).
+    line_dedup_ingest_epoch(batches[1], store, 1)
+    line_dedup_ingest_epoch(batches[2], store, 2)
 
     # Uncompacted twin decides the expected future behavior.
     twin = os.path.join(str(tmp_path), "lines_twin.parquet")
@@ -308,6 +311,13 @@ def test_line_store_compact_preserves_membership_and_replay(
     assert epochs == {-1, 2}
     assert files(store) < before_files
 
+    # Replay of the LIVE epoch (2) against the compacted store must
+    # still exclude its own digests: byte-identical output.
+    replay = {r.doc_id: (r.text, r.lines_kept)
+              for r in line_dedup_ingest_epoch(batches[2], store,
+                                               2).collect()}
+    assert replay[2] == ("epsilon five", 1)
+
     # Future epoch: identical output on compacted vs twin store.
     nxt = spark.createDataFrame(
         [(9, "shared banner\nepsilon five\nzeta six\nseed line")],
@@ -317,13 +327,6 @@ def test_line_store_compact_preserves_membership_and_replay(
     want = {r.doc_id: (r.text, r.lines_kept)
             for r in line_dedup_ingest_epoch(nxt, twin, 3).collect()}
     assert got == want
-
-    # Replay of the LIVE epoch (2) against the compacted store must
-    # still exclude its own digests: byte-identical output.
-    replay = {r.doc_id: (r.text, r.lines_kept)
-              for r in line_dedup_ingest_epoch(batches[2], store,
-                                               2).collect()}
-    assert replay[2] == ("epsilon five", 1)
 
     # Crash windows on the swap.
     bak = backup_path(store)
@@ -1264,3 +1267,148 @@ def test_torn_generation_marker_steps_down_not_to_gen0(
     assert semantic_reseed(spark, sd, target_cell=2) == 2
     assert semantic_current_gen(spark, sd)["gen"] == 2
     assert os.path.exists(os.path.join(sd, "sem_vectors_g2"))
+
+
+def test_epoch_lineage_contract_is_machine_checked(spark, tmp_path):
+    """The monotonic-epoch / one-lineage contract every epoch-tagged
+    store assumes is now an error, not a docstring (round 10, the
+    min_repeat pin's shape): an epoch REGRESSION (a new checkpoint
+    restarting at 0 over old state) or a FOREIGN lineage token
+    raises; replays (epoch == high-water) and same-lineage resumes
+    pass; a torn meta fails open and re-records; a seed resets."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        _ingest_lineage_path, semantic_ingest_epoch,
+        semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0)), (2, _axis(1))], schema),
+        sd, k=2)
+
+    def run(eid, ids_axes, lineage=None):
+        return semantic_ingest_epoch(
+            spark.createDataFrame(
+                [(i, _axis(a)) for i, a in ids_axes], schema),
+            sd, tau=0.95, epoch=eid, lineage=lineage)
+
+    run(0, [(10, 2)], lineage="ckptA").collect()
+    run(1, [(11, 3)], lineage="ckptA").collect()   # progress
+    run(1, [(11, 3)], lineage="ckptA").collect()   # replay: equal ok
+    run(2, [(12, 4)]).collect()                    # tokenless: ok
+
+    with pytest.raises(ValueError, match="epoch regression"):
+        run(0, [(13, 5)])
+    with pytest.raises(ValueError, match="lineage"):
+        run(3, [(13, 5)], lineage="ckptB")         # foreign token
+
+    # Torn meta (crash mid-PUT): fail-open — re-records and carries on.
+    mp = _ingest_lineage_path(sd)
+    with open(mp, "w") as f:
+        f.write('{"lineage": "ck')
+    crc = os.path.join(os.path.dirname(mp),
+                       "." + os.path.basename(mp) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run(3, [(13, 5)], lineage="ckptB").collect()
+    with pytest.raises(ValueError, match="lineage"):
+        run(4, [(14, 6)], lineage="ckptA")         # B now recorded
+
+    # A fresh SEED declares a new lineage: everything resets.
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0)), (2, _axis(1))], schema),
+        str(tmp_path / "state"), k=2)
+    run(0, [(20, 2)], lineage="ckptC").collect()
+
+
+def test_line_store_epoch_lineage_guard(spark, tmp_path):
+    """The line store's meta sidecar pins the same contract: an epoch
+    below the recorded high-water mark, or a foreign lineage token,
+    raises — the restarted-at-0 stream would otherwise see only seed
+    rows through its `epoch_id < 0` filter and silently re-admit
+    every previously-seen line."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_init)
+
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines.parquet")
+    line_store_init(spark, store)
+    b = lambda i: spark.createDataFrame([(i, f"x{i}\nshared")], schema)
+    line_dedup_ingest_epoch(b(0), store, 0, lineage="ck1")
+    line_dedup_ingest_epoch(b(1), store, 1, lineage="ck1")
+    line_dedup_ingest_epoch(b(1), store, 1, lineage="ck1")  # replay
+    with pytest.raises(ValueError, match="epoch regression"):
+        line_dedup_ingest_epoch(b(9), store, 0)
+    with pytest.raises(ValueError, match="lineage"):
+        line_dedup_ingest_epoch(b(9), store, 2, lineage="ck2")
+    # Same lineage, progressing epoch: fine.
+    out = {r.doc_id: r.text
+           for r in line_dedup_ingest_epoch(b(2), store, 2,
+                                            lineage="ck1").collect()}
+    assert out == {2: "x2"}   # 'shared' stripped: membership intact
+
+
+def test_semantic_fast_occupancy_matches_exact(spark, tmp_path):
+    """The O(k)-per-epoch reseed-due signal
+    (`semantic_cell_occupancy_fast` over the cell-count ledger) must
+    reproduce the full-scan signal exactly at every lifecycle point:
+    after seed, after each epoch (epochs pass ``epoch=``), after a
+    replayed epoch (duplicate ledger rows collapse), across a
+    compaction fold, and across a generational reseed (which writes
+    the next generation's complete baseline). A state dir whose
+    ledger is absent returns None — the full-scan fallback."""
+    import shutil
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy, semantic_cell_occupancy_fast,
+        semantic_ingest_epoch, semantic_reseed, semantic_store_compact,
+        semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(i, _axis(i - 1)) for i in range(1, 4)],
+                              schema), sd, k=2)
+
+    def both():
+        fast = semantic_cell_occupancy_fast(spark, sd)
+        full = semantic_cell_occupancy(spark, sd)
+        assert fast == full, (fast, full)
+        return full
+
+    assert both()["vectors"] == 3
+
+    batches = [
+        [(10, _axis(3)), (11, _axis(4)),
+         (12, _axis(0, scale=1.001))],      # dup of seed 1: no append
+        [(20, _axis(5)), (21, _axis(3, scale=0.999))],  # dup of 10
+        [(30, _axis(6))],
+    ]
+    for e, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, schema)
+        semantic_ingest_epoch(bdf, sd, tau=0.95, epoch=e)
+        if e == 1:   # replay after the append: ledger rows collapse
+            semantic_ingest_epoch(bdf, sd, tau=0.95, epoch=e)
+        occ = both()
+        if e == 1:
+            semantic_store_compact(spark, sd)     # fold the ledger
+            assert both() == occ                  # fold changes nothing
+    assert both()["vectors"] == 3 + 2 + 1 + 1     # survivors only
+
+    # Generational reseed: new ledger baseline, signals still agree.
+    semantic_reseed(spark, sd, target_cell=3)
+    post = both()
+    assert post["gen"] == 1 and post["vectors"] == 7
+
+    # Adopted pre-r10 state: no ledger -> None (full-scan fallback).
+    sd2 = str(tmp_path / "state2")
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0))], schema), sd2, k=1)
+    shutil.rmtree(os.path.join(sd2, "sem_cellcounts"))
+    assert semantic_cell_occupancy_fast(spark, sd2) is None
+    assert semantic_cell_occupancy(spark, sd2)["vectors"] == 1
+    # ... and its first reseed writes the baseline: fast takes over.
+    semantic_reseed(spark, sd2, target_cell=1)
+    fast2 = semantic_cell_occupancy_fast(spark, sd2)
+    assert fast2 is not None
+    assert fast2 == semantic_cell_occupancy(spark, sd2)
