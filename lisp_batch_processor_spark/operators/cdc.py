@@ -432,7 +432,8 @@ def upsert_read(spark: SparkSession, path: str) -> DataFrame:
 
 
 def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
-                 epoch_id: int = 0) -> bool:
+                 epoch_id: int = 0,
+                 lineage: str | None = None) -> bool:
     """One upsert epoch: every update row replaces the current row
     with its key (or inserts). ``updates`` carries the table schema
     with AT MOST one row per key (resolve intra-batch order upstream,
@@ -454,7 +455,21 @@ def upsert_apply(spark: SparkSession, path: str, updates: DataFrame,
     re-applies convergently. Pipelines that can't afford the retry
     should swap in a reliable ``df.checkpoint()`` (HDFS-backed via
     ``sparkContext.setCheckpointDir``) at a latency cost.
+
+    ``lineage`` (opt-in, round 10 — pass the checkpoint location)
+    machine-checks the monotonic-epoch contract the marker skip
+    assumes: a NEW checkpoint restarting at epoch 0 over this table
+    would have its epochs silently SKIPPED as already-applied until
+    they pass the old marker. With a token recorded, an epoch
+    regression or a foreign lineage raises
+    (`sources.writers.check_store_epoch_lineage`) before the marker
+    read; tokenless callers keep the exact documented skip behavior.
     """
+    if lineage is not None:
+        from lisp_batch_processor_spark.sources.writers import (
+            check_store_epoch_lineage)
+        check_store_epoch_lineage(spark, path.rstrip("/"),
+                                  int(epoch_id), lineage)
     meta = _read_meta(spark, path)
     keys, n_buckets = meta["key"], meta["n_buckets"]
     versioned = meta.get("backend", "swap") == "versioned"
@@ -703,7 +718,8 @@ def upsert_compact(spark: SparkSession, path: str,
 def upsert_stream_apply(update_stream: DataFrame, path: str,
                         order_col: str,
                         tiebreak: Sequence[str] = (),
-                        compact_every: int | None = None):
+                        compact_every: int | None = None,
+                        lineage: str | None = None):
     """Streaming type-1 maintenance: each micro-batch upserts into
     the persisted table, latest-per-key within the batch decided by
     ``order_col`` (desc, NULLs last) then ``tiebreak``. Returns the
@@ -734,7 +750,8 @@ def upsert_stream_apply(update_stream: DataFrame, path: str,
         latest = (batch_df
                   .withColumn("_cdc_rn", F.row_number().over(w))
                   .filter(F.col("_cdc_rn") == 1).drop("_cdc_rn"))
-        upsert_apply(spark, path, latest, epoch_id=epoch_id)
+        upsert_apply(spark, path, latest, epoch_id=epoch_id,
+                     lineage=lineage)
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             upsert_compact(spark, path)
 

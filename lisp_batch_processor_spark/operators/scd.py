@@ -334,7 +334,8 @@ def scd2_read(spark, path: str) -> DataFrame:
 def scd2_split_apply(spark, path: str, updates: DataFrame,
                      key: str | Sequence[str], attrs: Sequence[str],
                      effective_from: str = "effective_from",
-                     epoch_id: int = 0) -> bool:
+                     epoch_id: int = 0,
+                     lineage: str | None = None) -> bool:
     """One SCD2 merge step against the persisted split-path layout —
     same per-key semantics as :func:`scd2_apply`, but the write is
     O(open + batch): the rows this epoch closes APPEND (as
@@ -359,12 +360,24 @@ def scd2_split_apply(spark, path: str, updates: DataFrame,
     Monotonically increasing ``epoch_id`` per apply is the caller's
     contract (foreachBatch provides it; batch callers count).
     Returns True if the epoch was applied, False if it already was.
+
+    ``lineage`` (opt-in, round 10 — pass the checkpoint location)
+    machine-checks that contract: the marker-skip above cannot tell
+    a legitimate replay from a NEW checkpoint restarting at epoch 0
+    over this dimension, whose epochs would be silently SKIPPED as
+    already-applied until they pass the old high-water mark. With a
+    token recorded, an epoch regression or a foreign lineage raises
+    (`sources.writers.check_store_epoch_lineage`) BEFORE the marker
+    read; tokenless callers keep the exact documented skip behavior.
     """
     from lisp_batch_processor_spark.sources.writers import (
-        staged_swap, staging_path, versioned_publish, versioned_vacuum)
+        check_store_epoch_lineage, staged_swap, staging_path,
+        versioned_publish, versioned_vacuum)
 
     keys = [key] if isinstance(key, str) else list(key)
     root = path.rstrip("/")
+    if lineage is not None:
+        check_store_epoch_lineage(spark, root, int(epoch_id), lineage)
     open_path = f"{root}/open"
     versioned = _scd2_is_versioned(spark, root)
     # Resolves both data paths (and, for a swap layout, repairs any
@@ -522,7 +535,8 @@ def scd2_stream_apply(update_stream: DataFrame, history_path: str,
                       key: str | Sequence[str],
                       attrs: Sequence[str],
                       effective_from: str = "effective_from",
-                      compact_every: int | None = None):
+                      compact_every: int | None = None,
+                      lineage: str | None = None):
     """Streaming dimension maintenance over the SPLIT-PATH layout
     (seed with :func:`scd2_split_init`, read with :func:`scd2_read`):
     each micro-batch of updates is one :func:`scd2_split_apply` epoch,
@@ -573,7 +587,7 @@ def scd2_stream_apply(update_stream: DataFrame, history_path: str,
                   .filter(F.col("_scd_rn") == 1).drop("_scd_rn"))
         scd2_split_apply(spark, history_path, latest, keys, attrs,
                          effective_from=effective_from,
-                         epoch_id=epoch_id)
+                         epoch_id=epoch_id, lineage=lineage)
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             scd2_compact_closed(spark, history_path)
 

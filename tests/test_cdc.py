@@ -679,3 +679,33 @@ def test_upsert_read_raises_when_lease_lands_mid_setup(
     monkeypatch.undo()
     W.release_lease(spark, cur, "racer")
     assert _state(spark, path) == {1: ("a", "t")}
+
+
+def test_upsert_lineage_guard_opt_in(spark, tmp_path):
+    """The opt-in monotonic-epoch / one-lineage check (round 10): a
+    tokened applier raises on an epoch regression or a foreign
+    lineage — the marker skip alone would silently SKIP a new
+    checkpoint's epochs as already-applied — while tokenless callers
+    keep the exact documented skip behavior."""
+    path = os.path.join(str(tmp_path), "t1")
+    upsert_init(spark.createDataFrame([(1, "a", "t")], SCHEMA), path,
+                key="k", n_buckets=4)
+    upd = lambda rows: spark.createDataFrame(rows, SCHEMA)
+
+    assert upsert_apply(spark, path, upd([(1, "b", "t")]),
+                        epoch_id=0, lineage="ckptA")
+    assert upsert_apply(spark, path, upd([(2, "c", "u")]),
+                        epoch_id=1, lineage="ckptA")
+    # Replay of the completed epoch: passes the check, marker skips.
+    assert not upsert_apply(spark, path, upd([(2, "c", "u")]),
+                            epoch_id=1, lineage="ckptA")
+    with pytest.raises(ValueError, match="epoch regression"):
+        upsert_apply(spark, path, upd([(9, "x", "y")]),
+                     epoch_id=0, lineage="ckptA")
+    with pytest.raises(ValueError, match="lineage"):
+        upsert_apply(spark, path, upd([(9, "x", "y")]),
+                     epoch_id=2, lineage="ckptB")
+    # Tokenless: documented skip semantics, unchanged.
+    assert not upsert_apply(spark, path, upd([(9, "x", "y")]),
+                            epoch_id=0)
+    assert _state(spark, path) == {1: ("b", "t"), 2: ("c", "u")}

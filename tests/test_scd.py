@@ -496,3 +496,43 @@ def test_scd2_stream_compact_every_bounds_closed_dirs(spark, tmp_path):
     # plus at most compact_every not-yet-folded epoch dirs.
     assert len(plain_dirs) >= 6
     assert len(hooked_dirs) <= 3, sorted(hooked_dirs)
+
+
+def test_scd2_split_apply_lineage_guard_opt_in(spark, tmp_path):
+    """The opt-in monotonic-epoch / one-lineage check (round 10): a
+    tokened applier raises on an epoch regression or a foreign
+    lineage — the marker skip alone would silently SKIP a new
+    checkpoint's epochs as already-applied — while tokenless callers
+    keep the exact documented skip-and-return-False behavior."""
+    import os
+
+    from lisp_batch_processor_spark.operators.scd import (
+        scd2_split_apply, scd2_split_init)
+
+    path = os.path.join(str(tmp_path), "dim")
+    scd2_split_init(_snap(spark, [(1, "lyon", "gold")]), T0, path,
+                    key="k")
+    up = lambda rows, eff: _upd(spark, rows, eff)
+
+    assert scd2_split_apply(spark, path, up([(1, "paris", "gold")], T1),
+                            key="k", attrs=["city", "tier"],
+                            epoch_id=0, lineage="ckptA")
+    assert scd2_split_apply(spark, path, up([(2, "kyiv", "gold")], T2),
+                            key="k", attrs=["city", "tier"],
+                            epoch_id=1, lineage="ckptA")
+    # Replay of the completed epoch: passes the check, marker skips.
+    assert not scd2_split_apply(
+        spark, path, up([(2, "kyiv", "gold")], T2), key="k",
+        attrs=["city", "tier"], epoch_id=1, lineage="ckptA")
+    with pytest.raises(ValueError, match="epoch regression"):
+        scd2_split_apply(spark, path, up([(9, "x", "y")], T2),
+                         key="k", attrs=["city", "tier"],
+                         epoch_id=0, lineage="ckptA")
+    with pytest.raises(ValueError, match="lineage"):
+        scd2_split_apply(spark, path, up([(9, "x", "y")], T2),
+                         key="k", attrs=["city", "tier"],
+                         epoch_id=2, lineage="ckptB")
+    # Tokenless: documented skip semantics, unchanged.
+    assert not scd2_split_apply(spark, path, up([(9, "x", "y")], T2),
+                                key="k", attrs=["city", "tier"],
+                                epoch_id=0)
