@@ -697,6 +697,18 @@ def ingest_report(spark: SparkSession, state_dir: str,
 
     report: dict = {}
     targets = dict(_paths(state_dir))
+    # The recorded stream identity (round 10's machine-checked
+    # monotonic-epoch / one-lineage contract): high-water epoch and,
+    # when the stream passed one, its lineage token — the first
+    # thing to look at when an ingest raises the lineage error.
+    from lisp_batch_processor_spark.sources.writers import (
+        read_json_file)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        _ingest_lineage_path)
+    lin = read_json_file(spark, _ingest_lineage_path(state_dir),
+                         default=None, absent=None)
+    if isinstance(lin, dict):
+        report["lineage"] = lin
     if corpus_path is not None:
         targets["corpus"] = corpus_path
     if _sem_present(spark, state_dir):

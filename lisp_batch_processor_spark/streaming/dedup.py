@@ -920,8 +920,11 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
     always use: the lineage/high-water check
     (`ingest_lineage_check`, with the optional ``lineage`` token)
     and the O(k) occupancy-ledger append that keeps
-    `semantic_cell_occupancy_fast` exact — direct callers that omit
-    it keep the pre-r10 behavior (full-scan reseed signal).
+    `semantic_cell_occupancy_fast` exact — an UNTAGGED call
+    (epoch=None, the pre-r10 shape) instead DROPS any present ledger
+    so it can never silently understate (full-scan reseed signal
+    until the next reseed re-baselines it; a present ledger is
+    always complete).
 
     With ingest-ordered ids the epoch concatenation equals
     `semantic_dedup(seed ∪ epochs, centroids=the seed-trained model)`
@@ -965,16 +968,28 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
                         "vec_id", "left_semi")
             .localCheckpoint(eager=True))  # one pass, two appends
     store_append(surv, vec_path)
-    if (epoch is not None
-            and _sem_counts_data_path(spark, sd, use_gen) is not None):
-        # O(k) occupancy-ledger append — the reseed-due signal's
-        # input. Gated on the ledger EXISTING: an adopted pre-r10
-        # state dir has none, and appending a partial history would
-        # silently understate the fast signal (it falls back to the
-        # full scan instead, until the first reseed writes the next
-        # generation's complete baseline).
-        _sem_counts_append(surv, _sem_counts_path(sd, use_gen),
-                           int(epoch))
+    if _sem_counts_data_path(spark, sd, use_gen) is not None:
+        if epoch is not None:
+            # O(k) occupancy-ledger append — the reseed-due signal's
+            # input. Gated on the ledger EXISTING: an adopted pre-r10
+            # state dir has none, and appending a partial history
+            # would silently understate the fast signal (it falls
+            # back to the full scan instead, until the first reseed
+            # writes the next generation's complete baseline).
+            _sem_counts_append(surv, _sem_counts_path(sd, use_gen),
+                               int(epoch))
+        else:
+            # INVARIANT: a present ledger is COMPLETE. An untagged
+            # ingest (epoch=None, the pre-r10 call shape) can't
+            # ledger its counts, so drop the ledger rather than
+            # leave it silently understating — the fast signal then
+            # falls back to the full scan until the next reseed
+            # re-baselines it.
+            from lisp_batch_processor_spark.sources.writers import (
+                _hadoop_fs)
+            jvm, fs, _ = _hadoop_fs(spark, sd)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                _sem_counts_path(sd, use_gen)), True)
     return asg
 
 

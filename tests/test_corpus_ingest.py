@@ -254,14 +254,20 @@ def test_ingest_report_accounts_for_store_state(spark, tmp_path):
     for e, o in enumerate(outs):
         store_append(o.withColumn("epoch_id", F.lit(e).cast("long")), cp)
     rep = ingest_report(spark, sd, corpus_path=cp)
-    assert set(rep) == {"url", "line", "index", "shingles", "corpus"}
+    assert set(rep) == {"url", "line", "index", "shingles", "corpus",
+                        "lineage"}
+    # The recorded stream identity (round-10 contract): these
+    # tokenless epochs pinned the high-water mark only.
+    assert rep["lineage"]["high_water_epoch"] == 1
+    assert "lineage" not in rep["lineage"]
     assert rep["corpus"]["rows"] == sum(o.count() for o in outs)
     assert rep["corpus"]["epochs"] == {"min": 0, "max": 1, "distinct": 2}
     assert rep["url"]["epochs"]["max"] == 1
     # URL store holds one key per surviving canonical URL.
     assert rep["url"]["rows"] == spark.read.parquet(
         f"{sd}/url_store").count()
-    assert all(v["files"] >= 1 for v in rep.values())
+    assert all(v["files"] >= 1 for k, v in rep.items()
+               if k != "lineage")
     # Backend observability: the mixed deployment is visible — swap
     # stores report their backend (no live lease between epochs),
     # the versioned corpus reports its committed version count.

@@ -1412,3 +1412,13 @@ def test_semantic_fast_occupancy_matches_exact(spark, tmp_path):
     fast2 = semantic_cell_occupancy_fast(spark, sd2)
     assert fast2 is not None
     assert fast2 == semantic_cell_occupancy(spark, sd2)
+
+    # A present ledger is COMPLETE, as an invariant: an UNTAGGED
+    # ingest (epoch=None, the pre-r10 call shape) can't ledger its
+    # counts, so it DROPS the ledger — fast falls back to the full
+    # scan instead of silently understating.
+    semantic_ingest_epoch(
+        spark.createDataFrame([(50, _axis(1))], schema), sd2,
+        tau=0.95)
+    assert semantic_cell_occupancy_fast(spark, sd2) is None
+    assert semantic_cell_occupancy(spark, sd2)["vectors"] == 2
