@@ -66,6 +66,14 @@ def streaming_near_dup_ingest(stream_docs: DataFrame, index_path: str,
     epoch replay — reprocessing an epoch re-appends its survivors,
     which the min-id assignment tolerates (duplicate index rows
     produce the same candidates).
+
+    No epoch/lineage pin here, deliberately (contrast the line
+    store's `_line_check_meta` and `ingest_lineage_check`): these
+    stores are UNTAGGED and self-pair-tolerant, so even the
+    restarted-checkpoint operator error is benign — re-ingested docs
+    meet their own stored signatures as self-pairs (rep = self, not
+    dup) and new docs still dedup against everything stored; nothing
+    is silently re-admitted or dropped.
     """
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         out = near_dup_ingest_epoch(batch_df, index_path, store_path,
@@ -623,7 +631,10 @@ def streaming_line_dedup_ingest(stream_docs: DataFrame,
     against them. Lines shorter than ``min_chars`` are exempt, as in
     the batch operator. ``sink(docs_df, epoch_id)`` receives each
     epoch's (doc_id, text, lines_total, lines_kept) rows. Seed the
-    store with :func:`line_store_init`.
+    store with :func:`line_store_init`. ``lineage`` (pass the
+    checkpoint location) strengthens the store's machine-checked
+    monotonic-epoch / one-lineage pin — see
+    `line_dedup_ingest_epoch`.
 
     With batch doc_ids ordered across epochs, replaying the epochs
     is EXACTLY the batch operator over the concatenated corpus —

@@ -1208,11 +1208,23 @@ def test_semantic_generations_on_the_versioned_backend(spark, tmp_path):
            for r in semantic_ingest_epoch(
                spark.createDataFrame(
                    [(10, _axis(0, scale=1.001)),  # dup of seed 1
-                    (11, _axis(5))], schema), sd, tau=0.95).collect()}
+                    (11, _axis(5))], schema), sd, tau=0.95,
+               epoch=0).collect()}
     assert got == {10: (1, True), 11: (11, False)}
+    semantic_ingest_epoch(
+        spark.createDataFrame([(12, _axis(7))], schema), sd,
+        tau=0.95, epoch=1)   # axis 7: free (6 is epoch-2's novelty)
 
     rep = semantic_store_compact(spark, sd)
     assert rep["vector_files"] >= 1   # versioned rewrite published
+    # The cell-count ledger folds through the versioned backend too
+    # (epochs −1 and 0 below the kept-newest epoch 1), and the O(k)
+    # signal still mirrors the full scan afterwards.
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy, semantic_cell_occupancy_fast)
+    assert rep["cellcount_epochs_folded"] == 2
+    assert semantic_cell_occupancy_fast(spark, sd) \
+        == semantic_cell_occupancy(spark, sd)
 
     g = semantic_reseed(spark, sd, target_cell=2)
     assert g == 1 and semantic_current_gen(spark, sd)["gen"] == 1
