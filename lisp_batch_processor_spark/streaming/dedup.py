@@ -229,8 +229,11 @@ def ingest_lineage_check(spark, state_dir: str, epoch_id: int,
 def ingest_lineage_reset(spark, state_dir: str) -> None:
     """Forget the recorded lineage/high-water — what a SEED does:
     seeding declares a fresh lineage over a fresh state dir
-    (`pipelines.ingest.corpus_ingest_init` / `semantic_store_seed`
-    call this), so the first stream over it records cleanly."""
+    (`semantic_store_seed` calls this; `corpus_ingest_init`
+    deliberately does NOT — re-init over a live state_dir must not
+    weaken the guard, and the fresh-dir path has no meta to reset:
+    it lives inside the state_dir), so the first stream over the
+    seeded state records cleanly."""
     from lisp_batch_processor_spark.sources.writers import _hadoop_fs
     jvm, fs, _ = _hadoop_fs(spark, state_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(
@@ -826,8 +829,11 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
     VECTOR store holding the seed vectors as the initial survivors.
     The seed should itself be semantically deduped (e.g.
     `operators.dedup.semantic_dedup` survivors) — seeding does not
-    dedup it. Seeding starts generation 0 (any stale generation
-    marker from a previous lineage in the same dir is removed).
+    dedup it. Seeding starts generation 0 as a declared FRESH START:
+    any stale generation markers, the recorded lineage/high-water
+    meta, and previous gen-0 semantic stores in the same dir are
+    removed first (the appends below would otherwise silently MIX
+    two seeds' vectors and ledger baselines).
     Retraining the model mid-stream is `semantic_reseed` — a NEW
     GENERATION trained from the current survivors, re-celled
     engine-side and committed atomically. Both stores tolerate
@@ -861,6 +867,13 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
     ingest_lineage_reset(spark, sd)
     cent_path, vec_path = _sem_paths(sd, 0)
     cc_path = _sem_counts_path(sd, 0)
+    # ... and remove stale generation-0 stores from a previous seed
+    # in the same dir: store_append below APPENDS, so leftovers would
+    # silently MIX two seeds' vectors and ledger baselines (both
+    # membership and the occupancy signal would be corrupt). A seed
+    # is a declared fresh start; make it one.
+    for pth in (cent_path, vec_path, cc_path):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(pth), True)
     if backend == "versioned":
         versioned_store_init(spark, cent_path)
         versioned_store_init(spark, vec_path)

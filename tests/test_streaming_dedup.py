@@ -1326,10 +1326,19 @@ def test_epoch_lineage_contract_is_machine_checked(spark, tmp_path):
     with pytest.raises(ValueError, match="lineage"):
         run(4, [(14, 6)], lineage="ckptA")         # B now recorded
 
-    # A fresh SEED declares a new lineage: everything resets.
+    # A fresh SEED declares a new lineage: the meta resets AND the
+    # previous gen-0 stores are removed (appends would otherwise mix
+    # two seeds' vectors and ledger baselines).
+    from lisp_batch_processor_spark.sources import writers as W
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_store_roots)
     semantic_store_seed(
         spark.createDataFrame([(1, _axis(0)), (2, _axis(1))], schema),
         str(tmp_path / "state"), k=2)
+    _, vp = semantic_store_roots(spark, sd)
+    assert {r.vec_id for r in
+            spark.read.parquet(W.store_data_path(spark, vp))
+            .select("vec_id").distinct().collect()} == {1, 2}
     run(0, [(20, 2)], lineage="ckptC").collect()
 
 
