@@ -1061,6 +1061,7 @@ def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
 
     from lisp_batch_processor_spark.sources import writers as W
     from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy, semantic_cell_occupancy_fast,
         semantic_current_gen, semantic_ingest_epoch,
         semantic_read_centroids, semantic_reseed, semantic_store_compact,
         semantic_store_seed, semantic_store_roots)
@@ -1127,13 +1128,13 @@ def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
 
         bdf = spark.createDataFrame(batch, schema)
         got = {r.vec_id: (r.rep_id, r.is_dup)
-               for r in semantic_ingest_epoch(bdf, sd,
-                                              tau=TAU).collect()}
+               for r in semantic_ingest_epoch(bdf, sd, tau=TAU,
+                                              epoch=e).collect()}
         assert got == want, (e, "oracle")
         if rng.random() < 0.4:   # replay after the append
             replay = {r.vec_id: (r.rep_id, r.is_dup)
                       for r in semantic_ingest_epoch(
-                          bdf, sd, tau=TAU).collect()}
+                          bdf, sd, tau=TAU, epoch=e).collect()}
             assert replay == got, (e, "replay")
         store.update(new_surv)
 
@@ -1143,6 +1144,12 @@ def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
             W.store_data_path(spark, vec_path)).select("vec_id")
             .distinct().collect()}
         assert disk_ids == set(store), (e, "store-mirror")
+
+        # The O(k) ledger signal mirrors the full scan at every
+        # random lifecycle point — replays, compactions, committed
+        # AND crashed reseeds below all preserve the equality.
+        assert semantic_cell_occupancy_fast(spark, sd) \
+            == semantic_cell_occupancy(spark, sd), (e, "fast-signal")
 
         if rng.random() < 0.4:
             semantic_store_compact(spark, sd)
