@@ -93,7 +93,12 @@ def maintenance_experiment(spark, base, corpus_n, epochs, batch_rows,
     for e in range(2):
         semantic_ingest_epoch(_batch(spark, e, 100, corpus_n // 4),
                               wsd, tau=0.95)
-    for mode in ("raw", "hooked"):
+    # Three modes decompose the maintenance hook's per-epoch cost:
+    # raw (pre-r10: no ledger, no folds), ledger (the O(k) count
+    # append only), hooked (ledger + compact_every folds) — so the
+    # raw-vs-hooked delta attributes to its two components instead
+    # of reading as one opaque overhead.
+    for mode in ("raw", "ledger", "hooked"):
         sd = f"{base}/sem_{mode}"
         semantic_store_seed(_seed(spark, corpus_n), sd,
                             k=max(2, corpus_n // 128))
@@ -104,12 +109,12 @@ def maintenance_experiment(spark, base, corpus_n, epochs, batch_rows,
         for e in range(epochs):
             batch = _batch(spark, e, batch_rows, corpus_n)
             t0 = time.perf_counter()
-            # The hooked loop passes the epoch id, as the streaming
+            # ledger/hooked pass the epoch id, as the streaming
             # wrappers do — the O(k) occupancy-ledger append is part
-            # of its per-epoch cost; the raw loop stays pre-r10.
+            # of their per-epoch cost; the raw loop stays pre-r10.
             semantic_ingest_epoch(batch, sd, tau=0.95, centroids=cents,
-                                  epoch=(e if mode == "hooked"
-                                         else None))
+                                  epoch=(None if mode == "raw"
+                                         else e))
             per_epoch.append(time.perf_counter() - t0)
             if mode == "hooked":
                 # Both reseed-due signals, timed OUTSIDE the epoch
