@@ -347,3 +347,74 @@ def test_torn_expired_lease_is_stealable(spark, tmp_path):
     assert lease_holder(spark, d) == "w1"
     assert not [f for f in os.listdir(str(tmp_path)) if ".tomb." in f]
     release_lease(spark, d, "w1")
+
+
+def test_fuzz_epoch_lineage_contract_vs_python_oracle(spark, tmp_path):
+    """Property-fuzz the round-10 monotonic-epoch / one-lineage rule
+    body through its persisted store-scoped form
+    (`check_store_epoch_lineage`): random sequences of progressing /
+    replayed / regressing epochs, matching / foreign / absent
+    lineage tokens, torn-meta injections, and meta resets, against a
+    pure-python oracle of the documented rules — pass iff the epoch
+    is >= the (surviving) high-water mark AND the token matches or
+    either side is absent; a torn meta forgets everything recorded
+    (fail-open); on every pass the high-water advances and an
+    unrecorded token records."""
+    import json
+    import random
+
+    from lisp_batch_processor_spark.sources.writers import (
+        _hidden_sibling, check_store_epoch_lineage)
+
+    rng = random.Random(1010)
+    store = os.path.join(str(tmp_path), "store")
+    meta_file = _hidden_sibling(store, "lineage")
+
+    hw = None          # the oracle's surviving high-water mark
+    rec = None         # the oracle's surviving recorded token
+    for step in range(200):
+        roll = rng.random()
+        if roll < 0.08:
+            # Torn meta: crash mid-PUT. Reader fails open — the
+            # recorded state is forgotten on BOTH sides.
+            with open(meta_file, "w") as f:
+                f.write('{"lineage": "ck')
+            crc = os.path.join(os.path.dirname(meta_file),
+                               "." + os.path.basename(meta_file)
+                               + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            hw = rec = None
+            continue
+        if roll < 0.12:
+            # Seed-style reset: the meta is deleted outright.
+            if os.path.exists(meta_file):
+                os.remove(meta_file)
+            hw = rec = None
+            continue
+        e = (hw if hw is not None and rng.random() < 0.3
+             else rng.randint(0, 30))
+        lineage = rng.choice([None, "ckA", "ckB"])
+        want_pass = ((hw is None or e >= hw)
+                     and (lineage is None or rec is None
+                          or lineage == rec))
+        if want_pass:
+            check_store_epoch_lineage(spark, store, e, lineage)
+            hw = e if hw is None else max(hw, e)
+            if lineage is not None and rec is None:
+                rec = lineage
+            # The persisted meta mirrors the oracle exactly.
+            with open(meta_file) as f:
+                disk = json.load(f)
+            assert disk.get("high_water_epoch") == hw, (step, disk)
+            assert disk.get("lineage") == rec, (step, disk)
+        else:
+            with pytest.raises(ValueError,
+                               match="epoch regression|lineage"):
+                check_store_epoch_lineage(spark, store, e, lineage)
+            # A refused epoch records NOTHING.
+            if os.path.exists(meta_file):
+                with open(meta_file) as f:
+                    disk = json.load(f)
+                assert disk.get("high_water_epoch") == hw, (step, disk)
+                assert disk.get("lineage") == rec, (step, disk)
