@@ -223,7 +223,9 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                         | None = None,
                         semantic_gen: int | None = None,
                         gopher_thresholds: dict | None = None,
-                        lineage: str | None = None
+                        lineage: str | None = None,
+                        funnel_sink: Callable[[dict], None]
+                        | None = None
                         ) -> DataFrame:
     """One ingest epoch over ``batch_df`` (doc_id, url, text): apply
     hygiene + URL dedup + line dedup + near-dup (+ optional semantic
@@ -250,6 +252,18 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     caller's pass-throughs (the streaming wrapper's per-generation
     centroid cache and replay generation pin — see
     `streaming.dedup.semantic_ingest_epoch`).
+
+    ``funnel_sink`` (optional) receives this epoch's per-stage
+    counter dict — the continuous twin of the batch assembly's
+    CollectMetrics stage funnel and the reference's per-item
+    success/error counters (R16-R18, `Batch Processor.py:311-330`):
+    ``{"epoch", "hygiene_url_survivors", "line_rebuilt",
+    "near_dup_survivors", "semantic_survivors", "survivors"}``
+    (each the row count LEAVING that stage; ``semantic_survivors``
+    == ``near_dup_survivors`` when no embeddings are passed).
+    Cost when requested: one count job per stage over frames whose
+    inputs this epoch already materialized — skipped entirely when
+    None, so the hot path is unchanged.
 
     Store appends happen inside; the caller owns durable output (see
     `streaming_corpus_ingest`). Replay-safe per the module docstring.
@@ -327,6 +341,7 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                                 threshold_den=jaccard_den)
     non_dups = staged.join(asg.filter(~F.col("is_dup"))
                            .select("doc_id"), "doc_id", "left_semi")
+    nd_count = non_dups.count() if funnel_sink is not None else None
 
     # -- semantic (embedding) dedup vs the persisted cell store --------
     # Optional stage 4b, same slot as assemble_corpus: catches
@@ -355,10 +370,20 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     # -- Gopher repetition rules (stateless) ---------------------------
     gop = gopher_repetition_filter(non_dups,
                                    thresholds=gopher_thresholds)
-    out = non_dups.join(gop.filter("keep").select("doc_id"),
-                        "doc_id", "left_semi")
-    return out.select("doc_id", "url", "norm_url", "text") \
-              .localCheckpoint(eager=True)
+    out = (non_dups.join(gop.filter("keep").select("doc_id"),
+                         "doc_id", "left_semi")
+           .select("doc_id", "url", "norm_url", "text")
+           .localCheckpoint(eager=True))
+    if funnel_sink is not None:
+        funnel_sink({"epoch": e,
+                     "hygiene_url_survivors": survivors.count(),
+                     "line_rebuilt": staged.count(),
+                     "near_dup_survivors": nd_count,
+                     "semantic_survivors": (nd_count
+                                            if embeddings is None
+                                            else non_dups.count()),
+                     "survivors": out.count()})
+    return out
 
 
 def corpus_ingest_compact(spark: SparkSession, state_dir: str,
@@ -476,7 +501,9 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                             = 128 * 1024 * 1024,
                             sink: Callable[[DataFrame, int], None]
                             | None = None,
-                            lineage: str | None = None):
+                            lineage: str | None = None,
+                            funnel_sink: Callable[[dict], None]
+                            | None = None):
     """foreachBatch wrapper: run `corpus_ingest_epoch` per micro-batch
     and append the survivors EPOCH-TAGGED to ``corpus_path`` (read
     back with `corpus_read`). Returns the DataStreamWriter — caller
@@ -508,6 +535,12 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     (`corpus_ingest_epoch`): with it, a DIFFERENT stream resuming at
     a higher epoch over this state_dir raises too, not just an
     epoch regression.
+
+    ``funnel_sink`` receives each epoch's per-stage counter dict
+    (see `corpus_ingest_epoch` — the reference's R16-R18 per-item
+    counters, continuous): wire it to your metrics system for a
+    live ingest funnel; costs one count job per stage per epoch
+    only when set.
 
     ``compact_every=N`` runs :func:`corpus_ingest_compact` after
     every Nth epoch — inside foreachBatch IS the single-writer
@@ -553,7 +586,8 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
             if emb is not None else None,
             semantic_gen=use_gen,
             gopher_thresholds=gopher_thresholds,
-            lineage=lineage)
+            lineage=lineage,
+            funnel_sink=funnel_sink)
         store_append(out.withColumn("epoch_id",
                                     F.lit(int(epoch_id)).cast("long")),
                      corpus_path)

@@ -918,3 +918,38 @@ def test_fuzz_composed_ingest_semantic_lifecycle(spark, tmp_path,
     # The O(k) ledger signal still mirrors the full scan at the end.
     assert semantic_cell_occupancy_fast(spark, sd) \
         == semantic_cell_occupancy(spark, sd)
+
+
+def test_ingest_funnel_counters_match_planted_artifacts(
+        spark, tmp_path):
+    """The opt-in per-epoch funnel (the reference's R16-R18 per-item
+    counters, continuous): each stage's surviving row count matches
+    the planted artifacts of the standard epoch fixtures, the
+    semantic slot mirrors near-dup when no embeddings are passed,
+    and the sink stays silent when not requested (hot path
+    unchanged)."""
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    funnels: list[dict] = []
+    outs = [corpus_ingest_epoch(b, sd, e, funnel_sink=funnels.append)
+            for e, b in enumerate((e0, e1, e2))]
+    assert [f["epoch"] for f in funnels] == [0, 1, 2]
+    # Epoch 0: 6 docs; doc 3 is a within-epoch URL dup -> 5 through
+    # hygiene+URL; no line/near-dup/gopher losses in epoch 0.
+    assert funnels[0] == {"epoch": 0, "hygiene_url_survivors": 5,
+                          "line_rebuilt": 5, "near_dup_survivors": 5,
+                          "semantic_survivors": 5, "survivors": 5}
+    # Epoch 1: 4 docs in; 21 dies as a cross-epoch near-dup of 5 and
+    # 23 as a within-epoch near-dup of 22.
+    assert funnels[1]["hygiene_url_survivors"] == 4
+    assert funnels[1]["near_dup_survivors"] == 2
+    assert funnels[1]["survivors"] == 2
+    # Epoch 2: 5 docs; 32/33 hygiene rejects and 30 a cross-epoch URL
+    # dup -> 2; doc 31 then dies on the Gopher rules.
+    assert funnels[2]["hygiene_url_survivors"] == 2
+    assert funnels[2]["near_dup_survivors"] == 2
+    assert funnels[2]["survivors"] == 1
+    # Funnel tails equal the actual epoch outputs.
+    assert [f["survivors"] for f in funnels] \
+        == [o.count() for o in outs]
