@@ -198,10 +198,26 @@ def sketch_store_init(spark, store_path: str,
     the pointer and never repair, so this is the object-store-safe
     and concurrent-reader-safe mode. Same store semantics (epoch
     replay, folds, reads) either way — the backend only decides how
-    bytes become visible."""
+    bytes become visible.
+
+    Init also clears any recorded epoch/lineage pin for the path
+    (`sources.writers.store_lineage_reset`): the pin's sidecar lives
+    outside the store dir and survives store deletion, so init is the
+    documented entry point for REBUILDING a store in place — without
+    it, the first epoch of the rebuilt stream would raise on the
+    deleted store's phantom high-water (a pin with no committed data
+    behind it is also adopted as fresh automatically, so tokenless
+    legacy rebuilds keep working; init just makes the declaration
+    explicit). Init over a store that still HAS committed data leaves
+    the pin alone — re-declaring a backend must not weaken the
+    restart-at-0 guard on live state."""
     if backend not in ("swap", "versioned"):
         raise ValueError(f"backend must be 'swap' or 'versioned', "
                          f"got {backend!r}")
+    from lisp_batch_processor_spark.sources.writers import (
+        _store_has_data_files, store_lineage_reset)
+    if not _store_has_data_files(spark, store_path):
+        store_lineage_reset(spark, store_path)
     if backend == "versioned":
         from lisp_batch_processor_spark.sources.writers import (
             versioned_store_init)

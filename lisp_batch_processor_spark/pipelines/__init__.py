@@ -29,5 +29,6 @@ from lisp_batch_processor_spark.pipelines.ingest import (  # noqa: F401
     corpus_ingest_seed,
     corpus_read,
     ingest_report,
+    start_corpus_ingest,
     streaming_corpus_ingest,
 )

@@ -261,9 +261,12 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
     "near_dup_survivors", "semantic_survivors", "survivors"}``
     (each the row count LEAVING that stage; ``semantic_survivors``
     == ``near_dup_survivors`` when no embeddings are passed).
-    Cost when requested: one count job per stage over frames whose
-    inputs this epoch already materialized — skipped entirely when
-    None, so the hot path is unchanged.
+    Cost when requested: one count job per stage over MATERIALIZED
+    frames only — the near-dup and semantic survivor frames are
+    localCheckpoint'ed when the funnel is on, so no stage's join
+    ever executes twice for a counter (pinned by a task-count
+    assertion in tests) — and skipped entirely when None, so the
+    hot path is unchanged.
 
     Store appends happen inside; the caller owns durable output (see
     `streaming_corpus_ingest`). Replay-safe per the module docstring.
@@ -341,6 +344,13 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
                                 threshold_den=jaccard_den)
     non_dups = staged.join(asg.filter(~F.col("is_dup"))
                            .select("doc_id"), "doc_id", "left_semi")
+    if funnel_sink is not None:
+        # Counter WITHOUT replay: snapshot the frame once, so the
+        # near-dup semi-join executes exactly as often as with the
+        # funnel off (the count below and every downstream stage read
+        # the snapshot) — pinned by the task-count assertion in
+        # tests/test_corpus_ingest.py.
+        non_dups = non_dups.localCheckpoint(eager=True)
     nd_count = non_dups.count() if funnel_sink is not None else None
 
     # -- semantic (embedding) dedup vs the persisted cell store --------
@@ -366,6 +376,10 @@ def corpus_ingest_epoch(batch_df: DataFrame, state_dir: str,
             sem.filter(F.col("is_dup"))
                .select(F.col("vec_id").alias("doc_id")),
             "doc_id", "left_anti")
+        if funnel_sink is not None:
+            # Same discipline for the semantic stage's counter: the
+            # anti-join runs once whether or not the funnel is on.
+            non_dups = non_dups.localCheckpoint(eager=True)
 
     # -- Gopher repetition rules (stateless) ---------------------------
     gop = gopher_repetition_filter(non_dups,
@@ -534,13 +548,17 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     machine-checked monotonic-epoch / one-lineage contract
     (`corpus_ingest_epoch`): with it, a DIFFERENT stream resuming at
     a higher epoch over this state_dir raises too, not just an
-    epoch regression.
+    epoch regression. Prefer `start_corpus_ingest`, which threads ONE
+    ``checkpoint_dir`` into both this token and the
+    ``checkpointLocation`` option so the strong contract is the
+    default rather than a remembered kwarg.
 
     ``funnel_sink`` receives each epoch's per-stage counter dict
     (see `corpus_ingest_epoch` — the reference's R16-R18 per-item
     counters, continuous): wire it to your metrics system for a
-    live ingest funnel; costs one count job per stage per epoch
-    only when set.
+    live ingest funnel; costs one snapshot + count job per stage per
+    epoch only when set — never a recomputation of the stage's join
+    (see `corpus_ingest_epoch`).
 
     ``compact_every=N`` runs :func:`corpus_ingest_compact` after
     every Nth epoch — inside foreachBatch IS the single-writer
@@ -607,6 +625,49 @@ def streaming_corpus_ingest(stream_docs: DataFrame, state_dir: str,
                                semantic_reseed_iters)
 
     return stream_docs.writeStream.foreachBatch(_process)
+
+
+def start_corpus_ingest(stream_docs: DataFrame, state_dir: str,
+                        corpus_path: str, checkpoint_dir: str, *,
+                        query_name: str | None = None,
+                        trigger: dict | None = None,
+                        **knobs):
+    """THE documented way to start the composed ingest loop — the
+    strong form of the monotonic-epoch / one-lineage contract, by
+    default instead of by remembered kwarg: ``checkpoint_dir`` is
+    threaded into BOTH the stream's ``checkpointLocation`` option and
+    the contract's ``lineage`` token, so a SECOND stream resuming
+    over this ``state_dir`` from a DIFFERENT checkpoint raises even
+    when its epoch ids happen to be higher (with only the epoch check,
+    that case passes silently — `streaming_corpus_ingest` returns a
+    DataStreamWriter and cannot see the checkpointLocation the caller
+    sets later, which is why the one-value threading lives here).
+
+    ``**knobs`` pass through to `streaming_corpus_ingest` unchanged
+    (``embeddings``, ``semantic_reseed_max_cell``, ``compact_every``,
+    ``funnel_sink``, ``sink``, ...); ``trigger`` (e.g.
+    ``{"availableNow": True}`` or ``{"processingTime": "10 seconds"}``)
+    and ``query_name`` forward to the writer. Returns the STARTED
+    `StreamingQuery`.
+
+    Prefer this over hand-wiring the writer; the raw wrapper stays
+    public for callers composing their own writer options, who then
+    own passing ``lineage=`` themselves (the weaker, epoch-only
+    contract otherwise)."""
+    if "lineage" in knobs:
+        raise ValueError(
+            "start_corpus_ingest derives lineage from checkpoint_dir "
+            "(that is its point); do not pass lineage separately — "
+            "use streaming_corpus_ingest directly to decouple them")
+    writer = streaming_corpus_ingest(
+        stream_docs, state_dir, corpus_path,
+        lineage=str(checkpoint_dir), **knobs)
+    writer = writer.option("checkpointLocation", str(checkpoint_dir))
+    if query_name is not None:
+        writer = writer.queryName(query_name)
+    if trigger is not None:
+        writer = writer.trigger(**trigger)
+    return writer.start()
 
 
 def corpus_read(spark: SparkSession, corpus_path: str) -> DataFrame:

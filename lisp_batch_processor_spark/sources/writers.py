@@ -143,14 +143,63 @@ def check_store_epoch_lineage(spark: SparkSession, store_root: str,
     PROGRESSING epoch. A torn meta (crash mid-PUT) reads as absent
     and re-records — fail-open, like every meta sidecar here: the
     contract's target is the operator error (restarted checkpoint
-    over live state), where the meta is intact."""
+    over live state), where the meta is intact.
+
+    STALE-SIDECAR ADOPTION (round 11): the sidecar lives OUTSIDE the
+    store dir, so deleting/rebuilding the store at the same path does
+    not clear it by itself. A pin that would raise while the store
+    has NO committed data files is phantom history from a deleted
+    store — the check adopts the new stream as fresh instead of
+    raising (one driver-side listing, paid only on the would-raise
+    path; steady state stays one JSON get). Deliberate rebuilds can
+    also clear the pin up front via :func:`store_lineage_reset` (the
+    sketch stores' `operators.sketches.sketch_store_init` does)."""
     mp = _hidden_sibling(store_root.rstrip("/"), "lineage")
     meta = read_json_file(spark, mp, default=None, absent=None)
     if not isinstance(meta, dict):
         meta = {}
-    if _check_epoch_lineage(meta, epoch_id, lineage,
-                            f"store at {store_root}"):
+    try:
+        changed = _check_epoch_lineage(meta, epoch_id, lineage,
+                                       f"store at {store_root}")
+    except ValueError:
+        if _store_has_data_files(spark, store_root):
+            raise
+        meta = {}
+        changed = _check_epoch_lineage(meta, epoch_id, lineage,
+                                       f"store at {store_root}")
+    if changed:
         write_json_file(spark, mp, meta)
+
+
+def _store_has_data_files(spark: SparkSession, root: str) -> bool:
+    """Whether the store at ``root`` has any committed, non-hidden
+    data file — the 'is this pin guarding anything real' probe behind
+    `check_store_epoch_lineage`'s stale-sidecar adoption."""
+    dp = store_data_path(spark, root.rstrip("/"))
+    if dp is None:
+        return False
+    jvm, fs, _ = _hadoop_fs(spark, dp)
+    jdp = jvm.org.apache.hadoop.fs.Path(dp)
+    if not fs.exists(jdp):
+        return False
+    for st in fs.listStatus(jdp):
+        if not st.getPath().getName().startswith((".", "_")):
+            return True
+    return False
+
+
+def store_lineage_reset(spark: SparkSession, store_root: str) -> None:
+    """Forget a store's recorded epoch/lineage pin (the hidden
+    sidecar `check_store_epoch_lineage` maintains). The sidecar lives
+    OUTSIDE the store dir precisely so it survives careless store
+    deletion — which also means a DELIBERATE rebuild at the same path
+    must clear it explicitly; this is the public hook for that
+    (`operators.sketches.sketch_store_init` calls it, making init the
+    documented rebuild entry point). Never call it over a live store
+    mid-stream: the pin IS the restart-at-0 guard there."""
+    jvm, fs, _ = _hadoop_fs(spark, store_root.rstrip("/"))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        _hidden_sibling(store_root.rstrip("/"), "lineage")), False)
 
 
 def write_epoch_marker(spark: SparkSession, dir_path: str,

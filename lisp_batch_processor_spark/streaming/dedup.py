@@ -229,11 +229,16 @@ def ingest_lineage_check(spark, state_dir: str, epoch_id: int,
 def ingest_lineage_reset(spark, state_dir: str) -> None:
     """Forget the recorded lineage/high-water — what a SEED does:
     seeding declares a fresh lineage over a fresh state dir
-    (`semantic_store_seed` calls this; `corpus_ingest_init`
-    deliberately does NOT — re-init over a live state_dir must not
-    weaken the guard, and the fresh-dir path has no meta to reset:
-    it lives inside the state_dir), so the first stream over the
-    seeded state records cleanly."""
+    (`semantic_store_seed` calls this for STANDALONE semantic dirs
+    only — over a state_dir shared with URL/line/near-dup stores the
+    one meta guards every store riding the stream, and a semantic
+    (re)seed must not erase the pin for stores it does not clear;
+    `corpus_ingest_init` deliberately never calls it — re-init over
+    a live state_dir must not weaken the guard, and the fresh-dir
+    path has no meta to reset: it lives inside the state_dir), so
+    the first stream over the seeded state records cleanly. To
+    restart a SHARED state_dir wholesale, clear every store and call
+    this explicitly."""
     from lisp_batch_processor_spark.sources.writers import _hadoop_fs
     jvm, fs, _ = _hadoop_fs(spark, state_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(
@@ -350,9 +355,28 @@ def line_store_init(spark, line_store_path: str,
             raise ValueError(
                 f"min_repeat must be >= 2, got {min_repeat}")
         from lisp_batch_processor_spark.sources.writers import (
-            write_json_file)
-        write_json_file(spark, _line_meta_path(line_store_path),
-                        {"min_repeat": int(min_repeat)})
+            read_json_file, write_json_file)
+        # MERGE into any existing meta, never replace the file: the
+        # same sidecar carries the high_water_epoch/lineage pin, and
+        # a re-init over a live store (store_append of the empty
+        # frame above does not clear committed epoch rows) must not
+        # silently erase the restart-at-0 guard. A CONFLICTING
+        # min_repeat is the undercount hazard `_line_check_meta`
+        # raises on — raise here too rather than flip the threshold.
+        mp = _line_meta_path(line_store_path)
+        meta = read_json_file(spark, mp, default=None, absent=None)
+        meta = meta if isinstance(meta, dict) else {}
+        if ("min_repeat" in meta
+                and int(meta["min_repeat"]) != int(min_repeat)):
+            raise ValueError(
+                f"line store at {line_store_path} was built with "
+                f"min_repeat={int(meta['min_repeat'])} but re-init "
+                f"passed min_repeat={min_repeat}: occurrence counts "
+                "saturate at the threshold they were recorded under, "
+                "so mixing thresholds silently undercounts — seed a "
+                "new store to change it")
+        meta["min_repeat"] = int(min_repeat)
+        write_json_file(spark, mp, meta)
 
 
 def _line_store_data_path(spark, line_store_path: str) -> str:
@@ -818,6 +842,29 @@ def semantic_store_roots(spark, state_dir: str) -> tuple[str, str]:
     return _sem_paths(state_dir, g)
 
 
+def _foreign_ingest_stores_present(spark, sd: str) -> bool:
+    """Whether any NON-semantic store dir lives under ``sd`` — i.e.
+    the state_dir is SHARED with a composed ingest loop's URL / line /
+    near-dup stores (`pipelines.ingest._paths` children, or any other
+    epoch-tagged store a caller parked there). Detection is by
+    EXCLUSION so no pipeline names leak into this layer: a visible
+    child DIRECTORY whose name is not ``sem_*`` counts (markers and
+    meta are files; leases/staging/backups are dot- or
+    underscore-prefixed). One driver-side listing, paid only at seed
+    time."""
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    jvm, fs, _ = _hadoop_fs(spark, sd)
+    jsd = jvm.org.apache.hadoop.fs.Path(sd.rstrip("/"))
+    if not fs.exists(jsd):
+        return False
+    for st in fs.listStatus(jsd):
+        name = st.getPath().getName()
+        if (st.isDirectory() and not name.startswith((".", "_"))
+                and not name.startswith("sem_")):
+            return True
+    return False
+
+
 def semantic_store_seed(seed_emb, state_dir: str, *,
                         k: int = 64, iters: int = 1,
                         backend: str = "swap",
@@ -830,10 +877,18 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
     The seed should itself be semantically deduped (e.g.
     `operators.dedup.semantic_dedup` survivors) — seeding does not
     dedup it. Seeding starts generation 0 as a declared FRESH START:
-    any stale generation markers, the recorded lineage/high-water
-    meta, and previous gen-0 semantic stores in the same dir are
-    removed first (the appends below would otherwise silently MIX
-    two seeds' vectors and ledger baselines).
+    any stale generation markers and previous gen-0 semantic stores
+    in the same dir are removed first (the appends below would
+    otherwise silently MIX two seeds' vectors and ledger baselines),
+    and — for a STANDALONE semantic state_dir only — the recorded
+    lineage/high-water meta resets too. Over a state_dir SHARED with
+    a composed ingest loop's URL/line/near-dup stores
+    (`pipelines.ingest`), the one `_ingest_lineage.json` guards every
+    epoch-tagged store riding the stream, so a semantic (re)seed
+    leaves it alone: the live stream's epochs keep progressing under
+    the recorded lineage, and a NEW checkpoint restarting at 0 still
+    raises for the stores the seed did not clear — exactly the
+    window the guard exists to close.
     Retraining the model mid-stream is `semantic_reseed` — a NEW
     GENERATION trained from the current survivors, re-celled
     engine-side and committed atomically. Both stores tolerate
@@ -857,14 +912,19 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
     spark = seed_emb.sparkSession
     sd = state_dir.rstrip("/")
     jvm, fs, _ = _hadoop_fs(spark, sd)
-    # Fresh lineage: generation 0 — remove every stale marker and the
-    # recorded lineage/high-water meta (a seed DECLARES a new stream).
+    # Fresh lineage: generation 0 — remove every stale marker, and
+    # (STANDALONE dirs only) the recorded lineage/high-water meta: a
+    # seed declares a new stream, but on a SHARED state_dir the one
+    # meta also pins the URL/line/near-dup stores this seed does not
+    # clear, and erasing it would re-open the restart-at-0 window
+    # the guard exists to close (see the docstring).
     for g in _sem_marker_gens(spark, sd):
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             _sem_gen_marker(sd, g)), False)
     fs.delete(jvm.org.apache.hadoop.fs.Path(
         f"{sd}/{_SEM_GEN_FILE}"), False)
-    ingest_lineage_reset(spark, sd)
+    if not _foreign_ingest_stores_present(spark, sd):
+        ingest_lineage_reset(spark, sd)
     cent_path, vec_path = _sem_paths(sd, 0)
     cc_path = _sem_counts_path(sd, 0)
     # ... and remove stale generation-0 stores from a previous seed
@@ -1141,7 +1201,9 @@ def semantic_cell_occupancy_fast(spark, state_dir: str) -> dict | None:
     when the ledger is absent (a pre-r10 state dir, or epochs run
     without ``epoch=``) — callers fall back to the full scan; the
     first `semantic_reseed` writes the next generation's complete
-    baseline and the fast path takes over."""
+    baseline and the fast path takes over, or `semantic_counts_seed`
+    backfills the CURRENT generation's baseline up front (one
+    survivor scan) so adopted dirs never pay the per-epoch scan."""
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.sources.writers import (
@@ -1170,6 +1232,44 @@ def semantic_cell_occupancy_fast(spark, state_dir: str) -> dict | None:
             "vectors": total,
             "max_cell": int(occ["mx"] or 0),
             "mean_cell": (total / k) if k else 0.0}
+
+
+def semantic_counts_seed(spark, state_dir: str) -> bool:
+    """Backfill the O(k) occupancy ledger for an ADOPTED pre-r10
+    semantic state dir: ONE survivor-store scan writes the CURRENT
+    generation's complete epoch −1 baseline (the same k-row aggregate
+    a reseed writes), so `semantic_cell_occupancy_fast` takes over
+    immediately instead of the dir paying the full scan every epoch
+    until its first drift-triggered reseed. Returns True when the
+    baseline was written, False when the ledger already exists — a
+    present ledger is COMPLETE by invariant (`semantic_ingest_epoch`
+    drops it on any untagged epoch), so re-seeding it would double
+    the baseline. Replay duplicates in the vector store collapse on
+    distinct vec_id, matching the full scan. Single-writer window
+    required (run it between epochs, where the maintenance folds
+    run); subsequent ``epoch=``-tagged epochs append to the backfilled
+    ledger exactly as to a reseed-written one."""
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.sources.writers import (
+        store_data_path, store_is_versioned, versioned_store_init)
+    sd = state_dir.rstrip("/")
+    gen = semantic_current_gen(spark, sd)["gen"]
+    if _sem_counts_data_path(spark, sd, gen) is not None:
+        return False
+    _, vec_path = _sem_paths(sd, gen)
+    vec_dp = store_data_path(spark, vec_path)
+    if vec_dp is None:
+        raise ValueError(f"no vector store under {state_dir} "
+                         "(create with semantic_store_seed)")
+    cc_path = _sem_counts_path(sd, gen)
+    if store_is_versioned(spark, vec_path):
+        versioned_store_init(spark, cc_path)
+    survivors = (spark.read.parquet(vec_dp)
+                 .select("vec_id", "cell")
+                 .dropDuplicates(["vec_id"]))
+    _sem_counts_append(survivors, cc_path, -1)
+    return True
 
 
 def semantic_reseed(spark, state_dir: str, *,

@@ -24,8 +24,17 @@ not the full sweep):
    one is what `_sem_reseed_if_due` polls; the full scan was the
    only O(corpus)-per-epoch term left in the ingest loop.
 
+4. The O(k)-vs-O(corpus) claim BY MEASUREMENT (round 11): the same
+   two signals timed across survivor stores a decade apart in size
+   (fixed k, fixed ledger epochs — only the survivor count moves).
+   The full scan's median must grow with survivors while the ledger
+   fold's stays flat; decisions are asserted equal at every scale.
+   At r10's 5.6k survivors both signals were job-overhead-bound, so
+   the claim was argued from design — this run demonstrates it.
+
 Run:  python scripts/scale_semantic_maintenance.py
-      SEM_CORPUS=4000 SEM_EPOCHS=16 SEM_BATCH=500 to override.
+      SEM_CORPUS=4000 SEM_EPOCHS=16 SEM_BATCH=500 to override;
+      SEM_SCALES=6000,60000,600000 for experiment 4's survivor sizes.
 """
 
 from __future__ import annotations
@@ -198,12 +207,69 @@ def reseed_experiment(spark, base, corpus_n, batch_rows,
     }
 
 
+def occupancy_scaling_experiment(spark, base, scales, reps=9,
+                                 epochs=3, batch_rows=200):
+    """Experiment 4: both reseed-due signals timed at survivor-store
+    sizes a decade apart. Each scale seeds a FRESH store of n
+    survivors at the SAME k (so the ledger's size — k x epochs rows —
+    is constant across scales and only the survivor count moves),
+    runs a few tagged epochs so the ledger has live epoch rows like a
+    real loop's would, then times `semantic_cell_occupancy_fast` (the
+    ledger fold) and `semantic_cell_occupancy` (the full survivor
+    scan) ``reps`` times interleaved, reporting medians and the
+    decisions-equal assertion per scale."""
+    out = []
+    for n in scales:
+        sd = f"{base}/sem_occ_{n}"
+        semantic_store_seed(_seed(spark, n), sd, k=64)
+        cents = semantic_read_centroids(spark, sd)
+        for e in range(epochs):
+            semantic_ingest_epoch(_batch(spark, e, batch_rows, n),
+                                  sd, tau=0.95, centroids=cents,
+                                  epoch=e)
+        fast_s, full_s, equal = [], [], True
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            occ_fast = semantic_cell_occupancy_fast(spark, sd)
+            fast_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            occ_full = semantic_cell_occupancy(spark, sd)
+            full_s.append(time.perf_counter() - t0)
+            if occ_fast != occ_full:
+                equal = False
+                print(f"SIGNAL MISMATCH at n={n}: "
+                      f"fast={occ_fast} full={occ_full}")
+        out.append({
+            "survivors": occ_full["vectors"],
+            "k": occ_full["k"],
+            "fast_median_sec": round(median(fast_s), 3),
+            "full_scan_median_sec": round(median(full_s), 3),
+            "decisions_equal": equal,
+        })
+        print(json.dumps(out[-1]))
+    if len(out) >= 2:
+        a, b = out[0], out[-1]
+        g = lambda r, k: max(1e-9, r[k])
+        return {
+            "scales": out,
+            "survivor_ratio": round(b["survivors"] / a["survivors"], 1),
+            "full_scan_ratio": round(
+                g(b, "full_scan_median_sec")
+                / g(a, "full_scan_median_sec"), 2),
+            "fast_ratio": round(
+                g(b, "fast_median_sec") / g(a, "fast_median_sec"), 2),
+        }
+    return {"scales": out}
+
+
 def main() -> None:
     corpus_n = int(os.environ.get("SEM_CORPUS", "4000"))
     epochs = int(os.environ.get("SEM_EPOCHS", "32"))
     batch_rows = int(os.environ.get("SEM_BATCH", "500"))
     compact_every = int(os.environ.get("SEM_COMPACT_EVERY", "8"))
-    out_path = os.environ.get("SEM_OUT", "SCALE_SEMANTIC_r10.json")
+    scales = [int(s) for s in os.environ.get(
+        "SEM_SCALES", "6000,60000,600000").split(",")]
+    out_path = os.environ.get("SEM_OUT", "SCALE_SEMANTIC_r11.json")
 
     spark = get_spark("scale-semantic", cpus=8, shuffle_partitions=8)
     base = "/tmp/scale_semantic"
@@ -214,11 +280,14 @@ def main() -> None:
     result = {
         "params": {"corpus_n": corpus_n, "epochs": epochs,
                    "batch_rows": batch_rows,
-                   "compact_every": compact_every},
+                   "compact_every": compact_every,
+                   "occupancy_scales": scales},
         "semantic_maintenance": maint,
         "semantic_reseed": reseed_experiment(
             spark, base, corpus_n, batch_rows,
             median(per_epoch_hooked)),
+        "occupancy_scaling": occupancy_scaling_experiment(
+            spark, base, scales),
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
@@ -235,6 +304,10 @@ def main() -> None:
             result["semantic_reseed"]["occupancy_before"]["max_cell"],
         "max_cell_after":
             result["semantic_reseed"]["occupancy_after"]["max_cell"],
+        "occupancy_full_scan_ratio":
+            result["occupancy_scaling"].get("full_scan_ratio"),
+        "occupancy_fast_ratio":
+            result["occupancy_scaling"].get("fast_ratio"),
     }))
     shutil.rmtree(base, ignore_errors=True)
 

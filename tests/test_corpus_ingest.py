@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.pipelines import (
     corpus_ingest_batch, corpus_ingest_epoch, corpus_ingest_init,
-    corpus_read, streaming_corpus_ingest)
+    corpus_read, start_corpus_ingest, streaming_corpus_ingest)
 
 SCHEMA = "doc_id bigint, url string, text string"
 BOILER = "please subscribe to the newsletter today friends ok"
@@ -125,11 +125,12 @@ def test_streaming_twin_round_trips(spark, tmp_path, batch_reference):
               .parquet(os.path.join(src, "batch=*")))
     corpus = os.path.join(str(tmp_path), "corpus")
     seen: dict[int, int] = {}
-    writer = streaming_corpus_ingest(
-        stream, sd, corpus,
+    # Through the documented entry point: one checkpoint_dir becomes
+    # BOTH the checkpointLocation and the lineage token, and the
+    # epoch-concat == batch pin must hold through it unchanged.
+    q = start_corpus_ingest(
+        stream, sd, corpus, os.path.join(str(tmp_path), "ckpt"),
         sink=lambda out, eid: seen.setdefault(eid, out.count()))
-    q = writer.option("checkpointLocation",
-                      os.path.join(str(tmp_path), "ckpt")).start()
     try:
         q.processAllAvailable()
     finally:
@@ -586,10 +587,9 @@ def test_streaming_ingest_with_embeddings_round_trips(spark, tmp_path):
               .option("maxFilesPerTrigger", 1)
               .parquet(os.path.join(src, "batch=*")))
     corpus = os.path.join(str(tmp_path), "corpus")
-    q = (streaming_corpus_ingest(stream, sd, corpus, embeddings=emb,
-                                 compact_every=1)
-         .option("checkpointLocation",
-                 os.path.join(str(tmp_path), "ckpt")).start())
+    q = start_corpus_ingest(stream, sd, corpus,
+                            os.path.join(str(tmp_path), "ckpt"),
+                            embeddings=emb, compact_every=1)
     try:
         q.processAllAvailable()
     finally:
@@ -953,3 +953,167 @@ def test_ingest_funnel_counters_match_planted_artifacts(
     # Funnel tails equal the actual epoch outputs.
     assert [f["survivors"] for f in funnels] \
         == [o.count() for o in outs]
+
+
+def test_funnel_counts_never_replan_the_joins(spark, tmp_path):
+    """Enabling the funnel must add NO recomputation of the near-dup
+    (or semantic) stage (round 11): with ``funnel_sink`` set, the
+    survivor frames are snapshotted before counting, so every count
+    job the epoch runs is a scan of a materialized snapshot — its
+    optimized plan contains no Join and no store scan. Also pins the
+    hot path: with the funnel off, the epoch runs zero count jobs at
+    all."""
+    # The concrete class whose `count` actually runs (pyspark 4 keeps
+    # an abstract base in pyspark.sql.dataframe).
+    import pyspark.sql.classic.dataframe as D
+
+    counted_plans: list[str] = []
+    orig_count = D.DataFrame.count
+
+    def spy_count(self):
+        counted_plans.append(
+            self._jdf.queryExecution().optimizedPlan().toString())
+        return orig_count(self)
+
+    e0, *_ = epochs(spark)
+
+    sd_off = str(tmp_path / "state_off")
+    corpus_ingest_init(spark, sd_off)
+    D.DataFrame.count = spy_count
+    try:
+        corpus_ingest_epoch(e0, sd_off, 0)
+    finally:
+        D.DataFrame.count = orig_count
+    assert counted_plans == []      # funnel off: no count jobs, period
+
+    sd_on = str(tmp_path / "state_on")
+    corpus_ingest_init(spark, sd_on)
+    sink: list[dict] = []
+    D.DataFrame.count = spy_count
+    try:
+        corpus_ingest_epoch(e0, sd_on, 0, funnel_sink=sink.append)
+    finally:
+        D.DataFrame.count = orig_count
+    # One count per stage, except semantic REUSES the near-dup count
+    # when no embeddings are passed (no fifth job).
+    assert len(counted_plans) == 4
+    for plan in counted_plans:
+        # A recomputation would re-plan the anti/semi joins (and the
+        # nd_index/shingle store scans) under the count; a snapshot
+        # count is a bare LogicalRDD scan.
+        assert "Join" not in plan, plan
+        assert "Relation" not in plan, plan
+        assert "LogicalRDD" in plan, plan
+    assert sink[0]["survivors"] == 5
+
+
+def test_start_corpus_ingest_rejects_foreign_checkpoint(spark,
+                                                        tmp_path):
+    """`start_corpus_ingest` makes the STRONG lineage contract the
+    default (round 11): checkpoint_dir is threaded into both the
+    checkpointLocation and the lineage token, so a second stream
+    resuming over the same state_dir from a DIFFERENT checkpoint
+    raises EVEN when its epoch does not regress (a fresh checkpoint
+    restarts at epoch 0 == the recorded high-water after one epoch —
+    the exact case the epoch-only check passes silently)."""
+    from pyspark.errors import StreamingQueryException
+
+    e0, e1, _e2, _full = epochs(spark)
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+
+    def read_src(tag):
+        return (spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(str(tmp_path), f"docs_{tag}",
+                                      "batch=*")))
+
+    for tag, batch in (("a", e0), ("b", e1)):
+        batch.coalesce(1).write.parquet(
+            os.path.join(str(tmp_path), f"docs_{tag}", "batch=0"))
+
+    corpus = os.path.join(str(tmp_path), "corpus")
+    q = start_corpus_ingest(read_src("a"), sd, corpus,
+                            os.path.join(str(tmp_path), "ckptA"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Foreign checkpoint, same state_dir: its epoch 0 EQUALS the
+    # recorded high-water (the replay-shaped case), so only the
+    # lineage token catches it — and through the convenience it does.
+    q2 = start_corpus_ingest(read_src("b"), sd, corpus,
+                             os.path.join(str(tmp_path), "ckptB"))
+    try:
+        with pytest.raises(StreamingQueryException, match="lineage"):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # The original checkpoint resumes fine afterwards (pin intact).
+    q3 = start_corpus_ingest(read_src("a"), sd, corpus,
+                             os.path.join(str(tmp_path), "ckptA"))
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    assert {t[0] for t in rows_of(corpus_read(spark, corpus))} \
+        == {1, 2, 4, 5, 6}
+
+    # Decoupling lineage from the checkpoint defeats the point —
+    # refused, use the raw wrapper for that.
+    with pytest.raises(ValueError, match="lineage"):
+        start_corpus_ingest(read_src("a"), sd, corpus,
+                            os.path.join(str(tmp_path), "ckptC"),
+                            lineage="something-else")
+
+
+def test_semantic_seed_over_shared_state_dir_preserves_pin(
+        spark, tmp_path):
+    """Seeding the SEMANTIC axis over a state_dir shared with the
+    composed loop's URL/line/near-dup stores must not erase the
+    state_dir's lineage/high-water pin (round 11, ADVICE): the one
+    meta guards every store riding the stream, and the seed clears
+    only the semantic stores. A standalone semantic dir keeps the
+    seed-resets-lineage behavior (pinned in test_streaming_dedup)."""
+    from lisp_batch_processor_spark.sources.writers import (
+        read_json_file)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        _ingest_lineage_path, semantic_store_seed)
+
+    sd = str(tmp_path / "state")
+    corpus_ingest_init(spark, sd)
+    e0, e1, e2, _full = epochs(spark)
+    corpus_ingest_epoch(e0, sd, 0, lineage="ckptA")
+    corpus_ingest_epoch(e1, sd, 1, lineage="ckptA")
+
+    # Add the semantic axis mid-life (the documented 'seed them first
+    # under the SAME state_dir' setup, arriving late). Seed vec_ids
+    # below the stream's doc ids — min-id representative semantics,
+    # the ingest-ordered-ids convention.
+    semantic_store_seed(
+        spark.createDataFrame([(1, _e(6)), (2, _e(7))],
+                              "vec_id long, embedding array<double>"),
+        sd, k=1)
+    meta = read_json_file(spark, _ingest_lineage_path(sd),
+                          default=None, absent=None)
+    assert meta == {"lineage": "ckptA", "high_water_epoch": 1}
+
+    # The restart-at-0 window stays CLOSED for the stores the seed
+    # did not clear...
+    with pytest.raises(ValueError, match="epoch regression"):
+        corpus_ingest_epoch(e2, sd, 0)
+    with pytest.raises(ValueError, match="lineage"):
+        corpus_ingest_epoch(e2, sd, 2, lineage="ckptB")
+    # ... and the SAME stream continues, semantic stage now active:
+    # doc 34 — the one doc of e2 that survives every other stage (see
+    # test_epoch_concat_equals_batch) — dies as a vector-dup of the
+    # seeded history.
+    emb = spark.createDataFrame(
+        [(34, _e(6, scale=1.001))],   # vector-dup of seed vec 1
+        "doc_id bigint, embedding array<double>")
+    out = {r.doc_id for r in
+           corpus_ingest_epoch(e2, sd, 2, lineage="ckptA",
+                               embeddings=emb).collect()}
+    assert out == set()

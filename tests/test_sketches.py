@@ -879,3 +879,57 @@ def test_sketch_store_epoch_lineage_guard(spark, tmp_path):
         run(0)
     with _pytest.raises(ValueError, match="lineage"):
         run(3, lineage="ckptB")
+
+
+def test_sketch_store_rebuild_adopts_fresh_lineage(spark, tmp_path):
+    """Rebuilding a sketch store in place must not inherit the
+    DELETED store's epoch/lineage pin (round 11, ADVICE): the pin's
+    sidecar lives outside the store dir and survives store deletion.
+    Two rebuild paths work: `sketch_store_init` clears the pin
+    explicitly (the documented entry point), and even a tokenless
+    legacy rebuild is adopted as fresh — a pin with no committed
+    data behind it is phantom history, not a restart-at-0 stream.
+    The pin over LIVE data still raises, and init over live data
+    does not weaken it."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_hist_retrain_epoch,
+        sketch_store_init)
+
+    store = os.path.join(str(tmp_path), "store")
+    b = _drift_batch(spark, 0)
+    splits = quantile_bins_train(b, "v", n_buckets=8)
+
+    def run(eid, lineage=None):
+        return quantile_hist_retrain_epoch(
+            b, store, ["g"], "v", splits, retrain_tvd=0.5,
+            retrain_min_rows=100, epoch_id=eid, lineage=lineage)
+
+    run(0, lineage="ckptA")
+    run(1, lineage="ckptA")
+    # Init over LIVE data leaves the pin alone...
+    sketch_store_init(spark, store)
+    with _pytest.raises(ValueError, match="epoch regression"):
+        run(0, lineage="ckptA")
+
+    # ... but a real rebuild (store + bounds deleted) starts fresh
+    # even tokenless: the stale sidecar is phantom history.
+    shutil.rmtree(store)
+    shutil.rmtree(store + "__bounds")
+    run(0, lineage="ckptB")          # foreign token AND regression: ok
+    run(1, lineage="ckptB")
+    with _pytest.raises(ValueError, match="epoch regression"):
+        run(0)                       # live again: guard re-armed
+
+    # Explicit-init rebuild clears the pin up front too.
+    shutil.rmtree(store)
+    shutil.rmtree(store + "__bounds")
+    sketch_store_init(spark, store)
+    run(0)
+    run(1)
+    with _pytest.raises(ValueError, match="epoch regression"):
+        run(0)

@@ -1450,3 +1450,88 @@ def test_semantic_fast_occupancy_matches_exact(spark, tmp_path):
         tau=0.95)
     assert semantic_cell_occupancy_fast(spark, sd2) is None
     assert semantic_cell_occupancy(spark, sd2)["vectors"] == 2
+
+
+def test_semantic_counts_seed_backfills_adopted_dir(spark, tmp_path):
+    """`semantic_counts_seed` migrates an ADOPTED ledger-less state
+    dir to the O(k) occupancy path up front (round 11): one survivor
+    scan writes the current generation's epoch −1 baseline, the fast
+    signal flips from None to exactly the full scan, later tagged
+    epochs append to the backfilled ledger as to a reseed-written
+    one, and a second call is a no-op (a present ledger is complete
+    by invariant — re-seeding would double the baseline)."""
+    import os
+    import shutil
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy, semantic_cell_occupancy_fast,
+        semantic_counts_seed, semantic_ingest_epoch,
+        semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0)), (2, _axis(1))], schema),
+        sd, k=2)
+    # Simulate the pre-r10 dir: history ran, no ledger survives.
+    semantic_ingest_epoch(
+        spark.createDataFrame([(10, _axis(2)), (11, _axis(3))],
+                              schema), sd, tau=0.95)  # untagged: drops
+    shutil.rmtree(os.path.join(sd, "sem_cellcounts"),
+                  ignore_errors=True)
+    assert semantic_cell_occupancy_fast(spark, sd) is None
+
+    assert semantic_counts_seed(spark, sd) is True
+    full = semantic_cell_occupancy(spark, sd)
+    assert semantic_cell_occupancy_fast(spark, sd) == full
+    assert full["vectors"] == 4
+
+    # No-op on a ledgered dir (idempotent adoption).
+    assert semantic_counts_seed(spark, sd) is False
+    assert semantic_cell_occupancy_fast(spark, sd) == full
+
+    # Tagged epochs append to the backfilled ledger seamlessly —
+    # including a replay, whose duplicate rows collapse.
+    b = spark.createDataFrame([(20, _axis(4)),
+                               (21, _axis(2, scale=1.001))], schema)
+    semantic_ingest_epoch(b, sd, tau=0.95, epoch=7)
+    semantic_ingest_epoch(b, sd, tau=0.95, epoch=7)
+    fast = semantic_cell_occupancy_fast(spark, sd)
+    assert fast == semantic_cell_occupancy(spark, sd)
+    assert fast["vectors"] == 5   # 21 died as a dup of 10
+
+
+def test_line_store_reinit_merges_meta_not_clobbers(spark, tmp_path):
+    """`line_store_init(min_repeat=...)` over a store whose meta
+    already records lineage/high-water must MERGE, not replace
+    (round 11, ADVICE): re-init previously rewrote the sidecar to
+    `{"min_repeat": k}` wholesale, silently erasing the restart-at-0
+    guard. A conflicting threshold raises (the undercount hazard),
+    matching the per-epoch check."""
+    import os
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_init)
+
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines.parquet")
+    line_store_init(spark, store, min_repeat=3)
+    b = lambda i: spark.createDataFrame([(i, f"x{i}\nshared")], schema)
+    line_dedup_ingest_epoch(b(0), store, 0, min_repeat=3,
+                            lineage="ck1")
+    line_dedup_ingest_epoch(b(1), store, 1, min_repeat=3,
+                            lineage="ck1")
+
+    # Re-init at the same threshold: the pin survives the merge.
+    line_store_init(spark, store, min_repeat=3)
+    with pytest.raises(ValueError, match="epoch regression"):
+        line_dedup_ingest_epoch(b(9), store, 0, min_repeat=3)
+    with pytest.raises(ValueError, match="lineage"):
+        line_dedup_ingest_epoch(b(9), store, 2, min_repeat=3,
+                                lineage="ck2")
+    line_dedup_ingest_epoch(b(2), store, 2, min_repeat=3,
+                            lineage="ck1")   # same stream: fine
+
+    # A conflicting threshold is refused outright.
+    with pytest.raises(ValueError, match="min_repeat"):
+        line_store_init(spark, store, min_repeat=2)
