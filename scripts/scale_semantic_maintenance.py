@@ -34,7 +34,8 @@ not the full sweep):
 
 Run:  python scripts/scale_semantic_maintenance.py
       SEM_CORPUS=4000 SEM_EPOCHS=16 SEM_BATCH=500 to override;
-      SEM_SCALES=6000,60000,600000 for experiment 4's survivor sizes.
+      SEM_SCALES=6000,60000,600000,3000000 for experiment 4's
+      survivor sizes.
 """
 
 from __future__ import annotations
@@ -268,7 +269,7 @@ def main() -> None:
     batch_rows = int(os.environ.get("SEM_BATCH", "500"))
     compact_every = int(os.environ.get("SEM_COMPACT_EVERY", "8"))
     scales = [int(s) for s in os.environ.get(
-        "SEM_SCALES", "6000,60000,600000").split(",")]
+        "SEM_SCALES", "6000,60000,600000,3000000").split(",")]
     out_path = os.environ.get("SEM_OUT", "SCALE_SEMANTIC_r11.json")
 
     spark = get_spark("scale-semantic", cpus=8, shuffle_partitions=8)
