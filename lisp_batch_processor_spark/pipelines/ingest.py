@@ -21,8 +21,11 @@ never a corpus re-scan:
 
 The per-epoch work item is `corpus_ingest_epoch`, with
 `streaming_corpus_ingest` as the foreachBatch wrapper that also
-appends each epoch's survivors epoch-tagged to a durable corpus dir,
-and `corpus_ingest_batch` as the equality-pinned batch reference:
+appends each epoch's survivors epoch-tagged to a durable corpus dir
+(`start_corpus_ingest` is the documented way to START it — one
+checkpoint_dir becomes both the checkpointLocation and the lineage
+token, the strong contract by default), and `corpus_ingest_batch`
+as the equality-pinned batch reference:
 with ingest-ordered doc ids, the concatenation of every epoch's
 output EQUALS the batch run over the full corpus (the same
 first-occurrence/min-id argument as the line and near-dup twins,
@@ -822,6 +825,15 @@ def ingest_report(spark: SparkSession, state_dir: str,
         if _sem_counts_data_path(spark, state_dir, gen) is not None:
             targets["sem_cellcounts"] = _sem_counts_path(
                 state_dir, gen)
+            report["sem_occupancy_path"] = "ledger"
+        else:
+            # An adopted pre-ledger dir: the per-epoch reseed trigger
+            # pays a full survivor scan (measured growing 2.5x across
+            # the SCALE_SEMANTIC_r11 survivor decades) until
+            # `streaming.dedup.semantic_counts_seed` backfills the
+            # baseline or the first reseed writes one — worth a
+            # glance in any report.
+            report["sem_occupancy_path"] = "full_scan"
     for name, root in targets.items():
         r_ = root.rstrip("/")
         versioned = store_is_versioned(spark, r_)

@@ -288,6 +288,28 @@ def test_ingest_report_accounts_for_store_state(spark, tmp_path):
     rep2 = ingest_report(spark, sd2)
     assert rep2["url"]["rows"] == 0 and "epochs" not in rep2["url"]
 
+    # With semantic stores present the report names the occupancy
+    # path the reseed trigger would take: "ledger" when the O(k)
+    # cell-count store exists, "full_scan" for an adopted pre-ledger
+    # dir (run semantic_counts_seed) — and flips once backfilled.
+    import shutil
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_counts_seed, semantic_store_seed)
+    semantic_store_seed(
+        spark.createDataFrame([(1, _e(0)), (2, _e(1))],
+                              "vec_id long, embedding array<double>"),
+        sd2, k=1)
+    rep3 = ingest_report(spark, sd2)
+    assert rep3["sem_occupancy_path"] == "ledger"
+    assert "sem_cellcounts" in rep3
+    shutil.rmtree(os.path.join(sd2, "sem_cellcounts"))
+    rep4 = ingest_report(spark, sd2)
+    assert rep4["sem_occupancy_path"] == "full_scan"
+    assert "sem_cellcounts" not in rep4
+    semantic_counts_seed(spark, sd2)
+    assert ingest_report(spark, sd2)["sem_occupancy_path"] == "ledger"
+
 
 @pytest.mark.parametrize("backend", ["swap", "versioned"])
 def test_compact_every_bounds_files_and_preserves_equality(

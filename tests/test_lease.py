@@ -354,14 +354,19 @@ def test_fuzz_epoch_lineage_contract_vs_python_oracle(spark, tmp_path):
     body through its persisted store-scoped form
     (`check_store_epoch_lineage`): random sequences of progressing /
     replayed / regressing epochs, matching / foreign / absent
-    lineage tokens, torn-meta injections, and meta resets, against a
-    pure-python oracle of the documented rules — pass iff the epoch
-    is >= the (surviving) high-water mark AND the token matches or
-    either side is absent; a torn meta forgets everything recorded
-    (fail-open); on every pass the high-water advances and an
-    unrecorded token records."""
+    lineage tokens, torn-meta injections, meta resets, and (round
+    11) store deletions/rebuilds, against a pure-python oracle of
+    the documented rules — pass iff the epoch is >= the (surviving)
+    high-water mark AND the token matches or either side is absent;
+    a torn meta forgets everything recorded (fail-open); on every
+    pass the high-water advances and an unrecorded token records.
+    Round-11 refinement: a violation is only an ERROR while the
+    store has committed data behind the pin — over a deleted store
+    the pin is phantom history and the check ADOPTS the stream as
+    fresh (meta resets to this epoch/token)."""
     import json
     import random
+    import shutil
 
     from lisp_batch_processor_spark.sources.writers import (
         _hidden_sibling, check_store_epoch_lineage)
@@ -370,6 +375,12 @@ def test_fuzz_epoch_lineage_contract_vs_python_oracle(spark, tmp_path):
     store = os.path.join(str(tmp_path), "store")
     meta_file = _hidden_sibling(store, "lineage")
 
+    def write_data():
+        spark.range(1).coalesce(1).write.mode("overwrite") \
+            .parquet(store)
+
+    write_data()
+    has_data = True    # whether committed files back the pin
     hw = None          # the oracle's surviving high-water mark
     rec = None         # the oracle's surviving recorded token
     for step in range(200):
@@ -392,22 +403,35 @@ def test_fuzz_epoch_lineage_contract_vs_python_oracle(spark, tmp_path):
                 os.remove(meta_file)
             hw = rec = None
             continue
+        if roll < 0.16:
+            # Store deleted in place (the sidecar survives): the pin
+            # is now phantom history on the oracle side too.
+            if has_data:
+                shutil.rmtree(store, ignore_errors=True)
+                has_data = False
+            continue
+        if roll < 0.20 and not has_data:
+            # Rebuilt store recommits data under whatever the meta
+            # currently records (the tokenless-rebuild continuation).
+            write_data()
+            has_data = True
+            continue
         e = (hw if hw is not None and rng.random() < 0.3
              else rng.randint(0, 30))
         lineage = rng.choice([None, "ckA", "ckB"])
-        want_pass = ((hw is None or e >= hw)
+        rule_pass = ((hw is None or e >= hw)
                      and (lineage is None or rec is None
                           or lineage == rec))
-        if want_pass:
+        if rule_pass:
             check_store_epoch_lineage(spark, store, e, lineage)
             hw = e if hw is None else max(hw, e)
             if lineage is not None and rec is None:
                 rec = lineage
-            # The persisted meta mirrors the oracle exactly.
-            with open(meta_file) as f:
-                disk = json.load(f)
-            assert disk.get("high_water_epoch") == hw, (step, disk)
-            assert disk.get("lineage") == rec, (step, disk)
+        elif not has_data:
+            # Round 11: phantom pin over a deleted store — the check
+            # adopts this stream as FRESH instead of raising.
+            check_store_epoch_lineage(spark, store, e, lineage)
+            hw, rec = e, lineage
         else:
             with pytest.raises(ValueError,
                                match="epoch regression|lineage"):
@@ -418,3 +442,9 @@ def test_fuzz_epoch_lineage_contract_vs_python_oracle(spark, tmp_path):
                     disk = json.load(f)
                 assert disk.get("high_water_epoch") == hw, (step, disk)
                 assert disk.get("lineage") == rec, (step, disk)
+            continue
+        # The persisted meta mirrors the oracle exactly.
+        with open(meta_file) as f:
+            disk = json.load(f)
+        assert disk.get("high_water_epoch") == hw, (step, disk)
+        assert disk.get("lineage") == rec, (step, disk)
