@@ -208,16 +208,24 @@ def sketch_store_init(spark, store_path: str,
     deleted store's phantom high-water (a pin with no committed data
     behind it is also adopted as fresh automatically, so tokenless
     legacy rebuilds keep working; init just makes the declaration
-    explicit). Init over a store that still HAS committed data leaves
-    the pin alone — re-declaring a backend must not weaken the
-    restart-at-0 guard on live state."""
+    explicit). A rebuild's init also removes any STALE BOUNDS store
+    left by a deleted generational (retraining) store — bounds are a
+    sibling dir that likewise survives store deletion, and a rebuilt
+    stream resuming under phantom generations would reuse their old
+    splits and trained_epoch tags (silently skipping retrains whose
+    epoch ids collide). Init over a store that still HAS committed
+    data leaves BOTH alone — re-declaring a backend must not weaken
+    the restart-at-0 guard or drop live generations."""
     if backend not in ("swap", "versioned"):
         raise ValueError(f"backend must be 'swap' or 'versioned', "
                          f"got {backend!r}")
     from lisp_batch_processor_spark.sources.writers import (
-        _store_has_data_files, store_lineage_reset)
+        _hadoop_fs, _store_has_data_files, store_lineage_reset)
     if not _store_has_data_files(spark, store_path):
         store_lineage_reset(spark, store_path)
+        jvm, fs, _ = _hadoop_fs(spark, store_path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            _bounds_path(store_path)), True)
     if backend == "versioned":
         from lisp_batch_processor_spark.sources.writers import (
             versioned_store_init)

@@ -157,7 +157,11 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
     should itself be deduped (e.g. `corpus_read` output or a batch
     assembly's survivors) — seeding does not dedup it. Seed a FRESH
     store only (the compaction fold assumes one epoch −1 row per
-    key).
+    key) — MACHINE-CHECKED (round 11): seeding over a state_dir
+    whose URL or line store already holds committed rows (a live
+    stream's history, or a previous seed) raises instead of silently
+    double-seeding membership and breaking the fold's
+    one-base-row-per-key assumption. Two limit-1 reads at seed time.
 
     ``embeddings`` (doc_id, embedding — the seed docs' vectors)
     additionally seeds the SEMANTIC stores
@@ -170,11 +174,33 @@ def corpus_ingest_seed(seed_docs: DataFrame, state_dir: str, *,
     from lisp_batch_processor_spark.functions.urls import normalize_url
     from lisp_batch_processor_spark.operators.dedup import (
         banded_signatures, minhash_signatures, shingle_store)
-    from lisp_batch_processor_spark.sources.writers import store_append
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, store_append, store_data_path)
     from lisp_batch_processor_spark.streaming.dedup import (
-        line_digest_keys)
+        _LINE_SCHEMA, line_digest_keys)
 
     p = _paths(state_dir)
+    spark = seed_docs.sparkSession
+    # FRESH-STORE guard: the epoch −1 base rows written below must be
+    # the ONLY base rows (the compaction fold collapses to one row
+    # per key at −1), and seeded membership must not silently stack
+    # on a live stream's history — committed rows in either
+    # epoch-tagged store refuse the seed.
+    for label, root, schema in (("URL", p["url"], _URL_SCHEMA),
+                                ("line", p["line"], _LINE_SCHEMA)):
+        dp = store_data_path(spark, root)
+        if dp is None:
+            continue
+        jvm, fs, _ = _hadoop_fs(spark, dp)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(dp)):
+            continue
+        if spark.read.schema(schema).parquet(dp).head(1):
+            raise ValueError(
+                f"{label} store under {state_dir} already holds "
+                "committed rows (a live stream's history or a "
+                "previous seed); seeding would double membership "
+                "state and break the compaction fold's one-base-"
+                "row-per-key assumption — seed a FRESH state_dir")
     seed = seed_docs.filter(
         F.col("text").isNotNull() & (F.length("text") >= min_chars))
     store_append(seed.select(F.md5(normalize_url("url"))

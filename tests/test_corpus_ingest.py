@@ -716,6 +716,41 @@ def test_seed_with_embeddings_suppresses_semantic_history_dups(
     assert out == {11}
 
 
+def test_seed_over_live_store_is_refused(spark, tmp_path):
+    """`corpus_ingest_seed`'s 'seed a FRESH store only' is an error,
+    not a docstring (round 11): over a state_dir with committed
+    URL/line history — a live stream's epochs, or a previous seed —
+    the seed raises instead of silently double-writing epoch −1 base
+    rows (the compaction fold assumes one base row per key)."""
+    from lisp_batch_processor_spark.pipelines import corpus_ingest_seed
+
+    e0, *_ = epochs(spark)
+    seed = spark.createDataFrame(
+        [(900, "https://seed.example.com/", base_text(900))], SCHEMA)
+
+    # Over live stream history: refused.
+    sd = str(tmp_path / "state_live")
+    corpus_ingest_init(spark, sd)
+    corpus_ingest_epoch(e0, sd, 0)
+    with pytest.raises(ValueError, match="FRESH"):
+        corpus_ingest_seed(seed, sd)
+
+    # Over a previous seed: refused (double-seeding stacks -1 rows).
+    sd2 = str(tmp_path / "state_seeded")
+    corpus_ingest_init(spark, sd2)
+    corpus_ingest_seed(seed, sd2)
+    with pytest.raises(ValueError, match="FRESH"):
+        corpus_ingest_seed(seed, sd2)
+
+    # The fresh path is untouched: seeded history suppresses dups
+    # (the deep pin lives in test_seeded_stores_suppress_history_dups).
+    out = corpus_ingest_epoch(
+        spark.createDataFrame(
+            [(10, "https://seed.example.com/?utm_source=x",
+              base_text(10))], SCHEMA), sd2, 0)
+    assert out.count() == 0   # URL-dup of the seeded doc
+
+
 def test_corpus_ingest_lineage_contract(spark, tmp_path):
     """The composed loop's monotonic-epoch / one-lineage contract is
     machine-checked at the state_dir (round 10): an epoch regression
@@ -836,6 +871,7 @@ def test_fuzz_composed_ingest_semantic_lifecycle(spark, tmp_path,
     corpus = os.path.join(str(tmp_path), "corpus")
     ckpt = os.path.join(str(tmp_path), "ckpt")
     deliveries: list[tuple[int, frozenset, dict]] = []
+    funnels: list[dict] = []
 
     def sink(out, eid):
         deliveries.append((int(eid),
@@ -850,7 +886,8 @@ def test_fuzz_composed_ingest_semantic_lifecycle(spark, tmp_path,
             stream, sd, corpus, embeddings=emb,
             semantic_reseed_max_cell=8,
             semantic_reseed_target_cell=4,
-            lineage=ckpt, sink=sink)
+            lineage=ckpt, sink=sink,
+            funnel_sink=funnels.append)
             .option("checkpointLocation", ckpt).start())
 
     # --- first run, with the injected crash armed --------------------
@@ -940,6 +977,19 @@ def test_fuzz_composed_ingest_semantic_lifecycle(spark, tmp_path,
     # The O(k) ledger signal still mirrors the full scan at the end.
     assert semantic_cell_occupancy_fast(spark, sd) \
         == semantic_cell_occupancy(spark, sd)
+
+    # The funnel rides the same replay contract: every attempt of an
+    # epoch (including the crashed one's replay) delivered IDENTICAL
+    # per-stage counts, and the tail count equals the delivered
+    # survivor set.
+    fun_by_ep: dict[int, list] = {}
+    for f in funnels:
+        fun_by_ep.setdefault(f["epoch"], []).append(f)
+    assert sorted(fun_by_ep) == [0, 1, 2, 3]
+    assert len(fun_by_ep[2]) >= 2          # crashed epoch replayed
+    for e, fs_ in fun_by_ep.items():
+        assert all(f == fs_[0] for f in fs_), (e, fs_)
+        assert fs_[0]["survivors"] == len(by_epoch[e][-1][0])
 
 
 def test_ingest_funnel_counters_match_planted_artifacts(

@@ -925,10 +925,13 @@ def test_sketch_store_rebuild_adopts_fresh_lineage(spark, tmp_path):
     with _pytest.raises(ValueError, match="epoch regression"):
         run(0)                       # live again: guard re-armed
 
-    # Explicit-init rebuild clears the pin up front too.
+    # Explicit-init rebuild clears the pin AND the stale bounds
+    # sibling up front (phantom generations would otherwise reuse
+    # old splits and trained_epoch tags) — only the store dir itself
+    # needs deleting.
     shutil.rmtree(store)
-    shutil.rmtree(store + "__bounds")
     sketch_store_init(spark, store)
+    assert not os.path.exists(store + "__bounds")
     run(0)
     run(1)
     with _pytest.raises(ValueError, match="epoch regression"):
