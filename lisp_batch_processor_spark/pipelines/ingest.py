@@ -682,21 +682,20 @@ def start_corpus_ingest(stream_docs: DataFrame, state_dir: str,
     Prefer this over hand-wiring the writer; the raw wrapper stays
     public for callers composing their own writer options, who then
     own passing ``lineage=`` themselves (the weaker, epoch-only
-    contract otherwise)."""
+    contract otherwise). Delegates to the loop-agnostic
+    `streaming.dedup.start_ingest_stream` — the same one-value
+    threading serves the standalone line/semantic twins."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        start_ingest_stream)
     if "lineage" in knobs:
         raise ValueError(
             "start_corpus_ingest derives lineage from checkpoint_dir "
             "(that is its point); do not pass lineage separately — "
             "use streaming_corpus_ingest directly to decouple them")
-    writer = streaming_corpus_ingest(
-        stream_docs, state_dir, corpus_path,
-        lineage=str(checkpoint_dir), **knobs)
-    writer = writer.option("checkpointLocation", str(checkpoint_dir))
-    if query_name is not None:
-        writer = writer.queryName(query_name)
-    if trigger is not None:
-        writer = writer.trigger(**trigger)
-    return writer.start()
+    return start_ingest_stream(
+        streaming_corpus_ingest, stream_docs, state_dir, corpus_path,
+        checkpoint_dir=checkpoint_dir, query_name=query_name,
+        trigger=trigger, **knobs)
 
 
 def corpus_read(spark: SparkSession, corpus_path: str) -> DataFrame:

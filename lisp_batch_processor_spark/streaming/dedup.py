@@ -245,6 +245,43 @@ def ingest_lineage_reset(spark, state_dir: str) -> None:
         _ingest_lineage_path(state_dir)), False)
 
 
+def start_ingest_stream(writer_fn, *args, checkpoint_dir: str,
+                        query_name: str | None = None,
+                        trigger: dict | None = None, **knobs):
+    """Start ANY lineage-bearing streaming ingest loop with the
+    STRONG monotonic-epoch / one-lineage contract by default: ONE
+    ``checkpoint_dir`` is threaded into both the wrapper's
+    ``lineage=`` token and the writer's ``checkpointLocation``
+    option, so a second stream resuming over the same persisted
+    state from a foreign checkpoint raises even when its epoch ids
+    do not regress — the case the epoch-only check passes silently
+    (a fresh checkpoint restarting at an epoch equal to the recorded
+    high-water looks exactly like a replay).
+
+    ``writer_fn(*args, lineage=..., **knobs)`` must return a
+    `DataStreamWriter` — `streaming_line_dedup_ingest` and
+    `streaming_semantic_ingest` here, and
+    `pipelines.ingest.streaming_corpus_ingest` (whose
+    `start_corpus_ingest` convenience delegates to this) all
+    qualify. ``trigger`` (e.g. ``{"availableNow": True}``) and
+    ``query_name`` forward to the writer. Returns the STARTED
+    `StreamingQuery`. The raw wrappers stay public for callers
+    composing their own writer options, who then own ``lineage=``
+    themselves (the weaker, epoch-only contract otherwise)."""
+    if "lineage" in knobs:
+        raise ValueError(
+            "start_ingest_stream derives lineage from checkpoint_dir "
+            "(that is its point); do not pass lineage separately — "
+            "call the wrapper directly to decouple them")
+    writer = writer_fn(*args, lineage=str(checkpoint_dir), **knobs)
+    writer = writer.option("checkpointLocation", str(checkpoint_dir))
+    if query_name is not None:
+        writer = writer.queryName(query_name)
+    if trigger is not None:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 _LINE_SCHEMA = "line_key string, epoch_id long, n long"
 
 

@@ -1501,6 +1501,70 @@ def test_semantic_counts_seed_backfills_adopted_dir(spark, tmp_path):
     assert fast["vectors"] == 5   # 21 died as a dup of 10
 
 
+def test_start_ingest_stream_rejects_foreign_checkpoint(spark,
+                                                        tmp_path):
+    """The loop-agnostic starter gives the STANDALONE twins the same
+    strong default `start_corpus_ingest` gives the composed loop
+    (round 11): one checkpoint_dir becomes both checkpointLocation
+    and the lineage token, so a foreign checkpoint resuming over the
+    same state raises even at the replay-shaped epoch the epoch-only
+    check passes silently."""
+    from pyspark.errors import StreamingQueryException
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_store_seed, start_ingest_stream,
+        streaming_semantic_ingest)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0))], schema), sd, k=1)
+
+    def write_src(tag, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.parquet(os.path.join(str(tmp_path), f"emb_{tag}",
+                                     "b=0")))
+
+    def read_src(tag):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(str(tmp_path), f"emb_{tag}",
+                                      "b=*")))
+
+    write_src("a", [(10, _axis(1))])
+    write_src("b", [(20, _axis(2))])
+    got: list[tuple[int, int]] = []
+    q = start_ingest_stream(
+        streaming_semantic_ingest, read_src("a"), sd,
+        lambda out, eid: got.append((int(eid), out.count())),
+        checkpoint_dir=os.path.join(str(tmp_path), "ckptA"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == [(0, 1)]
+
+    # Foreign checkpoint at epoch 0 == high-water: only the threaded
+    # lineage token catches it.
+    q2 = start_ingest_stream(
+        streaming_semantic_ingest, read_src("b"), sd,
+        lambda out, eid: None,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckptB"))
+    try:
+        with pytest.raises(StreamingQueryException, match="lineage"):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # Decoupling lineage from the checkpoint is refused.
+    with pytest.raises(ValueError, match="lineage"):
+        start_ingest_stream(
+            streaming_semantic_ingest, read_src("a"), sd,
+            lambda out, eid: None,
+            checkpoint_dir=os.path.join(str(tmp_path), "ckptC"),
+            lineage="something-else")
+
+
 def test_line_store_reinit_merges_meta_not_clobbers(spark, tmp_path):
     """`line_store_init(min_repeat=...)` over a store whose meta
     already records lineage/high-water must MERGE, not replace
