@@ -245,6 +245,25 @@ def ingest_lineage_reset(spark, state_dir: str) -> None:
         _ingest_lineage_path(state_dir)), False)
 
 
+def _lineage_token(checkpoint_dir: str) -> str:
+    """Canonicalize a checkpoint location into the lineage token
+    `start_ingest_stream` records, so the SAME physical checkpoint
+    respelled across restarts — trailing slash, ``file://`` URI,
+    relative vs absolute local path — does not read as a foreign
+    lineage and fail a legitimate resume (Spark resolves all those
+    spellings to one checkpointLocation; the recorded token must
+    too). Local/file paths normalize to an absolute POSIX path;
+    other schemes (hdfs://, s3a://, ...) keep their URI minus any
+    trailing slash."""
+    import os as _os
+    from urllib.parse import urlparse
+    s = str(checkpoint_dir).rstrip("/") or "/"
+    u = urlparse(s)
+    if u.scheme in ("", "file"):
+        return _os.path.abspath(u.path if u.scheme == "file" else s)
+    return s
+
+
 def start_ingest_stream(writer_fn, *args, checkpoint_dir: str,
                         query_name: str | None = None,
                         trigger: dict | None = None, **knobs):
@@ -273,7 +292,8 @@ def start_ingest_stream(writer_fn, *args, checkpoint_dir: str,
             "start_ingest_stream derives lineage from checkpoint_dir "
             "(that is its point); do not pass lineage separately — "
             "call the wrapper directly to decouple them")
-    writer = writer_fn(*args, lineage=str(checkpoint_dir), **knobs)
+    writer = writer_fn(*args, lineage=_lineage_token(checkpoint_dir),
+                       **knobs)
     writer = writer.option("checkpointLocation", str(checkpoint_dir))
     if query_name is not None:
         writer = writer.queryName(query_name)
@@ -322,7 +342,20 @@ def _line_check_meta(spark, line_store_path: str, min_repeat: int,
     is auditable; raising instead would break the legitimate
     same-k upgrade path. Stores needing a threshold change should
     be rebuilt (re-seeded) either way. The high-water epoch adopts
-    at this epoch for the same reason."""
+    at this epoch for the same reason.
+
+    STALE-META ADOPTION (round 11, the sketch stores' rule): the
+    meta sidecar lives OUTSIDE the store dir and survives store
+    deletion, so a violation against a store with NO committed rows
+    is phantom history from a deleted store, not a live-store
+    hazard — the meta resets and this epoch adopts as fresh (the
+    row probe is paid only on the would-raise path; steady state
+    stays one JSON get). For a THRESHOLD conflict the adoption
+    additionally requires recorded epoch history
+    (``high_water_epoch``): a rowless meta WITHOUT it is a
+    deliberate `line_store_init(min_repeat=)` pin on a
+    not-yet-written store, which must keep raising — only init
+    itself may re-pin an empty store."""
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.sources.writers import (
@@ -330,6 +363,15 @@ def _line_check_meta(spark, line_store_path: str, min_repeat: int,
     mp = _line_meta_path(line_store_path)
     meta = read_json_file(spark, mp, default=None, absent=None)
     changed = False
+
+    def _rowless() -> bool:
+        return not _line_store_has_rows(spark, line_store_path)
+
+    if (isinstance(meta, dict) and "min_repeat" in meta
+            and int(meta["min_repeat"]) != int(min_repeat)
+            and "high_water_epoch" in meta and _rowless()):
+        meta = {}   # phantom pin from a deleted store: adopt fresh
+        changed = True
     if not isinstance(meta, dict) or "min_repeat" not in meta:
         meta = meta if isinstance(meta, dict) else {}
         meta["min_repeat"] = int(min_repeat)
@@ -349,10 +391,36 @@ def _line_check_meta(spark, line_store_path: str, min_repeat: int,
             "saturate at the threshold they were recorded under, so "
             "mixing thresholds silently undercounts — use one "
             "min_repeat per store (seed a new store to change it)")
-    changed |= _check_epoch_lineage(
-        meta, epoch_id, lineage, f"line store at {line_store_path}")
+    try:
+        changed |= _check_epoch_lineage(
+            meta, epoch_id, lineage, f"line store at {line_store_path}")
+    except ValueError:
+        if not _rowless():
+            raise
+        keep = {"min_repeat": meta["min_repeat"]}
+        meta = keep   # phantom epoch/lineage pin: adopt fresh
+        _check_epoch_lineage(meta, epoch_id, lineage,
+                             f"line store at {line_store_path}")
+        changed = True
     if changed:
         write_json_file(spark, mp, meta)
+
+
+def _line_store_has_rows(spark, line_store_path: str) -> bool:
+    """Whether any committed row backs the line store's meta pin —
+    the 'is this pin guarding anything real' probe behind the
+    stale-meta adoption above (a deleted store's surviving sidecar
+    must not brick the rebuild)."""
+    try:
+        dp = _line_store_data_path(spark, line_store_path)
+    except ValueError:
+        return False
+    from pyspark.errors import AnalysisException
+    try:
+        return bool(spark.read.schema(_LINE_SCHEMA).parquet(dp)
+                    .head(1))
+    except AnalysisException:
+        return False
 
 
 def line_store_init(spark, line_store_path: str,
@@ -405,13 +473,20 @@ def line_store_init(spark, line_store_path: str,
         meta = meta if isinstance(meta, dict) else {}
         if ("min_repeat" in meta
                 and int(meta["min_repeat"]) != int(min_repeat)):
-            raise ValueError(
-                f"line store at {line_store_path} was built with "
-                f"min_repeat={int(meta['min_repeat'])} but re-init "
-                f"passed min_repeat={min_repeat}: occurrence counts "
-                "saturate at the threshold they were recorded under, "
-                "so mixing thresholds silently undercounts — seed a "
-                "new store to change it")
+            if _line_store_has_rows(spark, line_store_path):
+                raise ValueError(
+                    f"line store at {line_store_path} was built with "
+                    f"min_repeat={int(meta['min_repeat'])} but "
+                    f"re-init passed min_repeat={min_repeat}: "
+                    "occurrence counts saturate at the threshold "
+                    "they were recorded under, so mixing thresholds "
+                    "silently undercounts — seed a new store to "
+                    "change it")
+            # Rowless store behind the meta: the sidecar outlived a
+            # deleted store (it lives outside the dir) — a REBUILD
+            # may pick any threshold, and its phantom epoch/lineage
+            # pin resets with it (the sketch stores' init rule).
+            meta = {}
         meta["min_repeat"] = int(min_repeat)
         write_json_file(spark, mp, meta)
 
@@ -825,6 +900,47 @@ def _sem_counts_data_path(spark, sd: str, gen: int) -> str | None:
     return dp
 
 
+def _sem_counts_meta_path(sd: str, gen: int) -> str:
+    """The counts store's hidden meta sidecar — carries the BACKFILL
+    HORIZON `semantic_counts_seed` records (see `_sem_counts_frame`).
+    Absent for seed/reseed-written ledgers, which need none."""
+    from lisp_batch_processor_spark.sources.writers import (
+        _hidden_sibling)
+    return _hidden_sibling(_sem_counts_path(sd, gen), "meta")
+
+
+def _sem_counts_frame(spark, sd: str, gen: int):
+    """The ledger's committed rows with replay duplicates collapsed
+    AND any backfill horizon applied — the ONE read both
+    `semantic_cell_occupancy_fast` and the compact fold go through.
+    `semantic_counts_seed` builds its epoch −1 baseline from the
+    vector store as of high-water epoch H, so a checkpoint REPLAY of
+    an epoch <= H (the crashed-before-commit epoch whose vectors the
+    baseline already counted) appends tagged rows the (cell, epoch)
+    dedup cannot collapse — without the horizon they would double-
+    count in the fast signal. Rows tagged in (−1, H] are therefore
+    excluded when the sidecar records H; a reseed-written baseline
+    needs no horizon (the generation bump isolates it — the replayed
+    trigger epoch re-runs under the PREVIOUS generation's ledger).
+    Returns None when the ledger is absent."""
+    from pyspark.sql import functions as F
+
+    from lisp_batch_processor_spark.sources.writers import (
+        read_json_file)
+    dp = _sem_counts_data_path(spark, sd, gen)
+    if dp is None:
+        return None
+    df = (spark.read.schema(_SEM_COUNTS_SCHEMA).parquet(dp)
+          .dropDuplicates(["cell", "epoch_id"]))
+    meta = read_json_file(spark, _sem_counts_meta_path(sd, gen),
+                          default=None, absent=None)
+    if isinstance(meta, dict) and "baseline_through_epoch" in meta:
+        h = int(meta["baseline_through_epoch"])
+        df = df.filter((F.col("epoch_id") == -1)
+                       | (F.col("epoch_id") > F.lit(h)))
+    return df
+
+
 def _sem_counts_append(celled_survivors, cc_path: str,
                        epoch_id: int) -> None:
     """Append one epoch's (cell, epoch, n) occupancy rows — a k-row
@@ -888,7 +1004,13 @@ def _foreign_ingest_stores_present(spark, sd: str) -> bool:
     child DIRECTORY whose name is not ``sem_*`` counts (markers and
     meta are files; leases/staging/backups are dot- or
     underscore-prefixed). One driver-side listing, paid only at seed
-    time."""
+    time. Consequence of erring on the safe side: any unrelated
+    visible dir parked inside a STANDALONE semantic state_dir (a
+    checkpoint dir, scratch output) makes it look shared and the
+    seed then PRESERVES the lineage pin — keep checkpoints outside
+    the state_dir (every documented layout does), or clear the pin
+    explicitly with `ingest_lineage_reset` when a re-seed really
+    does restart the stream."""
     from lisp_batch_processor_spark.sources.writers import _hadoop_fs
     jvm, fs, _ = _hadoop_fs(spark, sd)
     jsd = jvm.org.apache.hadoop.fs.Path(sd.rstrip("/"))
@@ -968,8 +1090,10 @@ def semantic_store_seed(seed_emb, state_dir: str, *,
     # in the same dir: store_append below APPENDS, so leftovers would
     # silently MIX two seeds' vectors and ledger baselines (both
     # membership and the occupancy signal would be corrupt). A seed
-    # is a declared fresh start; make it one.
-    for pth in (cent_path, vec_path, cc_path):
+    # is a declared fresh start; make it one. The ledger's backfill-
+    # horizon sidecar goes too — it described the deleted ledger.
+    for pth in (cent_path, vec_path, cc_path,
+                _sem_counts_meta_path(sd, 0)):
         fs.delete(jvm.org.apache.hadoop.fs.Path(pth), True)
     if backend == "versioned":
         versioned_store_init(spark, cent_path)
@@ -1147,22 +1271,25 @@ def semantic_store_compact(spark, state_dir: str,
                                   target_file_bytes=target_file_bytes),
         "cellcount_epochs_folded": 0,
     }
-    cc_dp = _sem_counts_data_path(spark, state_dir, gen)
-    if cc_dp is not None:
-        df = spark.read.schema(_SEM_COUNTS_SCHEMA).parquet(cc_dp)
+    # The fold consumes the SAME filtered frame the fast signal
+    # reads (`_sem_counts_frame`: replay dedup + any backfill
+    # horizon), so a replayed-epoch re-append behind a
+    # `semantic_counts_seed` horizon is dropped from the rewrite
+    # rather than summed into the base.
+    df = _sem_counts_frame(spark, state_dir, gen)
+    if df is not None:
+        cc_dp = _sem_counts_data_path(spark, state_dir, gen)
         epochs = sorted(r[0] for r in
                         df.select("epoch_id").distinct().collect())
         foldable = [e for e in epochs if e not in set(epochs[-1:])]
         if len(foldable) >= 2:
             base = (df.filter(F.col("epoch_id").isin(foldable))
-                    .dropDuplicates(["cell", "epoch_id"])
                     .groupBy("cell")
                     .agg(F.sum("n").cast("long").alias("n"))
                     .withColumn("epoch_id", F.lit(-1).cast("long"))
                     .select("cell", "epoch_id", "n"))
             folded = base.unionByName(
-                df.filter(~F.col("epoch_id").isin(foldable))
-                  .dropDuplicates(["cell", "epoch_id"]))
+                df.filter(~F.col("epoch_id").isin(foldable)))
             cc_root = _sem_counts_path(state_dir, gen)
             jvm, fs, _ = _hadoop_fs(spark, cc_root)
             size = fs.getContentSummary(
@@ -1246,11 +1373,10 @@ def semantic_cell_occupancy_fast(spark, state_dir: str) -> dict | None:
     from lisp_batch_processor_spark.sources.writers import (
         store_data_path)
     gen = semantic_current_gen(spark, state_dir)
-    dp = _sem_counts_data_path(spark, state_dir, gen["gen"])
-    if dp is None:
+    df = _sem_counts_frame(spark, state_dir, gen["gen"])
+    if df is None:
         return None
-    occ = (spark.read.schema(_SEM_COUNTS_SCHEMA).parquet(dp)
-           .dropDuplicates(["cell", "epoch_id"])
+    occ = (df
            .groupBy("cell")
            .agg(F.sum("n").alias("n"))
            .agg(F.count(F.lit(1)).alias("occ"),
@@ -1285,11 +1411,24 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
     distinct vec_id, matching the full scan. Single-writer window
     required (run it between epochs, where the maintenance folds
     run); subsequent ``epoch=``-tagged epochs append to the backfilled
-    ledger exactly as to a reseed-written one."""
+    ledger exactly as to a reseed-written one.
+
+    REPLAY-SAFE VIA A HORIZON: the baseline counts the vector store
+    as of NOW — which includes the vectors of a crashed-before-
+    commit epoch whose checkpoint REPLAY will re-run and append its
+    own tagged ledger rows (new rows: the ledger did not exist when
+    the epoch first ran, so the (cell, epoch) dedup cannot collapse
+    them). The backfill therefore records the state_dir's recorded
+    high-water epoch H as ``baseline_through_epoch`` in the ledger's
+    meta sidecar, and every ledger read (`_sem_counts_frame`)
+    excludes tagged rows <= H — monotonic epochs guarantee all
+    POST-backfill epochs tag > H, so only the replay's double-count
+    window is masked."""
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.sources.writers import (
-        store_data_path, store_is_versioned, versioned_store_init)
+        read_json_file, store_data_path, store_is_versioned,
+        versioned_store_init, write_json_file)
     sd = state_dir.rstrip("/")
     gen = semantic_current_gen(spark, sd)["gen"]
     if _sem_counts_data_path(spark, sd, gen) is not None:
@@ -1302,10 +1441,17 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
     cc_path = _sem_counts_path(sd, gen)
     if store_is_versioned(spark, vec_path):
         versioned_store_init(spark, cc_path)
+    lin = read_json_file(spark, _ingest_lineage_path(sd),
+                         default=None, absent=None)
+    horizon = (int(lin["high_water_epoch"])
+               if isinstance(lin, dict)
+               and lin.get("high_water_epoch") is not None else -1)
     survivors = (spark.read.parquet(vec_dp)
                  .select("vec_id", "cell")
                  .dropDuplicates(["vec_id"]))
     _sem_counts_append(survivors, cc_path, -1)
+    write_json_file(spark, _sem_counts_meta_path(sd, gen),
+                    {"baseline_through_epoch": horizon})
     return True
 
 
@@ -1392,6 +1538,11 @@ def semantic_reseed(spark, state_dir: str, *,
         fs.delete(jvm.org.apache.hadoop.fs.Path(pth), True)
         if versioned:
             versioned_store_init(spark, pth)
+    # The new generation's ledger is reseed-written (complete by
+    # construction, isolated by the generation bump) — no backfill
+    # horizon applies; clear any stale sidecar from a crashed attempt.
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        _sem_counts_meta_path(sd, new_g)), False)
     store_append(
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -1417,13 +1568,16 @@ def semantic_reseed(spark, state_dir: str, *,
     write_json_file(spark, _sem_gen_marker(sd, new_g),
                     {"gen": new_g, "k": len(cents),
                      "epoch": None if epoch is None else int(epoch)})
-    # Vacuum generations older than the PREVIOUS one — stores AND
-    # markers (the legacy single-file marker is superseded too).
+    # Vacuum generations older than the PREVIOUS one — stores,
+    # markers (the legacy single-file marker is superseded too), and
+    # any backfill-horizon sidecar of the vacuumed ledger.
     for og in range(0, g):
         for pth in (*_sem_paths(sd, og), _sem_counts_path(sd, og)):
             fs.delete(jvm.org.apache.hadoop.fs.Path(pth), True)
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             _sem_gen_marker(sd, og)), False)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            _sem_counts_meta_path(sd, og)), False)
     fs.delete(jvm.org.apache.hadoop.fs.Path(
         f"{sd}/{_SEM_GEN_FILE}"), False)
     return new_g

@@ -1123,9 +1123,12 @@ def test_start_corpus_ingest_rejects_foreign_checkpoint(spark,
     finally:
         q2.stop()
 
-    # The original checkpoint resumes fine afterwards (pin intact).
+    # The original checkpoint resumes fine afterwards (pin intact) —
+    # even RESPELLED (trailing slash): the recorded token is the
+    # canonical path, not the raw string.
     q3 = start_corpus_ingest(read_src("a"), sd, corpus,
-                             os.path.join(str(tmp_path), "ckptA"))
+                             os.path.join(str(tmp_path), "ckptA")
+                             + "/")
     try:
         q3.processAllAvailable()
     finally:

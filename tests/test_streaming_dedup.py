@@ -1501,6 +1501,63 @@ def test_semantic_counts_seed_backfills_adopted_dir(spark, tmp_path):
     assert fast["vectors"] == 5   # 21 died as a dup of 10
 
 
+def test_counts_seed_backfill_is_replay_safe(spark, tmp_path):
+    """The backfill's crash window (round 11): an epoch whose
+    vector-store append committed but whose checkpoint did NOT is
+    already counted in a between-restarts backfill baseline — its
+    REPLAY then appends tagged ledger rows the (cell, epoch) dedup
+    cannot collapse. The recorded ``baseline_through_epoch`` horizon
+    masks exactly that window: fast == full through the replay,
+    through later epochs, and through a compaction fold."""
+    import os
+    import shutil
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy, semantic_cell_occupancy_fast,
+        semantic_counts_seed, semantic_ingest_epoch,
+        semantic_store_compact, semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0)), (2, _axis(1))], schema),
+        sd, k=2)
+    shutil.rmtree(os.path.join(sd, "sem_cellcounts"))  # adopted dir
+
+    # Epoch 9 commits its vectors, then "crashes" before the
+    # checkpoint commit (no ledger existed, so it ledgered nothing).
+    b9 = spark.createDataFrame([(30, _axis(5)), (31, _axis(6))],
+                               schema)
+    semantic_ingest_epoch(b9, sd, tau=0.95, epoch=9)
+
+    # Operator backfills between restarts: baseline includes epoch
+    # 9's survivors; the horizon records high-water 9.
+    assert semantic_counts_seed(spark, sd) is True
+    full = semantic_cell_occupancy(spark, sd)
+    assert semantic_cell_occupancy_fast(spark, sd) == full
+    assert full["vectors"] == 4
+
+    # The restarted stream REPLAYS epoch 9 — now the ledger exists,
+    # so the replay appends (cell, 9, n) rows; the horizon keeps the
+    # fast signal exact instead of double-counting.
+    semantic_ingest_epoch(b9, sd, tau=0.95, epoch=9)
+    assert semantic_cell_occupancy_fast(spark, sd) \
+        == semantic_cell_occupancy(spark, sd)
+
+    # Progress past the horizon counts normally...
+    semantic_ingest_epoch(
+        spark.createDataFrame([(40, _axis(7))], schema), sd,
+        tau=0.95, epoch=10)
+    fast = semantic_cell_occupancy_fast(spark, sd)
+    assert fast == semantic_cell_occupancy(spark, sd)
+    assert fast["vectors"] == 5
+    # ... and the compaction fold consumes the same filtered frame,
+    # so the replay rows never fold into the base either.
+    semantic_store_compact(spark, sd)
+    assert semantic_cell_occupancy_fast(spark, sd) \
+        == semantic_cell_occupancy(spark, sd)
+
+
 def test_start_ingest_stream_rejects_foreign_checkpoint(spark,
                                                         tmp_path):
     """The loop-agnostic starter gives the STANDALONE twins the same
@@ -1565,6 +1622,28 @@ def test_start_ingest_stream_rejects_foreign_checkpoint(spark,
             lineage="something-else")
 
 
+def test_lineage_token_canonicalizes_checkpoint_spellings():
+    """The recorded lineage token must be spelling-independent
+    (round 11): Spark resolves '/a/b', '/a/b/', and 'file:///a/b'
+    to the SAME checkpointLocation, so a resume respelling the path
+    must not read as a foreign lineage. Non-file schemes keep their
+    URI minus any trailing slash."""
+    from lisp_batch_processor_spark.streaming.dedup import (
+        _lineage_token)
+
+    assert _lineage_token("/a/b") == "/a/b"
+    assert _lineage_token("/a/b/") == "/a/b"
+    assert _lineage_token("file:///a/b") == "/a/b"
+    assert _lineage_token("file:///a/b/") == "/a/b"
+    assert _lineage_token("hdfs://nn:8020/a/b/") == "hdfs://nn:8020/a/b"
+    assert _lineage_token("s3a://bucket/ckpt") == "s3a://bucket/ckpt"
+    # Relative spellings resolve against the cwd, like Spark's own
+    # checkpoint resolution of a schemeless relative path.
+    import os
+    assert _lineage_token("rel/ckpt") \
+        == os.path.abspath("rel/ckpt")
+
+
 def test_line_store_reinit_merges_meta_not_clobbers(spark, tmp_path):
     """`line_store_init(min_repeat=...)` over a store whose meta
     already records lineage/high-water must MERGE, not replace
@@ -1599,3 +1678,53 @@ def test_line_store_reinit_merges_meta_not_clobbers(spark, tmp_path):
     # A conflicting threshold is refused outright.
     with pytest.raises(ValueError, match="min_repeat"):
         line_store_init(spark, store, min_repeat=2)
+
+
+def test_line_store_rebuild_adopts_fresh_meta(spark, tmp_path):
+    """Deleting a line store must not brick its rebuild (round 11,
+    the sketch stores' stale-sidecar rule brought to the line
+    store): the meta sidecar lives outside the store dir and
+    survives deletion, so a threshold conflict or an epoch/lineage
+    violation against a store with NO committed rows adopts as
+    fresh instead of raising on phantom history — while a live
+    store's guard stays armed."""
+    import os
+    import shutil
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_init)
+
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines.parquet")
+    b = lambda i: spark.createDataFrame([(i, f"x{i}\nshared")], schema)
+
+    line_store_init(spark, store, min_repeat=3)
+    line_dedup_ingest_epoch(b(0), store, 0, min_repeat=3,
+                            lineage="ck1")
+    line_dedup_ingest_epoch(b(1), store, 1, min_repeat=3,
+                            lineage="ck1")
+
+    # Rebuild at a NEW threshold: init over the rowless path adopts
+    # (old meta recorded min_repeat=3, hw=1, lineage ck1 — all
+    # phantom now).
+    shutil.rmtree(store)
+    line_store_init(spark, store, min_repeat=2)
+    line_dedup_ingest_epoch(b(0), store, 0, min_repeat=2,
+                            lineage="ck2")
+    line_dedup_ingest_epoch(b(1), store, 1, min_repeat=2,
+                            lineage="ck2")
+    with pytest.raises(ValueError, match="epoch regression"):
+        line_dedup_ingest_epoch(b(9), store, 0, min_repeat=2)
+
+    # Rebuild where the CONFLICT only surfaces at epoch time (init
+    # without a threshold): the rowless store adopts the new
+    # threshold and lineage in one step.
+    shutil.rmtree(store)
+    line_store_init(spark, store)
+    out = {r.doc_id: r.text
+           for r in line_dedup_ingest_epoch(
+               b(5), store, 0, min_repeat=3,
+               lineage="ck3").collect()}
+    assert out == {5: "x5\nshared"}   # fresh store: nothing stripped
+    with pytest.raises(ValueError, match="min_repeat"):
+        line_dedup_ingest_epoch(b(6), store, 1, min_repeat=2)  # live
