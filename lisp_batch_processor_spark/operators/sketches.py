@@ -380,12 +380,23 @@ def quantile_hist_retrain_epoch(batch_df: DataFrame, store_path: str,
     epoch regression or a foreign ``lineage`` token raises instead.
     """
     from lisp_batch_processor_spark.sources.writers import (
-        check_store_epoch_lineage, store_append, store_data_path,
-        store_is_versioned)
+        _hadoop_fs, check_store_epoch_lineage, store_append,
+        store_data_path, store_is_versioned)
 
     spark = batch_df.sparkSession
     e = int(epoch_id)
-    check_store_epoch_lineage(spark, store_path, e, lineage)
+    if check_store_epoch_lineage(spark, store_path, e, lineage):
+        # The lineage pin adopted this stream as fresh over a DATALESS
+        # count store — a rebuild after store deletion. The sibling
+        # bounds store survives deletion exactly like the pin's
+        # sidecar, and resuming under its phantom generations would
+        # reuse the deleted store's splits and trained_epoch tags (a
+        # new epoch colliding with a stale tag silently skips its
+        # retrain) — clear it in the same step, as `sketch_store_init`
+        # does on the declared-rebuild path (round 12, ADVICE).
+        jvm, fs, _ = _hadoop_fs(spark, store_path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            _bounds_path(store_path)), True)
     gens = quantile_bounds_read(spark, store_path)
     if not gens:
         # Legacy-layout guard at ENABLE time (no bounds yet — once a

@@ -89,6 +89,34 @@ def read_json_file(spark: SparkSession, path: str,
         return default
 
 
+# Interchangeable object-store scheme spellings addressing the SAME
+# physical location: Hadoop's s3/s3a/s3n connectors all resolve
+# s3*://bucket/key to one S3 object space, and gs/gcs both name Google
+# Cloud Storage. wasb/abfs address DIFFERENT services and are not
+# aliased. Used by the lineage comparison below and by
+# `streaming.dedup._lineage_token` so a resume respelling only the
+# scheme never reads as a foreign lineage (round 12).
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3", "gcs": "gs"}
+
+
+def _lineage_canon(token: str) -> str:
+    """Scheme-alias-insensitive form of a lineage token for EQUALITY
+    comparison: URI spellings map scheme aliases to one canonical
+    scheme and drop a trailing slash; anything else (opaque tokens,
+    local paths — already canonicalized at token-generation time)
+    compares as itself. Comparison-side canonicalization, not just
+    token-generation-side, so a token RECORDED before the alias map
+    existed (e.g. ``s3a://b/ckpt``) still matches the same location's
+    new canonical spelling instead of falsely raising on upgrade."""
+    from urllib.parse import urlparse
+    t = str(token).rstrip("/") or str(token)
+    u = urlparse(t)
+    if u.scheme in ("", "file") or not u.netloc:
+        return t
+    sch = _SCHEME_ALIASES.get(u.scheme.lower(), u.scheme.lower())
+    return f"{sch}://{u.netloc}{u.path}"
+
+
 def _check_epoch_lineage(meta: dict, epoch_id: int,
                          lineage: str | None, what: str) -> bool:
     """Enforce the monotonic-epoch / one-lineage contract against
@@ -110,7 +138,7 @@ def _check_epoch_lineage(meta: dict, epoch_id: int,
         if rec is None:
             meta["lineage"] = str(lineage)
             changed = True
-        elif str(rec) != str(lineage):
+        elif _lineage_canon(rec) != _lineage_canon(lineage):
             raise ValueError(
                 f"{what} belongs to stream lineage {rec!r} but this "
                 f"epoch was tagged lineage {lineage!r}: one stream "
@@ -136,7 +164,7 @@ def _check_epoch_lineage(meta: dict, epoch_id: int,
 
 def check_store_epoch_lineage(spark: SparkSession, store_root: str,
                               epoch_id: int,
-                              lineage: str | None = None) -> None:
+                              lineage: str | None = None) -> bool:
     """The STORE-scoped monotonic-epoch / one-lineage check: meta in
     a hidden sibling of ``store_root`` (`_check_epoch_lineage` for
     the rules). One tiny JSON get per epoch plus one PUT per
@@ -153,11 +181,20 @@ def check_store_epoch_lineage(spark: SparkSession, store_root: str,
     raising (one driver-side listing, paid only on the would-raise
     path; steady state stays one JSON get). Deliberate rebuilds can
     also clear the pin up front via :func:`store_lineage_reset` (the
-    sketch stores' `operators.sketches.sketch_store_init` does)."""
+    sketch stores' `operators.sketches.sketch_store_init` does).
+
+    Returns True when the stale-pin adoption path ran (the new stream
+    was adopted as fresh over a dataless store), else False — so
+    callers with SIBLING state that likewise outlives store deletion
+    (the generational bounds store next to a quantile count store)
+    can clear that phantom history in the same step; leaving it would
+    resume the rebuilt stream under the deleted store's generations
+    (round 12, ADVICE)."""
     mp = _hidden_sibling(store_root.rstrip("/"), "lineage")
     meta = read_json_file(spark, mp, default=None, absent=None)
     if not isinstance(meta, dict):
         meta = {}
+    adopted = False
     try:
         changed = _check_epoch_lineage(meta, epoch_id, lineage,
                                        f"store at {store_root}")
@@ -165,10 +202,12 @@ def check_store_epoch_lineage(spark: SparkSession, store_root: str,
         if _store_has_data_files(spark, store_root):
             raise
         meta = {}
+        adopted = True
         changed = _check_epoch_lineage(meta, epoch_id, lineage,
                                        f"store at {store_root}")
     if changed:
         write_json_file(spark, mp, meta)
+    return adopted
 
 
 def _store_has_data_files(spark: SparkSession, root: str) -> bool:

@@ -249,19 +249,41 @@ def _lineage_token(checkpoint_dir: str) -> str:
     """Canonicalize a checkpoint location into the lineage token
     `start_ingest_stream` records, so the SAME physical checkpoint
     respelled across restarts — trailing slash, ``file://`` URI,
-    relative vs absolute local path — does not read as a foreign
-    lineage and fail a legitimate resume (Spark resolves all those
-    spellings to one checkpointLocation; the recorded token must
-    too). Local/file paths normalize to an absolute POSIX path;
-    other schemes (hdfs://, s3a://, ...) keep their URI minus any
-    trailing slash."""
+    relative vs absolute local path, an object-store scheme alias
+    (s3/s3a/s3n, gs/gcs) — does not read as a foreign lineage and
+    fail a legitimate resume (Spark resolves all those spellings to
+    one checkpointLocation; the recorded token must too). Local/file
+    paths normalize to an absolute POSIX path; other schemes
+    (hdfs://, s3a://, ...) keep their URI minus any trailing slash,
+    with aliased schemes mapped to one canonical spelling.
+
+    A RELATIVE local path additionally warns: it resolves against the
+    driver's cwd here, but Spark resolves a schemeless
+    checkpointLocation against the Hadoop default FS (not local on
+    real clusters), and a restart from a different cwd tokenizes to a
+    different — falsely foreign — lineage. Fails safe (raise, never
+    silent pass), but pass absolute or fully-qualified checkpoint
+    URIs to avoid the confusing refusal."""
     import os as _os
     from urllib.parse import urlparse
+
+    from lisp_batch_processor_spark.sources.writers import (
+        _lineage_canon)
     s = str(checkpoint_dir).rstrip("/") or "/"
     u = urlparse(s)
     if u.scheme in ("", "file"):
-        return _os.path.abspath(u.path if u.scheme == "file" else s)
-    return s
+        p = u.path if u.scheme == "file" else s
+        if not _os.path.isabs(p):
+            import warnings
+            warnings.warn(
+                f"relative checkpoint path {checkpoint_dir!r} tokenizes "
+                "against the driver cwd — a restart from another cwd "
+                "(or a cluster whose default FS is not local) reads as "
+                "a foreign lineage and refuses a legitimate resume; "
+                "pass an absolute or fully-qualified checkpoint URI",
+                stacklevel=2)
+        return _os.path.abspath(p)
+    return _lineage_canon(s)
 
 
 def start_ingest_stream(writer_fn, *args, checkpoint_dir: str,
@@ -370,7 +392,16 @@ def _line_check_meta(spark, line_store_path: str, min_repeat: int,
     if (isinstance(meta, dict) and "min_repeat" in meta
             and int(meta["min_repeat"]) != int(min_repeat)
             and "high_water_epoch" in meta and _rowless()):
-        meta = {}   # phantom pin from a deleted store: adopt fresh
+        # Threshold pin from a (presumed) deleted store: adopt the new
+        # threshold — nothing was counted under the old one — but KEEP
+        # the lineage/high-water pin (round 12, ADVICE): a LIVE store
+        # that has only processed empty batches is also rowless with a
+        # recorded high_water, and dropping its pin here would let a
+        # restarted-at-0 foreign checkpoint slip under the guard. If
+        # the pin really is phantom (deleted store), the epoch/lineage
+        # check below raises and ITS rowless adoption clears it.
+        meta = {k: meta[k] for k in ("lineage", "high_water_epoch")
+                if k in meta}
         changed = True
     if not isinstance(meta, dict) or "min_repeat" not in meta:
         meta = meta if isinstance(meta, dict) else {}
@@ -1212,29 +1243,56 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
                         .select(F.col(id_col).alias("vec_id")),
                         "vec_id", "left_semi")
             .localCheckpoint(eager=True))  # one pass, two appends
-    store_append(surv, vec_path)
-    if _sem_counts_data_path(spark, sd, use_gen) is not None:
-        if epoch is not None:
-            # O(k) occupancy-ledger append — the reseed-due signal's
-            # input. Gated on the ledger EXISTING: an adopted pre-r10
-            # state dir has none, and appending a partial history
-            # would silently understate the fast signal (it falls
-            # back to the full scan instead, until the first reseed
-            # writes the next generation's complete baseline).
-            _sem_counts_append(surv, _sem_counts_path(sd, use_gen),
-                               int(epoch))
-        else:
-            # INVARIANT: a present ledger is COMPLETE. An untagged
-            # ingest (epoch=None, the pre-r10 call shape) can't
-            # ledger its counts, so drop the ledger rather than
-            # leave it silently understating — the fast signal then
-            # falls back to the full scan until the next reseed
-            # re-baselines it.
-            from lisp_batch_processor_spark.sources.writers import (
-                _hadoop_fs)
-            jvm, fs, _ = _hadoop_fs(spark, sd)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(
-                _sem_counts_path(sd, use_gen)), True)
+
+    def _appends() -> None:
+        store_append(surv, vec_path)
+        if _sem_counts_data_path(spark, sd, use_gen) is not None:
+            if epoch is not None:
+                # O(k) occupancy-ledger append — the reseed-due
+                # signal's input. Gated on the ledger EXISTING: an
+                # adopted pre-r10 state dir has none, and appending a
+                # partial history would silently understate the fast
+                # signal (it falls back to the full scan instead,
+                # until the first reseed writes the next generation's
+                # complete baseline).
+                _sem_counts_append(surv, _sem_counts_path(sd, use_gen),
+                                   int(epoch))
+            else:
+                # INVARIANT: a present ledger is COMPLETE. An untagged
+                # ingest (epoch=None, the pre-r10 call shape) can't
+                # ledger its counts, so drop the ledger rather than
+                # leave it silently understating — the fast signal
+                # then falls back to the full scan until the next
+                # reseed re-baselines it.
+                from lisp_batch_processor_spark.sources.writers import (
+                    _hadoop_fs)
+                jvm, fs, _ = _hadoop_fs(spark, sd)
+                fs.delete(jvm.org.apache.hadoop.fs.Path(
+                    _sem_counts_path(sd, use_gen)), True)
+
+    if epoch is not None:
+        # MACHINE-CHECKED single-writer window (round 12): the epoch's
+        # store mutations hold the semantic maintenance lease — the
+        # same dest `semantic_counts_seed` leases for its whole
+        # backfill — so a backfill racing a live stream's appends
+        # raises on one side instead of relying on the backfill
+        # docstring's "run it between epochs". Per-call owner token
+        # (not host:pid, which is reentrant — the backfill usually
+        # runs in the same driver process); a crashed epoch's lease
+        # expires. Driver-side cost: ~4 tiny FS ops per epoch.
+        import uuid as _uuid
+
+        from lisp_batch_processor_spark.sources.writers import (
+            acquire_lease, release_lease)
+        dest = _sem_counts_path(sd, use_gen)
+        owner = acquire_lease(spark, dest,
+                              owner=f"sem-epoch-{_uuid.uuid4().hex[:12]}")
+        try:
+            _appends()
+        finally:
+            release_lease(spark, dest, owner)
+    else:
+        _appends()
     return asg
 
 
@@ -1408,10 +1466,14 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
     present ledger is COMPLETE by invariant (`semantic_ingest_epoch`
     drops it on any untagged epoch), so re-seeding it would double
     the baseline. Replay duplicates in the vector store collapse on
-    distinct vec_id, matching the full scan. Single-writer window
-    required (run it between epochs, where the maintenance folds
-    run); subsequent ``epoch=``-tagged epochs append to the backfilled
-    ledger exactly as to a reseed-written one.
+    distinct vec_id, matching the full scan. Single-writer window —
+    MACHINE-CHECKED (round 12): the backfill holds the maintenance
+    lease on the ledger root for its whole scan+append+meta window,
+    the same dest every ``epoch=``-tagged `semantic_ingest_epoch`
+    leases across its appends, so racing a live stream raises
+    `sources.writers.LeaseHeldError` on one side instead of relying
+    on this paragraph; subsequent ``epoch=``-tagged epochs append to
+    the backfilled ledger exactly as to a reseed-written one.
 
     REPLAY-SAFE VIA A HORIZON: the baseline counts the vector store
     as of NOW — which includes the vectors of a crashed-before-
@@ -1423,12 +1485,28 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
     meta sidecar, and every ledger read (`_sem_counts_frame`)
     excludes tagged rows <= H — monotonic epochs guarantee all
     POST-backfill epochs tag > H, so only the replay's double-count
-    window is masked."""
+    window is masked.
+
+    THE HORIZON'S RESIDUAL WINDOW, DETECTED WHERE POSSIBLE (round 12,
+    ADVICE): H is recorded at epoch START, so a crash between that
+    meta PUT and the epoch's vector-store append leaves H recorded
+    with NO vectors behind it — a backfill then masks rows <= H while
+    the replay's vectors land after the baseline, permanently
+    undercounting that epoch in the fast signal. Whether epoch H
+    committed is decidable from the stream's checkpoint (offsets/H
+    without commits/H = the crash window), and the recorded lineage
+    token IS the checkpoint location under the `start_ingest_stream`
+    strong default — so when the token resolves, the backfill probes
+    it and REFUSES the crash window (restart the stream so the replay
+    commits, then backfill). A legacy opaque token can't be probed;
+    the residual window stays documented-only there."""
+    import uuid as _uuid
+
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.sources.writers import (
-        read_json_file, store_data_path, store_is_versioned,
-        versioned_store_init, write_json_file)
+        acquire_lease, read_json_file, release_lease, store_data_path,
+        store_is_versioned, versioned_store_init, write_json_file)
     sd = state_dir.rstrip("/")
     gen = semantic_current_gen(spark, sd)["gen"]
     if _sem_counts_data_path(spark, sd, gen) is not None:
@@ -1439,20 +1517,65 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
         raise ValueError(f"no vector store under {state_dir} "
                          "(create with semantic_store_seed)")
     cc_path = _sem_counts_path(sd, gen)
-    if store_is_versioned(spark, vec_path):
-        versioned_store_init(spark, cc_path)
     lin = read_json_file(spark, _ingest_lineage_path(sd),
                          default=None, absent=None)
     horizon = (int(lin["high_water_epoch"])
                if isinstance(lin, dict)
                and lin.get("high_water_epoch") is not None else -1)
-    survivors = (spark.read.parquet(vec_dp)
-                 .select("vec_id", "cell")
-                 .dropDuplicates(["vec_id"]))
-    _sem_counts_append(survivors, cc_path, -1)
-    write_json_file(spark, _sem_counts_meta_path(sd, gen),
-                    {"baseline_through_epoch": horizon})
+    if horizon >= 0 and isinstance(lin, dict):
+        _counts_seed_probe_checkpoint(spark, sd, lin.get("lineage"),
+                                      horizon)
+    owner = acquire_lease(spark, cc_path,
+                          owner=f"counts-seed-{_uuid.uuid4().hex[:12]}")
+    try:
+        if store_is_versioned(spark, vec_path):
+            versioned_store_init(spark, cc_path)
+        survivors = (spark.read.parquet(vec_dp)
+                     .select("vec_id", "cell")
+                     .dropDuplicates(["vec_id"]))
+        _sem_counts_append(survivors, cc_path, -1)
+        write_json_file(spark, _sem_counts_meta_path(sd, gen),
+                        {"baseline_through_epoch": horizon})
+    finally:
+        release_lease(spark, cc_path, owner)
     return True
+
+
+def _counts_seed_probe_checkpoint(spark, sd: str,
+                                  lineage, horizon: int) -> None:
+    """Refuse `semantic_counts_seed` when the stream's checkpoint
+    shows the recorded high-water epoch H STARTED but never COMMITTED
+    (offsets/H present, commits/H absent): in that window the
+    backfill cannot know whether H's vectors reached the store, and
+    recording horizon H over a not-yet-landed epoch permanently
+    undercounts it in the fast signal (see the caller's docstring).
+    Only probes when the lineage token resolves to a readable
+    checkpoint layout — the `start_ingest_stream` default; an opaque
+    or unreachable token skips the probe (documented residual)."""
+    if not lineage:
+        return
+    from py4j.protocol import Py4JJavaError
+
+    from lisp_batch_processor_spark.sources.writers import _hadoop_fs
+    ckpt = str(lineage).rstrip("/")
+    try:
+        jvm, fs, _ = _hadoop_fs(spark, ckpt)
+        mkpath = jvm.org.apache.hadoop.fs.Path
+        if not fs.exists(mkpath(f"{ckpt}/offsets/{horizon}")):
+            return  # not a checkpoint layout (or already cleaned)
+        committed = fs.exists(mkpath(f"{ckpt}/commits/{horizon}"))
+    except (Py4JJavaError, ValueError):
+        return  # unreachable/foreign-scheme token: can't probe
+    if not committed:
+        raise ValueError(
+            f"ingest state at {sd} records high-water epoch "
+            f"{horizon}, but its checkpoint ({ckpt}) shows that "
+            "batch started and never committed — the backfill can't "
+            "know whether the epoch's vectors reached the store, and "
+            "a wrong horizon would permanently undercount it in the "
+            "fast occupancy signal. Restart the stream so the replay "
+            "commits epoch "
+            f"{horizon}, then run semantic_counts_seed")
 
 
 def semantic_reseed(spark, state_dir: str, *,

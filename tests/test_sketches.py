@@ -936,3 +936,56 @@ def test_sketch_store_rebuild_adopts_fresh_lineage(spark, tmp_path):
     run(1)
     with _pytest.raises(ValueError, match="epoch regression"):
         run(0)
+
+
+def test_sketch_rebuild_adoption_clears_stale_bounds(spark, tmp_path):
+    """An operator who deletes ONLY the count store dir and restarts
+    WITHOUT `sketch_store_init` must not resume under the deleted
+    store's generations (round 12, ADVICE): the bounds sibling
+    survives store deletion like the lineage sidecar does, and a
+    phantom generation whose trained_epoch collides with a new epoch
+    id silently skips that epoch's retrain while reusing dead splits.
+    The lineage check's adopt-as-fresh path now clears the stale
+    bounds in the same step, so the rebuilt stream bootstraps
+    generation 0 from ITS OWN splits."""
+    import os
+    import shutil
+
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_bounds_read,
+        quantile_hist_retrain_epoch)
+
+    store = os.path.join(str(tmp_path), "store")
+    b0 = _drift_batch(spark, 0)
+    splits = quantile_bins_train(b0, "v", n_buckets=8)
+
+    def run(batch, eid, lineage):
+        return quantile_hist_retrain_epoch(
+            batch, store, ["g"], "v", splits, retrain_tvd=0.2,
+            retrain_min_rows=100, epoch_id=eid, lineage=lineage)
+
+    run(b0, 0, "ckptA")
+    # A drifted batch trains generation 1, tagged trained_epoch=1 —
+    # the tag a rebuilt stream's epoch 1 would collide with.
+    assert run(_drift_batch(spark, 100000), 1, "ckptA") == 1
+    assert set(quantile_bounds_read(spark, store)) == {0, 1}
+
+    # Delete ONLY the count store; restart from a new checkpoint.
+    shutil.rmtree(store)
+    assert os.path.exists(store + "__bounds")   # the hazard
+    assert run(b0, 0, "ckptB") == 0             # adopted as fresh...
+    gens = quantile_bounds_read(spark, store)
+    # ... with the phantom generations GONE: only the rebuilt
+    # stream's own gen-0 bootstrap exists.
+    assert set(gens) == {0}
+    assert gens[0][1] == -1
+    # Epoch 1 (colliding with the deleted store's trained_epoch=1)
+    # now runs its own drift decision instead of silently reusing
+    # the phantom generation's splits: the same drifted batch
+    # retrains generation 1 FROM THIS STREAM, tagged epoch 1.
+    assert run(_drift_batch(spark, 100000), 1, "ckptB") == 1
+    assert quantile_bounds_read(spark, store)[1][1] == 1
+    # Guard re-armed over the live rebuilt store.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lineage"):
+        run(b0, 2, "ckptC")

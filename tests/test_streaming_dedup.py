@@ -1558,6 +1558,115 @@ def test_counts_seed_backfill_is_replay_safe(spark, tmp_path):
         == semantic_cell_occupancy(spark, sd)
 
 
+def test_counts_seed_single_writer_window_is_leased(spark, tmp_path):
+    """The backfill's single-writer window is MACHINE-CHECKED
+    (round 12): `semantic_counts_seed` and every ``epoch=``-tagged
+    `semantic_ingest_epoch` contend on one maintenance lease over the
+    ledger root, so a backfill racing a live stream's appends raises
+    `LeaseHeldError` on one side instead of relying on the docstring.
+    The backfill's own lease releases on success AND on failure."""
+    import os
+
+    from lisp_batch_processor_spark.sources.writers import (
+        LeaseHeldError, acquire_lease, lease_holder, release_lease)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy_fast, semantic_counts_seed,
+        semantic_ingest_epoch, semantic_store_seed)
+    import lisp_batch_processor_spark.streaming.dedup as sdmod
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0)), (2, _axis(1))], schema),
+        sd, k=2)
+    import shutil
+    shutil.rmtree(os.path.join(sd, "sem_cellcounts"))  # adopted dir
+    cc = os.path.join(sd, "sem_cellcounts")
+
+    # A held ingest lease makes the backfill refuse — and write
+    # NOTHING (the ledger stays absent, so a retry is clean).
+    owner = acquire_lease(spark, cc, owner="ingest-epoch-live")
+    with pytest.raises(LeaseHeldError):
+        semantic_counts_seed(spark, sd)
+    assert semantic_cell_occupancy_fast(spark, sd) is None
+    # ... and the held lease symmetrically refuses a tagged epoch's
+    # appends (the other side of the race).
+    with pytest.raises(LeaseHeldError):
+        semantic_ingest_epoch(
+            spark.createDataFrame([(10, _axis(2))], schema), sd,
+            tau=0.95, epoch=3)
+    release_lease(spark, cc, owner)
+
+    # Failure path: the backfill's lease releases even when the
+    # baseline append blows up mid-window.
+    real_append = sdmod._sem_counts_append
+
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    sdmod._sem_counts_append = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            semantic_counts_seed(spark, sd)
+    finally:
+        sdmod._sem_counts_append = real_append
+    assert lease_holder(spark, cc) is None
+
+    # Success path: backfill completes and releases; the next tagged
+    # epoch acquires the lease cleanly and appends.
+    assert semantic_counts_seed(spark, sd) is True
+    assert lease_holder(spark, cc) is None
+    semantic_ingest_epoch(
+        spark.createDataFrame([(10, _axis(2))], schema), sd,
+        tau=0.95, epoch=4)
+    assert lease_holder(spark, cc) is None
+    from lisp_batch_processor_spark.streaming.dedup import (
+        semantic_cell_occupancy)
+    assert semantic_cell_occupancy_fast(spark, sd) \
+        == semantic_cell_occupancy(spark, sd)
+
+
+def test_counts_seed_refuses_uncommitted_high_water_epoch(
+        spark, tmp_path):
+    """The horizon's residual crash window is DETECTED when the
+    lineage token resolves to a checkpoint (round 12, ADVICE):
+    high_water H is recorded at epoch START, so `offsets/H` without
+    `commits/H` means the backfill cannot know whether H's vectors
+    landed — recording horizon H over a not-yet-landed epoch would
+    permanently undercount it in the fast signal. The backfill
+    refuses that state and proceeds once the checkpoint shows H
+    committed."""
+    import os
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        ingest_lineage_check, semantic_counts_seed,
+        semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0)), (2, _axis(1))], schema),
+        sd, k=2)
+    import shutil
+    shutil.rmtree(os.path.join(sd, "sem_cellcounts"))  # adopted dir
+
+    # Epoch 9 STARTED (offsets file + high-water PUT) but never
+    # committed — the crash window between the meta PUT and the
+    # vector append.
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    open(os.path.join(ckpt, "offsets", "9"), "w").write("v1")
+    ingest_lineage_check(spark, sd, 9, lineage=ckpt)
+    with pytest.raises(ValueError, match="never committed"):
+        semantic_counts_seed(spark, sd)
+
+    # The replay commits epoch 9: the probe passes and the backfill
+    # records horizon 9 as before.
+    os.makedirs(os.path.join(ckpt, "commits"))
+    open(os.path.join(ckpt, "commits", "9"), "w").write("v1")
+    assert semantic_counts_seed(spark, sd) is True
+
+
 def test_start_ingest_stream_rejects_foreign_checkpoint(spark,
                                                         tmp_path):
     """The loop-agnostic starter gives the STANDALONE twins the same
@@ -1636,12 +1745,56 @@ def test_lineage_token_canonicalizes_checkpoint_spellings():
     assert _lineage_token("file:///a/b") == "/a/b"
     assert _lineage_token("file:///a/b/") == "/a/b"
     assert _lineage_token("hdfs://nn:8020/a/b/") == "hdfs://nn:8020/a/b"
-    assert _lineage_token("s3a://bucket/ckpt") == "s3a://bucket/ckpt"
+    # Object-store scheme ALIASES (round 12): s3/s3a/s3n name the same
+    # S3 location, gs/gcs the same GCS location — a respelled resume
+    # of the SAME checkpoint must tokenize identically...
+    assert (_lineage_token("s3://bucket/ckpt")
+            == _lineage_token("s3a://bucket/ckpt")
+            == _lineage_token("s3n://bucket/ckpt/")
+            == "s3://bucket/ckpt")
+    assert (_lineage_token("gs://bkt/ck")
+            == _lineage_token("gcs://bkt/ck") == "gs://bkt/ck")
+    # ... while genuinely different buckets/services stay distinct.
+    assert _lineage_token("s3://b1/ckpt") != _lineage_token("s3://b2/ckpt")
+    assert _lineage_token("wasb://b/c") != _lineage_token("abfs://b/c")
     # Relative spellings resolve against the cwd, like Spark's own
-    # checkpoint resolution of a schemeless relative path.
+    # checkpoint resolution of a schemeless relative path — with a
+    # warning, since a restart from another cwd reads falsely foreign.
     import os
-    assert _lineage_token("rel/ckpt") \
-        == os.path.abspath("rel/ckpt")
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _lineage_token("rel/ckpt") == os.path.abspath("rel/ckpt")
+    assert any("relative checkpoint path" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _lineage_token("/abs/ckpt")
+    assert not w
+
+
+def test_lineage_comparison_adopts_scheme_aliases():
+    """The alias map must apply at COMPARISON time, not only at
+    token-generation time: a lineage recorded as ``s3a://...`` by a
+    pre-alias round must keep matching the same location's new
+    canonical ``s3://...`` token — canonicalizing only new tokens
+    would turn the upgrade itself into a false foreign-lineage raise."""
+    import pytest
+
+    from lisp_batch_processor_spark.sources.writers import (
+        _check_epoch_lineage)
+
+    meta = {"lineage": "s3a://bucket/ckpt", "high_water_epoch": 3}
+    # Same location, canonical spelling: passes (and does not rewrite).
+    assert _check_epoch_lineage(meta, 3, "s3://bucket/ckpt", "t") is False
+    assert meta["lineage"] == "s3a://bucket/ckpt"
+    # A genuinely different bucket still raises.
+    with pytest.raises(ValueError, match="lineage"):
+        _check_epoch_lineage(meta, 4, "s3://other/ckpt", "t")
+    # Opaque (non-URI) tokens compare as themselves.
+    meta2 = {"lineage": "ck1", "high_water_epoch": 0}
+    with pytest.raises(ValueError, match="lineage"):
+        _check_epoch_lineage(meta2, 1, "ck2", "t")
+    assert _check_epoch_lineage(meta2, 1, "ck1", "t") is True
 
 
 def test_line_store_reinit_merges_meta_not_clobbers(spark, tmp_path):
@@ -1678,6 +1831,42 @@ def test_line_store_reinit_merges_meta_not_clobbers(spark, tmp_path):
     # A conflicting threshold is refused outright.
     with pytest.raises(ValueError, match="min_repeat"):
         line_store_init(spark, store, min_repeat=2)
+
+
+def test_line_threshold_adoption_preserves_lineage_pin(spark, tmp_path):
+    """A LIVE store that has only processed EMPTY batches is rowless
+    with a recorded high_water — exactly the shape the rowless
+    threshold adoption reads as a deleted store (round 12, ADVICE).
+    Adopting the new threshold there is fine (nothing was counted
+    under the old one), but the lineage/high-water pin must SURVIVE
+    the adoption: a TOKENLESS adoption call used to rewrite the meta
+    wholesale, erasing the live stream's lineage token forever — the
+    next foreign checkpoint then recorded its own token unopposed."""
+    import os
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        line_dedup_ingest_epoch, line_store_init)
+
+    schema = "doc_id long, text string"
+    store = os.path.join(str(tmp_path), "lines.parquet")
+    b = lambda i: spark.createDataFrame([(i, f"x{i}\nshared")], schema)
+    empty = spark.createDataFrame([], schema)
+
+    line_store_init(spark, store, min_repeat=3)
+    line_dedup_ingest_epoch(empty, store, 0, min_repeat=3,
+                            lineage="ck1")   # live, rowless, pinned
+    # Conflicting threshold, TOKENLESS call: threshold adopts, pin
+    # survives (this epoch appends the store's first rows).
+    line_dedup_ingest_epoch(b(1), store, 1, min_repeat=2)
+    # The preserved ck1 pin still guards the (now row-bearing) store.
+    with pytest.raises(ValueError, match="lineage"):
+        line_dedup_ingest_epoch(b(2), store, 2, min_repeat=2,
+                                lineage="ck2")
+    line_dedup_ingest_epoch(b(2), store, 2, min_repeat=2,
+                            lineage="ck1")   # the live stream: fine
+    with pytest.raises(ValueError, match="epoch regression"):
+        line_dedup_ingest_epoch(b(9), store, 1, min_repeat=2,
+                                lineage="ck1")
 
 
 def test_line_store_rebuild_adopts_fresh_meta(spark, tmp_path):
