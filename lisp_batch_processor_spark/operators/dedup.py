@@ -707,18 +707,27 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     The token hash is the first 15 md5 hex chars as a bigint — the
     portable choice (same rationale as minhash_signatures) that lets
     the DuckDB oracle replay fingerprints exactly; swap for xxhash64
-    when replay is never needed."""
-    # fan_out: tokenize+explode+partial-count are map-side — serial
+    when replay is never needed.
+
+    ONE shuffle, not two (round 12): summing ±cnt over DISTINCT
+    (doc, token) rows equals summing ±1 over raw token OCCURRENCES —
+    each of token t's cnt occurrences casts the same per-bit sign —
+    so the per-doc vote sums aggregate the exploded occurrences
+    directly (map-side partial agg; the shuffle carries one 60-long
+    row per doc per partition) and the string-keyed (doc_id, tok)
+    groupBy the old tf stage paid is gone. Fingerprints are
+    bit-identical (pinned in tests/test_dedup.py); the oracle keeps
+    its tf formulation, which hash-matches either way."""
+    # fan_out: tokenize+explode+partial-agg are map-side — serial
     # on a one-split fixture scan without it (no-op at scale).
     docs = fan_out_small_scan(docs, docs.sparkSession)
-    tf = (docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
-          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-          .withColumn("h", F.conv(
-              F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 15), 16, 10)
-              .cast("bigint")))
-    bit_sums = tf.groupBy("doc_id").agg(*[
+    occ = (docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+           .withColumn("h", F.conv(
+               F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 15), 16, 10)
+               .cast("bigint")))
+    bit_sums = occ.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
-                     F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"s{i}")
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s{i}")
         for i in range(SIMHASH_BITS)
     ])
     fp = None
@@ -812,8 +821,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
                     .alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= HAMMING_MAX))
+        # Verify BEFORE the dedup exchange: hamming is a pure function
+        # of the pair (identical on every duplicate row from multi-band
+        # collisions), so filtering first shrinks the shuffle instead
+        # of deduplicating rows the filter was about to drop.
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"]))
     # Assign over ALL doc ids (not just fingerprinted ones):
     # zero-token documents produce no tf rows and hence no
     # fingerprint, but the module's one-row-per-input convention
@@ -861,23 +874,25 @@ def simhash_fingerprints_wide(docs: DataFrame,
     votes with its own 60-bit md5 hash word, so the two words are
     independent hash functions of the token set. Same per-bit
     vote-sum construction as simhash_fingerprints (which remains the
-    oracle-replayed 60-bit baseline)."""
+    oracle-replayed 60-bit baseline), including its one-shuffle
+    occurrence aggregation: ±1 per token occurrence sums to the same
+    per-bit totals as ±cnt per distinct (doc, token), without the
+    string-keyed tf groupBy."""
     used = 2 * band_width
     if not 15 <= band_width <= SIMHASH_MAX_BAND_WIDTH:
         raise ValueError(f"band_width {band_width} outside [15, 30]")
-    # fan_out: tokenize+explode+partial-count are map-side — serial
+    # fan_out: tokenize+explode+partial-agg are map-side — serial
     # on a one-split fixture scan without it (no-op at scale).
     docs = fan_out_small_scan(docs, docs.sparkSession)
-    tf = (docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
-          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt")))
+    occ = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
     hexs = F.md5(F.encode("tok", "UTF-8"))
-    tf = tf.withColumn("h0", F.conv(F.substring(hexs, 1, 15), 16, 10)
-                       .cast("bigint")) \
-           .withColumn("h1", F.conv(F.substring(hexs, 16, 15), 16, 10)
-                       .cast("bigint"))
-    sums = tf.groupBy("doc_id").agg(*[
+    occ = occ.withColumn("h0", F.conv(F.substring(hexs, 1, 15), 16, 10)
+                         .cast("bigint")) \
+             .withColumn("h1", F.conv(F.substring(hexs, 16, 15), 16, 10)
+                         .cast("bigint"))
+    sums = occ.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright(f"h{w}", i).bitwiseAND(F.lit(1)) == 1,
-                     F.col("cnt")).otherwise(-F.col("cnt")))
+                     F.lit(1)).otherwise(F.lit(-1)))
          .alias(f"s{w}_{i}")
         for w in range(2) for i in range(used)
     ])
