@@ -15,8 +15,12 @@ Writes NOISE_BAND.json:
   - per-query relative band  (max-min)/median  within each side,
   - the cross-side delta of per-query MINs, comparable against the
     band (a delta inside the band is noise, not regression),
-and BENCH_PREV_HEAD.json (per-query mins over the B passes — the
-same artifact bench_prev_head.py produces, from more passes).
+  - the cross-side deltas of BOTH total statistics bench.py reports
+    (min-of-N and worst-pass-trimmed mean) — same-code anchors for
+    reading bench.py's total_delta_rel / trimmed_delta_rel,
+and BENCH_PREV_HEAD.json (per-query mins AND trimmed means over the
+B passes — the same artifact bench_prev_head.py produces, from more
+passes).
 
 Usage: python scripts/bench_noise_band.py <ref_commit> [n_pairs]
 Env: SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as bench.py. Run alone —
@@ -105,6 +109,18 @@ def main() -> None:
                     for v in per_query.values())
     totals_a = [sum(r[q] for q in names) for r in a_runs]
     totals_b = [sum(r[q] for q in names) for r in b_runs]
+
+    def _tmean(v):
+        # Worst-pass-trimmed mean — bench.py's second headline
+        # statistic; its same-code cross-HEAD delta is the yardstick
+        # for the trimmed_delta_rel bench.py reports.
+        keep = sorted(v)[:-1] if len(v) >= 3 else v
+        return sum(keep) / len(keep)
+
+    trimmed_tot_a = {q: _tmean([r[q] for r in a_runs]) for q in names}
+    trimmed_tot_b = {q: _tmean([r[q] for r in b_runs]) for q in names}
+    ta_sum = sum(trimmed_tot_a.values())
+    tb_sum = sum(trimmed_tot_b.values())
     summary = {
         "pairs": n_pairs,
         "ref_commit": ref,
@@ -125,6 +141,9 @@ def main() -> None:
         "total_min_b": round(min(totals_b), 3),
         "total_delta_rel": round(
             (min(totals_a) - min(totals_b)) / min(totals_b), 3),
+        "total_trimmed_a": round(ta_sum, 3),
+        "total_trimmed_b": round(tb_sum, 3),
+        "total_trimmed_delta_rel": round(ta_sum / tb_sum - 1, 3),
     }
     with open(os.path.join(repo, "NOISE_BAND.json"), "w") as f:
         json.dump({"summary": summary, "queries": per_query}, f,
@@ -136,15 +155,18 @@ def main() -> None:
     # the first `n_prev` B passes feed the prev artifact, matching
     # SPARK_GRAFT_BENCH_PASSES (bench.py's default 3).
     n_prev = min(n_pairs,
-                 int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+                 int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     prev_queries = {q: min(v["b"][:n_prev])
                     for q, v in per_query.items()}
+    prev_trimmed = {q: round(_tmean(v["b"][:n_prev]), 3)
+                    for q, v in per_query.items()}
     prev = {
         "commit": ref,
         "total_min": round(sum(prev_queries.values()), 3),
+        "total_trimmed": round(sum(prev_trimmed.values()), 3),
         "sf": float(sf),
         "stat": f"min_of_{n_prev}_interleaved",
         "consume": "noop_write",
@@ -153,6 +175,9 @@ def main() -> None:
         # guarantee this script exists to provide.
         "passes": n_prev,
         "queries": prev_queries,
+        # Worst-pass-trimmed means over the SAME n_prev passes — the
+        # prev side of bench.py's trimmed_delta_rel.
+        "queries_trimmed": prev_trimmed,
     }
     with open(os.path.join(repo, "BENCH_PREV_HEAD.json"), "w") as f:
         json.dump(prev, f, indent=1)

@@ -55,6 +55,25 @@ def main() -> None:
             "passes": prev.get("passes"),
             "queries": prev["queries"],
         }
+        # Worst-pass-trimmed means (round 12): reconstructed from the
+        # per-pass stderr lines every bench.py version prints
+        # ("# passN q_name: X.XXXs"), so prev HEADs that predate the
+        # trimmed statistic still feed bench.py's trimmed_delta_rel.
+        import re
+        per_pass: dict[str, list[float]] = {}
+        for ln in proc.stderr.splitlines():
+            m = re.match(r"# pass\d+ (\S+): ([\d.]+)s$", ln)
+            if m:
+                per_pass.setdefault(m.group(1), []).append(
+                    float(m.group(2)))
+        if per_pass:
+            def _tmean(v):
+                keep = sorted(v)[:-1] if len(v) >= 3 else v
+                return sum(keep) / len(keep)
+            out["queries_trimmed"] = {
+                q: round(_tmean(v), 3) for q, v in per_pass.items()}
+            out["total_trimmed"] = round(
+                sum(out["queries_trimmed"].values()), 3)
         path = os.path.join(repo, "BENCH_PREV_HEAD.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)

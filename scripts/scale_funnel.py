@@ -10,10 +10,15 @@ Two modes over identical fresh stores — funnel off (the hot path)
 and funnel on — E epochs each, same synthetic mostly-novel docs as
 scale_ingest (boilerplate line + ~2% cross-epoch URL repeats), one
 untimed warmup epoch per mode on a throwaway state dir. Reports
-per-epoch medians and the on/off ratio.
+per-epoch medians and the on/off ratio, at EACH requested batch size
+(round 12: the r11 single-size run measured 0.93× — funnel-on
+FASTER — which SCALE.md attributed to the snapshot materializing a
+frame downstream stages reuse; running two sizes separates that
+reuse effect from measurement noise and prices the true overhead
+where the per-epoch Spark work dominates the snapshot).
 
 Run:  python scripts/scale_funnel.py
-      FUN_EPOCHS=8 FUN_DOCS=2000 to override.
+      FUN_EPOCHS=8 FUN_DOCS=2000,10000 to override (comma list).
 """
 
 from __future__ import annotations
@@ -66,18 +71,25 @@ def funnel_experiment(spark, base, epochs, docs_per_epoch):
 
 def main() -> None:
     epochs = int(os.environ.get("FUN_EPOCHS", "8"))
-    docs = int(os.environ.get("FUN_DOCS", "2000"))
-    out_path = os.environ.get("FUN_OUT", "SCALE_FUNNEL_r11.json")
+    sizes = [int(s) for s in
+             os.environ.get("FUN_DOCS", "2000,10000").split(",")]
+    out_path = os.environ.get("FUN_OUT", "SCALE_FUNNEL_r12.json")
 
     spark = get_spark("scale-funnel", cpus=8, shuffle_partitions=8)
-    base = "/tmp/scale_funnel"
-    shutil.rmtree(base, ignore_errors=True)
-    result = {"params": {"epochs": epochs, "docs_per_epoch": docs},
-              "funnel": funnel_experiment(spark, base, epochs, docs)}
+    result = {"params": {"epochs": epochs, "docs_per_epoch": sizes},
+              "funnel_by_batch_size": {}}
+    for docs in sizes:
+        base = f"/tmp/scale_funnel_{docs}"
+        shutil.rmtree(base, ignore_errors=True)
+        result["funnel_by_batch_size"][str(docs)] = funnel_experiment(
+            spark, base, epochs, docs)
+        shutil.rmtree(base, ignore_errors=True)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps(result["funnel"]))
-    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({k: {"on_over_off_median":
+                          v["on_over_off_median"]}
+                      for k, v in
+                      result["funnel_by_batch_size"].items()}))
 
 
 if __name__ == "__main__":
