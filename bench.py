@@ -283,6 +283,32 @@ def main() -> None:
                     ct = sum(eq_t[q] for q in common)
                     pt = sum(prev_t[q] for q in common)
                     summary["trimmed_delta_rel"] = round(ct / pt - 1, 4)
+            # INTERLEAVED cross-HEAD deltas (round 12): the deltas
+            # above compare THIS sequential session against a prev
+            # artifact recorded in an EARLIER session, so they fold
+            # inter-session host drift into the signal (rounds 10-12
+            # each saw ±15-25 % sequential swings that the same-
+            # session interleaved comparison contradicted). When
+            # NOISE_BAND was generated against this same prev commit,
+            # its A/B totals ARE the drift-immune comparison — every
+            # A pass ran next to a B pass under the same conditions —
+            # so quote them here as the authoritative cross-HEAD
+            # signal; the sequential deltas then mostly measure how
+            # the host changed between sessions.
+            try:
+                nbp = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "NOISE_BAND.json")
+                with open(nbp) as f:
+                    nbs = json.load(f)["summary"]
+                if (nbs.get("ref_commit") == prev.get("commit")
+                        and prev.get("sf") == sf_val):
+                    summary["interleaved_total_delta"] = \
+                        nbs.get("total_delta_rel")
+                    summary["interleaved_trimmed_delta"] = \
+                        nbs.get("total_trimmed_delta_rel")
+            except (OSError, ValueError, KeyError):
+                pass
             payload["prev_head"] = summary
         except (OSError, ValueError) as e:
             print(f"# prev_head unreadable: {e}", file=sys.stderr)
@@ -296,17 +322,17 @@ def main() -> None:
             with open(nb_path) as f:
                 nb = json.load(f)["summary"]
             payload["noise_band"] = {
-                # Single-pass same-code spread (raw / worst-pass
-                # trimmed) and the same-code cross-HEAD total deltas
-                # for BOTH headline statistics (min-of-N and trimmed
-                # mean) — the yardstick quoted NEXT TO the prev_head
-                # deltas above: a delta inside the same-statistic
-                # band is host scatter, outside it bisect.
+                # SAME-CODE spreads, the yardstick for every delta in
+                # this artifact: per-query single-pass band (raw /
+                # worst-pass-trimmed, p50 across queries) and each
+                # side's same-code TOTAL spread across its interleaved
+                # passes. A sequential prev_head delta inside these is
+                # host scatter; the interleaved_* deltas under
+                # prev_head are the drift-immune cross-HEAD signal.
                 "single_pass_p50": nb.get("per_query_band_p50"),
                 "trimmed_p50": nb.get("per_query_trimmed_band_p50"),
-                "same_code_total_delta": nb.get("total_delta_rel"),
-                "same_code_trimmed_delta":
-                    nb.get("total_trimmed_delta_rel"),
+                "total_band_a": nb.get("total_band_a"),
+                "total_band_b": nb.get("total_band_b"),
                 "pairs": nb.get("pairs"),
             }
         except (OSError, ValueError, KeyError) as e:
