@@ -450,6 +450,28 @@ def test_library_operator_plans_are_scale_safe(spark, sf_dir):
     assert "BatchEvalPython" not in physical_plan(out)
 
 
+def test_simhash_fingerprint_plan_is_one_shuffle(spark, sf_dir):
+    """The round-12 fix pinned structurally: the fingerprint plan has
+    exactly ONE exchange (the per-doc vote aggregation) — the old
+    string-keyed (doc_id, token) tf groupBy added a second, which is
+    the shuffle the occurrence-vote identity removed. Regressing to
+    two exchanges would silently re-pay a tokenized-corpus-sized
+    string shuffle at 100 TB."""
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators.dedup import (
+        simhash_fingerprints)
+    from lisp_batch_processor_spark.plans.inspect import physical_plan
+
+    docs = load(spark, sf_dir, "documents")
+    plan = physical_plan(simhash_fingerprints(docs))
+    # Count HASH-partitioned exchanges in the node details (the data
+    # shuffles); the one RoundRobinPartitioning exchange is
+    # fan_out_small_scan's deliberate small-fixture fan-out, not a
+    # keyed shuffle, and disappears on multi-split inputs.
+    n_hash = plan.count("hashpartitioning")
+    assert n_hash == 1, plan
+
+
 def test_simhash_scaled_band_width_formula():
     """Width grows with log2(N) and clamps to the md5 2-word range."""
     from lisp_batch_processor_spark.operators.dedup import (
