@@ -1276,17 +1276,15 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
         # same dest `semantic_counts_seed` leases for its whole
         # backfill — so a backfill racing a live stream's appends
         # raises on one side instead of relying on the backfill
-        # docstring's "run it between epochs". Per-call owner token
-        # (not host:pid, which is reentrant — the backfill usually
-        # runs in the same driver process); a crashed epoch's lease
-        # expires. Driver-side cost: ~4 tiny FS ops per epoch.
-        import uuid as _uuid
-
+        # docstring's "run it between epochs". Role-scoped owner (see
+        # `_acquire_role_lease`): a replay after a hard crash adopts
+        # its dead predecessor's lease instead of wedging on it for
+        # the TTL, while a live backfill's lease still raises.
+        # Driver-side cost: ~5 tiny FS ops per epoch.
         from lisp_batch_processor_spark.sources.writers import (
-            acquire_lease, release_lease)
+            release_lease)
         dest = _sem_counts_path(sd, use_gen)
-        owner = acquire_lease(spark, dest,
-                              owner=f"sem-epoch-{_uuid.uuid4().hex[:12]}")
+        owner = _acquire_role_lease(spark, dest, "sem-epoch-")
         try:
             _appends()
         finally:
@@ -1294,6 +1292,31 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
     else:
         _appends()
     return asg
+
+
+def _acquire_role_lease(spark, dest: str, role: str) -> str:
+    """Acquire the semantic maintenance lease on ``dest`` for a ROLE
+    (``"sem-epoch-"`` for tagged ingest epochs, ``"counts-seed-"``
+    for the ledger backfill). A live lease held by the OTHER role
+    raises `LeaseHeldError` — the stream-vs-backfill exclusion the
+    lease exists for. A lease held by the SAME role is ADOPTED
+    (reacquired under the recorded owner token): within a role the
+    predecessor is this writer's own crashed attempt — a hard crash
+    (process death) leaves the file behind, and making the replay or
+    rerun wait out the TTL would wedge exactly the recovery path the
+    epoch stores are designed around. The same-role bypass this
+    admits (two concurrent drivers of one role) is the pre-lease
+    semantics for epochs (replay-safe by construction; the lineage
+    pin already refuses a second logical stream) and an early-return
+    no-op for backfills (a present ledger returns False)."""
+    import uuid as _uuid
+
+    from lisp_batch_processor_spark.sources.writers import (
+        acquire_lease, lease_holder)
+    holder = lease_holder(spark, dest)
+    me = (holder if isinstance(holder, str) and holder.startswith(role)
+          else f"{role}{_uuid.uuid4().hex[:12]}")
+    return acquire_lease(spark, dest, owner=me)
 
 
 def semantic_store_compact(spark, state_dir: str,
@@ -1500,12 +1523,10 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
     it and REFUSES the crash window (restart the stream so the replay
     commits, then backfill). A legacy opaque token can't be probed;
     the residual window stays documented-only there."""
-    import uuid as _uuid
-
     from pyspark.sql import functions as F
 
     from lisp_batch_processor_spark.sources.writers import (
-        acquire_lease, read_json_file, release_lease, store_data_path,
+        read_json_file, release_lease, store_data_path,
         store_is_versioned, versioned_store_init, write_json_file)
     sd = state_dir.rstrip("/")
     gen = semantic_current_gen(spark, sd)["gen"]
@@ -1525,8 +1546,7 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
     if horizon >= 0 and isinstance(lin, dict):
         _counts_seed_probe_checkpoint(spark, sd, lin.get("lineage"),
                                       horizon)
-    owner = acquire_lease(spark, cc_path,
-                          owner=f"counts-seed-{_uuid.uuid4().hex[:12]}")
+    owner = _acquire_role_lease(spark, cc_path, "counts-seed-")
     try:
         if store_is_versioned(spark, vec_path):
             versioned_store_init(spark, cc_path)

@@ -1625,6 +1625,30 @@ def test_counts_seed_single_writer_window_is_leased(spark, tmp_path):
     assert semantic_cell_occupancy_fast(spark, sd) \
         == semantic_cell_occupancy(spark, sd)
 
+    # ROLE ADOPTION: a HARD-crashed writer leaves its unexpired lease
+    # behind (no in-process finally ran) — the same role's retry must
+    # ADOPT it rather than wedge on its own corpse for the TTL, while
+    # the OTHER role still refuses it. Back to the adopted-dir shape
+    # (ledger absent; the lease sidecar survives the rmtree).
+    shutil.rmtree(cc)
+    acquire_lease(spark, cc, owner="sem-epoch-deadbeef")
+    with pytest.raises(LeaseHeldError):
+        semantic_counts_seed(spark, sd)   # other role: refused
+    semantic_ingest_epoch(
+        spark.createDataFrame([(11, _axis(3))], schema), sd,
+        tau=0.95, epoch=5)   # same role: adopts + releases
+    assert lease_holder(spark, cc) is None
+    # Symmetrically for a hard-crashed backfill's lease.
+    acquire_lease(spark, cc, owner="counts-seed-deadbeef")
+    with pytest.raises(LeaseHeldError):
+        semantic_ingest_epoch(
+            spark.createDataFrame([(12, _axis(4))], schema), sd,
+            tau=0.95, epoch=6)            # other role: refused
+    assert semantic_counts_seed(spark, sd) is True  # adopts, completes
+    assert lease_holder(spark, cc) is None
+    assert semantic_cell_occupancy_fast(spark, sd) \
+        == semantic_cell_occupancy(spark, sd)
+
 
 def test_counts_seed_refuses_uncommitted_high_water_epoch(
         spark, tmp_path):
