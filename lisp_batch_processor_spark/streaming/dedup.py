@@ -1523,8 +1523,6 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
     it and REFUSES the crash window (restart the stream so the replay
     commits, then backfill). A legacy opaque token can't be probed;
     the residual window stays documented-only there."""
-    from pyspark.sql import functions as F
-
     from lisp_batch_processor_spark.sources.writers import (
         read_json_file, release_lease, store_data_path,
         store_is_versioned, versioned_store_init, write_json_file)
