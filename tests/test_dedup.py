@@ -450,6 +450,53 @@ def test_library_operator_plans_are_scale_safe(spark, sf_dir):
     assert "BatchEvalPython" not in physical_plan(out)
 
 
+def test_ngram_verify_hashed_sets_preserve_decisions(spark, sf_dir):
+    """The hashed-id verify path (round 12) must be a pure
+    re-encoding: under an injective hash, pairwise intersection
+    sizes — hence the >= 0.8 decision AND the reported jaccard — are
+    identical to the string verify, and the operator must not DEPEND
+    on the hashed path (the collision fallback returns string sets).
+    Pinned by (a) output equality between the current operator and a
+    fallback-forced run, (b) a direct check that the helper's hashed
+    sets intersect exactly like the strings they encode."""
+    from lisp_batch_processor_spark.catalog import load
+    from lisp_batch_processor_spark.operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    cur = D.ngram_jaccard_pairs(docs)
+
+    # Force the collision fallback (string verify) and compare.
+    real = D._verify_token_sets
+    D._verify_token_sets = lambda t, freq: t.select(
+        "doc_id", "tok_set", "sz")
+    try:
+        fb = D.ngram_jaccard_pairs(docs)
+        assert cur.exceptAll(fb).count() == 0
+        assert fb.exceptAll(cur).count() == 0
+    finally:
+        D._verify_token_sets = real
+
+    # Direct helper check: hashed sets are long arrays whose pairwise
+    # intersection sizes equal the string sets'.
+    t = (docs.limit(50)
+         .select("doc_id", F.array_distinct(
+             F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok_set"))
+         .withColumn("tok_set", F.filter("tok_set", lambda x: x != ""))
+         .withColumn("sz", F.size("tok_set")))
+    freq = (t.select(F.explode("tok_set").alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    hashed = D._verify_token_sets(t, freq)
+    assert dict(hashed.dtypes)["tok_set"] == "array<bigint>"
+    a = {r.doc_id: set(r.tok_set) for r in t.collect()}
+    b = {r.doc_id: set(r.tok_set) for r in hashed.collect()}
+    ids = sorted(a)
+    for i in ids[:10]:
+        for jj in ids:
+            if jj <= i:
+                continue
+            assert len(a[i] & a[jj]) == len(b[i] & b[jj])
+
+
 def test_simhash_fingerprint_plan_is_one_shuffle(spark, sf_dir):
     """The round-12 fix pinned structurally: the fingerprint plan has
     exactly ONE exchange (the per-doc vote aggregation) — the old
