@@ -339,32 +339,59 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
     large-star connects every node's larger neighbors to its local
     minimum; small-star connects every node and its smaller neighbors
     to their minimum. Both are one groupBy + one equi-join on node id.
-    Converged when the edge set is stable — then every edge is
-    (node -> component root) and labels are a single projection.
+    Converged when the edge set is a STAR FOREST — every canonical
+    (big, small) edge points straight at its component root — then
+    labels are a single projection.
 
     Why it wins at 100x graphs: label propagation needs O(diameter)
     driver-synced rounds (one checkpoint barrier each); contraction
     needs O(log n) regardless of diameter, because star-rewiring
     halves path lengths multiplicatively. Per-round cost is the same
-    shuffle shape (join + groupBy on node id). On shallow near-dup
-    graphs (cliques, short chains) both converge in 2-3 rounds and
-    label propagation's cheaper round wins; on deep chains/meshes
-    contraction's round count is the lever. `stats`, when passed,
+    shuffle shape (join + groupBy on node id). `stats`, when passed,
     receives {"rounds": n} for sync-count assertions.
+
+    Driver-sync budget (round 13): ONE action per round. Each round's
+    edge set is lazily localCheckpointed and materialized by a single
+    fixpoint probe — one union + one groupBy over the edges computing
+    (edge count, max per-big-endpoint degree, count of nodes on both
+    sides). A canonical edge set is a star forest iff every big
+    endpoint has exactly one edge AND no node is both a big and a
+    small endpoint (star => the round is the identity; any violation
+    is rewired by the next round, per Kiveris et al. — the fixpoints
+    are exactly the min-rooted star forests). Probing the property
+    directly replaces the old eager-checkpoint + count + exceptAll
+    sequence (2-3 actions/round) AND deletes the final confirmation
+    round the edge-set-stability check needed: a graph reaching the
+    star forest in round k now exits after k probes, not k+1 rounds.
+    The label-prop twin pins output equality (tests/test_dedup.py).
     """
-    edges = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-             .filter(F.col("u") != F.col("v"))
-             .select(F.greatest("u", "v").alias("u"),
-                     F.least("u", "v").alias("v"))
-             .dropDuplicates(["u", "v"])
-             .localCheckpoint(eager=True))
-    all_nodes = (edges.select(F.col("u").alias("node"))
-                 .unionAll(edges.select(F.col("v").alias("node")))
-                 .distinct()
-                 .localCheckpoint(eager=True))
-    n_edges = edges.count()
+    edges0 = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+              .dropDuplicates(["u", "v"])
+              .localCheckpoint(eager=False))
+
+    def _probe(e: DataFrame) -> tuple[int, bool]:
+        """(n_edges, is_star_forest) in ONE action — which is also
+        what materializes `e`'s pending local checkpoint."""
+        sides = (e.select(F.col("u").alias("node"),
+                          F.lit(1).alias("as_u"), F.lit(0).alias("as_v"))
+                 .unionAll(e.select(F.col("v").alias("node"),
+                                    F.lit(0).alias("as_u"),
+                                    F.lit(1).alias("as_v"))))
+        row = (sides.groupBy("node")
+               .agg(F.sum("as_u").alias("nu"), F.sum("as_v").alias("nv"))
+               .agg(F.coalesce(F.sum("nu"), F.lit(0)).alias("n"),
+                    F.coalesce(F.max("nu"), F.lit(0)).alias("maxd"),
+                    F.count_if((F.col("nu") > 0) & (F.col("nv") > 0))
+                     .alias("chains"))
+               .first())
+        return int(row["n"]), row["maxd"] <= 1 and row["chains"] == 0
+
+    edges = edges0
+    n_edges, converged = _probe(edges)
     rounds = 0
-    converged = n_edges == 0
     while not converged and rounds < max_rounds:
         rounds += 1
         # Large-star: per node u over the SYMMETRIC neighborhood,
@@ -399,24 +426,30 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
               .select(F.greatest("s", "t").alias("u"),
                       F.least("s", "t").alias("v"))
               .dropDuplicates(["u", "v"]))
-        new_edges = ss.localCheckpoint(eager=True)
-        new_cnt = new_edges.count()
-        # Fixpoint = identical edge sets (both sides are distinct
-        # canonical rows, so equal counts + empty difference suffice).
-        converged = (new_cnt == n_edges
-                     and new_edges.exceptAll(edges).isEmpty())
-        edges, n_edges = new_edges, new_cnt
+        edges = ss.localCheckpoint(eager=False)
+        # One action: materializes the checkpoint and answers "is
+        # this a star forest" without an exceptAll job or an extra
+        # confirmation round.
+        n_edges, converged = _probe(edges)
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
         import warnings
 
         warnings.warn(
-            f"connected_components_contraction: edge set still changing "
-            f"after max_rounds={max_rounds}; result is not converged",
+            f"connected_components_contraction: {n_edges} edges still "
+            f"not a star forest after max_rounds={max_rounds}; result "
+            "is not converged",
             RuntimeWarning, stacklevel=2)
     # At the star fixpoint every non-root node has exactly one edge,
-    # straight to its component root; roots keep themselves.
+    # straight to its component root; roots keep themselves. The node
+    # universe comes from the ORIGINAL edge set (contraction rewires
+    # edges, never the node set we owe labels for); edges0 is already
+    # checkpoint-materialized by the first probe, so this is a cheap
+    # re-read, not a re-execution of the pair-generation plan.
+    all_nodes = (edges0.select(F.col("u").alias("node"))
+                 .unionAll(edges0.select(F.col("v").alias("node")))
+                 .distinct())
     roots = edges.groupBy("u").agg(F.min("v").alias("component"))
     return (all_nodes.join(roots, all_nodes.node == roots.u, "left")
             .select("node",
