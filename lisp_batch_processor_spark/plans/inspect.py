@@ -54,9 +54,62 @@ def assert_read_schema_pruned(df: DataFrame, table_fragment: str,
         f"no parquet scan matching {table_fragment!r} found in plan:\n{plan}")
 
 
+def _subtree_max_one_row(jnode) -> bool:
+    """True when a physical subtree PROVABLY produces <= 1 row: a
+    keyless (global) aggregate, reached through single-child nodes —
+    every single-child physical node except Generate/Expand preserves
+    or reduces row count, and those two are excluded explicitly."""
+    name = jnode.nodeName()
+    if "Aggregate" in name:
+        try:
+            return bool(jnode.groupingExpressions().isEmpty())
+        except Exception:  # noqa: BLE001 — unknown agg node: not proven
+            return False
+    if name in ("Generate", "Expand"):
+        return False
+    children = jnode.children()
+    if children.size() == 1:
+        return _subtree_max_one_row(children.apply(0))
+    return False
+
+
+def disallowed_nested_loops(df: DataFrame) -> list[str]:
+    """Node names of the joins in the physical plan that would melt
+    at scale: every CartesianProduct, and every
+    BroadcastNestedLoopJoin EXCEPT the one-row-broadcast pattern — a
+    build side the planner can prove is <= 1 row (a keyless
+    aggregate), e.g. a broadcast config/flag row joined onto a big
+    frame. That shape is O(rows · 1) with no shuffle — it is how a
+    data-derived scalar enters a plan without a driver action — while
+    a BNLJ over an unbounded build side is quadratic; the audit keeps
+    flagging the latter. Walks the pre-AQE physical tree (the same
+    plan explainString formats)."""
+    bad: list[str] = []
+
+    def walk(jnode) -> None:
+        name = jnode.nodeName()
+        if name == "CartesianProduct":
+            bad.append(name)
+        elif name == "BroadcastNestedLoopJoin":
+            children = jnode.children()
+            build = (children.apply(1)
+                     if "BuildRight" in jnode.buildSide().toString()
+                     else children.apply(0))
+            if not _subtree_max_one_row(build):
+                bad.append(name)
+        children = jnode.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return bad
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
-    """Assert the plan contains no cartesian product and no
-    broadcast-nested-loop join — the two shapes that melt at scale."""
-    plan = physical_plan(df)
-    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        assert bad not in plan, f"{bad} in plan:\n{plan}"
+    """Assert the plan contains no join shape that melts at scale: no
+    cartesian product and no broadcast-nested-loop join over a build
+    side that can exceed one row (a PROVABLY <= 1-row broadcast — the
+    flag/config-scalar pattern — is O(rows) and allowed; see
+    disallowed_nested_loops)."""
+    bad = disallowed_nested_loops(df)
+    assert not bad, f"{bad} in plan:\n{physical_plan(df)}"

