@@ -1294,28 +1294,112 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
     return asg
 
 
+# How long a same-role lease must sit UNREFRESHED before a writer on
+# a DIFFERENT host (or one holding a legacy token with no host:pid)
+# may adopt it. Same-host liveness is probed directly (kill -0), so
+# this horizon only gates the cases where the predecessor's process
+# cannot be probed; it is deliberately much shorter than the lease
+# TTL (3600 s) — the horizon is "has the holder heartbeat recently",
+# not "has the whole window elapsed".
+SEM_LEASE_ADOPT_MIN_AGE_S = 300.0
+
+
+def _lease_file_mtime(spark, dest: str) -> float | None:
+    """The lease file's modification time (epoch seconds), or None if
+    it vanished — the holder's last heartbeat (acquire/refresh both
+    rewrite the file)."""
+    from py4j.protocol import Py4JJavaError
+
+    from lisp_batch_processor_spark.sources.writers import (
+        _hadoop_fs, lease_path)
+    lp = lease_path(dest)
+    jvm, fs, _ = _hadoop_fs(spark, lp)
+    try:
+        return (fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(lp))
+                .getModificationTime() / 1000.0)
+    except Py4JJavaError:
+        return None
+
+
+def _holder_plausibly_alive(spark, dest: str, holder: str) -> bool:
+    """Is the recorded same-role holder plausibly still running?
+    Owner tokens carry ``@host:pid`` (round 13): on the SAME host the
+    process is probed directly — a dead pid is proof of a hard crash
+    and adopts immediately, our own pid is a same-process retry and
+    adopts reentrantly, any other live pid refuses. A FOREIGN host
+    (or a legacy token without host:pid) cannot be probed, so the
+    lease file's mtime stands in as a heartbeat: younger than
+    `SEM_LEASE_ADOPT_MIN_AGE_S` reads as alive (refuse), older means
+    the holder has not refreshed within the horizon and has forfeited
+    the window — the TTL-expiry semantics on a shorter clock."""
+    import os as _os
+    import socket as _socket
+    import time as _time
+
+    host = pid = None
+    if "@" in holder:
+        loc = holder.rsplit("@", 1)[1]
+        if ":" in loc:
+            h, p = loc.rsplit(":", 1)
+            if p.isdigit():
+                host, pid = h, int(p)
+    if host == _socket.gethostname() and pid is not None:
+        if pid == _os.getpid():
+            return False        # our own earlier attempt: reentrant
+        try:
+            _os.kill(pid, 0)
+            return True         # process exists on this host
+        except ProcessLookupError:
+            return False        # provably dead: hard crash
+        except PermissionError:
+            return True         # exists under another uid
+    mtime = _lease_file_mtime(spark, dest)
+    return (mtime is not None
+            and _time.time() < mtime + SEM_LEASE_ADOPT_MIN_AGE_S)
+
+
 def _acquire_role_lease(spark, dest: str, role: str) -> str:
     """Acquire the semantic maintenance lease on ``dest`` for a ROLE
     (``"sem-epoch-"`` for tagged ingest epochs, ``"counts-seed-"``
     for the ledger backfill). A live lease held by the OTHER role
     raises `LeaseHeldError` — the stream-vs-backfill exclusion the
     lease exists for. A lease held by the SAME role is ADOPTED
-    (reacquired under the recorded owner token): within a role the
-    predecessor is this writer's own crashed attempt — a hard crash
-    (process death) leaves the file behind, and making the replay or
-    rerun wait out the TTL would wedge exactly the recovery path the
-    epoch stores are designed around. The same-role bypass this
-    admits (two concurrent drivers of one role) is the pre-lease
-    semantics for epochs (replay-safe by construction; the lineage
-    pin already refuses a second logical stream) and an early-return
-    no-op for backfills (a present ledger returns False)."""
+    (reacquired under the recorded owner token) ONLY when its holder
+    is not plausibly alive (round 13 — previously any same-role lease
+    adopted unconditionally, silently admitting two concurrent
+    same-role writers): a hard crash (dead pid on this host, or no
+    heartbeat within `SEM_LEASE_ADOPT_MIN_AGE_S` for an unprobeable
+    holder) leaves the file behind, and making the replay or rerun
+    wait out the full TTL would wedge exactly the recovery path the
+    epoch stores are designed around — while a LIVE same-role writer
+    now raises like the other role, keeping the exclusion real within
+    a role too.
+
+    Release-after-adoption: adoption reuses the recorded owner token,
+    so the adopter's finally-release removes the file; the
+    predecessor, being provably dead or silent past the heartbeat
+    horizon, has no release left to no-op. The residual is a live
+    writer stalled past the horizon without refreshing — which by the
+    lease's own heartbeat contract has forfeited the window, the same
+    semantics TTL expiry already applies on a longer clock."""
+    import os as _os
+    import socket as _socket
     import uuid as _uuid
 
     from lisp_batch_processor_spark.sources.writers import (
-        acquire_lease, lease_holder)
+        LeaseHeldError, acquire_lease, lease_holder)
     holder = lease_holder(spark, dest)
-    me = (holder if isinstance(holder, str) and holder.startswith(role)
-          else f"{role}{_uuid.uuid4().hex[:12]}")
+    if (isinstance(holder, str) and holder.startswith(role)
+            and not _holder_plausibly_alive(spark, dest, holder)):
+        me = holder
+    elif (isinstance(holder, str) and holder.startswith(role)):
+        raise LeaseHeldError(
+            f"{dest} is leased by a plausibly-live same-role writer "
+            f"{holder!r}; wait for its release, its heartbeat horizon "
+            f"({SEM_LEASE_ADOPT_MIN_AGE_S:.0f}s), or lease expiry")
+    else:
+        me = (f"{role}{_uuid.uuid4().hex[:12]}"
+              f"@{_socket.gethostname()}:{_os.getpid()}")
     return acquire_lease(spark, dest, owner=me)
 
 

@@ -1628,18 +1628,26 @@ def test_counts_seed_single_writer_window_is_leased(spark, tmp_path):
     # ROLE ADOPTION: a HARD-crashed writer leaves its unexpired lease
     # behind (no in-process finally ran) — the same role's retry must
     # ADOPT it rather than wedge on its own corpse for the TTL, while
-    # the OTHER role still refuses it. Back to the adopted-dir shape
-    # (ledger absent; the lease sidecar survives the rmtree).
+    # the OTHER role still refuses it. Round 13: adoption requires
+    # the predecessor to be PROVABLY not alive — here a dead pid on
+    # this host. Back to the adopted-dir shape (ledger absent; the
+    # lease sidecar survives the rmtree).
+    import socket
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = f"@{socket.gethostname()}:{proc.pid}"
     shutil.rmtree(cc)
-    acquire_lease(spark, cc, owner="sem-epoch-deadbeef")
+    acquire_lease(spark, cc, owner=f"sem-epoch-deadbeef{dead}")
     with pytest.raises(LeaseHeldError):
         semantic_counts_seed(spark, sd)   # other role: refused
     semantic_ingest_epoch(
         spark.createDataFrame([(11, _axis(3))], schema), sd,
-        tau=0.95, epoch=5)   # same role: adopts + releases
+        tau=0.95, epoch=5)   # same role, dead pid: adopts + releases
     assert lease_holder(spark, cc) is None
     # Symmetrically for a hard-crashed backfill's lease.
-    acquire_lease(spark, cc, owner="counts-seed-deadbeef")
+    acquire_lease(spark, cc, owner=f"counts-seed-deadbeef{dead}")
     with pytest.raises(LeaseHeldError):
         semantic_ingest_epoch(
             spark.createDataFrame([(12, _axis(4))], schema), sd,
@@ -1648,6 +1656,78 @@ def test_counts_seed_single_writer_window_is_leased(spark, tmp_path):
     assert lease_holder(spark, cc) is None
     assert semantic_cell_occupancy_fast(spark, sd) \
         == semantic_cell_occupancy(spark, sd)
+
+
+def test_same_role_lease_adoption_has_staleness_horizon(spark, tmp_path):
+    """Round 13 (round-12 What's-missing #2): same-role adoption only
+    fires for a predecessor that is provably not alive — a LIVE pid
+    on this host refuses like the other role (two concurrent same-role
+    writers now collide instead of silently sharing the lease), a
+    DEAD pid adopts immediately, our own pid is reentrant, and an
+    unprobeable holder (foreign host / legacy token) adopts only once
+    the lease file has gone unrefreshed past the heartbeat horizon."""
+    import os
+    import socket
+    import subprocess
+    import time
+
+    from lisp_batch_processor_spark.sources.writers import (
+        LeaseHeldError, acquire_lease, lease_holder, lease_path,
+        release_lease)
+    from lisp_batch_processor_spark.streaming.dedup import (
+        SEM_LEASE_ADOPT_MIN_AGE_S, _acquire_role_lease)
+
+    dest = str(tmp_path / "store")
+    host = socket.gethostname()
+
+    # LIVE same-role holder (this very process): refuse... unless it
+    # is literally our own pid, which is a same-process retry.
+    mine = f"sem-epoch-aaaa@{host}:{os.getpid()}"
+    acquire_lease(spark, dest, owner=mine)
+    got = _acquire_role_lease(spark, dest, "sem-epoch-")
+    assert got == mine                       # reentrant adoption
+    release_lease(spark, dest, got)
+
+    # LIVE same-role holder, another pid on this host: collide.
+    live = subprocess.Popen(["sleep", "30"])
+    try:
+        other = f"sem-epoch-bbbb@{host}:{live.pid}"
+        acquire_lease(spark, dest, owner=other)
+        with pytest.raises(LeaseHeldError, match="same-role"):
+            _acquire_role_lease(spark, dest, "sem-epoch-")
+        # ... and the other role refuses it too (unchanged).
+        with pytest.raises(LeaseHeldError):
+            _acquire_role_lease(spark, dest, "counts-seed-")
+    finally:
+        live.kill()
+        live.wait()
+    # The holder's process just died (hard crash): adopt immediately.
+    got = _acquire_role_lease(spark, dest, "sem-epoch-")
+    assert got == other
+    release_lease(spark, dest, got)
+
+    # Unprobeable holder (foreign host): a YOUNG lease refuses...
+    foreign = "sem-epoch-cccc@elsewhere:12345"
+    acquire_lease(spark, dest, owner=foreign)
+    with pytest.raises(LeaseHeldError, match="same-role"):
+        _acquire_role_lease(spark, dest, "sem-epoch-")
+    # ... and one unrefreshed past the horizon adopts (age the file).
+    lp = lease_path(dest)
+    old = time.time() - SEM_LEASE_ADOPT_MIN_AGE_S - 5
+    os.utime(lp, (old, old))
+    got = _acquire_role_lease(spark, dest, "sem-epoch-")
+    assert got == foreign
+    release_lease(spark, dest, got)
+
+    # Legacy token (no @host:pid) follows the same mtime horizon.
+    acquire_lease(spark, dest, owner="sem-epoch-legacy")
+    with pytest.raises(LeaseHeldError, match="same-role"):
+        _acquire_role_lease(spark, dest, "sem-epoch-")
+    os.utime(lp, (old, old))
+    got = _acquire_role_lease(spark, dest, "sem-epoch-")
+    assert got == "sem-epoch-legacy"
+    release_lease(spark, dest, got)
+    assert lease_holder(spark, dest) is None
 
 
 def test_counts_seed_refuses_uncommitted_high_water_epoch(
