@@ -385,18 +385,26 @@ def quantile_hist_retrain_epoch(batch_df: DataFrame, store_path: str,
 
     spark = batch_df.sparkSession
     e = int(epoch_id)
-    if check_store_epoch_lineage(spark, store_path, e, lineage):
-        # The lineage pin adopted this stream as fresh over a DATALESS
-        # count store — a rebuild after store deletion. The sibling
-        # bounds store survives deletion exactly like the pin's
-        # sidecar, and resuming under its phantom generations would
-        # reuse the deleted store's splits and trained_epoch tags (a
-        # new epoch colliding with a stale tag silently skips its
-        # retrain) — clear it in the same step, as `sketch_store_init`
-        # does on the declared-rebuild path (round 12, ADVICE).
+
+    def _clear_phantom_bounds():
+        # The lineage pin is adopting this stream as fresh over a
+        # DATALESS count store — a rebuild after store deletion. The
+        # sibling bounds store survives deletion exactly like the
+        # pin's sidecar, and resuming under its phantom generations
+        # would reuse the deleted store's splits and trained_epoch
+        # tags (a new epoch colliding with a stale tag silently skips
+        # its retrain) — clear it BEFORE the new pin persists
+        # (round 13, ADVICE: a crash between the pin PUT and a
+        # post-hoc clear would leave the phantoms permanent, because
+        # the replayed epoch then matches the new pin and adoption
+        # never re-fires), as `sketch_store_init` does on the
+        # declared-rebuild path.
         jvm, fs, _ = _hadoop_fs(spark, store_path)
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             _bounds_path(store_path)), True)
+
+    check_store_epoch_lineage(spark, store_path, e, lineage,
+                              on_adopt=_clear_phantom_bounds)
     gens = quantile_bounds_read(spark, store_path)
     if not gens:
         # Legacy-layout guard at ENABLE time (no bounds yet — once a

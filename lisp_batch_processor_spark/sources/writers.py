@@ -164,7 +164,8 @@ def _check_epoch_lineage(meta: dict, epoch_id: int,
 
 def check_store_epoch_lineage(spark: SparkSession, store_root: str,
                               epoch_id: int,
-                              lineage: str | None = None) -> bool:
+                              lineage: str | None = None,
+                              on_adopt=None) -> bool:
     """The STORE-scoped monotonic-epoch / one-lineage check: meta in
     a hidden sibling of ``store_root`` (`_check_epoch_lineage` for
     the rules). One tiny JSON get per epoch plus one PUT per
@@ -189,7 +190,17 @@ def check_store_epoch_lineage(spark: SparkSession, store_root: str,
     (the generational bounds store next to a quantile count store)
     can clear that phantom history in the same step; leaving it would
     resume the rebuilt stream under the deleted store's generations
-    (round 12, ADVICE)."""
+    (round 12, ADVICE).
+
+    ``on_adopt``, when passed, runs at the moment adoption is DECIDED
+    but BEFORE the new pin is persisted (round 13, ADVICE): sibling
+    phantom-history clears must precede the pin PUT, because a crash
+    between the PUT and a post-hoc clear would leave the replayed
+    epoch matching the new pin — adoption never re-fires and the
+    phantom siblings survive permanently. With the clear inside this
+    window, every crash point retries: before the clear nothing is
+    persisted (the old pin re-adopts), after it the clear is an
+    idempotent delete."""
     mp = _hidden_sibling(store_root.rstrip("/"), "lineage")
     meta = read_json_file(spark, mp, default=None, absent=None)
     if not isinstance(meta, dict):
@@ -201,6 +212,8 @@ def check_store_epoch_lineage(spark: SparkSession, store_root: str,
     except ValueError:
         if _store_has_data_files(spark, store_root):
             raise
+        if on_adopt is not None:
+            on_adopt()
         meta = {}
         adopted = True
         changed = _check_epoch_lineage(meta, epoch_id, lineage,

@@ -989,3 +989,61 @@ def test_sketch_rebuild_adoption_clears_stale_bounds(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lineage"):
         run(b0, 2, "ckptC")
+
+
+def test_bounds_clear_precedes_pin_persist_on_adoption(spark, tmp_path):
+    """Round 13 (ADVICE): the adopt-as-fresh bounds clear must run
+    BEFORE the adopted lineage pin is persisted. If the pin PUT came
+    first, a crash between the two would leave the phantom bounds
+    permanent — the replayed epoch matches the new pin, adoption
+    never re-fires, and the rebuilt stream silently resumes under the
+    deleted store's splits and trained_epoch tags. Pinned by
+    injecting a crash AT the pin PUT and asserting the bounds are
+    already gone, the old pin is untouched, and the rerun completes
+    the adoption cleanly."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    import lisp_batch_processor_spark.sources.writers as W
+    from lisp_batch_processor_spark.operators.sketches import (
+        quantile_bins_train, quantile_bounds_read,
+        quantile_hist_retrain_epoch)
+
+    store = os.path.join(str(tmp_path), "store")
+    b0 = _drift_batch(spark, 0)
+    splits = quantile_bins_train(b0, "v", n_buckets=8)
+
+    def run(batch, eid, lineage):
+        return quantile_hist_retrain_epoch(
+            batch, store, ["g"], "v", splits, retrain_tvd=0.2,
+            retrain_min_rows=100, epoch_id=eid, lineage=lineage)
+
+    run(b0, 0, "ckptA")
+    assert run(_drift_batch(spark, 100000), 1, "ckptA") == 1
+    shutil.rmtree(store)                      # rebuild, bounds survive
+    assert os.path.exists(store + "__bounds")
+
+    real = W.write_json_file
+
+    def crash_at_pin_put(spark_, path, obj):
+        if "lineage" in path:
+            raise RuntimeError("injected: crash at pin PUT")
+        return real(spark_, path, obj)
+
+    W.write_json_file = crash_at_pin_put
+    try:
+        with _pytest.raises(RuntimeError, match="injected"):
+            run(b0, 0, "ckptB")
+    finally:
+        W.write_json_file = real
+    # The ordering pin: bounds were cleared BEFORE the (crashed) pin
+    # PUT, and the old pin survives, so the rerun re-adopts.
+    assert not os.path.exists(store + "__bounds")
+    assert run(b0, 0, "ckptB") == 0
+    gens = quantile_bounds_read(spark, store)
+    assert set(gens) == {0} and gens[0][1] == -1
+    # Guard re-armed: the adopted pin now refuses a third lineage.
+    with _pytest.raises(ValueError, match="lineage"):
+        run(b0, 1, "ckptC")
