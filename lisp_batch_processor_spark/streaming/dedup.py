@@ -246,16 +246,24 @@ def ingest_lineage_reset(spark, state_dir: str) -> None:
 
 
 def _lineage_token(checkpoint_dir: str) -> str:
-    """Canonicalize a checkpoint location into the lineage token
+    """Normalize a checkpoint location into the lineage token
     `start_ingest_stream` records, so the SAME physical checkpoint
     respelled across restarts — trailing slash, ``file://`` URI,
-    relative vs absolute local path, an object-store scheme alias
-    (s3/s3a/s3n, gs/gcs) — does not read as a foreign lineage and
-    fail a legitimate resume (Spark resolves all those spellings to
-    one checkpointLocation; the recorded token must too). Local/file
-    paths normalize to an absolute POSIX path; other schemes
-    (hdfs://, s3a://, ...) keep their URI minus any trailing slash,
-    with aliased schemes mapped to one canonical spelling.
+    relative vs absolute local path — does not read as a foreign
+    lineage and fail a legitimate resume (Spark resolves all those
+    spellings to one checkpointLocation; the recorded token must
+    too). Local/file paths normalize to an absolute POSIX path;
+    other schemes (hdfs://, s3a://, ...) keep their ORIGINAL URI
+    minus any trailing slash. Scheme aliases (s3/s3a/s3n, gs/gcs)
+    are deliberately NOT rewritten here (round 13, ADVICE — reverting
+    half of round 12): `_lineage_canon` already applies the alias map
+    at COMPARISON time on both sides, so a respelled resume matches
+    either way, and recording the original spelling keeps the token a
+    PROBEABLE path — typical Hadoop deployments mount s3a:// but not
+    s3://, so a generation-side rewrite made
+    `_counts_seed_probe_checkpoint` throw on the recorded token and
+    silently skip the uncommitted-epoch crash-window check for
+    exactly the object-store checkpoints it matters most for.
 
     A RELATIVE local path additionally warns: it resolves against the
     driver's cwd here, but Spark resolves a schemeless
@@ -267,8 +275,6 @@ def _lineage_token(checkpoint_dir: str) -> str:
     import os as _os
     from urllib.parse import urlparse
 
-    from lisp_batch_processor_spark.sources.writers import (
-        _lineage_canon)
     s = str(checkpoint_dir).rstrip("/") or "/"
     u = urlparse(s)
     if u.scheme in ("", "file"):
@@ -283,7 +289,7 @@ def _lineage_token(checkpoint_dir: str) -> str:
                 "pass an absolute or fully-qualified checkpoint URI",
                 stacklevel=2)
         return _os.path.abspath(p)
-    return _lineage_canon(s)
+    return s
 
 
 def start_ingest_stream(writer_fn, *args, checkpoint_dir: str,

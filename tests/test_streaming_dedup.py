@@ -1849,18 +1849,25 @@ def test_lineage_token_canonicalizes_checkpoint_spellings():
     assert _lineage_token("file:///a/b") == "/a/b"
     assert _lineage_token("file:///a/b/") == "/a/b"
     assert _lineage_token("hdfs://nn:8020/a/b/") == "hdfs://nn:8020/a/b"
-    # Object-store scheme ALIASES (round 12): s3/s3a/s3n name the same
-    # S3 location, gs/gcs the same GCS location — a respelled resume
-    # of the SAME checkpoint must tokenize identically...
-    assert (_lineage_token("s3://bucket/ckpt")
-            == _lineage_token("s3a://bucket/ckpt")
-            == _lineage_token("s3n://bucket/ckpt/")
+    # Object-store scheme ALIASES (round 12, reworked round 13 per
+    # ADVICE): the token keeps its ORIGINAL spelling — so it stays a
+    # probeable path on deployments that mount only s3a:// — and the
+    # alias map applies at COMPARISON time via _lineage_canon, so a
+    # respelled resume of the SAME checkpoint still matches...
+    from lisp_batch_processor_spark.sources.writers import _lineage_canon
+    assert _lineage_token("s3a://bucket/ckpt") == "s3a://bucket/ckpt"
+    assert (_lineage_canon(_lineage_token("s3://bucket/ckpt"))
+            == _lineage_canon(_lineage_token("s3a://bucket/ckpt"))
+            == _lineage_canon(_lineage_token("s3n://bucket/ckpt/"))
             == "s3://bucket/ckpt")
-    assert (_lineage_token("gs://bkt/ck")
-            == _lineage_token("gcs://bkt/ck") == "gs://bkt/ck")
+    assert (_lineage_canon(_lineage_token("gs://bkt/ck"))
+            == _lineage_canon(_lineage_token("gcs://bkt/ck"))
+            == "gs://bkt/ck")
     # ... while genuinely different buckets/services stay distinct.
-    assert _lineage_token("s3://b1/ckpt") != _lineage_token("s3://b2/ckpt")
-    assert _lineage_token("wasb://b/c") != _lineage_token("abfs://b/c")
+    assert (_lineage_canon(_lineage_token("s3://b1/ckpt"))
+            != _lineage_canon(_lineage_token("s3://b2/ckpt")))
+    assert (_lineage_canon(_lineage_token("wasb://b/c"))
+            != _lineage_canon(_lineage_token("abfs://b/c")))
     # Relative spellings resolve against the cwd, like Spark's own
     # checkpoint resolution of a schemeless relative path — with a
     # warning, since a restart from another cwd reads falsely foreign.
