@@ -80,6 +80,20 @@ HEADLINE = [
 ]
 
 
+def _git_head() -> str | None:
+    """This working tree's HEAD commit, or None outside git — the
+    attribution the interleaved-delta quote requires (the band's
+    recorded A-side commit must be THIS code)."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True).stdout.strip()
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
 def _extra_queries() -> dict:
     """Library operators timed alongside the registered queries."""
     from lisp_batch_processor_spark.catalog import load
@@ -294,19 +308,34 @@ def main() -> None:
             # A pass ran next to a B pass under the same conditions —
             # so quote them here as the authoritative cross-HEAD
             # signal; the sequential deltas then mostly measure how
-            # the host changed between sessions.
+            # the host changed between sessions. BOTH sides must be
+            # attributable (round 13, ADVICE): the band's recorded
+            # A-side commit must equal the HEAD this bench measures
+            # and the band's tree must have been clean, else a band
+            # generated at an earlier working tree would be silently
+            # quoted as this HEAD's delta.
             try:
                 nbp = os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     "NOISE_BAND.json")
                 with open(nbp) as f:
                     nbs = json.load(f)["summary"]
+                cur_head = _git_head()
                 if (nbs.get("ref_commit") == prev.get("commit")
-                        and prev.get("sf") == sf_val):
+                        and prev.get("sf") == sf_val
+                        and nbs.get("head_commit") is not None
+                        and nbs.get("head_commit") == cur_head
+                        and not nbs.get("head_dirty")):
                     summary["interleaved_total_delta"] = \
                         nbs.get("total_delta_rel")
                     summary["interleaved_trimmed_delta"] = \
                         nbs.get("total_trimmed_delta_rel")
+                elif nbs.get("ref_commit") == prev.get("commit"):
+                    print("# NOISE_BAND A-side commit "
+                          f"{nbs.get('head_commit')!r} (dirty="
+                          f"{nbs.get('head_dirty')}) does not match "
+                          f"this HEAD {cur_head!r}; interleaved "
+                          "deltas not quoted", file=sys.stderr)
             except (OSError, ValueError, KeyError):
                 pass
             payload["prev_head"] = summary

@@ -59,8 +59,23 @@ def main() -> None:
     if len(sys.argv) not in (2, 3):
         sys.exit("usage: bench_noise_band.py <ref_commit> [n_pairs]")
     ref = sys.argv[1]
-    n_pairs = int(sys.argv[2]) if len(sys.argv) == 3 else 5
+    # Default 10 pairs (round 13, raised from 5): the per-query
+    # trimmed band drops the worst 20 % of passes, so 10 passes keep
+    # 8 — two independent stall windows no longer define the band,
+    # which is what held the r12 per-query p90 at 60 %.
+    n_pairs = int(sys.argv[2]) if len(sys.argv) == 3 else 10
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Attribute the A side to an exact tree state (round 13, ADVICE):
+    # without this, a band generated at an earlier HEAD silently
+    # reads as "same-code" for whatever HEAD bench.py currently
+    # measures; bench.py refuses to quote interleaved deltas unless
+    # head_commit matches its own HEAD and the tree was clean.
+    head = subprocess.run(
+        ["git", "-C", repo, "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True).stdout.strip()
+    dirty = bool(subprocess.run(
+        ["git", "-C", repo, "status", "--porcelain"],
+        capture_output=True, text=True, check=True).stdout.strip())
     wt = f"/tmp/noise_ref_{ref[:12]}"
     subprocess.run(["git", "-C", repo, "worktree", "add", "--force",
                     wt, ref], check=True)
@@ -87,12 +102,15 @@ def main() -> None:
         def band(v):
             return (max(v) - min(v)) / _median(v) if _median(v) else 0.0
 
-        # Trimmed band drops each side's single worst pass: the host
-        # stalls for multi-second windows (a 1 s query can read 19 s
-        # once in 5 passes), and one stall otherwise IS the band.
-        # The trimmed figure is the noise floor min-of-N actually
-        # competes against; the raw figure documents the stalls.
-        ta, tb = sorted(a)[:-1], sorted(b)[:-1]
+        # Trimmed band drops each side's worst 20 % of passes (1 in
+        # 5, 2 in 10): the host stalls for multi-second windows (a
+        # 1 s query can read 19 s once in 5 passes), and a couple of
+        # stalls otherwise ARE the band. The trimmed figure is the
+        # noise floor min-of-N actually competes against; the raw
+        # per-pass lists above document the stalls and let any later
+        # reader recompute either statistic.
+        drop = max(1, len(a) // 5)
+        ta, tb = sorted(a)[:-drop], sorted(b)[:-drop]
         delta = ((min(a) - min(b)) / min(b)) if min(b) else 0.0
         per_query[q] = {
             "a": [round(x, 3) for x in a],
@@ -124,6 +142,8 @@ def main() -> None:
     summary = {
         "pairs": n_pairs,
         "ref_commit": ref,
+        "head_commit": head,
+        "head_dirty": dirty,
         "stat": "single-pass timings, interleaved A/B",
         # Per-query relative band (same-code max-min over median):
         # the yardstick for judging any cross-round per-query delta.
