@@ -1263,6 +1263,7 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
                 # complete baseline).
                 _sem_counts_append(surv, _sem_counts_path(sd, use_gen),
                                    int(epoch))
+                _sem_counts_reconcile_once(spark, sd, use_gen)
             else:
                 # INVARIANT: a present ledger is COMPLETE. An untagged
                 # ingest (epoch=None, the pre-r10 call shape) can't
@@ -1298,6 +1299,54 @@ def semantic_ingest_epoch(batch_emb, state_dir: str,
     else:
         _appends()
     return asg
+
+
+def _sem_counts_reconcile_once(spark, sd: str, gen: int) -> None:
+    """ONE-TIME fast-vs-full occupancy reconciliation after a
+    probe-skipped backfill (round 13, closing round 12's
+    opaque-legacy-token residual): when `semantic_counts_seed` could
+    not probe the checkpoint for the uncommitted-high-water crash
+    window (opaque or unreachable lineage token), the first tagged
+    epoch after the backfill compares `semantic_cell_occupancy_fast`
+    against the full scan. A divergence means the window fired — the
+    baseline was taken BEFORE the crashed epoch's replay landed its
+    vectors, and the horizon masks that epoch's ledger rows, so the
+    fast signal undercounts it permanently — and raises with the
+    remedy (the replay has committed by now, so deleting the ledger
+    root and re-running the backfill heals the dir). A match writes
+    ``reconciled`` into the ledger meta and the check never runs
+    again. Steady-state cost on armed dirs: one tiny JSON get per
+    epoch until the first reconciliation, then one flag short-circuit;
+    un-armed dirs (verified probe, or no backfill) pay the JSON get
+    only — within the epoch path's documented ~5 tiny FS ops."""
+    from lisp_batch_processor_spark.sources.writers import (
+        read_json_file, write_json_file)
+    mp = _sem_counts_meta_path(sd, gen)
+    meta = read_json_file(spark, mp, default=None, absent=None)
+    if not (isinstance(meta, dict) and meta.get("probe_skipped")
+            and not meta.get("reconciled")):
+        return
+    if semantic_current_gen(spark, sd)["gen"] != gen:
+        # A replay pinned to a pre-reseed generation: the occupancy
+        # views below read the CURRENT generation, whose reseed-built
+        # baseline has no backfill residual — nothing to reconcile
+        # against here; the armed generation's flag stays for its own
+        # current-gen epochs (and dies with the generation's vacuum).
+        return
+    fast = semantic_cell_occupancy_fast(spark, sd)
+    full = semantic_cell_occupancy(spark, sd)
+    if fast != full:
+        raise ValueError(
+            f"occupancy ledger at {sd} (gen {gen}) disagrees with the "
+            f"full survivor scan (fast={fast}, full={full}): the "
+            "backfilled baseline was taken inside the uncommitted-"
+            "high-water crash window behind an unprobeable lineage "
+            "token — the fast signal permanently undercounts the "
+            "replayed epoch. The replay has committed now: delete the "
+            "ledger root and re-run semantic_counts_seed to rebuild "
+            "the baseline over the complete store")
+    meta["reconciled"] = True
+    write_json_file(spark, mp, meta)
 
 
 # How long a same-role lease must sit UNREFRESHED before a writer on
@@ -1631,9 +1680,10 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
     horizon = (int(lin["high_water_epoch"])
                if isinstance(lin, dict)
                and lin.get("high_water_epoch") is not None else -1)
+    probed = True
     if horizon >= 0 and isinstance(lin, dict):
-        _counts_seed_probe_checkpoint(spark, sd, lin.get("lineage"),
-                                      horizon)
+        probed = _counts_seed_probe_checkpoint(
+            spark, sd, lin.get("lineage"), horizon)
     owner = _acquire_role_lease(spark, cc_path, "counts-seed-")
     try:
         if store_is_versioned(spark, vec_path):
@@ -1642,15 +1692,22 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
                      .select("vec_id", "cell")
                      .dropDuplicates(["vec_id"]))
         _sem_counts_append(survivors, cc_path, -1)
+        # probe_skipped arms the ONE-TIME post-backfill reconciliation
+        # (round 13, closing the opaque-token residual): when the
+        # crash-window probe could not run, the first tagged epoch
+        # after this backfill compares the fast signal against the
+        # full scan once and raises on divergence instead of leaving
+        # the uncommitted-high-water undercount silent forever.
         write_json_file(spark, _sem_counts_meta_path(sd, gen),
-                        {"baseline_through_epoch": horizon})
+                        {"baseline_through_epoch": horizon,
+                         "probe_skipped": (not probed and horizon >= 0)})
     finally:
         release_lease(spark, cc_path, owner)
     return True
 
 
 def _counts_seed_probe_checkpoint(spark, sd: str,
-                                  lineage, horizon: int) -> None:
+                                  lineage, horizon: int) -> bool:
     """Refuse `semantic_counts_seed` when the stream's checkpoint
     shows the recorded high-water epoch H STARTED but never COMMITTED
     (offsets/H present, commits/H absent): in that window the
@@ -1658,10 +1715,14 @@ def _counts_seed_probe_checkpoint(spark, sd: str,
     recording horizon H over a not-yet-landed epoch permanently
     undercounts it in the fast signal (see the caller's docstring).
     Only probes when the lineage token resolves to a readable
-    checkpoint layout — the `start_ingest_stream` default; an opaque
-    or unreachable token skips the probe (documented residual)."""
+    checkpoint layout — the `start_ingest_stream` default. Returns
+    True when the probe VERIFIED epoch H committed, False when it
+    could not decide (opaque token, unreachable path, no offsets
+    entry) — the caller then arms the one-time post-backfill
+    reconciliation instead of leaving the residual documented-only
+    (round 13)."""
     if not lineage:
-        return
+        return False
     from py4j.protocol import Py4JJavaError
 
     from lisp_batch_processor_spark.sources.writers import _hadoop_fs
@@ -1670,10 +1731,10 @@ def _counts_seed_probe_checkpoint(spark, sd: str,
         jvm, fs, _ = _hadoop_fs(spark, ckpt)
         mkpath = jvm.org.apache.hadoop.fs.Path
         if not fs.exists(mkpath(f"{ckpt}/offsets/{horizon}")):
-            return  # not a checkpoint layout (or already cleaned)
+            return False  # not a checkpoint layout (or cleaned up)
         committed = fs.exists(mkpath(f"{ckpt}/commits/{horizon}"))
     except (Py4JJavaError, ValueError):
-        return  # unreachable/foreign-scheme token: can't probe
+        return False  # unreachable/foreign-scheme token: can't probe
     if not committed:
         raise ValueError(
             f"ingest state at {sd} records high-water epoch "
@@ -1684,6 +1745,7 @@ def _counts_seed_probe_checkpoint(spark, sd: str,
             "fast occupancy signal. Restart the stream so the replay "
             "commits epoch "
             f"{horizon}, then run semantic_counts_seed")
+    return True
 
 
 def semantic_reseed(spark, state_dir: str, *,

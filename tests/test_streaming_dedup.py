@@ -1771,6 +1771,64 @@ def test_counts_seed_refuses_uncommitted_high_water_epoch(
     assert semantic_counts_seed(spark, sd) is True
 
 
+def test_counts_seed_opaque_token_reconciles_after_first_epoch(
+        spark, tmp_path):
+    """Round 13 (round-12 What's-missing #3): a state_dir whose
+    lineage token names no checkpoint can still backfill inside the
+    uncommitted-high-water window — undetectably at backfill time —
+    so the FIRST tagged epoch after a probe-skipped backfill
+    reconciles the fast occupancy signal against the full scan once:
+    the planted window raises at that reconciliation with the
+    delete-and-reseed remedy, and after the remedy the next epoch
+    reconciles clean and disarms the check."""
+    import json
+    import os
+    import shutil
+
+    from lisp_batch_processor_spark.streaming.dedup import (
+        _sem_counts_meta_path, ingest_lineage_check,
+        semantic_cell_occupancy, semantic_cell_occupancy_fast,
+        semantic_counts_seed, semantic_ingest_epoch,
+        semantic_store_seed)
+
+    schema = "vec_id long, embedding array<double>"
+    sd = str(tmp_path / "state")
+    semantic_store_seed(
+        spark.createDataFrame([(1, _axis(0)), (2, _axis(1))], schema),
+        sd, k=2)
+    shutil.rmtree(os.path.join(sd, "sem_cellcounts"))  # adopted dir
+
+    # Epoch 9 STARTED (high-water PUT) but its vectors never landed,
+    # behind an OPAQUE token the probe cannot resolve.
+    ingest_lineage_check(spark, sd, 9, lineage="opaque-job-42")
+    assert semantic_counts_seed(spark, sd) is True     # probe skipped
+    meta = json.load(open(_sem_counts_meta_path(sd, 0)))
+    assert meta["probe_skipped"] is True
+    assert "reconciled" not in meta
+
+    # The stream restarts and REPLAYS epoch 9: its vectors land after
+    # the baseline while its ledger rows are horizon-masked — the
+    # undercount the reconciliation exists to catch.
+    with pytest.raises(ValueError, match="disagrees with the full"):
+        semantic_ingest_epoch(
+            spark.createDataFrame([(10, _axis(2))], schema), sd,
+            tau=0.95, epoch=9, lineage="opaque-job-42")
+
+    # Remedy (from the raise message): the replay has committed, so
+    # rebuild the baseline over the now-complete store.
+    shutil.rmtree(os.path.join(sd, "sem_cellcounts"))
+    assert semantic_counts_seed(spark, sd) is True
+    # The next epoch reconciles CLEAN and disarms the check.
+    semantic_ingest_epoch(
+        spark.createDataFrame([(11, _axis(3))], schema), sd,
+        tau=0.95, epoch=10, lineage="opaque-job-42")
+    meta = json.load(open(_sem_counts_meta_path(sd, 0)))
+    assert meta["probe_skipped"] is True
+    assert meta["reconciled"] is True
+    assert semantic_cell_occupancy_fast(spark, sd) \
+        == semantic_cell_occupancy(spark, sd)
+
+
 def test_start_ingest_stream_rejects_foreign_checkpoint(spark,
                                                         tmp_path):
     """The loop-agnostic starter gives the STANDALONE twins the same
