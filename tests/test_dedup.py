@@ -428,6 +428,50 @@ def test_contraction_matches_label_propagation(spark):
                                            max_iter=50)))
 
 
+def test_contraction_driver_sync_budget(spark):
+    """Round 13: contraction pays exactly ONE driver result action
+    per round (the star-forest probe, which doubles as the lazy
+    checkpoint's materializer) plus one for the initial edge set —
+    the old shape paid an eager checkpoint + count (+ exceptAll on
+    the converging round) and needed a full extra confirmation round.
+    Pinned by counting DataFrame result actions during a run: a
+    2-round graph must fire exactly 3 first() calls and zero
+    count()/isEmpty() calls."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        connected_components_contraction,
+    )
+
+    # Patch the RUNTIME class (pyspark.sql.DataFrame is an abstract
+    # base in Spark 4; classic instances resolve methods on their own
+    # class, so patching the base intercepts nothing).
+    DataFrame = type(spark.range(1))
+    calls = {"first": 0, "count": 0, "isEmpty": 0}
+    saved = {n: getattr(DataFrame, n) for n in calls}
+
+    def _wrap(name):
+        def _counted(self, *a, **k):
+            calls[name] += 1
+            return saved[name](self, *a, **k)
+        return _counted
+
+    # Path of length 4: not a star forest, converges in 2 rounds.
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["doc_a", "doc_b"])
+    for n in calls:
+        setattr(DataFrame, n, _wrap(n))
+    try:
+        stats = {}
+        got = connected_components_contraction(
+            path, "doc_a", "doc_b", stats=stats)
+        labels = {r.node: r.component for r in got.collect()}
+    finally:
+        for n, fn in saved.items():
+            setattr(DataFrame, n, fn)
+    assert labels == {i: 1 for i in range(1, 6)}
+    assert calls["count"] == 0 and calls["isEmpty"] == 0
+    assert calls["first"] == stats["rounds"] + 1, (calls, stats)
+
+
 def test_library_operator_plans_are_scale_safe(spark, sf_dir):
     """Extend the registered-query plan audit to the round-4 LIBRARY
     operators: incremental batch-vs-corpus dedup must generate
@@ -513,8 +557,6 @@ def test_ngram_verify_gate_fires_no_job_at_build_time(spark, sf_dir):
     1-row broadcast flag join must be the ONLY nested-loop shape,
     which the structural audit admits while still flagging unbounded
     BNLJs and cartesians."""
-    from pyspark.sql import DataFrame
-
     from lisp_batch_processor_spark.catalog import load
     from lisp_batch_processor_spark.operators import dedup as D
     from lisp_batch_processor_spark.plans.inspect import (
@@ -523,6 +565,9 @@ def test_ngram_verify_gate_fires_no_job_at_build_time(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
+    # The RUNTIME class — patching the pyspark.sql.DataFrame abstract
+    # base intercepts nothing on Spark 4's classic instances.
+    DataFrame = type(docs)
 
     def _banned(name):
         def _raise(self, *a, **k):
