@@ -80,18 +80,29 @@ HEADLINE = [
 ]
 
 
-def _git_head() -> str | None:
-    """This working tree's HEAD commit, or None outside git — the
-    attribution the interleaved-delta quote requires (the band's
-    recorded A-side commit must be THIS code)."""
+def _git_code_tree() -> list[str] | None:
+    """Git object ids of the BENCHED code paths at this tree's HEAD
+    (the package, bench.py, the entry), or None outside git — the
+    attribution the interleaved-delta quote requires: the band's
+    recorded A-side code tree must be THIS code. Tree hashes, not the
+    commit id, so docs-only commits after the band session don't
+    orphan a still-valid band; a dirty benched path at band time
+    already disqualifies it via head_dirty."""
     import subprocess
-    try:
-        return subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-             "rev-parse", "HEAD"],
-            capture_output=True, text=True, check=True).stdout.strip()
-    except (OSError, subprocess.CalledProcessError):
-        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for p in ("lisp_batch_processor_spark", "bench.py",
+              "__spark_entry__.py"):
+        try:
+            r = subprocess.run(
+                ["git", "-C", repo, "rev-parse", f"HEAD:{p}"],
+                capture_output=True, text=True)
+        except OSError:
+            return None
+        if r.returncode != 0:
+            return None
+        out.append(r.stdout.strip())
+    return out
 
 
 def _extra_queries() -> dict:
@@ -310,31 +321,33 @@ def main() -> None:
             # signal; the sequential deltas then mostly measure how
             # the host changed between sessions. BOTH sides must be
             # attributable (round 13, ADVICE): the band's recorded
-            # A-side commit must equal the HEAD this bench measures
-            # and the band's tree must have been clean, else a band
-            # generated at an earlier working tree would be silently
-            # quoted as this HEAD's delta.
+            # A-side CODE TREE (the benched paths' git object ids)
+            # must equal this tree's, and the benched paths must have
+            # been clean at band time — else a band generated over
+            # different code would be silently quoted as this HEAD's
+            # delta. Tree hashes, not the commit id, so a docs-only
+            # commit does not orphan a still-valid band.
             try:
                 nbp = os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     "NOISE_BAND.json")
                 with open(nbp) as f:
                     nbs = json.load(f)["summary"]
-                cur_head = _git_head()
+                cur_tree = _git_code_tree()
                 if (nbs.get("ref_commit") == prev.get("commit")
                         and prev.get("sf") == sf_val
-                        and nbs.get("head_commit") is not None
-                        and nbs.get("head_commit") == cur_head
+                        and nbs.get("head_code_tree") is not None
+                        and nbs.get("head_code_tree") == cur_tree
                         and not nbs.get("head_dirty")):
                     summary["interleaved_total_delta"] = \
                         nbs.get("total_delta_rel")
                     summary["interleaved_trimmed_delta"] = \
                         nbs.get("total_trimmed_delta_rel")
                 elif nbs.get("ref_commit") == prev.get("commit"):
-                    print("# NOISE_BAND A-side commit "
-                          f"{nbs.get('head_commit')!r} (dirty="
+                    print("# NOISE_BAND A-side code tree "
+                          f"{nbs.get('head_code_tree')!r} (dirty="
                           f"{nbs.get('head_dirty')}) does not match "
-                          f"this HEAD {cur_head!r}; interleaved "
+                          f"this tree {cur_tree!r}; interleaved "
                           "deltas not quoted", file=sys.stderr)
             except (OSError, ValueError, KeyError):
                 pass

@@ -42,6 +42,25 @@ def _median(v):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+# What the bench actually executes — the paths whose git tree state
+# defines "same code" for cross-HEAD attribution.
+_BENCHED_PATHS = ("lisp_batch_processor_spark", "bench.py",
+                  "__spark_entry__.py")
+
+
+def _code_tree(repo: str, rev: str = "HEAD") -> list[str]:
+    """Git object ids of the benched code paths at ``rev`` — equal
+    lists mean the benched code is byte-identical, whatever the
+    commit ids say."""
+    out = []
+    for p in _BENCHED_PATHS:
+        r = subprocess.run(
+            ["git", "-C", repo, "rev-parse", f"{rev}:{p}"],
+            capture_output=True, text=True)
+        out.append(r.stdout.strip() if r.returncode == 0 else f"?{p}")
+    return out
+
+
 def run_bench(cwd: str) -> dict:
     """One bench subprocess with a single timed pass (plus the
     standard warmup pass); returns the per-query timing dict."""
@@ -65,16 +84,21 @@ def main() -> None:
     # which is what held the r12 per-query p90 at 60 %.
     n_pairs = int(sys.argv[2]) if len(sys.argv) == 3 else 10
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # Attribute the A side to an exact tree state (round 13, ADVICE):
+    # Attribute the A side to an exact CODE state (round 13, ADVICE):
     # without this, a band generated at an earlier HEAD silently
     # reads as "same-code" for whatever HEAD bench.py currently
     # measures; bench.py refuses to quote interleaved deltas unless
-    # head_commit matches its own HEAD and the tree was clean.
+    # the band's recorded code-tree hashes match its own and the
+    # benched paths were clean. Tree hashes of the BENCHED paths, not
+    # the commit id, so a docs-only commit after the band session
+    # does not orphan a still-valid band.
     head = subprocess.run(
         ["git", "-C", repo, "rev-parse", "HEAD"],
         capture_output=True, text=True, check=True).stdout.strip()
+    code_tree = _code_tree(repo)
     dirty = bool(subprocess.run(
-        ["git", "-C", repo, "status", "--porcelain"],
+        ["git", "-C", repo, "status", "--porcelain", "--"]
+        + list(_BENCHED_PATHS),
         capture_output=True, text=True, check=True).stdout.strip())
     wt = f"/tmp/noise_ref_{ref[:12]}"
     subprocess.run(["git", "-C", repo, "worktree", "add", "--force",
@@ -143,6 +167,7 @@ def main() -> None:
         "pairs": n_pairs,
         "ref_commit": ref,
         "head_commit": head,
+        "head_code_tree": code_tree,
         "head_dirty": dirty,
         "stat": "single-pass timings, interleaved A/B",
         # Per-query relative band (same-code max-min over median):
