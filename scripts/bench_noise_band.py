@@ -74,9 +74,39 @@ def run_bench(cwd: str) -> dict:
     return json.loads(line)["queries"]
 
 
+def _recompute() -> None:
+    """Re-derive every summary/per-query statistic from the raw
+    per-pass lists an existing NOISE_BAND.json already records —
+    attribution fields and BENCH_PREV_HEAD are preserved untouched.
+    Lets a statistic added after a (75-minute) band session apply to
+    it without re-benching; the raw lists are the artifact of record."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "NOISE_BAND.json")
+    with open(path) as f:
+        old = json.load(f)
+    qs = old["queries"]
+    n = len(next(iter(qs.values()))["a"])
+    a_runs = [{q: v["a"][i] for q, v in qs.items()} for i in range(n)]
+    b_runs = [{q: v["b"][i] for q, v in qs.items()} for i in range(n)]
+    per_query, stats = _summarize(a_runs, b_runs)
+    keep = ("pairs", "ref_commit", "head_commit", "head_code_tree",
+            "head_dirty", "stat")
+    summary = {k: old["summary"][k] for k in keep
+               if k in old["summary"]}
+    summary.update(stats)
+    with open(path, "w") as f:
+        json.dump({"summary": summary, "queries": per_query}, f,
+                  indent=1)
+    print(json.dumps(summary))
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--recompute"]:
+        _recompute()
+        return
     if len(sys.argv) not in (2, 3):
-        sys.exit("usage: bench_noise_band.py <ref_commit> [n_pairs]")
+        sys.exit("usage: bench_noise_band.py <ref_commit> [n_pairs] "
+                 "| --recompute")
     ref = sys.argv[1]
     # Default 10 pairs (round 13, raised from 5): the per-query
     # trimmed band drops the worst 20 % of passes, so 10 passes keep
@@ -117,6 +147,22 @@ def main() -> None:
         subprocess.run(["git", "-C", repo, "worktree", "remove",
                         "--force", wt], check=False)
 
+    per_query, stats = _summarize(a_runs, b_runs)
+    summary = {
+        "pairs": n_pairs,
+        "ref_commit": ref,
+        "head_commit": head,
+        "head_code_tree": code_tree,
+        "head_dirty": dirty,
+        "stat": "single-pass timings, interleaved A/B",
+    }
+    summary.update(stats)
+    _write_artifacts(repo, summary, per_query, n_pairs, ref)
+
+
+def _summarize(a_runs: list[dict], b_runs: list[dict]):
+    """(per_query, summary_stats) from raw per-pass timing dicts —
+    shared by the live band session and --recompute."""
     names = sorted(set(a_runs[0]) & set(b_runs[0]))
     per_query = {}
     for q in names:
@@ -136,6 +182,13 @@ def main() -> None:
         drop = max(1, len(a) // 5)
         ta, tb = sorted(a)[:-drop], sorted(b)[:-drop]
         delta = ((min(a) - min(b)) / min(b)) if min(b) else 0.0
+        # Per-PAIR median delta (round 13): each pair's A and B ran
+        # adjacent under the same host conditions, so (a_i-b_i)/b_i
+        # is drift-free per pair, and the MEDIAN over pairs shrugs
+        # off stall windows that poison min/mean statistics — the
+        # statistic that resolves per-query deltas the 45-65 %
+        # trimmed band cannot.
+        pair_deltas = [(x - y) / y for x, y in zip(a, b) if y]
         per_query[q] = {
             "a": [round(x, 3) for x in a],
             "b": [round(x, 3) for x in b],
@@ -144,6 +197,8 @@ def main() -> None:
             "trimmed_band_a": round(band(ta), 3),
             "trimmed_band_b": round(band(tb), 3),
             "min_delta_rel": round(delta, 3),
+            "pairwise_median_delta": round(
+                _median(pair_deltas), 3) if pair_deltas else None,
         }
     bands = sorted(max(v["band_a"], v["band_b"])
                    for v in per_query.values())
@@ -151,25 +206,11 @@ def main() -> None:
                     for v in per_query.values())
     totals_a = [sum(r[q] for q in names) for r in a_runs]
     totals_b = [sum(r[q] for q in names) for r in b_runs]
-
-    def _tmean(v):
-        # Worst-pass-trimmed mean — bench.py's second headline
-        # statistic; its same-code cross-HEAD delta is the yardstick
-        # for the trimmed_delta_rel bench.py reports.
-        keep = sorted(v)[:-1] if len(v) >= 3 else v
-        return sum(keep) / len(keep)
-
     trimmed_tot_a = {q: _tmean([r[q] for r in a_runs]) for q in names}
     trimmed_tot_b = {q: _tmean([r[q] for r in b_runs]) for q in names}
     ta_sum = sum(trimmed_tot_a.values())
     tb_sum = sum(trimmed_tot_b.values())
-    summary = {
-        "pairs": n_pairs,
-        "ref_commit": ref,
-        "head_commit": head,
-        "head_code_tree": code_tree,
-        "head_dirty": dirty,
-        "stat": "single-pass timings, interleaved A/B",
+    stats = {
         # Per-query relative band (same-code max-min over median):
         # the yardstick for judging any cross-round per-query delta.
         "per_query_band_p50": round(_median(bands), 3),
@@ -189,7 +230,25 @@ def main() -> None:
         "total_trimmed_a": round(ta_sum, 3),
         "total_trimmed_b": round(tb_sum, 3),
         "total_trimmed_delta_rel": round(ta_sum / tb_sum - 1, 3),
+        # Median over pairs of the per-pair TOTAL ratio — the
+        # drift-free, stall-robust total verdict (see per-query
+        # pairwise_median_delta).
+        "total_pairwise_median_delta": round(_median(
+            [(x - y) / y for x, y in zip(totals_a, totals_b)]), 3),
     }
+    return per_query, stats
+
+
+def _tmean(v):
+    # Worst-pass-trimmed mean — bench.py's second headline
+    # statistic; its same-code cross-HEAD delta is the yardstick
+    # for the trimmed_delta_rel bench.py reports.
+    keep = sorted(v)[:-1] if len(v) >= 3 else v
+    return sum(keep) / len(keep)
+
+
+def _write_artifacts(repo: str, summary: dict, per_query: dict,
+                     n_pairs: int, ref: str) -> None:
     with open(os.path.join(repo, "NOISE_BAND.json"), "w") as f:
         json.dump({"summary": summary, "queries": per_query}, f,
                   indent=1)
