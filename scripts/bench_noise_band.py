@@ -137,12 +137,21 @@ def main() -> None:
     b_runs: list[dict] = []
     try:
         for i in range(n_pairs):
-            print(f"# pair {i + 1}/{n_pairs}: A (HEAD)",
-                  file=sys.stderr, flush=True)
-            a_runs.append(run_bench(repo))
-            print(f"# pair {i + 1}/{n_pairs}: B ({ref[:12]})",
-                  file=sys.stderr, flush=True)
-            b_runs.append(run_bench(wt))
+            # Alternate within-pair order (round 13): a fixed A-then-B
+            # order hands one side a systematic edge (page cache
+            # warmed by the other side's identical reads, JIT-tiered
+            # neighbors, drift within the pair window) — the r12
+            # same-code control read −4 % for the side that ran
+            # first. Even pairs run A first, odd pairs B first, so
+            # the bias cancels in every cross-side statistic.
+            legs = ([("A (HEAD)", repo, a_runs),
+                     (f"B ({ref[:12]})", wt, b_runs)])
+            if i % 2:
+                legs.reverse()
+            for tag, cwd, sink in legs:
+                print(f"# pair {i + 1}/{n_pairs}: {tag}",
+                      file=sys.stderr, flush=True)
+                sink.append(run_bench(cwd))
     finally:
         subprocess.run(["git", "-C", repo, "worktree", "remove",
                         "--force", wt], check=False)
