@@ -328,7 +328,8 @@ def connected_components(pairs: DataFrame, a: str, b: str,
 
 def connected_components_contraction(pairs: DataFrame, a: str, b: str,
                                      max_rounds: int = 20,
-                                     stats: dict | None = None) -> DataFrame:
+                                     stats: dict | None = None,
+                                     rounds_per_probe: int = 2) -> DataFrame:
     """(node, component) via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
     and Beyond") — the O(log n)-round alternative to per-step
@@ -347,23 +348,29 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
     driver-synced rounds (one checkpoint barrier each); contraction
     needs O(log n) regardless of diameter, because star-rewiring
     halves path lengths multiplicatively. Per-round cost is the same
-    shuffle shape (join + groupBy on node id). `stats`, when passed,
-    receives {"rounds": n} for sync-count assertions.
+    shuffle shape (join + groupBy on node id).
 
-    Driver-sync budget (round 13): ONE action per round. Each round's
-    edge set is lazily localCheckpointed and materialized by a single
-    fixpoint probe — one union + one groupBy over the edges computing
-    (edge count, max per-big-endpoint degree, count of nodes on both
-    sides). A canonical edge set is a star forest iff every big
-    endpoint has exactly one edge AND no node is both a big and a
-    small endpoint (star => the round is the identity; any violation
-    is rewired by the next round, per Kiveris et al. — the fixpoints
-    are exactly the min-rooted star forests). Probing the property
-    directly replaces the old eager-checkpoint + count + exceptAll
-    sequence (2-3 actions/round) AND deletes the final confirmation
-    round the edge-set-stability check needed: a graph reaching the
-    star forest in round k now exits after k probes, not k+1 rounds.
-    The label-prop twin pins output equality (tests/test_dedup.py).
+    Driver-sync budget (round 13): ONE action per `rounds_per_probe`
+    rounds, and NO pre-probe of the input. Each round's edge set is
+    lazily localCheckpointed; a burst of `rounds_per_probe` rounds is
+    materialized by a single fixpoint probe — one union + one groupBy
+    over the edges computing (edge count, max per-big-endpoint
+    degree, count of nodes on both sides). A canonical edge set is a
+    star forest iff every big endpoint has exactly one edge AND no
+    node is both a big and a small endpoint — and the fixpoints of
+    the rewiring are EXACTLY the min-rooted star forests (Kiveris et
+    al.), which licenses both cuts: probing the input first is
+    pointless because running a round on a converged set is the
+    identity (a star forest carries one edge per non-root, so the
+    padded round is a node-count-sized join, not a corpus-sized one),
+    and rounds inside a burst need no individual probes because a set
+    that converges mid-burst just rides identity rounds to the
+    probe. Probing the property directly had already replaced the old
+    eager-checkpoint + count + exceptAll sequence (2-3 actions/round)
+    and its extra confirmation round; the burst takes the sf0.1 graph
+    (2 rounds) from 3 driver barriers to 1. `stats` receives
+    {"rounds": executed, "probes": actions}. The label-prop twin pins
+    output equality (tests/test_dedup.py).
     """
     edges0 = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
               .filter(F.col("u") != F.col("v"))
@@ -389,16 +396,12 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
                .first())
         return int(row["n"]), row["maxd"] <= 1 and row["chains"] == 0
 
-    edges = edges0
-    n_edges, converged = _probe(edges)
-    rounds = 0
-    while not converged and rounds < max_rounds:
-        rounds += 1
+    def _round(e: DataFrame) -> DataFrame:
         # Large-star: per node u over the SYMMETRIC neighborhood,
         # m = min(N(u) ∪ {u}); connect each larger neighbor to m.
         # Output is canonical (big, small) by construction: v > u >= m.
-        sym = edges.unionAll(edges.select(F.col("v").alias("u"),
-                                          F.col("u").alias("v")))
+        sym = e.unionAll(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
         mn = sym.groupBy("u").agg(F.min("v").alias("mn"))
         # No dropDuplicates here: ls feeds a MIN aggregate (duplicate
         # rows can't change a min) and the small-star join, whose
@@ -426,13 +429,31 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
               .select(F.greatest("s", "t").alias("u"),
                       F.least("s", "t").alias("v"))
               .dropDuplicates(["u", "v"]))
-        edges = ss.localCheckpoint(eager=False)
-        # One action: materializes the checkpoint and answers "is
-        # this a star forest" without an exceptAll job or an extra
-        # confirmation round.
+        # Lazy: materialized by the burst's probe, which computes the
+        # whole burst (and the input checkpoint) in one job while
+        # bounding the next burst's plan depth.
+        return ss.localCheckpoint(eager=False)
+
+    rounds_per_probe = max(1, rounds_per_probe)
+    edges = edges0
+    n_edges, converged, rounds, probes = -1, False, 0, 0
+    while not converged and rounds < max_rounds:
+        for _ in range(min(rounds_per_probe, max_rounds - rounds)):
+            rounds += 1
+            edges = _round(edges)
+        # One action per burst: materializes the burst's checkpoints
+        # and answers "is this a star forest" — no exceptAll job, no
+        # confirmation round, no pre-probe of the input.
         n_edges, converged = _probe(edges)
+        probes += 1
+    if probes == 0:
+        # max_rounds <= 0: nothing ran, so probe the INPUT once to
+        # keep the warning honest (an empty graph is converged).
+        n_edges, converged = _probe(edges)
+        probes += 1
     if stats is not None:
         stats["rounds"] = rounds
+        stats["probes"] = probes
     if not converged:
         import warnings
 
@@ -507,10 +528,10 @@ def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     for unblocked 100 TB corpora; that composition is covered by
     tests/test_dedup.py.
 
-    Closure engine: star-contraction (O(log n) rounds — 3 on the
-    sf0.1 graph vs 2-3 costlier label-prop syncs, ~3.7s vs ~6.1s
-    measured; and diameter-proof at 100x). `connected_components`
-    (min-label propagation) is the equality-tested twin.
+    Closure engine: star-contraction (O(log n) rounds — 2 on the
+    sf0.1 graph, riding ONE driver barrier under the burst probe,
+    and diameter-proof at 100x). `connected_components` (min-label
+    propagation) is the equality-tested twin.
     """
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs)

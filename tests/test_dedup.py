@@ -430,13 +430,16 @@ def test_contraction_matches_label_propagation(spark):
 
 def test_contraction_driver_sync_budget(spark):
     """Round 13: contraction pays exactly ONE driver result action
-    per round (the star-forest probe, which doubles as the lazy
-    checkpoint's materializer) plus one for the initial edge set —
-    the old shape paid an eager checkpoint + count (+ exceptAll on
-    the converging round) and needed a full extra confirmation round.
-    Pinned by counting DataFrame result actions during a run: a
-    2-round graph must fire exactly 3 first() calls and zero
-    count()/isEmpty() calls."""
+    per BURST of `rounds_per_probe` rounds (the star-forest probe,
+    which doubles as the lazy checkpoints' materializer) and nothing
+    else — no pre-probe of the input (a round is the identity on a
+    star forest, so probing the OUTPUT is always sound), no
+    count()/exceptAll/confirmation round. Pinned by counting
+    DataFrame result actions during a run: a 2-round graph at the
+    default rounds_per_probe=2 must fire exactly ONE first() call
+    (down from 3 in the pre-burst shape) and zero count()/isEmpty()
+    calls; at rounds_per_probe=1 the same graph fires one probe per
+    round."""
     from lisp_batch_processor_spark.operators.dedup import (
         connected_components_contraction,
     )
@@ -464,12 +467,29 @@ def test_contraction_driver_sync_budget(spark):
         got = connected_components_contraction(
             path, "doc_a", "doc_b", stats=stats)
         labels = {r.node: r.component for r in got.collect()}
+        burst_first = calls["first"]
+
+        calls["first"] = 0
+        stats1 = {}
+        got1 = connected_components_contraction(
+            path, "doc_a", "doc_b", stats=stats1, rounds_per_probe=1)
+        labels1 = {r.node: r.component for r in got1.collect()}
+        per_round_first = calls["first"]
     finally:
         for n, fn in saved.items():
             setattr(DataFrame, n, fn)
-    assert labels == {i: 1 for i in range(1, 6)}
+    want = {i: 1 for i in range(1, 6)}
+    assert labels == want and labels1 == want
     assert calls["count"] == 0 and calls["isEmpty"] == 0
-    assert calls["first"] == stats["rounds"] + 1, (calls, stats)
+    # Default burst (2 rounds/probe): the whole 2-round convergence
+    # rides ONE probe; the padded-identity invariant means no extra
+    # probe is ever needed for the input.
+    assert stats == {"rounds": 2, "probes": 1}, stats
+    assert burst_first == stats["probes"] == 1, (burst_first, stats)
+    # Per-round probing: one action per round, still no pre-probe.
+    assert stats1 == {"rounds": 2, "probes": 2}, stats1
+    assert per_round_first == stats1["probes"] == 2, (per_round_first,
+                                                      stats1)
 
 
 def test_library_operator_plans_are_scale_safe(spark, sf_dir):
