@@ -80,6 +80,15 @@ HEADLINE = [
 ]
 
 
+# What the bench actually executes — the paths whose git tree state
+# defines "same code" for cross-HEAD attribution. The single source
+# of truth: scripts/bench_noise_band.py imports it, so the band's
+# recorded hash list and this gate can never drift apart (a length
+# mismatch would silently refuse every future band).
+BENCHED_PATHS = ("lisp_batch_processor_spark", "bench.py",
+                 "__spark_entry__.py")
+
+
 def _git_code_tree() -> list[str] | None:
     """Git object ids of the BENCHED code paths at this tree's HEAD
     (the package, bench.py, the entry), or None outside git — the
@@ -91,8 +100,7 @@ def _git_code_tree() -> list[str] | None:
     import subprocess
     repo = os.path.dirname(os.path.abspath(__file__))
     out = []
-    for p in ("lisp_batch_processor_spark", "bench.py",
-              "__spark_entry__.py"):
+    for p in BENCHED_PATHS:
         try:
             r = subprocess.run(
                 ["git", "-C", repo, "rev-parse", f"HEAD:{p}"],
@@ -103,6 +111,26 @@ def _git_code_tree() -> list[str] | None:
             return None
         out.append(r.stdout.strip())
     return out
+
+
+def _benched_paths_dirty() -> bool | None:
+    """True when any benched path differs from HEAD in THIS working
+    tree (None outside git): HEAD's object ids then describe code the
+    bench is not actually running, so the interleaved quote must
+    refuse — the same honesty the band session applies to its own
+    side via head_dirty."""
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain", "--"]
+            + list(BENCHED_PATHS),
+            capture_output=True, text=True)
+    except OSError:
+        return None
+    if r.returncode != 0:
+        return None
+    return bool(r.stdout.strip())
 
 
 def _extra_queries() -> dict:
@@ -334,21 +362,40 @@ def main() -> None:
                 with open(nbp) as f:
                     nbs = json.load(f)["summary"]
                 cur_tree = _git_code_tree()
+                cur_dirty = _benched_paths_dirty()
                 if (nbs.get("ref_commit") == prev.get("commit")
                         and prev.get("sf") == sf_val
                         and nbs.get("head_code_tree") is not None
                         and nbs.get("head_code_tree") == cur_tree
-                        and not nbs.get("head_dirty")):
+                        and not nbs.get("head_dirty")
+                        # A dirty benched path HERE means this run
+                        # executes code HEAD's object ids do not
+                        # describe — the band matched the wrong side.
+                        and cur_dirty is False):
                     summary["interleaved_total_delta"] = \
                         nbs.get("total_delta_rel")
                     summary["interleaved_trimmed_delta"] = \
                         nbs.get("total_trimmed_delta_rel")
+                    summary["interleaved_pairwise_delta"] = \
+                        nbs.get("total_pairwise_median_delta")
                 elif nbs.get("ref_commit") == prev.get("commit"):
-                    print("# NOISE_BAND A-side code tree "
-                          f"{nbs.get('head_code_tree')!r} (dirty="
-                          f"{nbs.get('head_dirty')}) does not match "
-                          f"this tree {cur_tree!r}; interleaved "
-                          "deltas not quoted", file=sys.stderr)
+                    # Say WHICH attribution leg failed — a wrong
+                    # diagnosis (e.g. blaming the code tree for an sf
+                    # mismatch) sends the reader down the wrong hole.
+                    if prev.get("sf") != sf_val:
+                        why = (f"prev sf {prev.get('sf')!r} != this "
+                               f"run's {sf_val!r}")
+                    elif cur_dirty:
+                        why = "benched paths are dirty in this tree"
+                    elif nbs.get("head_dirty"):
+                        why = "benched paths were dirty at band time"
+                    else:
+                        why = (f"band A-side code tree "
+                               f"{nbs.get('head_code_tree')!r} != "
+                               f"this tree {cur_tree!r}")
+                    print(f"# NOISE_BAND not attributable: {why}; "
+                          "interleaved deltas not quoted",
+                          file=sys.stderr)
             except (OSError, ValueError, KeyError):
                 pass
             payload["prev_head"] = summary

@@ -54,21 +54,35 @@ def assert_read_schema_pruned(df: DataFrame, table_fragment: str,
         f"no parquet scan matching {table_fragment!r} found in plan:\n{plan}")
 
 
+# Single-child physical nodes that PROVABLY preserve or reduce row
+# count. A WHITELIST, not a Generate/Expand blacklist: row-EXPANDING
+# single-child nodes also exist outside those two (MapInPandas /
+# FlatMapGroupsInPandas / UDTF evals can fan one row out to many), and
+# an audit whose job is catching unbounded broadcast build sides must
+# not "prove" one small through a node it doesn't know.
+_ROW_PRESERVING = ("Project", "Filter", "Exchange", "BroadcastExchange",
+                   "ReusedExchange", "AQEShuffleRead", "Sort",
+                   "LocalLimit", "GlobalLimit", "Coalesce",
+                   "ColumnarToRow", "RowToColumnar", "InputAdapter",
+                   "WholeStageCodegen", "Subquery")
+
+
 def _subtree_max_one_row(jnode) -> bool:
     """True when a physical subtree PROVABLY produces <= 1 row: a
-    keyless (global) aggregate, reached through single-child nodes —
-    every single-child physical node except Generate/Expand preserves
-    or reduces row count, and those two are excluded explicitly."""
+    keyless (global) aggregate, reached through single-child nodes
+    KNOWN to preserve or reduce row count (`_ROW_PRESERVING`).
+    Anything unrecognized — including Generate/Expand and the
+    row-expanding Python evals — is not proven and returns False."""
     name = jnode.nodeName()
     if "Aggregate" in name:
         try:
             return bool(jnode.groupingExpressions().isEmpty())
         except Exception:  # noqa: BLE001 — unknown agg node: not proven
             return False
-    if name in ("Generate", "Expand"):
-        return False
     children = jnode.children()
-    if children.size() == 1:
+    if (children.size() == 1
+            and any(name == w or name.startswith(w + " ")
+                    for w in _ROW_PRESERVING)):
         return _subtree_max_one_row(children.apply(0))
     return False
 
@@ -83,8 +97,16 @@ def disallowed_nested_loops(df: DataFrame) -> list[str]:
     data-derived scalar enters a plan without a driver action — while
     a BNLJ over an unbounded build side is quadratic; the audit keeps
     flagging the latter. Walks the pre-AQE physical tree (the same
-    plan explainString formats)."""
+    plan explainString formats), INCLUDING subquery plans: a scalar /
+    IN-subquery's plan is not among `children()`, and before
+    PlanSubqueries runs (executedPlan-time) a physical node surfaces
+    it as a LOGICAL plan — so each one is re-planned through the
+    session's planner and walked like the main tree, keeping the
+    melt-at-scale shapes visible where they actually hide (e.g. a
+    cartesian inside a scalar subquery)."""
     bad: list[str] = []
+    jspark = df.sparkSession._jsparkSession  # type: ignore[attr-defined]
+    jvm = df.sparkSession._jvm  # type: ignore[attr-defined]
 
     def walk(jnode) -> None:
         name = jnode.nodeName()
@@ -100,6 +122,11 @@ def disallowed_nested_loops(df: DataFrame) -> list[str]:
         children = jnode.children()
         for i in range(children.size()):
             walk(children.apply(i))
+        subs = jnode.subqueries()
+        for i in range(subs.size()):
+            walk(jvm.org.apache.spark.sql.classic.Dataset
+                 .ofRows(jspark, subs.apply(i))
+                 .queryExecution().sparkPlan())
 
     walk(df._jdf.queryExecution().sparkPlan())
     return bad

@@ -937,10 +937,23 @@ def _sem_counts_data_path(spark, sd: str, gen: int) -> str | None:
     return dp
 
 
+def _sem_counts_reconciled_path(sd: str, gen: int) -> str:
+    """The one-time reconciliation's DONE marker, a separate sibling
+    of the meta sidecar: the reconcile must not rewrite the
+    horizon-bearing meta in place (a crash mid-overwrite would tear
+    the JSON, silently dropping `baseline_through_epoch` AND the
+    armed flag — the fast signal loses its mask and the check that
+    exists to catch exactly that never fires). A torn or absent
+    marker merely re-runs the idempotent reconciliation."""
+    return _sem_counts_meta_path(sd, gen) + ".reconciled"
+
+
 def _sem_counts_meta_path(sd: str, gen: int) -> str:
     """The counts store's hidden meta sidecar — carries the BACKFILL
     HORIZON `semantic_counts_seed` records (see `_sem_counts_frame`).
-    Absent for seed/reseed-written ledgers, which need none."""
+    Absent for seed/reseed-written ledgers, which need none. Written
+    exactly once per backfill and never rewritten in place; the
+    reconcile's flag lives in `_sem_counts_reconciled_path`."""
     from lisp_batch_processor_spark.sources.writers import (
         _hidden_sibling)
     return _hidden_sibling(_sem_counts_path(sd, gen), "meta")
@@ -1314,17 +1327,23 @@ def _sem_counts_reconcile_once(spark, sd: str, gen: int) -> None:
     fast signal undercounts it permanently — and raises with the
     remedy (the replay has committed by now, so deleting the ledger
     root and re-running the backfill heals the dir). A match writes
-    ``reconciled`` into the ledger meta and the check never runs
+    the DONE marker (`_sem_counts_reconciled_path` — a separate
+    sibling, so the horizon-bearing meta is never rewritten in place
+    and cannot be torn by a crash here) and the check never runs
     again. Steady-state cost on armed dirs: one tiny JSON get per
-    epoch until the first reconciliation, then one flag short-circuit;
-    un-armed dirs (verified probe, or no backfill) pay the JSON get
-    only — within the epoch path's documented ~5 tiny FS ops."""
+    epoch until the first reconciliation, then one meta get + one
+    marker get; un-armed dirs (verified probe, or no backfill) pay
+    the meta get only — within the epoch path's documented ~5 tiny
+    FS ops."""
     from lisp_batch_processor_spark.sources.writers import (
         read_json_file, write_json_file)
     mp = _sem_counts_meta_path(sd, gen)
     meta = read_json_file(spark, mp, default=None, absent=None)
-    if not (isinstance(meta, dict) and meta.get("probe_skipped")
-            and not meta.get("reconciled")):
+    if not (isinstance(meta, dict) and meta.get("probe_skipped")):
+        return
+    marker = read_json_file(spark, _sem_counts_reconciled_path(sd, gen),
+                            default=None, absent=None)
+    if isinstance(marker, dict) and marker.get("reconciled"):
         return
     if semantic_current_gen(spark, sd)["gen"] != gen:
         # A replay pinned to a pre-reseed generation: the occupancy
@@ -1345,17 +1364,19 @@ def _sem_counts_reconcile_once(spark, sd: str, gen: int) -> None:
             "replayed epoch. The replay has committed now: delete the "
             "ledger root and re-run semantic_counts_seed to rebuild "
             "the baseline over the complete store")
-    meta["reconciled"] = True
-    write_json_file(spark, mp, meta)
+    # A torn marker (crash mid-create) reads as not-reconciled and
+    # re-runs the idempotent check; the meta stays untouched.
+    write_json_file(spark, _sem_counts_reconciled_path(sd, gen),
+                    {"reconciled": True})
 
 
-# How long a same-role lease must sit UNREFRESHED before a writer on
-# a DIFFERENT host (or one holding a legacy token with no host:pid)
-# may adopt it. Same-host liveness is probed directly (kill -0), so
-# this horizon only gates the cases where the predecessor's process
-# cannot be probed; it is deliberately much shorter than the lease
-# TTL (3600 s) — the horizon is "has the holder heartbeat recently",
-# not "has the whole window elapsed".
+# How long a same-role lease must sit UNREFRESHED before another
+# writer may adopt it. A same-host pid probe can prove DEATH (adopt
+# immediately); everything else — foreign host, legacy token, or a
+# same-host pid that merely EXISTS (it could be recycled, or a
+# zombie) — gates on this horizon. Deliberately much shorter than
+# the lease TTL (3600 s): the horizon is "has the holder heartbeat
+# recently", not "has the whole window elapsed".
 SEM_LEASE_ADOPT_MIN_AGE_S = 300.0
 
 
@@ -1376,41 +1397,84 @@ def _lease_file_mtime(spark, dest: str) -> float | None:
         return None
 
 
-def _holder_plausibly_alive(spark, dest: str, holder: str) -> bool:
-    """Is the recorded same-role holder plausibly still running?
-    Owner tokens carry ``@host:pid`` (round 13): on the SAME host the
-    process is probed directly — a dead pid is proof of a hard crash
-    and adopts immediately, our own pid is a same-process retry and
-    adopts reentrantly, any other live pid refuses. A FOREIGN host
-    (or a legacy token without host:pid) cannot be probed, so the
-    lease file's mtime stands in as a heartbeat: younger than
-    `SEM_LEASE_ADOPT_MIN_AGE_S` reads as alive (refuse), older means
-    the holder has not refreshed within the horizon and has forfeited
-    the window — the TTL-expiry semantics on a shorter clock."""
-    import os as _os
-    import socket as _socket
-    import time as _time
-
-    host = pid = None
+def _token_host_pid(holder: str) -> tuple[str | None, int | None]:
+    """(host, pid) parsed from an ``...@host:pid`` owner token, or
+    (None, None) for legacy tokens without one."""
     if "@" in holder:
         loc = holder.rsplit("@", 1)[1]
         if ":" in loc:
             h, p = loc.rsplit(":", 1)
             if p.isdigit():
-                host, pid = h, int(p)
+                return h, int(p)
+    return None, None
+
+
+def _holder_plausibly_alive(spark, dest: str, holder: str) -> bool:
+    """Is the recorded same-role holder plausibly still running?
+    Owner tokens carry ``@host:pid`` (round 13): on the SAME host a
+    pid probe can prove DEATH — ProcessLookupError is a hard crash
+    and adopts immediately. It cannot prove life: a recycled pid is
+    an unrelated process and a zombie keeps its slot until reaped
+    (os.kill(pid, 0) succeeds for both), so existence falls through
+    to the heartbeat horizon rather than wedging recovery for the
+    full lease TTL. There and for unprobeable holders (foreign host,
+    legacy token) the lease file's mtime stands in as a heartbeat:
+    younger than `SEM_LEASE_ADOPT_MIN_AGE_S` reads as alive
+    (refuse — a genuinely live writer refreshes its lease), older
+    means the holder has not refreshed within the horizon and has
+    forfeited the window — the TTL-expiry semantics on a shorter
+    clock."""
+    import os as _os
+    import socket as _socket
+    import time as _time
+
+    host, pid = _token_host_pid(holder)
     if host == _socket.gethostname() and pid is not None:
-        if pid == _os.getpid():
-            return False        # our own earlier attempt: reentrant
         try:
             _os.kill(pid, 0)
-            return True         # process exists on this host
         except ProcessLookupError:
             return False        # provably dead: hard crash
         except PermissionError:
-            return True         # exists under another uid
+            pass                # exists under another uid: unprovable
     mtime = _lease_file_mtime(spark, dest)
     return (mtime is not None
             and _time.time() < mtime + SEM_LEASE_ADOPT_MIN_AGE_S)
+
+
+def _remove_dead_lease(spark, dest: str, expected_owner: str) -> None:
+    """Atomically remove a not-plausibly-alive holder's lease file so
+    the adopter can contend through a create-exclusive of its OWN.
+    Rename-to-tombstone first (exactly one of several racing adopters
+    wins the rename), then verify the tombstoned content really is
+    the corpse that was read — a fresh lease created by a racer in
+    the read-to-rename window is renamed back (or, if the racer
+    already re-created, their new file keeps exclusion) and the
+    adoption raises instead of clobbering it."""
+    import uuid as _uuid
+
+    from lisp_batch_processor_spark.sources.writers import (
+        LeaseHeldError, _hadoop_fs, lease_path, read_json_file)
+    lp = lease_path(dest)
+    jvm, fs, _ = _hadoop_fs(spark, lp)
+    jlp = jvm.org.apache.hadoop.fs.Path(lp)
+    tomb = f"{lp}.tomb.{_uuid.uuid4().hex[:8]}"
+    jtomb = jvm.org.apache.hadoop.fs.Path(tomb)
+    if not fs.rename(jlp, jtomb):
+        raise LeaseHeldError(
+            f"{dest}: dead same-role lease vanished mid-adoption "
+            "(a racing adopter won); wait for its release or expiry")
+    d = read_json_file(spark, tomb, default="_torn_", absent=None)
+    if isinstance(d, dict) and d.get("owner") == expected_owner:
+        fs.delete(jtomb, False)
+        return
+    # Not the corpse we read: a racer's fresh lease landed between
+    # the read and the rename. Restore it (or defer to their already
+    # re-created file) and fail safe.
+    if not fs.rename(jtomb, jlp):
+        fs.delete(jtomb, False)
+    raise LeaseHeldError(
+        f"{dest} was re-leased concurrently during same-role "
+        "adoption; wait for the holder's release or expiry")
 
 
 def _acquire_role_lease(spark, dest: str, role: str) -> str:
@@ -1418,25 +1482,31 @@ def _acquire_role_lease(spark, dest: str, role: str) -> str:
     (``"sem-epoch-"`` for tagged ingest epochs, ``"counts-seed-"``
     for the ledger backfill). A live lease held by the OTHER role
     raises `LeaseHeldError` — the stream-vs-backfill exclusion the
-    lease exists for. A lease held by the SAME role is ADOPTED
-    (reacquired under the recorded owner token) ONLY when its holder
-    is not plausibly alive (round 13 — previously any same-role lease
-    adopted unconditionally, silently admitting two concurrent
-    same-role writers): a hard crash (dead pid on this host, or no
-    heartbeat within `SEM_LEASE_ADOPT_MIN_AGE_S` for an unprobeable
-    holder) leaves the file behind, and making the replay or rerun
-    wait out the full TTL would wedge exactly the recovery path the
-    epoch stores are designed around — while a LIVE same-role writer
-    now raises like the other role, keeping the exclusion real within
-    a role too.
+    lease exists for. A lease held by the SAME role is ADOPTED only
+    when its holder is not plausibly alive (round 13 — previously any
+    same-role lease adopted unconditionally, silently admitting two
+    concurrent same-role writers): a hard crash (dead pid on this
+    host, or no heartbeat within `SEM_LEASE_ADOPT_MIN_AGE_S` for an
+    unprobeable holder) leaves the file behind, and making the replay
+    or rerun wait out the full TTL would wedge exactly the recovery
+    path the epoch stores are designed around — while a LIVE
+    same-role writer raises like the other role, keeping the
+    exclusion real within a role too. Our own recorded ``host:pid``
+    is a same-process retry and refreshes reentrantly under the
+    recorded token.
 
-    Release-after-adoption: adoption reuses the recorded owner token,
-    so the adopter's finally-release removes the file; the
-    predecessor, being provably dead or silent past the heartbeat
-    horizon, has no release left to no-op. The residual is a live
-    writer stalled past the horizon without refreshing — which by the
-    lease's own heartbeat contract has forfeited the window, the same
-    semantics TTL expiry already applies on a longer clock."""
+    Adoption acquires under a FRESH token, never the corpse's (round
+    13, second pass): reusing the recorded token let two adopters
+    racing the same dead holder both take acquire_lease's reentrant
+    refresh path and both "win". Now the corpse is first removed via
+    an atomic rename-and-verify (`_remove_dead_lease` — exactly one
+    racing adopter's rename succeeds) and the adopter then contends
+    through the ordinary create-exclusive with its own token, so
+    every path to "acquired" is a create this owner won. The residual
+    is a live writer stalled past the heartbeat horizon without
+    refreshing — which by the lease's own contract has forfeited the
+    window, the same semantics TTL expiry applies on a longer
+    clock."""
     import os as _os
     import socket as _socket
     import uuid as _uuid
@@ -1444,17 +1514,19 @@ def _acquire_role_lease(spark, dest: str, role: str) -> str:
     from lisp_batch_processor_spark.sources.writers import (
         LeaseHeldError, acquire_lease, lease_holder)
     holder = lease_holder(spark, dest)
-    if (isinstance(holder, str) and holder.startswith(role)
-            and not _holder_plausibly_alive(spark, dest, holder)):
-        me = holder
-    elif (isinstance(holder, str) and holder.startswith(role)):
-        raise LeaseHeldError(
-            f"{dest} is leased by a plausibly-live same-role writer "
-            f"{holder!r}; wait for its release, its heartbeat horizon "
-            f"({SEM_LEASE_ADOPT_MIN_AGE_S:.0f}s), or lease expiry")
-    else:
-        me = (f"{role}{_uuid.uuid4().hex[:12]}"
-              f"@{_socket.gethostname()}:{_os.getpid()}")
+    if isinstance(holder, str) and holder.startswith(role):
+        if (_token_host_pid(holder)
+                == (_socket.gethostname(), _os.getpid())):
+            return acquire_lease(spark, dest, owner=holder)
+        if _holder_plausibly_alive(spark, dest, holder):
+            raise LeaseHeldError(
+                f"{dest} is leased by a plausibly-live same-role "
+                f"writer {holder!r}; wait for its release, its "
+                f"heartbeat horizon "
+                f"({SEM_LEASE_ADOPT_MIN_AGE_S:.0f}s), or lease expiry")
+        _remove_dead_lease(spark, dest, holder)
+    me = (f"{role}{_uuid.uuid4().hex[:12]}"
+          f"@{_socket.gethostname()}:{_os.getpid()}")
     return acquire_lease(spark, dest, owner=me)
 
 
@@ -1701,6 +1773,14 @@ def semantic_counts_seed(spark, state_dir: str) -> bool:
         write_json_file(spark, _sem_counts_meta_path(sd, gen),
                         {"baseline_through_epoch": horizon,
                          "probe_skipped": (not probed and horizon >= 0)})
+        # A fresh backfill re-arms the check: a DONE marker left by a
+        # PREVIOUS backfill's reconciliation must not disarm this
+        # one's (this ledger has a new residual to verify).
+        from lisp_batch_processor_spark.sources.writers import (
+            _hadoop_fs)
+        jvm, fs, _ = _hadoop_fs(spark, sd)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            _sem_counts_reconciled_path(sd, gen)), False)
     finally:
         release_lease(spark, cc_path, owner)
     return True
@@ -1836,6 +1916,8 @@ def semantic_reseed(spark, state_dir: str, *,
     # horizon applies; clear any stale sidecar from a crashed attempt.
     fs.delete(jvm.org.apache.hadoop.fs.Path(
         _sem_counts_meta_path(sd, new_g)), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        _sem_counts_reconciled_path(sd, new_g)), False)
     store_append(
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -1871,6 +1953,8 @@ def semantic_reseed(spark, state_dir: str, *,
             _sem_gen_marker(sd, og)), False)
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             _sem_counts_meta_path(sd, og)), False)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            _sem_counts_reconciled_path(sd, og)), False)
     fs.delete(jvm.org.apache.hadoop.fs.Path(
         f"{sd}/{_SEM_GEN_FILE}"), False)
     return new_g

@@ -42,10 +42,14 @@ def _median(v):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-# What the bench actually executes — the paths whose git tree state
-# defines "same code" for cross-HEAD attribution.
-_BENCHED_PATHS = ("lisp_batch_processor_spark", "bench.py",
-                  "__spark_entry__.py")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+# The paths whose git tree state defines "same code" for cross-HEAD
+# attribution — imported from bench.py (the consumer of the recorded
+# hashes) so the two lists cannot drift: a silent length mismatch
+# would refuse every future band.
+from bench import BENCHED_PATHS as _BENCHED_PATHS  # noqa: E402
 
 
 def _code_tree(repo: str, rev: str = "HEAD") -> list[str]:
@@ -242,8 +246,12 @@ def _summarize(a_runs: list[dict], b_runs: list[dict]):
         # Median over pairs of the per-pair TOTAL ratio — the
         # drift-free, stall-robust total verdict (see per-query
         # pairwise_median_delta).
+        # `if y` guards a degenerate all-zero pass (same as the
+        # per-query twin): losing a 75-minute session's summary to a
+        # ZeroDivisionError in the last line would be absurd.
         "total_pairwise_median_delta": round(_median(
-            [(x - y) / y for x, y in zip(totals_a, totals_b)]), 3),
+            [(x - y) / y for x, y in zip(totals_a, totals_b) if y]
+            or [0.0]), 3),
     }
     return per_query, stats
 

@@ -615,6 +615,25 @@ def test_ngram_verify_gate_fires_no_job_at_build_time(spark, sf_dir):
     big_a = spark.range(100)
     big_b = spark.range(100).withColumnRenamed("id", "id2")
     assert disallowed_nested_loops(big_a.crossJoin(big_b)) != []
+    # A melt-at-scale join HIDDEN IN A SCALAR SUBQUERY is flagged too:
+    # physical nodes surface subqueries as logical plans pre-
+    # PlanSubqueries, so the audit re-plans and walks them (round 13 —
+    # the structural walk previously stopped at children()).
+    sub_cross = spark.sql(
+        "SELECT id, (SELECT max(a.id * b.id) "
+        "FROM range(100) a CROSS JOIN range(100) b) m FROM range(10)")
+    assert disallowed_nested_loops(sub_cross) != []
+    # ...without flagging a bounded (<= 1 row build) subquery shape.
+    sub_ok = spark.sql(
+        "SELECT id, (SELECT max(id) FROM range(100)) m FROM range(10)")
+    assert disallowed_nested_loops(sub_ok) == []
+    # A keyless aggregate reached through a ROW-EXPANDING node is NOT
+    # "provably one row": the pass-through set is a whitelist, so a
+    # fan-out (explode) between the aggregate and the join keeps the
+    # BNLJ flagged.
+    fan = (spark.range(1).agg(F.count(F.lit(1)).alias("n"))
+           .select(F.explode(F.array(F.lit(1), F.lit(2))).alias("x")))
+    assert disallowed_nested_loops(big_a.crossJoin(fan)) != []
 
 
 def test_simhash_fingerprint_plan_is_one_shuffle(spark, sf_dir):

@@ -1661,11 +1661,17 @@ def test_counts_seed_single_writer_window_is_leased(spark, tmp_path):
 def test_same_role_lease_adoption_has_staleness_horizon(spark, tmp_path):
     """Round 13 (round-12 What's-missing #2): same-role adoption only
     fires for a predecessor that is provably not alive — a LIVE pid
-    on this host refuses like the other role (two concurrent same-role
-    writers now collide instead of silently sharing the lease), a
-    DEAD pid adopts immediately, our own pid is reentrant, and an
-    unprobeable holder (foreign host / legacy token) adopts only once
-    the lease file has gone unrefreshed past the heartbeat horizon."""
+    on this host with a fresh heartbeat refuses like the other role
+    (two concurrent same-role writers now collide instead of silently
+    sharing the lease), a DEAD pid adopts immediately, our own pid is
+    reentrant, and an unprobeable holder (foreign host / legacy
+    token / live-but-unverifiable pid, which could be recycled or a
+    zombie) adopts only once the lease file has gone unrefreshed past
+    the heartbeat horizon. Adoption acquires under a FRESH token —
+    reusing the corpse's token let two racing adopters both take the
+    reentrant-refresh path and both win — and the corpse removal is
+    rename-and-verify, so a racer's fresh lease landing between the
+    read and the rename is restored, not clobbered."""
     import os
     import socket
     import subprocess
@@ -1701,9 +1707,12 @@ def test_same_role_lease_adoption_has_staleness_horizon(spark, tmp_path):
     finally:
         live.kill()
         live.wait()
-    # The holder's process just died (hard crash): adopt immediately.
+    # The holder's process just died (hard crash): adopt immediately,
+    # under a FRESH token (never the corpse's).
     got = _acquire_role_lease(spark, dest, "sem-epoch-")
-    assert got == other
+    assert got != other and got.startswith("sem-epoch-")
+    assert got.endswith(f"@{host}:{os.getpid()}")
+    assert lease_holder(spark, dest) == got
     release_lease(spark, dest, got)
 
     # Unprobeable holder (foreign host): a YOUNG lease refuses...
@@ -1716,7 +1725,7 @@ def test_same_role_lease_adoption_has_staleness_horizon(spark, tmp_path):
     old = time.time() - SEM_LEASE_ADOPT_MIN_AGE_S - 5
     os.utime(lp, (old, old))
     got = _acquire_role_lease(spark, dest, "sem-epoch-")
-    assert got == foreign
+    assert got != foreign and got.startswith("sem-epoch-")
     release_lease(spark, dest, got)
 
     # Legacy token (no @host:pid) follows the same mtime horizon.
@@ -1725,9 +1734,38 @@ def test_same_role_lease_adoption_has_staleness_horizon(spark, tmp_path):
         _acquire_role_lease(spark, dest, "sem-epoch-")
     os.utime(lp, (old, old))
     got = _acquire_role_lease(spark, dest, "sem-epoch-")
-    assert got == "sem-epoch-legacy"
+    assert got != "sem-epoch-legacy" and got.startswith("sem-epoch-")
     release_lease(spark, dest, got)
     assert lease_holder(spark, dest) is None
+
+    # A LIVE-but-unverifiable same-host pid (could be recycled or a
+    # zombie) does NOT wedge recovery for the lease TTL: it follows
+    # the same heartbeat horizon as an unprobeable holder.
+    live2 = subprocess.Popen(["sleep", "30"])
+    try:
+        stalled = f"sem-epoch-dddd@{host}:{live2.pid}"
+        acquire_lease(spark, dest, owner=stalled)
+        with pytest.raises(LeaseHeldError, match="same-role"):
+            _acquire_role_lease(spark, dest, "sem-epoch-")
+        os.utime(lp, (old, old))
+        got = _acquire_role_lease(spark, dest, "sem-epoch-")
+        assert got != stalled and got.startswith("sem-epoch-")
+        release_lease(spark, dest, got)
+    finally:
+        live2.kill()
+        live2.wait()
+
+    # Corpse removal is rename-and-verify: a racer's fresh lease
+    # landing between the holder read and the rename is restored and
+    # the adoption raises instead of clobbering the racer.
+    from lisp_batch_processor_spark.streaming.dedup import (
+        _remove_dead_lease)
+    racer = f"sem-epoch-eeee@{host}:{os.getpid()}"
+    acquire_lease(spark, dest, owner=racer)
+    with pytest.raises(LeaseHeldError, match="re-leased"):
+        _remove_dead_lease(spark, dest, "sem-epoch-the-corpse-we-read")
+    assert lease_holder(spark, dest) == racer
+    release_lease(spark, dest, racer)
 
 
 def test_counts_seed_refuses_uncommitted_high_water_epoch(
@@ -1818,13 +1856,20 @@ def test_counts_seed_opaque_token_reconciles_after_first_epoch(
     # rebuild the baseline over the now-complete store.
     shutil.rmtree(os.path.join(sd, "sem_cellcounts"))
     assert semantic_counts_seed(spark, sd) is True
-    # The next epoch reconciles CLEAN and disarms the check.
+    # The next epoch reconciles CLEAN and disarms the check — via a
+    # separate DONE marker: the horizon-bearing meta is never
+    # rewritten in place (a crash mid-overwrite would tear it,
+    # dropping the mask and the armed flag together).
+    from lisp_batch_processor_spark.streaming.dedup import (
+        _sem_counts_reconciled_path)
     semantic_ingest_epoch(
         spark.createDataFrame([(11, _axis(3))], schema), sd,
         tau=0.95, epoch=10, lineage="opaque-job-42")
     meta = json.load(open(_sem_counts_meta_path(sd, 0)))
     assert meta["probe_skipped"] is True
-    assert meta["reconciled"] is True
+    assert "reconciled" not in meta          # meta written once, ever
+    marker = json.load(open(_sem_counts_reconciled_path(sd, 0)))
+    assert marker["reconciled"] is True
     assert semantic_cell_occupancy_fast(spark, sd) \
         == semantic_cell_occupancy(spark, sd)
 
