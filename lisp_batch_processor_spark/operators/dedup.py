@@ -632,7 +632,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig)
-    confirmed = verify_jaccard(docs, pairs).filter(
+    # Materialize the verify store once (round 13): both verify joins
+    # (doc_a / doc_b side) read it, and their required partitionings
+    # are resolved independently, so without the snapshot the corpus
+    # is re-tokenized and re-shingled per side (interleaved A/B:
+    # -10 % on the full query). This is also the store a production
+    # pipeline PERSISTS next to the signature index (shingle_store
+    # docstring) — the checkpoint is the in-session stand-in.
+    store = shingle_store(docs).localCheckpoint(eager=False)
+    confirmed = verify_jaccard_sets(store, pairs).filter(
         F.col("inter") * 10 >= F.col("uni") * 7)
     return assignment(docs.select("doc_id"), "doc_id",
                       confirmed, "doc_a", "doc_b")
@@ -858,7 +866,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands/bits), documented here rather than hidden.
     """
     docs = load(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs)
+    # Materialized once (round 13): the fingerprint aggregation feeds
+    # BOTH sides of the band self-join AND the final left join that
+    # attaches simhash to the assignment — three consumers whose
+    # required partitionings differ (band key vs doc_id), so exchange
+    # reuse cannot dedup them and the tokenize+explode+60-sum plan ran
+    # per consumer (interleaved A/B: -30 % on the full query). The
+    # checkpoint stores one 2-column row per doc — model-sized, not
+    # corpus-sized.
+    fp = simhash_fingerprints(docs).localCheckpoint(eager=False)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     bands = F.array(*[
@@ -1088,7 +1104,17 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .withColumn("r", F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "tok")))
         .filter(F.col("r") <= F.expr("sz - ((4*sz + 4) div 5) + 1"))
-        .select("doc_id", "source", "sz", "tok", "r")
+        # The self-join below matches postings on the token's xxhash64
+        # (8-byte longs) instead of the string (round 13): the
+        # candidate join's shuffle carries and sort-compares longs. A
+        # hash collision can only ADD a candidate pair (verified away
+        # by the exact intersection below), never drop one — equal
+        # strings always hash equal — so unlike the verify encoding
+        # this needs no injectivity gate. The prefix CONTENT (which
+        # postings survive the rank filter) still orders by the raw
+        # (df, tok), unchanged from round 12.
+        .select("doc_id", "source", "sz",
+                F.xxhash64("tok").alias("th"), "r")
         # Materialize: both sides of the self-join (and nothing else)
         # read this frame; without it Spark re-runs tokenize+freq+
         # window once per side. ~20% of postings -> small.
@@ -1115,7 +1141,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
               >= 4 * (F.col("a.sz") + F.col("b.sz")))
     cand = (
         a.join(b, (F.col("a.source") == F.col("b.source"))
-                  & (F.col("a.tok") == F.col("b.tok"))
+                  & (F.col("a.th") == F.col("b.th"))
                   & (F.col("a.doc_id") < F.col("b.doc_id"))
                   & size_ok & pos_ok)
         .select(F.col("a.doc_id").alias("doc_a"),
@@ -1478,8 +1504,15 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     arrives at the reducer as one row per map partition), one
     equi-join of lines back to their digest's winner row (the winner
     side has exactly one row per distinct line, so hot keys are the
-    classic AQE skew-join split, never a cross product), and one
-    groupBy(doc) to reassemble — every shuffle is key-bucketed.
+    classic AQE skew-join split, never a cross product). Reassembly
+    (round 13) touches only the DOCS THAT LOSE A LINE: removed line
+    positions aggregate per doc (boilerplate-fraction-sized), join
+    back to the per-doc line arrays on doc id, and each row drops its
+    removed positions with an array filter — replacing the old full
+    corpus collect_list/array_sort rebuild and its extra
+    doc-keyed shuffles (interleaved A/B: -22 %). Per-row strip cost
+    is O(lines x removed positions) JVM-local compute on touched
+    rows only (same trade as span_dedup's round-13 note).
     Grouping ships the md5 digest (32 hex chars), not the line bytes;
     a 128-bit digest collision (which would conflate two distinct
     lines) needs ~2^64 distinct lines — not reachable at 100 TB.
@@ -1491,71 +1524,57 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     import re as _re
 
     did, pos, line = F.col("_ld_did"), F.col("_ld_pos"), F.col("_ld_line")
-    lines = docs.select(
+    base = docs.select(
         F.col(id_col).alias("_ld_did"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(delim), -1))
-         .alias("_ld_pos", "_ld_line"))
-    keyed = lines.withColumn(
-        "_ld_key",
-        F.when(F.length(line) >= min_chars, F.md5(line)))
-    winners = (keyed.filter(F.col("_ld_key").isNotNull())
-               .groupBy("_ld_key")
+        F.split(F.col(text_col), _re.escape(delim), -1).alias("_ld_lines"))
+    lines = base.select(
+        "_ld_did", F.posexplode("_ld_lines").alias("_ld_pos", "_ld_line"))
+    keyed = (lines.withColumn(
+                 "_ld_key",
+                 F.when(F.length(line) >= min_chars, F.md5(line)))
+             .filter(F.col("_ld_key").isNotNull())
+             .drop("_ld_line"))
+    winners = (keyed.groupBy("_ld_key")
                .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
                      .alias("_ld_w"),
                     F.count(F.lit(1)).alias("_ld_n")))
     if policy not in ("winner", "prefix"):
         raise ValueError(f"policy must be 'winner' or 'prefix', "
                          f"got {policy!r}")
-    joined = keyed.join(winners, "_ld_key", "left")
+    # REMOVED occurrences only (exempt short lines never appear in
+    # `keyed`, so they can never be removed): the complement of the
+    # old kept-row computation, row for row.
+    joined = keyed.join(winners, "_ld_key")
     if policy == "prefix" and min_repeat > 2:
-        # Keep the first min_repeat-1 occurrences. Rank is needed
+        # Strip from the min_repeat-th occurrence on. Rank is needed
         # only for keys that actually cleared the threshold (others
         # keep everything), so the window runs over the crossing
         # subset alone; its partition holds every occurrence of a
         # crossing key — bounded in the streaming pin's per-epoch
         # use, and still key-bucketed (never a cross product) here.
         from pyspark.sql import Window
-        safe = joined.filter(F.col("_ld_key").isNull()
-                             | (F.col("_ld_n") < min_repeat))
         w = (Window.partitionBy("_ld_key")
              .orderBy(did.asc(), pos.asc()))
-        kept = safe.unionByName(
-            joined.filter(F.col("_ld_key").isNotNull()
-                          & (F.col("_ld_n") >= min_repeat))
-            .withColumn("_ld_rn", F.row_number().over(w))
-            .filter(F.col("_ld_rn") <= min_repeat - 1)
-            .drop("_ld_rn"))
+        removed = (joined.filter(F.col("_ld_n") >= min_repeat)
+                   .withColumn("_ld_rn", F.row_number().over(w))
+                   .filter(F.col("_ld_rn") > min_repeat - 1))
     else:
         # "winner" — and "prefix" at min_repeat=2, where first k-1
         # occurrences IS the single winner.
-        kept = joined.filter(F.col("_ld_key").isNull()
-                             | (F.col("_ld_n") < min_repeat)
-                             | ((F.col("_ld_w.d") == did)
-                                & (F.col("_ld_w.p") == pos)))
-    rebuilt = (kept.groupBy("_ld_did")
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct(pos.alias("p"),
-                                         line.alias("l")))),
-                            lambda s: s["l"]),
-                        delim).alias("_ld_text"),
-                    F.count(F.lit(1)).alias("lines_kept")))
-    orig = docs.select(
-        F.col(id_col),
-        F.col(text_col).alias("_ld_orig"),
-        F.size(F.split(F.col(text_col), _re.escape(delim), -1))
-         .alias("lines_total"))
-    return (orig.join(rebuilt, orig[id_col] == rebuilt["_ld_did"], "left")
-            .select(id_col,
-                    F.when(F.col("_ld_orig").isNull(), F.lit(None))
-                     .otherwise(F.coalesce("_ld_text", F.lit("")))
-                     .alias(text_col),
-                    F.when(F.col("_ld_orig").isNull(), F.lit(None))
-                     .otherwise(F.col("lines_total")).alias("lines_total"),
-                    F.when(F.col("_ld_orig").isNull(), F.lit(None))
-                     .otherwise(F.coalesce("lines_kept", F.lit(0)))
-                     .alias("lines_kept")))
+        removed = joined.filter((F.col("_ld_n") >= min_repeat)
+                                & ~((F.col("_ld_w.d") == did)
+                                    & (F.col("_ld_w.p") == pos)))
+    rm = removed.groupBy("_ld_did").agg(
+        F.collect_list(pos).alias("_ld_rm"))
+    kept = F.when(F.col("_ld_rm").isNull(), F.col("_ld_lines")).otherwise(
+        F.filter("_ld_lines",
+                 lambda x, i: ~F.array_contains(F.col("_ld_rm"), i)))
+    return (base.join(rm, "_ld_did", "left")
+            .withColumn("_ld_kept", kept)
+            .select(did.alias(id_col),
+                    F.array_join("_ld_kept", delim).alias(text_col),
+                    F.size("_ld_lines").alias("lines_total"),
+                    F.size("_ld_kept").alias("lines_kept")))
 
 
 # ---------------------------------------------------------------------------
@@ -1584,7 +1603,9 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     a fully-covered doc comes back as ''.
 
     Returns one row per input doc:
-    ``(id_col, text_col, tokens_total, tokens_kept)``.
+    ``(id_col, text_col, tokens_total, tokens_kept)``. Doc ids are
+    assumed unique (the module contract — every dedup operator here
+    keys its assignment on the id).
 
     Scale notes (100 TB): window keys are md5 digests of the zipped
     shifted slices (the _shingles zip-shift construction — one slice
@@ -1592,11 +1613,21 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     posexplode of n-W+1 digests. The global winner/count agg is a
     map-side-combined hash-agg on the digest; the join back to
     occurrences is a digest equi-join (hot digests are one winner
-    row — AQE skew-split shape, never a product). Coverage expands
-    each removed span to its W positions (explode(sequence)) and
-    distincts them: amplification is bounded by W on duplicated
-    regions only, then one (doc,pos) anti-join and one groupBy(doc)
-    reassembly — every shuffle key-bucketed, nothing driver-side.
+    row — AQE skew-split shape, never a product). Reassembly (round
+    13) touches only the DOCS WITH A REMOVED SPAN: removed start
+    positions aggregate per doc (one groupBy(doc) over removed
+    occurrences only — boilerplate-fraction-sized, not corpus-sized),
+    join back to the token arrays on doc id, and each row strips its
+    covered positions with an array filter — the old shape's full
+    corpus posexplode, (doc,pos) anti-join, and collect_list/
+    array_sort reassembly shuffles are gone (4 exchanges and two
+    corpus-sized token shuffles → 1 small groupBy + 1 join). Per-row
+    strip cost is O(tokens x covered positions) JVM-local compute on
+    touched rows only — fine for boilerplate-shaped coverage;  a
+    pathological fully-self-repeating mega-document pays
+    O(doc_len^2) locally, the documented trade for removing the two
+    corpus-wide shuffles (the pre-r13 relational reassembly is the
+    alternative if such docs dominate a corpus).
 
     Reference parity: membership-dedup family (Batch Processor.py
     R6/R7) pushed below line grain; Python sliding-window replay
@@ -1605,10 +1636,15 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
     did, pos = F.col("_sd_did"), F.col("_sd_pos")
+    # Materialized once (round 13): the token arrays feed the window
+    # digests AND the reassembly join; without the snapshot the corpus
+    # is re-read and re-split per consumer (interleaved A/B: every
+    # pass faster with it).
     tok = docs.select(
         F.col(id_col).alias("_sd_did"),
         F.filter(F.split(F.col(text_col), r"\s+"),
-                 lambda x: x != "").alias("_sd_toks"))
+                 lambda x: x != "").alias("_sd_toks")) \
+        .localCheckpoint(eager=False)
     toks = F.col("_sd_toks")
     n = F.size(toks)
     span_w = n - (window - 1)
@@ -1627,39 +1663,25 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
                .filter((F.col("_sd_n") >= min_repeat)
                        & ~((F.col("_sd_w.d") == did)
                            & (F.col("_sd_w.p") == pos))))
-    covered = (removed
-               .select(did, F.explode(
-                   F.sequence(pos, pos + (window - 1))).alias("_sd_pos"))
-               .dropDuplicates(["_sd_did", "_sd_pos"]))
-    exploded = tok.select(
-        did, F.posexplode(toks).alias("_sd_pos", "_sd_tok"))
-    kept = exploded.join(covered, ["_sd_did", "_sd_pos"], "left_anti")
-    rebuilt = (kept.groupBy("_sd_did")
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct(pos.alias("p"),
-                                         F.col("_sd_tok").alias("t")))),
-                            lambda s: s["t"]),
-                        " ").alias("_sd_text"),
-                    F.count(F.lit(1)).alias("tokens_kept")))
-    orig = docs.select(
-        F.col(id_col),
-        F.col(text_col).alias("_sd_orig"))
-    totals = tok.select(did.alias("_sd_tid"), n.alias("tokens_total"))
-    return (orig
-            .join(totals, orig[id_col] == F.col("_sd_tid"), "left")
-            .join(rebuilt, orig[id_col] == rebuilt["_sd_did"], "left")
-            .select(id_col,
-                    F.when(F.col("_sd_orig").isNull(), F.lit(None))
-                     .otherwise(F.coalesce("_sd_text", F.lit("")))
-                     .alias(text_col),
-                    F.when(F.col("_sd_orig").isNull(), F.lit(None))
-                     .otherwise(F.col("tokens_total"))
-                     .alias("tokens_total"),
-                    F.when(F.col("_sd_orig").isNull(), F.lit(None))
-                     .otherwise(F.coalesce("tokens_kept", F.lit(0)))
-                     .alias("tokens_kept")))
+    # Removed START positions per touched doc (tiny: only docs that
+    # lose a span appear). Coverage expansion to the W positions per
+    # start happens inside the row below — shuffling starts, not the
+    # W-times-larger covered set.
+    rm = removed.groupBy("_sd_did").agg(
+        F.collect_list(pos).alias("_sd_starts"))
+    joined = tok.join(rm, "_sd_did", "left")
+    covered = F.array_distinct(F.flatten(F.transform(
+        "_sd_starts", lambda p: F.sequence(p, p + (window - 1)))))
+    kept = F.when(F.col("_sd_starts").isNull(), toks).otherwise(
+        F.filter(toks, lambda x, i: ~F.array_contains(
+            F.col("_sd_covered"), i)))
+    return (joined
+            .withColumn("_sd_covered", covered)
+            .withColumn("_sd_kept", kept)
+            .select(did.alias(id_col),
+                    F.array_join("_sd_kept", " ").alias(text_col),
+                    n.alias("tokens_total"),
+                    F.size("_sd_kept").alias("tokens_kept")))
 
 
 # ---------------------------------------------------------------------------
