@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lisp_batch_processor_spark.catalog import load, load_broadcast
+from lisp_batch_processor_spark.catalog import (
+    fan_out_small_scan, load, load_broadcast)
 from lisp_batch_processor_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from lisp_batch_processor_spark.registry import query
 
@@ -46,13 +47,24 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: filter + projection push into the parquet scan; the
     two-column groupBy is a partial (map-side) agg then a 6-group
-    shuffle — no skew possible with bounded group cardinality.
+    shuffle — no skew possible with bounded group cardinality. The
+    heavy work is the partial aggregation (8 decimal-exact sums per
+    row), which runs one task per input SPLIT — a one-file fixture
+    scan would fold the whole table serially, so the projected+
+    filtered rows fan out first (round 13; fan_out_small_scan is a
+    no-op whenever the scan already has >= defaultParallelism splits,
+    i.e. always at production scale). Interleaved A/B: -26 % median.
     """
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        fan_out_small_scan(
+            li.filter(F.col("l_shipdate")
+                      <= F.lit("1998-09-02").cast("timestamp"))
+            .select("l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax"),
+            spark)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
@@ -431,7 +443,16 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        # n_statuses derives from the SAME collect_set the statuses
+        # string already aggregates (round 13): size(collect_set) ==
+        # countDistinct (both skip nulls), and dropping the second
+        # countDistinct removes one branch from the multi-distinct
+        # Expand — the shuffle carries 2x each row instead of 3x.
+        # Interleaved A/B: -40 % median on the query.
+        # (cast: size() is int, countDistinct was bigint — the oracle
+        # checks the schema too.)
+        F.size(F.collect_set("o_orderstatus")).cast("long")
+         .alias("n_statuses"),
         F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
          .alias("statuses"),
         # Arg-extrema over NON-NULL prices (DuckDB's arg_min/arg_max
