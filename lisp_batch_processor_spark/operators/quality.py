@@ -95,8 +95,13 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the four lineitem rules fuse into ONE scan with
     conditional aggregation; the referential rule is a left join
-    reduced to counts; duplicate-PK is a two-level aggregate. Each
-    branch is a separate tiny result unioned plan-side.
+    reduced to counts; both orders rules (duplicate-PK, bad-status)
+    share ONE scan and ONE per-key aggregate (round 14 — the plain
+    bad-status scan+agg is gone from the plan; FLAT in local A/B
+    because the union's branches overlap inside one job on an idle
+    box, but one full orders scan fewer is what matters on a busy
+    100 TB cluster). Each branch is a separate tiny result unioned
+    plan-side.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -127,21 +132,31 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem_orphan_order").alias("rule"),
                 "violations", "checked"))
 
-    dup_pk = (
-        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
-        .agg(F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("violations"),
-             F.count(F.lit(1)).alias("checked"))
-        .select(F.lit("orders_duplicate_pk").alias("rule"),
-                "violations", "checked"))
+    # Both orders rules ride ONE scan + ONE per-key aggregation
+    # (round 14, guide §2.4): the duplicate-PK rule needs the per-key
+    # counts anyway, and the bad-status totals are recoverable from
+    # the same grouped frame (violations = sum of per-key bad counts;
+    # checked = sum of per-key row counts) — so the plain-agg second
+    # orders pass is gone. `inline` emits both report rows from the
+    # single 1-row aggregate, keeping one consumer of the subtree.
+    orders_rules = (
+        o.groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+                  .otherwise(0)).alias("n_bad"))
+        .agg(F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("dup_v"),
+             F.count(F.lit(1)).alias("dup_c"),
+             F.sum("n_bad").alias("bad_v"),
+             F.sum("cnt").alias("bad_c"))
+        .select(F.inline(F.array(
+            F.struct(F.lit("orders_duplicate_pk").alias("rule"),
+                     F.col("dup_v").alias("violations"),
+                     F.col("dup_c").alias("checked")),
+            F.struct(F.lit("orders_bad_status").alias("rule"),
+                     F.col("bad_v").alias("violations"),
+                     F.col("bad_c").alias("checked"))))))
 
-    bad_status = (
-        o.agg(F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
-                    .otherwise(0)).alias("violations"),
-              F.count(F.lit(1)).alias("checked"))
-        .select(F.lit("orders_bad_status").alias("rule"),
-                "violations", "checked"))
-
-    return li_long.unionAll(orphans).unionAll(dup_pk).unionAll(bad_status)
+    return li_long.unionAll(orphans).unionAll(orders_rules)
 
 
 def run_counters(df: DataFrame, ok: F.Column | None = None,

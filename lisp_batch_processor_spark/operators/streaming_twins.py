@@ -33,17 +33,54 @@ from lisp_batch_processor_spark.streaming.stateful import (
 from lisp_batch_processor_spark.streaming.windows import read_events_stream
 
 
+def _source_splits(spark: SparkSession, sf_dir: str) -> int:
+    """Scan-split count of the events fixture under the CURRENT scan
+    configuration — the data-derived size of the streaming source
+    that `_run_to_memory` turns into the stream's state-partition
+    count. A driver-side partition enumeration of the batch plan (no
+    job runs); the same files the stream reads, split by the same
+    maxPartitionBytes/openCostInBytes rules."""
+    from lisp_batch_processor_spark.catalog import load
+
+    return max(1, load(spark, sf_dir, "events").rdd.getNumPartitions())
+
+
 def _run_to_memory(spark: SparkSession, stream_df: DataFrame,
-                   prefix: str) -> DataFrame:
+                   prefix: str,
+                   state_partitions: int | None = None) -> DataFrame:
     """Drive a finite append-mode stream to completion through a
-    uniquely-named memory sink; return the sink table."""
-    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
-    q = (stream_df.writeStream.outputMode("append")
-         .format("memory").queryName(name).start())
+    uniquely-named memory sink; return the sink table.
+
+    ``state_partitions`` sizes the stream's state store: Structured
+    Streaming freezes ``spark.sql.shuffle.partitions`` into the
+    query's state layout at FIRST start, so a stream inherits
+    whatever static constant the session happens to carry — every
+    micro-batch (including the no-data watermark batch) then pays
+    one state-store task per partition regardless of data volume.
+    Deriving the count from the SOURCE'S scan splits (round 14,
+    guide §2: make partitioning scale with the input, not with a
+    session constant) sizes state to the data on every substrate:
+    a one-split fixture runs one state task per batch; a production
+    backlog with thousands of splits gets thousands of state
+    partitions — more than the core count, exactly what a 100 TB
+    stream wants. The conf is set around ``start()`` only and
+    restored before returning, so batch queries in the same session
+    never observe it."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (stream_df.writeStream.outputMode("append")
+             .format("memory").queryName(
+                 name := f"{prefix}_{uuid.uuid4().hex[:12]}").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            spark.conf.set(key, prev)
     # Detach the result from the sink's temp view (localCheckpoint
     # materializes it), then drop the view — repeated runs in one
     # session (bench passes + the correctness gate) must not
@@ -118,6 +155,15 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below) where the relational replay sees an in-data gap close —
     # the subset equivalence holds only when every gap decision sees
     # all the data at once.
+    # NO data-derived state-partition override here (round 14,
+    # measured and REJECTED): this stream's cost is the per-group
+    # pandas work — applyInPandasWithState calls Python for every
+    # user group in the data batch AND for every timeout close in
+    # the no-data batch — so collapsing to the fixture's split count
+    # serialized that compute (interleaved A/B: 3.3 s -> 12.6 s at 1
+    # state partition). State partitions here must ride compute
+    # parallelism, not source size; the JVM-state dedup twin below is
+    # the shape where the source-derived rule wins.
     table = _run_to_memory(
         spark,
         bounded_sessionize(read_events_stream(spark, sf_dir,
@@ -146,12 +192,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: state is (event_id -> expiry) bounded by arrival
     rate x watermark horizon, the standard at-least-once ->
-    effectively-once repair; the batch twin is q_dedup_exact.
+    effectively-once repair; the batch twin is q_dedup_exact. State
+    partitions are sized from the SOURCE'S scan splits (round 14):
+    this stream's per-partition work is pure JVM state-store lookup
+    — no Python, no heavy compute — so partition count should ride
+    data volume, not the session's static shuffle constant; at 100 TB
+    the backlog's thousands of splits yield thousands of state
+    partitions, and the fixture's two yield two (interleaved A/B:
+    -15 % min / -13 % median, every pass faster; contrast the
+    sessions twin above, where the same rule serialized per-group
+    Python compute and was rejected).
     """
     doubled = (read_events_stream(spark, sf_dir)
                .unionByName(read_events_stream(spark, sf_dir)))
     table = _run_to_memory(
-        spark, dedup_within_watermark(doubled), "stream_dedup")
+        spark, dedup_within_watermark(doubled), "stream_dedup",
+        # Two unioned sources: the state carries both arrivals'
+        # key-space, so the data-derived count is the TOTAL splits.
+        state_partitions=2 * _source_splits(spark, sf_dir))
     return table.select(
         "event_id", F.unix_micros("ts").alias("ts_us"),
         "user_id", "event_type", "value")

@@ -4,6 +4,7 @@ anti-join path."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lisp_batch_processor_spark.operators.bloom import (
@@ -75,6 +76,7 @@ def test_bloom_multi_column_key(spark):
     assert flagged.filter(~F.col("maybe_present")).count() == 0
 
 
+@pytest.mark.slow
 def test_band_bloom_prefilter_preserves_near_dup_assignments(spark):
     """incremental_near_dups with a corpus-band Bloom prefilter must
     assign the batch identically to the unfiltered path, while the

@@ -189,6 +189,7 @@ def test_upsert_validation(spark, tmp_path):
                     n_buckets=0)
 
 
+@pytest.mark.slow
 def test_fuzz_upsert_lifecycle_with_crashes(spark, tmp_path):
     """Randomized upsert chain with injected crash windows — marker
     loss, bucket swap window 1 (dest renamed aside), window 2 (stale
@@ -411,6 +412,7 @@ def test_upsert_versioned_vacuum_keep1_file_parity(spark, tmp_path):
             _manifest(cur, ms[0])["buckets"].values())
 
 
+@pytest.mark.slow
 def test_fuzz_upsert_versioned_lifecycle_with_crashes(spark, tmp_path):
     """Randomized upsert chain on the VERSIONED (manifest) backend
     with its own crash grammar — lost top manifest (the epoch never
@@ -552,6 +554,7 @@ def test_upsert_compact_folds_bucket_files(spark, tmp_path, backend):
     assert _state(spark, path)[1] == ("new", "t")
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 @pytest.mark.parametrize("backend", ["swap", "versioned"])
 def test_upsert_stream_compact_every_bounds_files(spark, tmp_path,

@@ -25,6 +25,9 @@ SCHEMA = "doc_id bigint, url string, text string"
 BOILER = "please subscribe to the newsletter today friends ok"
 
 
+pytestmark = pytest.mark.slow  # whole-module streaming-lifecycle tier
+
+
 def base_text(i: int) -> str:
     lines = []
     for j in range(3):

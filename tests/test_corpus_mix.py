@@ -85,6 +85,7 @@ def test_mixed_assembly_hits_the_target_mixture(spark, tmp_path):
                for r in rows)
 
 
+@pytest.mark.slow
 def test_mixed_assembly_is_deterministic(spark, tmp_path):
     def order_rows(tag):
         out = run(spark, str(tmp_path / tag))
@@ -111,6 +112,7 @@ def test_mix_knobs_must_come_together(spark, tmp_path):
                         mix_token_budget=576)
 
 
+@pytest.mark.slow
 def test_mix_alpha_equals_manual_weights_path(spark, tmp_path):
     """mix_alpha derives the target mixture from the MEASURED domain
     tokens (w ∝ tokens^alpha): at alpha=0.5 over sitea=72 /
@@ -134,6 +136,7 @@ def test_mix_alpha_equals_manual_weights_path(spark, tmp_path):
     assert order_rows(auto) == order_rows(manual)
 
 
+@pytest.mark.slow
 def test_mix_alpha_zero_flattens_one_keeps_natural(spark, tmp_path):
     """alpha=0 targets a uniform mixture (each domain 288 of 576:
     sitea upsampled 4x), alpha=1 keeps the natural distribution

@@ -124,6 +124,7 @@ def assembly(spark, tmp_path_factory):
     return out, train_id, val_id
 
 
+@pytest.mark.slow
 def test_stage_counters_chain(assembly):
     out, train_id, val_id = assembly
     c = out.counters()
@@ -229,6 +230,7 @@ def test_meta_side_table_rejoins(spark, assembly):
     assert order.join(meta, "doc_id", "left_anti").count() == 0
 
 
+@pytest.mark.slow
 def test_assembly_is_deterministic(spark, tmp_path):
     docs = spark.createDataFrame(
         [(i, f"https://d{i}.example.com/", base_text(i))

@@ -105,6 +105,7 @@ def _sealed(wd, dirs):
             if k.split(os.sep)[0] in dirs}
 
 
+@pytest.mark.slow
 def test_knob_scoped_resume_reuses_stages_above_the_changed_knob(
         spark, baseline, tmp_path):
     """Filter iteration: changing `ppl_max` with resume=True adopts
@@ -127,6 +128,7 @@ def test_knob_scoped_resume_reuses_stages_above_the_changed_knob(
     assert train_order(spark, out) == train_order(spark, fresh)
 
 
+@pytest.mark.slow
 def test_knob_scoped_resume_salt_change_recomputes_split_onward(
         spark, baseline, tmp_path):
     wd0, *_ = baseline

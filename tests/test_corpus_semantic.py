@@ -103,6 +103,7 @@ def test_semantic_pair_dies_at_exactly_the_semantic_stage(
     assert 201 not in set(train_docs(spark, out))
 
 
+@pytest.mark.slow
 def test_tau_change_resumes_from_the_semantic_stage(spark, tmp_path):
     from tests.test_corpus_resume import _sealed  # shared probe
 
@@ -134,6 +135,7 @@ def test_tau_change_resumes_from_the_semantic_stage(spark, tmp_path):
     assert out.counters() == fresh.counters()
 
 
+@pytest.mark.slow
 def test_knob_off_layout_and_chain_unchanged(spark, tmp_path):
     """Without embeddings the semantic scope is absent from the
     fingerprint chain: no 04b dir, stage list as before, and the
@@ -159,6 +161,7 @@ def test_knob_off_layout_and_chain_unchanged(spark, tmp_path):
     assert any(s["name"] == "semantic" for s in rep["funnel"]["stages"])
 
 
+@pytest.mark.slow
 def test_semantic_and_mixing_compose(spark, tmp_path):
     """The optional stages compose: one assembly with embeddings AND
     mix_alpha — the semantic plant dies before packing, the mixture

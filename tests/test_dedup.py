@@ -1032,6 +1032,39 @@ def test_span_dedup_fuzz_random_corpus(spark, seed):
             seed, window, min_repeat)
 
 
+def test_span_and_line_dedup_mega_self_repeating_doc(spark):
+    """The pathological strip tail (round 14, VERDICT r13 #5): a
+    fully-self-repeating mega-document — every window a duplicate of
+    the winner, every occurrence removed — must still reassemble
+    correctly, and cheaply: the merged-interval strip collapses its
+    whole coverage to ONE interval (O(tokens) per row) where the old
+    covered-position set paid O(tokens^2). Same for a document made
+    of thousands of identical lines."""
+    from lisp_batch_processor_spark.operators.dedup import (
+        line_dedup, span_dedup)
+
+    n = 5000
+    rows = [(0, " ".join(["tok"] * n)),          # pure self-repetition
+            (1, "a few honest distinct words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["tokens_total"], r["tokens_kept"])
+           for r in span_dedup(docs, window=8).collect()}
+    assert got == _span_dedup_replay(rows, 8, 2)
+    # Only the winner's first token survives: every later occurrence
+    # is removed, and their coverage [1, n-1] blankets the rest of
+    # the winner window itself.
+    assert got[0] == ("tok", n, 1)
+    assert got[1][0] == rows[1][1]
+
+    lrows = [(0, "\n".join(["same line of boilerplate"] * 4000)),
+             (1, "same line of boilerplate\nplus a novel one")]
+    ldocs = spark.createDataFrame(lrows, "doc_id long, text string")
+    lgot = {r["doc_id"]: (r["text"], r["lines_total"], r["lines_kept"])
+            for r in line_dedup(ldocs).collect()}
+    assert lgot[0] == ("same line of boilerplate", 4000, 1)
+    assert lgot[1] == ("plus a novel one", 2, 1)
+
+
 def test_round7_operators_never_go_cartesian(spark):
     """Plan pins for the round-7 additions: fuzzy decontamination is
     a band-bucket equi-join (eval side broadcast), semantic dedup's

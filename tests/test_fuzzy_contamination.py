@@ -88,6 +88,7 @@ def test_threshold_is_integer_exact(spark, frames):
     assert out[2] and not out[1] and not out[3]
 
 
+@pytest.mark.slow
 def test_assembly_knob_drops_the_paraphrase_from_train(spark, tmp_path):
     """decontam_fuzzy in assemble_corpus: the reordered eval item is
     dropped from train (exact-only assembly keeps it), and the knob

@@ -297,6 +297,7 @@ def test_fuzz_ngram_lm(spark):
 # split-path SCD2 vs the pure batch chain, randomized epochs
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_fuzz_scd2_split_equals_batch_chain(spark, tmp_path):
     import os
 
@@ -499,6 +500,7 @@ def test_fuzz_asof_join_vs_pandas(spark, direction):
             assert got == want, (direction, strict, tol)
 
 
+@pytest.mark.slow
 def test_fuzz_scd2_split_lifecycle_with_crashes(spark, tmp_path):
     """Randomized split-path SCD2 chain with injected crash states —
     crash after the closed-dir write but before the open-slice swap
@@ -596,6 +598,7 @@ def test_fuzz_scd2_split_lifecycle_with_crashes(spark, tmp_path):
         assert got == want_set(), f"epoch {e}"
 
 
+@pytest.mark.slow
 def test_fuzz_line_store_lifecycle_with_compaction(spark, tmp_path):
     """Randomized line-dedup ingest chain — epoch appends, replay of
     the latest epoch (which must exclude its OWN digests), and

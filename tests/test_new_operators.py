@@ -495,3 +495,35 @@ def test_attribution_models_plan_shapes(spark):
     for credit_model in ("linear", "position_based", "time_decay"):
         assert_no_cartesian(attribution_credit(pairs,
                                                model=credit_model))
+
+
+def test_r13_rewrites_plan_pins(spark, sf_dir):
+    """Structural pins for the round-13 aggregation rewrites (VERDICT
+    r13 #7): a Catalyst upgrade or refactor that silently reintroduces
+    the multi-distinct Expand — which doubles/triples every input row
+    through the shuffle — must fail here, not at 100 TB.
+
+    - q_exists_decorrelated: the (orderkey, suppkey) pre-aggregate
+      replaced the two countDistincts; ZERO Expand nodes.
+    - q_agg_distinct: n_statuses rides the collect_set, leaving one
+      distinct column; Catalyst plans it with ZERO Expand nodes.
+    - q_dedup_simhash: the fingerprint aggregation runs ONCE behind a
+      localCheckpoint — the corpus parquet is scanned exactly once in
+      the query plan (the assignment's doc_id projection); without
+      the checkpoint all three fingerprint consumers would re-scan.
+    """
+    from lisp_batch_processor_spark.operators.dedup import q_dedup_simhash
+    from lisp_batch_processor_spark.operators.relational import (
+        q_agg_distinct)
+    from lisp_batch_processor_spark.operators.tpch import (
+        q_exists_decorrelated)
+    from lisp_batch_processor_spark.plans.inspect import physical_plan
+
+    for q in (q_exists_decorrelated, q_agg_distinct):
+        plan = physical_plan(q(spark, sf_dir))
+        assert "Expand" not in plan, plan
+
+    plan = physical_plan(q_dedup_simhash(spark, sf_dir))
+    n_doc_scans = sum("documents.parquet" in b
+                      for b in plan.split("\n\n") if "Scan parquet" in b)
+    assert n_doc_scans == 1, plan

@@ -214,6 +214,7 @@ def test_pipeline_stage_toggling_is_monotone(spark, corpus):
             for r in pipe(docs).select("doc_id").collect()} == full
 
 
+@pytest.mark.slow
 def test_pipeline_with_boilerplate_strip_stage(spark, corpus):
     """The sub-document pass slots into the curation chain where a
     web pipeline runs it — after the quality gate, before exact

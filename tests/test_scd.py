@@ -373,6 +373,7 @@ def test_scd2_split_rejects_legacy_single_path_layout(spark, tmp_path):
                          attrs=["city", "tier"], epoch_id=0)
 
 
+@pytest.mark.slow
 def test_scd2_versioned_backend_matches_swap(spark, tmp_path):
     """The versioned split-path layout (pointer-committed open-slice
     versions with the epoch marker INSIDE the version dir; closed
@@ -449,6 +450,7 @@ def test_scd2_versioned_backend_matches_swap(spark, tmp_path):
         assert len(vs) <= 2, (side, vs)
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_scd2_stream_compact_every_bounds_closed_dirs(spark, tmp_path):
     """The compact_every hook self-schedules scd2_compact_closed

@@ -798,6 +798,7 @@ def test_retrain_refuses_fixed_splits_store(spark, tmp_path):
     assert quantile_bounds_read(spark, path) == {}
 
 
+@pytest.mark.slow
 def test_retrain_and_compaction_compose(spark, tmp_path):
     """The drift loop and the store fold run in one maintenance
     window: folding a generational store groups by gen (no cross-

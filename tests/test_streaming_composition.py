@@ -31,6 +31,9 @@ BODY_C = ("entirely fresh content on tide pools barnacles kelp "
           "pulling water up the shore")
 
 
+pytestmark = pytest.mark.slow  # whole-module streaming-lifecycle tier
+
+
 def _batches(spark):
     """Three micro-batches: a near-dup pair across batches (11 ~ 20),
     the boilerplate line repeated in every batch, and fresh bodies."""

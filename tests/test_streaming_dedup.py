@@ -38,6 +38,7 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_streaming_near_dup_ingest_grows_the_index(spark, tmp_path):
     """Two micro-batches through streaming_near_dup_ingest: batch 1
     contains a corpus dup and a novel doc; batch 2 contains a dup of
@@ -211,6 +212,7 @@ def test_line_dedup_epoch_replay(spark, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_near_dup_epoch_replay(spark, tmp_path):
     """Replaying a near-dup ingest epoch AFTER its own store append
     (crash between append and commit) must produce identical
@@ -259,6 +261,7 @@ def test_near_dup_epoch_replay(spark, tmp_path):
     assert out3 == {(30, 21, True)}
 
 
+@pytest.mark.slow
 def test_line_store_compact_preserves_membership_and_replay(
         spark, tmp_path):
     """Folding committed epochs into the epoch −1 base changes no
@@ -353,6 +356,7 @@ def test_line_store_compact_preserves_membership_and_replay(
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_near_dup_stores_tolerate_compaction(spark, tmp_path):
     """sources.writers.compact on the signature index and shingle
     store between epochs changes no later assignment (duplicate rows
@@ -422,6 +426,7 @@ def test_line_dedup_legacy_store_raises(spark, tmp_path):
         line_dedup_ingest_epoch(docs, store, epoch_id=0)
 
 
+@pytest.mark.slow
 def test_line_store_versioned_backend_matches_swap(spark, tmp_path):
     """A versioned-backend line store yields identical epoch outputs
     and identical membership across ingest → compact → ingest: the
@@ -563,6 +568,7 @@ def test_line_dedup_min_repeat3_replay_exactly_once(spark, tmp_path):
     assert out[5] == ("YYY\nZZZ", 3, 2)
 
 
+@pytest.mark.slow
 def test_line_store_compact_folds_counts(spark, tmp_path):
     """Compaction at min_repeat=3: folding epochs into the −1 base
     SUMS their per-key counts, so post-fold epochs see the same
@@ -601,6 +607,7 @@ def test_line_store_compact_folds_counts(spark, tmp_path):
         (30, "RRR\nTTT", 3, 2), (31, "SSS", 2, 1)}
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_fuzz_streaming_line_dedup_counts_vs_python_oracle(
         spark, tmp_path):
@@ -668,6 +675,7 @@ def _axis(i, dim=8, scale=1.0):
     return v
 
 
+@pytest.mark.slow
 def test_semantic_ingest_epoch_concat_equals_batch(spark, tmp_path):
     """Streaming semantic dedup (the fourth incremental axis): two
     epochs against seed-trained centroids + the celled survivor
@@ -773,6 +781,7 @@ def test_streaming_semantic_ingest_round_trips(spark, tmp_path):
                       20: (11, True), 21: (21, False)}
 
 
+@pytest.mark.slow
 def test_semantic_store_compact_bounds_files(spark, tmp_path):
     """The semantic stores joined the maintenance loop: per-epoch
     vector-store appends accrete one file set per epoch; a
@@ -811,6 +820,7 @@ def test_semantic_store_compact_bounds_files(spark, tmp_path):
     assert outs["folded"] == outs["plain"]
 
 
+@pytest.mark.slow
 def test_semantic_reseed_generation_switch(spark, tmp_path):
     """Generational re-seed (the drift loop): a new centroid model
     trains from the CURRENT survivors, the survivors re-cell
@@ -953,6 +963,7 @@ def test_semantic_reseed_replayed_trigger_epoch_is_identical(
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_streaming_semantic_ingest_hooks(spark, tmp_path):
     """The foreachBatch twin self-maintains: compact_every bounds the
     vector store's files, and the occupancy trigger commits a new
@@ -1043,6 +1054,7 @@ def test_line_store_min_repeat_contract_is_machine_checked(
                         min_repeat=1)
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
     """Randomized epochs / replays / compactions / generational
@@ -1189,6 +1201,7 @@ def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
                 assert recelled == set(store), (e, "reseed-mirror")
 
 
+@pytest.mark.slow
 def test_semantic_generations_on_the_versioned_backend(spark, tmp_path):
     """The semantic stores' whole lifecycle — seed, epochs, compact,
     generational reseed — on the versioned (pointer-committed)
@@ -1288,6 +1301,7 @@ def test_torn_generation_marker_steps_down_not_to_gen0(
     assert os.path.exists(os.path.join(sd, "sem_vectors_g2"))
 
 
+@pytest.mark.slow
 def test_epoch_lineage_contract_is_machine_checked(spark, tmp_path):
     """The monotonic-epoch / one-lineage contract every epoch-tagged
     store assumes is now an error, not a docstring (round 10, the
@@ -1376,6 +1390,7 @@ def test_line_store_epoch_lineage_guard(spark, tmp_path):
     assert out == {2: "x2"}   # 'shared' stripped: membership intact
 
 
+@pytest.mark.slow
 def test_semantic_fast_occupancy_matches_exact(spark, tmp_path):
     """The O(k)-per-epoch reseed-due signal
     (`semantic_cell_occupancy_fast` over the cell-count ledger) must
@@ -1452,6 +1467,7 @@ def test_semantic_fast_occupancy_matches_exact(spark, tmp_path):
     assert semantic_cell_occupancy(spark, sd2)["vectors"] == 2
 
 
+@pytest.mark.slow
 def test_semantic_counts_seed_backfills_adopted_dir(spark, tmp_path):
     """`semantic_counts_seed` migrates an ADOPTED ledger-less state
     dir to the O(k) occupancy path up front (round 11): one survivor
@@ -1501,6 +1517,7 @@ def test_semantic_counts_seed_backfills_adopted_dir(spark, tmp_path):
     assert fast["vectors"] == 5   # 21 died as a dup of 10
 
 
+@pytest.mark.slow
 def test_counts_seed_backfill_is_replay_safe(spark, tmp_path):
     """The backfill's crash window (round 11): an epoch whose
     vector-store append committed but whose checkpoint did NOT is
@@ -1558,6 +1575,7 @@ def test_counts_seed_backfill_is_replay_safe(spark, tmp_path):
         == semantic_cell_occupancy(spark, sd)
 
 
+@pytest.mark.slow
 def test_counts_seed_single_writer_window_is_leased(spark, tmp_path):
     """The backfill's single-writer window is MACHINE-CHECKED
     (round 12): `semantic_counts_seed` and every ``epoch=``-tagged
