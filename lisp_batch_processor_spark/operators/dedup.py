@@ -1570,11 +1570,27 @@ def _covered_intervals(starts, width: int) -> F.Column:
     return F.aggregate(s0, empty, step)
 
 
-def _not_covered(intervals) -> "callable":
-    """Predicate factory for F.filter(arr, (x, i) -> ...): index i is
-    outside every merged coverage interval."""
-    return lambda x, i: ~F.exists(
-        intervals, lambda iv: (iv["lo"] <= i) & (i <= iv["hi"]))
+def _keep_outside(arr, intervals) -> F.Column:
+    """Elements of ``arr`` whose indices fall OUTSIDE the sorted,
+    disjoint coverage ``intervals``: the complement gaps are
+    enumerated (O(merged) interpreted lambda steps) and each gap is
+    one NATIVE array slice, so no per-element interpreted predicate
+    ever runs — a touched row costs O(merged) interpreter steps plus
+    the bytes it actually keeps, against the old shape's
+    O(elements) interpreted filter with an O(covered) membership
+    scan per element."""
+    n, k = F.size(arr), F.size(intervals)
+    gaps = F.transform(
+        F.sequence(F.lit(0), k),
+        lambda i: F.struct(
+            F.when(i == 0, F.lit(0))
+             .otherwise(F.element_at(intervals, i)["hi"] + 1).alias("lo"),
+            F.when(i == k, n - 1)
+             .otherwise(F.element_at(intervals, i + 1)["lo"] - 1)
+             .alias("hi")))
+    return F.flatten(F.transform(
+        F.filter(gaps, lambda g: g["lo"] <= g["hi"]),
+        lambda g: F.slice(arr, g["lo"] + 1, g["hi"] - g["lo"] + 1)))
 
 
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -1634,9 +1650,11 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     rows only (round 14: removed positions merge into consecutive-run
     intervals first — boilerplate clusters, so runs << positions; a
     doc that loses every line costs O(lines), not O(lines^2)).
-    Grouping ships the md5 digest (32 hex chars), not the line bytes;
-    a 128-bit digest collision (which would conflate two distinct
-    lines) needs ~2^64 distinct lines — not reachable at 100 TB.
+    Grouping ships a 128-bit digest (two salted xxhash64 longs,
+    round 14 — 16 bytes, no hex-string materialization), not the
+    line bytes; a 128-bit digest collision (which would conflate two
+    distinct lines) needs ~2^64 distinct lines — not reachable at
+    100 TB.
 
     Reference parity: this is the dedup-on-insert family of the
     reference (Batch Processor.py R6/R7) pushed below document grain;
@@ -1645,24 +1663,30 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     import re as _re
 
     did, pos, line = F.col("_ld_did"), F.col("_ld_pos"), F.col("_ld_line")
-    # Materialized once (round 14, the span_dedup §5 pattern): the
-    # line arrays feed the posexplode/digest path AND the reassembly
-    # join; without the snapshot the corpus is re-read and re-split
-    # per consumer. Executor-local unreplicated blocks — an executor
-    # loss mid-query fails the job instead of recomputing (standard
-    # intra-query trade; durable pipelines persist the frame).
+    # NOT checkpointed (round 14, measured and REJECTED — the ADVICE
+    # r13 suggestion to mirror span_dedup's token snapshot): caching
+    # the corpus-sized line arrays for the two consumers read SLOWER
+    # in interleaved A/B than re-running the one cheap native split
+    # per side — same verdict as the embedding/ngram-flag checkpoint
+    # experiments this round. span_dedup's keep is different in kind:
+    # its second consumer re-derives the arrays through a regex
+    # whitespace tokenizer, which is much heavier than this split.
     base = docs.select(
         F.col(id_col).alias("_ld_did"),
-        F.split(F.col(text_col), _re.escape(delim), -1).alias("_ld_lines")) \
-        .localCheckpoint(eager=False)
+        F.split(F.col(text_col), _re.escape(delim), -1).alias("_ld_lines"))
     lines = base.select(
         "_ld_did", F.posexplode("_ld_lines").alias("_ld_pos", "_ld_line"))
-    keyed = (lines.withColumn(
-                 "_ld_key",
-                 F.when(F.length(line) >= min_chars, F.md5(line)))
-             .filter(F.col("_ld_key").isNotNull())
-             .drop("_ld_line"))
-    winners = (keyed.groupBy("_ld_key")
+    # 128-bit line digest as two salted xxhash64 longs (round 14,
+    # §2.3 — same swap as span_dedup's window digest): 16 shuffle
+    # bytes per occurrence instead of the 32-hex-char md5 string,
+    # no hex-string materialization per line. Two separate long key
+    # columns, not a struct — primitive keys keep the codegen'd
+    # hash-agg/join fast paths.
+    keyed = (lines.filter(F.length(line) >= min_chars)
+             .select("_ld_did", "_ld_pos",
+                     F.xxhash64(line).alias("_ld_k1"),
+                     F.xxhash64(F.lit(-1640531527), line).alias("_ld_k2")))
+    winners = (keyed.groupBy("_ld_k1", "_ld_k2")
                .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
                      .alias("_ld_w"),
                     F.count(F.lit(1)).alias("_ld_n")))
@@ -1672,7 +1696,7 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     # REMOVED occurrences only (exempt short lines never appear in
     # `keyed`, so they can never be removed): the complement of the
     # old kept-row computation, row for row.
-    joined = keyed.join(winners, "_ld_key")
+    joined = keyed.join(winners, ["_ld_k1", "_ld_k2"])
     if policy == "prefix" and min_repeat > 2:
         # Strip from the min_repeat-th occurrence on. Rank is needed
         # only for keys that actually cleared the threshold (others
@@ -1681,7 +1705,7 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
         # crossing key — bounded in the streaming pin's per-epoch
         # use, and still key-bucketed (never a cross product) here.
         from pyspark.sql import Window
-        w = (Window.partitionBy("_ld_key")
+        w = (Window.partitionBy("_ld_k1", "_ld_k2")
              .orderBy(did.asc(), pos.asc()))
         removed = (joined.filter(F.col("_ld_n") >= min_repeat)
                    .withColumn("_ld_rn", F.row_number().over(w))
@@ -1694,15 +1718,21 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                                     & (F.col("_ld_w.p") == pos)))
     rm = removed.groupBy("_ld_did").agg(
         F.collect_list(pos).alias("_ld_rm"))
-    # Removed lines cluster into consecutive runs (banners, footers),
-    # so the strip tests each index against the merged runs instead
-    # of the raw removed-position list (round 14 — see
-    # _covered_intervals; width 1: each removed position covers
-    # itself).
+    # Point-membership strip, NOT the span_dedup interval merge
+    # (round 14, measured): removed LINE positions are scattered
+    # points, so run-merging buys little and its per-append
+    # accumulator copies cost more than the native array_contains
+    # scan — interleaved A/B read the interval variant ~15 % slower
+    # here while the same machinery won -15..23 % on span_dedup's
+    # genuinely overlapping W-wide spans. The worst case stays
+    # O(lines x removed) NATIVE ops per touched row (a doc made of
+    # thousands of identical lines is ~16M primitive compares —
+    # milliseconds; span's pathological tail was interval-merged
+    # because its covered SET is W-times larger).
     kept = F.when(F.col("_ld_rm").isNull(), F.col("_ld_lines")).otherwise(
-        F.filter("_ld_lines", _not_covered(F.col("_ld_iv"))))
+        F.filter("_ld_lines",
+                 lambda x, i: ~F.array_contains(F.col("_ld_rm"), i)))
     return (base.join(rm, "_ld_did", "left")
-            .withColumn("_ld_iv", _covered_intervals(F.col("_ld_rm"), 1))
             .withColumn("_ld_kept", kept)
             .select(did.alias(id_col),
                     F.array_join("_ld_kept", delim).alias(text_col),
@@ -1743,10 +1773,12 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     assumed unique (the module contract — every dedup operator here
     keys its assignment on the id).
 
-    Scale notes (100 TB): window keys are md5 digests of the zipped
-    shifted slices (the _shingles zip-shift construction — one slice
-    per OFFSET, not per window), so the per-doc expansion is one
-    posexplode of n-W+1 digests. The global winner/count agg is a
+    Scale notes (100 TB): window keys are 128-bit digests (two
+    salted xxhash64 longs over the zipped shifted slices — the
+    _shingles zip-shift construction, one slice per OFFSET, not per
+    window; round 14 swapped the md5-of-concat string for the
+    16-byte struct), so the per-doc expansion is one posexplode of
+    n-W+1 digests. The global winner/count agg is a
     map-side-combined hash-agg on the digest; the join back to
     occurrences is a digest equi-join (hot digests are one winner
     row — AQE skew-split shape, never a product). Reassembly (round
@@ -1794,16 +1826,31 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     span_w = n - (window - 1)
     z = F.arrays_zip(*[F.slice(toks, i + 1, span_w)
                        for i in range(window)])
+    # 128-bit window digest as TWO salted xxhash64 longs of the
+    # window string (round 14, §2.3 narrower types): same 128-bit
+    # collision class as the previous md5, but no 32-hex-char key —
+    # the winner/count shuffle carries 16 bytes per occurrence
+    # instead of ~40, and xxhash64 beats the crypto md5 per byte
+    # (the single-space join over whitespace-free tokens keeps the
+    # window string injective over token sequences, unchanged). The
+    # window STRING is built once per position inside the zip
+    # transform — exactly the old shape — but the hashes run in the
+    # codegen'd projection AFTER the explode and the string is
+    # dropped there, so only the two longs reach the exchange. Two
+    # SEPARATE long columns, not a struct — primitive keys keep the
+    # codegen'd hash-agg/join fast paths.
     keys = F.transform(
-        z, lambda s: F.md5(F.concat_ws(
-            " ", *[s[str(i)] for i in range(window)])))
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(window)]))
     occ = (tok.filter(n >= window)
-           .select(did, F.posexplode(keys).alias("_sd_pos", "_sd_key")))
-    winners = (occ.groupBy("_sd_key")
+           .select(did, F.posexplode(keys).alias("_sd_pos", "_sd_str"))
+           .select(did, pos, F.xxhash64("_sd_str").alias("_sd_k1"),
+                   F.xxhash64(F.lit(-1640531527), "_sd_str")
+                    .alias("_sd_k2")))
+    winners = (occ.groupBy("_sd_k1", "_sd_k2")
                .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
                      .alias("_sd_w"),
                     F.count(F.lit(1)).alias("_sd_n")))
-    removed = (occ.join(winners, "_sd_key")
+    removed = (occ.join(winners, ["_sd_k1", "_sd_k2"])
                .filter((F.col("_sd_n") >= min_repeat)
                        & ~((F.col("_sd_w.d") == did)
                            & (F.col("_sd_w.p") == pos))))
@@ -1815,12 +1862,13 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.collect_list(pos).alias("_sd_starts"))
     joined = tok.join(rm, "_sd_did", "left")
     # Merged coverage intervals instead of the expanded covered-
-    # position set (round 14 — see _covered_intervals): overlapping
-    # spans fuse, so the strip is O(tokens x merged intervals) and a
-    # fully-self-repeating mega-document pays O(tokens), not
-    # O(tokens^2).
+    # position set (round 14 — see _covered_intervals/_keep_outside):
+    # overlapping spans fuse and the strip slices out the complement
+    # gaps natively, so a touched row costs O(merged) interpreter
+    # steps + the kept bytes, and a fully-self-repeating
+    # mega-document pays O(tokens), not O(tokens^2).
     kept = F.when(F.col("_sd_starts").isNull(), toks).otherwise(
-        F.filter(toks, _not_covered(F.col("_sd_iv"))))
+        _keep_outside(toks, F.col("_sd_iv")))
     return (joined
             .withColumn("_sd_iv",
                         _covered_intervals(F.col("_sd_starts"), window))
