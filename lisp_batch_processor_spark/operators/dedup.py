@@ -440,7 +440,15 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
         # duplicate multiplicities the early dedup could pay for
         # itself by shrinking the ss join — near-dup graphs (short
         # chains, small cliques) are not that shape.
-        ls = (sym.join(mn, "u")
+        # SHUFFLE_HASH build on the min table (round 14, §3.1): mn
+        # has exactly ONE 2-long row per node — unique keys, no hot
+        # build key possible — and its per-partition share is bounded
+        # by AQE partition sizing at any graph scale, so the hash
+        # build is safe while both sides skip the sort-merge sorts
+        # (interleaved A/B on the suite conf: q_dedup_connected
+        # -0.23 s median; pinned here as a hint so the session
+        # default stays sort-merge).
+        ls = (sym.join(mn.hint("shuffle_hash"), "u")
               .filter(F.col("v") > F.col("u"))
               .select(F.col("v").alias("u"),
                       F.least("u", "mn").alias("v"))
@@ -449,7 +457,7 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
         # directed (big -> small) edges), m = min; connect u and all
         # those neighbors to m.
         mn2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
-        ss = (ls.join(mn2, "u")
+        ss = (ls.join(mn2.hint("shuffle_hash"), "u")
               .select(F.col("v").alias("s"), F.col("mn").alias("t"))
               .unionAll(mn2.select(F.col("u").alias("s"),
                                    F.col("mn").alias("t")))
@@ -600,8 +608,13 @@ def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components_contraction(
         pairs, "doc_a", "doc_b",
         assume_distinct_pairs=True, emit_roots=True)
+    # SHUFFLE_HASH build on the roots frame: one 2-long row per
+    # non-root node, unique key, per-partition share bounded by AQE
+    # sizing — same §3.1 argument as the contraction's min-table
+    # joins; both sides skip the SMJ sorts.
     return (docs.select("doc_id")
-            .join(comp, F.col("doc_id") == F.col("node"), "left")
+            .join(comp.hint("shuffle_hash"),
+                  F.col("doc_id") == F.col("node"), "left")
             .select("doc_id",
                     F.coalesce("component", F.col("doc_id")).alias("rep_id"))
             .withColumn("is_dup", F.col("doc_id") != F.col("rep_id")))
