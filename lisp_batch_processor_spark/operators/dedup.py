@@ -491,6 +491,11 @@ def connected_components_contraction(pairs: DataFrame, a: str, b: str,
             # O(log n) ever) the output is already materialized the
             # moment convergence is known; a non-converged burst
             # wastes only the star-forest-sized roots write.
+            # Concurrency safety: shared CACHED partitions compute
+            # once under BlockManager per-partition locks, and the
+            # historical concurrent-jobs-on-a-checkpointing-RDD race
+            # (SPARK-28917, RDD.dependencies mutation) was fixed in
+            # Spark 3.0 — this engine pins Spark 4.x.
             from concurrent.futures import ThreadPoolExecutor
 
             roots_df = (edges.groupBy("u")
@@ -1550,6 +1555,27 @@ def srp_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
 # Line-level (paragraph) global dedup — sub-document boilerplate removal.
 # ---------------------------------------------------------------------------
 
+# Second-word salt for the 128-bit content digests below (the golden
+# ratio's 32-bit integer, a conventional hash-mixing constant): the
+# two sub-document dedup passes MUST use the same construction so
+# their digest schemes never silently diverge.
+_DIGEST_SALT = -1640531527
+
+
+def _digest128(col) -> tuple[F.Column, F.Column]:
+    """128-bit content digest as two salted xxhash64 longs — the
+    shared key construction of line_dedup/span_dedup (round 14; was
+    md5). 16 key bytes instead of a 32-hex-char string, no hex
+    materialization, and xxhash64 outruns the crypto md5 per byte
+    (isolated A/B on span_dedup: -10 % vs md5 with the identical
+    downstream plan). Collision class is 128-bit for RANDOM content,
+    same as md5; unlike md5's (already broken) adversarial story,
+    xxhash64 collisions are CONSTRUCTIBLE, so a corpus pass facing
+    adversarial text should swap this one helper for a cryptographic
+    digest — the operators are keyed entirely through it."""
+    return (F.xxhash64(col), F.xxhash64(F.lit(_DIGEST_SALT), col))
+
+
 def _covered_intervals(starts, width: int) -> F.Column:
     """Sorted, overlap-merged [lo, hi] coverage intervals from removed
     start positions, each start covering [s, s + width - 1] (round 14,
@@ -1695,10 +1721,10 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     # no hex-string materialization per line. Two separate long key
     # columns, not a struct — primitive keys keep the codegen'd
     # hash-agg/join fast paths.
+    k1, k2 = _digest128(line)
     keyed = (lines.filter(F.length(line) >= min_chars)
              .select("_ld_did", "_ld_pos",
-                     F.xxhash64(line).alias("_ld_k1"),
-                     F.xxhash64(F.lit(-1640531527), line).alias("_ld_k2")))
+                     k1.alias("_ld_k1"), k2.alias("_ld_k2")))
     winners = (keyed.groupBy("_ld_k1", "_ld_k2")
                .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
                      .alias("_ld_w"),
@@ -1854,11 +1880,10 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     # codegen'd hash-agg/join fast paths.
     keys = F.transform(
         z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(window)]))
+    wk1, wk2 = _digest128(F.col("_sd_str"))
     occ = (tok.filter(n >= window)
            .select(did, F.posexplode(keys).alias("_sd_pos", "_sd_str"))
-           .select(did, pos, F.xxhash64("_sd_str").alias("_sd_k1"),
-                   F.xxhash64(F.lit(-1640531527), "_sd_str")
-                    .alias("_sd_k2")))
+           .select(did, pos, wk1.alias("_sd_k1"), wk2.alias("_sd_k2")))
     winners = (occ.groupBy("_sd_k1", "_sd_k2")
                .agg(F.min(F.struct(did.alias("d"), pos.alias("p")))
                      .alias("_sd_w"),

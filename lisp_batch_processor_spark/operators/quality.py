@@ -147,7 +147,10 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("dup_v"),
              F.count(F.lit(1)).alias("dup_c"),
              F.sum("n_bad").alias("bad_v"),
-             F.sum("cnt").alias("bad_c"))
+             # coalesce: SUM over zero groups is NULL where the old
+             # plain COUNT(*) was 0 — an empty orders table must
+             # still report checked=0 (round-14 review finding).
+             F.coalesce(F.sum("cnt"), F.lit(0)).alias("bad_c"))
         .select(F.inline(F.array(
             F.struct(F.lit("orders_duplicate_pk").alias("rule"),
                      F.col("dup_v").alias("violations"),

@@ -65,7 +65,12 @@ def _run_to_memory(spark: SparkSession, stream_df: DataFrame,
     partitions — more than the core count, exactly what a 100 TB
     stream wants. The conf is set around ``start()`` only and
     restored before returning, so batch queries in the same session
-    never observe it."""
+    never observe it. NOT safe under concurrent callers: the
+    get/set/restore of a session-global conf interleaves (two
+    overlapping overrides can restore each other's values) — the
+    bench/correctness harnesses drive these twins strictly
+    serially, which is the documented contract; a concurrent
+    harness must scope the conf per thread (e.g. newSession())."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     if state_partitions is not None:

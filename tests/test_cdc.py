@@ -555,7 +555,6 @@ def test_upsert_compact_folds_bucket_files(spark, tmp_path, backend):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["swap", "versioned"])
 def test_upsert_stream_compact_every_bounds_files(spark, tmp_path,
                                                   backend):

@@ -527,3 +527,33 @@ def test_r13_rewrites_plan_pins(spark, sf_dir):
     n_doc_scans = sum("documents.parquet" in b
                       for b in plan.split("\n\n") if "Scan parquet" in b)
     assert n_doc_scans == 1, plan
+
+
+def test_r14_closure_and_audit_plan_pins(spark, sf_dir):
+    """Structural pins for the round-14 rewrites:
+
+    - q_dedup_connected's FINAL plan reads the corpus parquet exactly
+      once (the assignment's doc_id projection) and joins the
+      checkpoint-materialized roots with a ShuffledHashJoin — the
+      emit_roots + SHUFFLE_HASH shape; a refactor that reintroduces
+      the node-universe union+distinct+join or loses the hint puts
+      extra scans / SMJ sorts back on the critical path.
+    - q_quality_audit scans orders exactly twice (the referential
+      join side + the fused duplicate-PK/bad-status per-key
+      aggregate); a third scan means the fused orders pass split
+      apart again.
+    """
+    from lisp_batch_processor_spark.operators.dedup import (
+        q_dedup_connected)
+    from lisp_batch_processor_spark.operators.quality import (
+        q_quality_audit)
+    from lisp_batch_processor_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q_dedup_connected(spark, sf_dir))
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    assert sum("documents.parquet" in b for b in scans) == 1, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+    qplan = physical_plan(q_quality_audit(spark, sf_dir))
+    qscans = [b for b in qplan.split("\n\n") if "Scan parquet" in b]
+    assert sum("orders.parquet" in b for b in qscans) == 2, qplan

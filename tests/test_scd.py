@@ -451,7 +451,6 @@ def test_scd2_versioned_backend_matches_swap(spark, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_scd2_stream_compact_every_bounds_closed_dirs(spark, tmp_path):
     """The compact_every hook self-schedules scd2_compact_closed
     inside the stream's own foreachBatch: after N epochs the closed

@@ -38,7 +38,6 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_streaming_near_dup_ingest_grows_the_index(spark, tmp_path):
     """Two micro-batches through streaming_near_dup_ingest: batch 1
     contains a corpus dup and a novel doc; batch 2 contains a dup of
@@ -212,7 +211,6 @@ def test_line_dedup_epoch_replay(spark, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_near_dup_epoch_replay(spark, tmp_path):
     """Replaying a near-dup ingest epoch AFTER its own store append
     (crash between append and commit) must produce identical
@@ -355,7 +353,6 @@ def test_line_store_compact_preserves_membership_and_replay(
         line_store_compact(spark, bad)
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_near_dup_stores_tolerate_compaction(spark, tmp_path):
     """sources.writers.compact on the signature index and shingle
@@ -607,7 +604,6 @@ def test_line_store_compact_folds_counts(spark, tmp_path):
         (30, "RRR\nTTT", 3, 2), (31, "SSS", 2, 1)}
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_fuzz_streaming_line_dedup_counts_vs_python_oracle(
         spark, tmp_path):
@@ -963,7 +959,6 @@ def test_semantic_reseed_replayed_trigger_epoch_is_identical(
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_streaming_semantic_ingest_hooks(spark, tmp_path):
     """The foreachBatch twin self-maintains: compact_every bounds the
     vector store's files, and the occupancy trigger commits a new
@@ -1054,7 +1049,6 @@ def test_line_store_min_repeat_contract_is_machine_checked(
                         min_repeat=1)
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_fuzz_semantic_generation_lifecycle(spark, tmp_path):
     """Randomized epochs / replays / compactions / generational

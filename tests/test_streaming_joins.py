@@ -24,7 +24,6 @@ def _ev(eid, us, uid, et):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_streaming_attribution_matches_batch(spark, tmp_path):
     horizon = 3600
 
@@ -152,7 +151,6 @@ def test_streaming_attribution_left_outer_matches_batch(spark, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 @pytest.mark.parametrize("model", ["first_touch", "all_touches"])
 def test_streaming_attribution_models_match_batch(spark, tmp_path,
                                                   model):
@@ -227,7 +225,6 @@ def test_streaming_attribution_models_match_batch(spark, tmp_path,
 @pytest.mark.slow
 @pytest.mark.parametrize("credit_model",
                          ["linear", "position_based", "time_decay"])
-@pytest.mark.slow
 def test_streaming_attribution_credit_matches_batch(spark, tmp_path,
                                                     credit_model):
     """streaming_attribution_credit replay == attribution_credit over
